@@ -1,0 +1,500 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.expr.Scalars
+import graft.model.Tables
+
+/** Extension operators for large-scale training-data pipelines
+  * (SURVEY.md §2j, E1-E5 + driver-mandated dedup / similarity /
+  * text-analysis ops) over `documents` / `embeddings`.
+  *
+  * Determinism contract: every hash used in a correctness-checked query
+  * is sha256-derived (`Scalars.hash60`) so the DuckDB oracle computes
+  * bit-identical values. All floating-point outputs are rounded before
+  * compare/threshold; arrays are cast to double before arithmetic so
+  * both engines accumulate in float64.
+  *
+  * Scale posture: subsets below (`doc_id % k = 0`) bound the
+  * *quadratic verification* stages only — the signature/banding stages
+  * are linear and run on the full table shape. At 100 TB the LSH band
+  * join replaces the all-pairs comparisons entirely (that is its
+  * purpose); the all-pairs variants exist as oracle-checkable ground
+  * truth at small SF.
+  */
+object Extensions {
+
+  private val N = 5 // char-shingle width
+
+  /** Distinct character n-gram shingles of `text`. */
+  def shingles(text: Column, n: Int = N): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  private def duckShingles(textExpr: String, n: Int = N): String =
+    s"list_distinct([substr($textExpr, i, $n) for i in range(1, greatest(length($textExpr)-${n - 1}, 1)+1)])"
+
+  private def duckHash60(e: String): String =
+    s"cast(concat('0x', substr(sha256($e),1,15)) as bigint)"
+
+  // =====================================================================
+  // E1: exact dedup — hash-groupBy, min(doc_id) survives
+  // =====================================================================
+  val dedupExact: Q = Q("ext_dedup_exact",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .groupBy(sha2(col("text"), 256).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+    Some("""SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
+           |  count(*) AS n_copies
+           |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin))
+
+  // =====================================================================
+  // MinHash + LSH near-dup: 16 permutations, 4 bands x 4 rows.
+  // Linear signature pass -> band-bucket equi-joins (the 100 TB path:
+  // candidate generation never goes quadratic) -> signature-estimated
+  // Jaccard >= 0.5.
+  // =====================================================================
+  private val Perms = 16
+  private val Bands = 4
+  private val RowsPerBand = Perms / Bands
+
+  /** MinHash signature columns h0..h15 per doc_id over its shingles. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(shingles(col("text"))).as("s"))
+    val aggs = (0 until Perms).map(i =>
+      min(Scalars.hash60(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  val dedupMinhash: Q = Q("ext_dedup_minhash",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 5 === 0)
+      val sig = minhashSignatures(docs).cache()
+      val a = sig.select(sig.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
+      val b = sig.select(sig.columns.map(c => col(c).as(s"b_$c")).toSeq: _*)
+      // one equi-join per band; union + distinct = candidate pairs
+      val bandJoins = (0 until Bands).map { bi =>
+        val cond = (0 until RowsPerBand)
+          .map(r => col(s"a_h${bi * RowsPerBand + r}") === col(s"b_h${bi * RowsPerBand + r}"))
+          .reduce(_ && _) && (col("a_doc_id") < col("b_doc_id"))
+        a.join(b, cond, "inner")
+      }
+      val cand = bandJoins.reduce(_ unionByName _).distinct()
+      val matches = (0 until Perms)
+        .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.select(col("a_doc_id").as("id_a"), col("b_doc_id").as("id_b"),
+          round(matches / lit(Perms.toDouble), 4).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val sigCols = (0 until Perms)
+        .map(i => s"min(${duckHash60(s"concat('$i:', s)")}) AS h$i").mkString(",\n    ")
+      val bandConds = (0 until Bands).map { bi =>
+        (0 until RowsPerBand)
+          .map(r => s"a.h${bi * RowsPerBand + r} = b.h${bi * RowsPerBand + r}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val matchSum = (0 until Perms)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |sh AS (SELECT doc_id, unnest(${duckShingles("text")}) AS s FROM docs),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM sh GROUP BY doc_id),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)),
+         |est AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(($matchSum) / ${Perms}.0, 4) AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b)
+         |SELECT * FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    })
+
+  // =====================================================================
+  // Exact n-gram Jaccard (ground truth for minhash) on a 1% sample —
+  // all-pairs is intentionally bounded; the scalable path is the LSH
+  // banding above.
+  // =====================================================================
+  val dedupNgram: Q = Q("ext_dedup_ngram",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), round(inter / uni, 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH docs AS (
+            |  SELECT doc_id, ${duckShingles("text")} AS sh
+            |  FROM documents WHERE doc_id % 100 = 0),
+            |pairs AS (
+            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+            |    CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS tot
+            |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+            |SELECT id_a, id_b, round(inter / (tot - inter), 4) AS jaccard
+            |FROM pairs WHERE round(inter / (tot - inter), 4) >= 0.2
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  // =====================================================================
+  // SimHash near-dup: 32-bit signature from token hashes, pairs with
+  // hamming distance <= 4 on a 5% sample.
+  // =====================================================================
+  val dedupSimhash: Q = Q("ext_dedup_simhash",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 20 === 0)
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+        .withColumn("h", Scalars.hash60(col("tok")))
+      val bitAggs = (0 until 32).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b"))
+      val sums = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      val sigExpr = (0 until 32)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sig = sums.select(col("doc_id"), sigExpr.as("sig"))
+      val a = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        .filter(col("hamming") <= 4)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val bitSums = (0 until 32)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n    ")
+      val sigExpr = (0 until 32)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+         |toks AS (
+         |  SELECT doc_id, ${duckHash60("tok")} AS h
+         |  FROM (SELECT doc_id,
+         |          unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+         |        FROM docs)),
+         |sums AS (SELECT doc_id,
+         |    $bitSums
+         |  FROM toks GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigExpr AS sig FROM sums)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 4
+         |ORDER BY id_a, id_b""".stripMargin
+    })
+
+  // =====================================================================
+  // Embedding cosine near-dup: label-blocked pairs on a 10% sample,
+  // double-precision cosine, threshold on the rounded value.
+  // =====================================================================
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  val dedupEmbedding: Q = Q("ext_dedup_embedding",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+      val a = e.select(col("vec_id").as("id_a"), col("label"),
+        col("v").as("v_a"), col("nrm").as("n_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+        col("v").as("v_b"), col("nrm").as("n_b"))
+      a.join(b, col("label") === col("label_b") && (col("id_a") < col("id_b")))
+        .select(col("id_a"), col("id_b"), col("label"),
+          round(dotD(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
+        .filter(col("cos") >= 0.25)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           |  FROM embeddings WHERE vec_id % 10 = 0)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+           |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.25
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  // =====================================================================
+  // E3: brute-force top-k cosine similarity search (the exact baseline;
+  // the LSH-bucketed ANN variant is ext_ann_lsh below).
+  // Query set is broadcast; corpus streams — at 100 TB this is one scan.
+  // =====================================================================
+  val topkCosine: Q = Q("ext_topk_cosine",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") % 199 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("corpus_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("corpus_id").asc)
+      c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v,
+           |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id % 199 = 0),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id AS corpus_id,
+           |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cos
+           |  FROM q JOIN e ON e.vec_id <> q.query_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, corpus_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, corpus_id, cos, rank FROM ranked
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
+  // =====================================================================
+  // ANN via sign-random-hyperplane LSH (Spark-only; approximate, so no
+  // SQL oracle — driver records the weaker rows-only check).
+  // Planes are derived from sha256 so the index is deterministic.
+  // =====================================================================
+  val annLsh: Q = Q("ext_ann_lsh",
+    (spark, sfDir) => {
+      val nPlanes = 12
+      val dim = 64
+      // deterministic pseudo-random hyperplanes, driver-side (tiny)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      def w(p: Int, j: Int): Double = {
+        val h = md.digest(s"$p:$j".getBytes("UTF-8"))
+        (java.nio.ByteBuffer.wrap(h.take(8)).getLong & 0xFFFFFFL).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0
+      }
+      val planes = (0 until nPlanes).map(p => (0 until dim).map(w(p, _)).toArray)
+      val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+      // bucket = concat of sign bits of v . plane_p
+      val sigBits = transform(planesCol, pl =>
+        when(dotD(col("v"), pl) >= 0, lit("1")).otherwise(lit("0")))
+      val bucketed = e.withColumn("bucket", array_join(sigBits, ""))
+      val q = bucketed.filter(col("vec_id") % 199 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val c = bucketed.select(col("vec_id").as("corpus_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("bucket").as("c_bucket"))
+      val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+      val w10 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("corpus_id").asc)
+      // candidates share the LSH bucket -> equi-join, never quadratic
+      c.join(broadcast(q),
+          col("bucket") === col("c_bucket") && col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w10))
+        .filter(col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  // =====================================================================
+  // E4: text statistics per language
+  // =====================================================================
+  val textStats: Q = Q("ext_text_stats",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+        .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      d.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 2).as("avg_tokens"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (
+           |  SELECT lang, n_chars,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+           |  FROM documents)
+           |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
+           |  sum(n_tok) AS total_tokens,
+           |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 2) AS avg_tokens
+           |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // =====================================================================
+  // Language ID: stopword-hit heuristic (replace-based counting so both
+  // engines count identically), deterministic priority on ties.
+  // =====================================================================
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " los ", " una "),
+    "fr" -> Seq(" le ", " les ", " est "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "zh" -> Seq("的", "是"))
+
+  val langId: Q = Q("ext_lang_id",
+    (spark, sfDir) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      def cnt(wd: String): Column =
+        ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(wd), ""))) / wd.length).cast("int")
+      val scores = langMarkers.map { case (l, ws) => l -> ws.map(cnt).reduce(_ + _) }
+      val maxScore = greatest(scores.map(_._2): _*)
+      val pred = scores.foldRight(lit(langMarkers.last._1)) { case ((l, s), acc) =>
+        when(s === maxScore, lit(l)).otherwise(acc)
+      }
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), pred.as("predicted"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def cnt(wd: String): String = {
+        val esc = wd.replace("'", "''")
+        s"CAST((length(p) - length(replace(p, '$esc', ''))) / ${wd.length} AS INT)"
+      }
+      val scoreDefs = langMarkers.map { case (l, ws) =>
+        s"${ws.map(cnt).mkString(" + ")} AS s_$l"
+      }.mkString(",\n    ")
+      val maxExpr = langMarkers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+      val caseExpr = langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = m THEN '$l'"
+      }.mkString("CASE ", " ", s" ELSE '${langMarkers.last._1}' END")
+      s"""WITH p0 AS (
+         |  SELECT doc_id, lang, concat(' ', lower(text), ' ') AS p FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |    $scoreDefs
+         |  FROM p0),
+         |mx AS (SELECT *, $maxExpr AS m FROM sc)
+         |SELECT doc_id, lang, $caseExpr AS predicted
+         |FROM mx ORDER BY doc_id""".stripMargin
+    })
+
+  // =====================================================================
+  // Quality scoring: length / alpha-ratio / stopword signals
+  // =====================================================================
+  val qualityScore: Q = Q("ext_quality_score",
+    (spark, sfDir) => {
+      val txt = col("text")
+      val nTok = size(split(trim(txt), "\\s+")).cast("double")
+      val alphaRatio = length(regexp_replace(lower(txt), "[^a-z]", "")).cast("double") /
+        length(txt).cast("double")
+      val padded = concat(lit(" "), lower(txt), lit(" "))
+      val stopCnt = ((length(padded) - length(regexp_replace(padded, " the ", ""))) / 5).cast("double")
+      val score = round(
+        least(nTok / 100.0, lit(1.0)) * 0.4 + alphaRatio * 0.4 +
+          least(stopCnt / 5.0, lit(1.0)) * 0.2, 4)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), score.as("score"),
+          when(score >= 0.6, lit("high")).when(score >= 0.4, lit("medium"))
+            .otherwise(lit("low")).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+           |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+           |    CAST((length(concat(' ', lower(text), ' '))
+           |          - length(replace(concat(' ', lower(text), ' '), ' the ', ''))) / 5 AS DOUBLE) AS stop_cnt
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id,
+           |    round(least(n_tok / 100.0, 1.0) * 0.4 + alpha_ratio * 0.4
+           |          + least(stop_cnt / 5.0, 1.0) * 0.2, 4) AS score
+           |  FROM t)
+           |SELECT doc_id, score,
+           |  CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.4 THEN 'medium'
+           |       ELSE 'low' END AS quality
+           |FROM s ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // Token counting: whitespace + BPE-ish regex tokens, per source
+  // =====================================================================
+  val tokenCount: Q = Q("ext_token_count",
+    (spark, sfDir) => {
+      val ws = size(split(trim(col("text")), "\\s+")).cast("long")
+      val bpe = size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+      Tables.documents(spark, sfDir)
+        .select(col("source"), ws.as("ws_tok"), bpe.as("bpe_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tok")).as("total_ws_tokens"),
+          sum(col("bpe_tok")).as("total_bpe_tokens"),
+          round(sum(col("ws_tok")).cast("double") / count(lit(1)), 2).as("avg_ws_tokens"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (
+           |  SELECT source,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tok,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tok
+           |  FROM documents)
+           |SELECT source, count(*) AS n_docs, sum(ws_tok) AS total_ws_tokens,
+           |  sum(bpe_tok) AS total_bpe_tokens,
+           |  round(CAST(sum(ws_tok) AS DOUBLE) / count(*), 2) AS avg_ws_tokens
+           |FROM t GROUP BY source ORDER BY source""".stripMargin))
+
+  // =====================================================================
+  // Document fingerprinting: normalized-text digest (content-defined;
+  // groups byte-identical-after-normalization docs)
+  // =====================================================================
+  val fingerprint: Q = Q("ext_fingerprint",
+    (spark, sfDir) => {
+      val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      Tables.documents(spark, sfDir)
+        .groupBy(substring(sha2(norm, 256), 1, 16).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("fingerprint")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    substr(sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fingerprint
+           |  FROM documents)
+           |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_docs
+           |FROM t GROUP BY fingerprint ORDER BY fingerprint""".stripMargin))
+
+  // =====================================================================
+  // E5: multimodal join — typed metadata alongside an opaque payload
+  // column; array ops stay columnar
+  // =====================================================================
+  val multimodalJoin: Q = Q("ext_multimodal_join",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      d.join(e, d("doc_id") === e("vec_id"), "inner")
+        .select(col("doc_id"), col("lang"), col("label"),
+          size(col("v")).as("dim"),
+          round(sqrt(dotD(col("v"), col("v"))), 6).as("norm"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT d.doc_id, d.lang, e.label,
+           |  CAST(len(e.embedding) AS INT) AS dim,
+           |  round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS norm
+           |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
+    dedupEmbedding, topkCosine, annLsh, textStats, langId, qualityScore,
+    tokenCount, fingerprint, multimodalJoin)
+}

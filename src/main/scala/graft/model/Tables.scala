@@ -1,0 +1,96 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All reads are plain parquet scans so Catalyst predicate pushdown /
+  * column pruning apply (SURVEY.md §4): callers `.select`/`.filter` on the
+  * returned DataFrame and the parquet reader prunes row groups + columns.
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS); Spark's vectorized
+  * reader cannot produce nanosecond timestamps, so we read it as a long
+  * (legacy nanosAsLong) and truncate to microseconds — matching what any
+  * engine with µs timestamps (including DuckDB's `epoch_ms`) observes
+  * after millisecond truncation.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(path(sfDir, name))
+
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** events with `ts` normalized to TimestampType (µs, UTC). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(sfDir, "events"))
+    df.schema("ts").dataType match {
+      case LongType =>
+        // ns since epoch -> µs since epoch (floor; epoch is positive here)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  // ----- control-table schemas (reference DDL, main.py:285-327) -----
+
+  /** reverse_etl_run_ledger — /root/reference/main.py:285-299 */
+  val runLedgerSchema: StructType = StructType(Seq(
+    StructField("run_id", StringType),
+    StructField("started_at", TimestampType),
+    StructField("finished_at", TimestampType),
+    StructField("job_type", StringType),
+    StructField("high_watermark", TimestampType),
+    StructField("read_count", LongType),
+    StructField("updated_count", LongType),
+    StructField("created_count", LongType),
+    StructField("skipped_count", LongType),
+    StructField("error_count", LongType),
+    StructField("status", StringType)))
+
+  /** reverse_etl_dlq — /root/reference/main.py:304-314 */
+  val dlqSchema: StructType = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("job_type", StringType),
+    StructField("natural_key", StringType),
+    StructField("hubspot_object_type", StringType),
+    StructField("payload", StringType),
+    StructField("error", StringType),
+    StructField("attempt", LongType)))
+
+  /** hubspot_id_map — /root/reference/main.py:319-326 */
+  val idMapSchema: StructType = StructType(Seq(
+    StructField("hubspot_object_type", StringType),
+    StructField("natural_key", StringType),
+    StructField("hubspot_id", StringType),
+    StructField("updated_at", TimestampType)))
+
+  /** Idempotent "CREATE TABLE IF NOT EXISTS" analog (main.py:280-328):
+    * write an empty DataFrame with the control schema if absent. */
+  def ensureControlTable(spark: SparkSession, dir: String, name: String,
+                         schema: StructType): Unit = {
+    val p = new java.io.File(s"$dir/$name")
+    if (!p.exists()) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").parquet(p.getAbsolutePath)
+    }
+  }
+}

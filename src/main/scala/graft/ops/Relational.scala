@@ -1,0 +1,460 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.expr.Scalars
+import graft.model.{Fixtures, Tables}
+
+/** Core relational operators — SURVEY.md §2a-2f rebuilt Spark-first.
+  *
+  * Scale posture (the 100 TB contract):
+  *  - scans are bare parquet reads; filters/projections sit directly on
+  *    them so Catalyst pushes predicates + prunes columns into the scan;
+  *  - the id-map / target-state sides of every lookup join are
+  *    `broadcast()` hinted (they are small *here*; the library methods
+  *    take the DataFrame so a caller with a huge id map simply omits the
+  *    hint and gets a shuffle join — SURVEY.md §7 risk (f));
+  *  - nothing collects to the driver; every op composes lazily.
+  */
+object Relational {
+
+  // ---------- S1: full scan ----------
+  val scanFull: Q = Q("scan_full",
+    (spark, sfDir) => Tables.customer(spark, sfDir).orderBy("c_custkey"),
+    Some("SELECT * FROM customer ORDER BY c_custkey"))
+
+  // ---------- S2/F1: watermark delta scan (main.py:537) ----------
+  // The predicate is pushed into the parquet scan (PushedFilters) —
+  // at 100 TB only row groups past the watermark are read.
+  val scanDelta: Q = Q("scan_delta",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+            |FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+            |ORDER BY event_id""".stripMargin))
+
+  // ---------- P1: patient → contact projection (main.py:555-611) ----------
+  val projectPatient: Q = Q("project_patient",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+      val email = Scalars.emailNorm(col("email_raw"))
+      p.select(
+        col("c_custkey"),
+        col("patient_id"), col("patient_chart"),
+        email.as("email"),
+        // natural-key tiers: ID → Chart → Email → hash8(row) (README.md:43-55)
+        coalesce(col("patient_id"), col("patient_chart"), email,
+          Scalars.hash8(col("c_name"))).as("natural_key"),
+        col("c_name").as("full_name"),
+        col("c_mktsegment").as("segment"))
+        .orderBy("c_custkey")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql) +
+      """SELECT c_custkey, patient_id, patient_chart,
+        |  nullif(lower(trim(email_raw)), '') AS email,
+        |  coalesce(patient_id, patient_chart, nullif(lower(trim(email_raw)), ''),
+        |           substr(sha256(c_name), 1, 8)) AS natural_key,
+        |  c_name AS full_name, c_mktsegment AS segment
+        |FROM patients ORDER BY c_custkey""".stripMargin))
+
+  // ---------- P2: ROI projection (main.py:635-661) ----------
+  val projectRoi: Q = Q("project_roi",
+    (spark, sfDir) =>
+      Fixtures.rois(spark, sfDir).select(
+        col("roi_id"), col("roi_patient_id"), col("roi_patient_chart"),
+        col("status"),
+        unix_millis(col("processed_at")).as("processed_ms"),
+        col("amount")).orderBy("roi_id"),
+    Some(Fixtures.withCtes(Fixtures.roisSql) +
+      """SELECT roi_id, roi_patient_id, roi_patient_chart, status,
+        |  epoch_ms(processed_at) AS processed_ms, amount
+        |FROM rois ORDER BY roi_id""".stripMargin))
+
+  // ---------- P3: blank-as-null drop (main.py:610,656) ----------
+  val filterBlanks: Q = Q("filter_blanks",
+    (spark, sfDir) => {
+      val k = col("c_custkey")
+      Tables.customer(spark, sfDir)
+        .withColumn("seg_raw",
+          when(k % 4 === 0, lit("")).when(k % 4 === 1, lit("  "))
+            .otherwise(col("c_mktsegment")))
+        .filter(length(trim(col("seg_raw"))) > 0)
+        .select(k, trim(col("seg_raw")).as("segment"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH t AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey % 4 = 0 THEN '' WHEN c_custkey % 4 = 1 THEN '  '
+           |         ELSE c_mktsegment END AS seg_raw
+           |  FROM customer)
+           |SELECT c_custkey, trim(seg_raw) AS segment FROM t
+           |WHERE length(trim(seg_raw)) > 0 ORDER BY c_custkey""".stripMargin))
+
+  // ---------- F2: processed-ROI skip (main.py:736-742) ----------
+  val filterProcessed: Q = Q("filter_processed",
+    (spark, sfDir) =>
+      Fixtures.rois(spark, sfDir)
+        .filter(!(lower(col("status")) === "processed" && col("processed_at").isNotNull))
+        .select(col("roi_id"), col("status"),
+          unix_millis(col("processed_at")).as("processed_ms"))
+        .orderBy("roi_id"),
+    Some(Fixtures.withCtes(Fixtures.roisSql) +
+      """SELECT roi_id, status, epoch_ms(processed_at) AS processed_ms
+        |FROM rois
+        |WHERE NOT (lower(status) = 'processed' AND processed_at IS NOT NULL)
+        |ORDER BY roi_id""".stripMargin))
+
+  // ---------- F3: ambiguity guard split (main.py:688-692) ----------
+  val filterAmbiguousSplit: Q = Q("filter_ambiguous_split",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+        .withColumn("email", Scalars.emailNorm(col("email_raw")))
+        .withColumn("nk", coalesce(col("patient_id"), col("patient_chart")))
+      val im = Fixtures.idMap(spark, sfDir)
+        .filter(col("hubspot_object_type") === "contacts")
+        .select(col("natural_key"), col("hubspot_id"))
+      p.join(broadcast(im), p("nk") === im("natural_key"), "left")
+        .select(col("c_custkey"),
+          when(col("hubspot_id").isNull && col("email").isNull, lit("dlq"))
+            .otherwise(lit("ready")).as("branch"))
+        .orderBy("c_custkey")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql, Fixtures.idMapSql) +
+      """SELECT p.c_custkey,
+        |  CASE WHEN im.hubspot_id IS NULL AND nullif(lower(trim(p.email_raw)),'') IS NULL
+        |       THEN 'dlq' ELSE 'ready' END AS branch
+        |FROM patients p
+        |LEFT JOIN id_map im
+        |  ON im.hubspot_object_type = 'contacts'
+        | AND im.natural_key = coalesce(p.patient_id, p.patient_chart)
+        |ORDER BY p.c_custkey""".stripMargin))
+
+  // ---------- J1: id-map equi lookup (main.py:373-389) ----------
+  val joinIdMap: Q = Q("join_idmap",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+      val im = Fixtures.idMap(spark, sfDir)
+        .filter(col("hubspot_object_type") === "contacts")
+        .select(col("natural_key"), col("hubspot_id"))
+      p.join(broadcast(im), p("patient_id") === im("natural_key"), "left")
+        .select(col("c_custkey"), col("hubspot_id"))
+        .orderBy("c_custkey")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql, Fixtures.idMapSql) +
+      """SELECT p.c_custkey, im.hubspot_id
+        |FROM patients p
+        |LEFT JOIN id_map im
+        |  ON im.hubspot_object_type = 'contacts' AND im.natural_key = p.patient_id
+        |ORDER BY p.c_custkey""".stripMargin))
+
+  // ---------- F4/J2: manual-override skip (main.py:776-785) ----------
+  val joinOverrideSkip: Q = Q("join_override_skip",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+      val im = Fixtures.idMap(spark, sfDir)
+        .filter(col("hubspot_object_type") === "contacts")
+        .select(col("natural_key"), col("hubspot_id"))
+      val st = Fixtures.targetState(spark, sfDir)
+        .select(col("hubspot_id").as("st_id"), col("roi_manual_override"))
+      p.join(broadcast(im), p("patient_id") === im("natural_key"), "left")
+        .join(broadcast(st), col("hubspot_id") === col("st_id"), "left")
+        .filter(coalesce(col("roi_manual_override"), lit("false")) =!= "true")
+        .select(col("c_custkey"), col("hubspot_id"))
+        .orderBy("c_custkey")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql, Fixtures.idMapSql, Fixtures.targetStateSql) +
+      """SELECT p.c_custkey, im.hubspot_id
+        |FROM patients p
+        |LEFT JOIN id_map im
+        |  ON im.hubspot_object_type = 'contacts' AND im.natural_key = p.patient_id
+        |LEFT JOIN target_state st ON st.hubspot_id = im.hubspot_id
+        |WHERE coalesce(st.roi_manual_override, 'false') <> 'true'
+        |ORDER BY p.c_custkey""".stripMargin))
+
+  // ---------- F5: field locking (main.py:674-687) ----------
+  val projectLocked: Q = Q("project_locked",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+      val im = Fixtures.idMap(spark, sfDir)
+        .filter(col("hubspot_object_type") === "contacts")
+        .select(col("natural_key"), col("hubspot_id"))
+      val st = Fixtures.targetState(spark, sfDir)
+        .select(col("hubspot_id").as("st_id"), col("amd_synced"))
+      val locked = coalesce(col("amd_synced"), lit("false")) === "true"
+      p.join(broadcast(im), p("patient_id") === im("natural_key"), "left")
+        .join(broadcast(st), col("hubspot_id") === col("st_id"), "left")
+        .select(col("c_custkey"),
+          when(locked, lit(null)).otherwise(col("patient_id")).as("patient_id_out"),
+          when(locked, lit(null)).otherwise(col("patient_chart")).as("patient_chart_out"),
+          locked.as("locked"))
+        .orderBy("c_custkey")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql, Fixtures.idMapSql, Fixtures.targetStateSql) +
+      """SELECT p.c_custkey,
+        |  CASE WHEN coalesce(st.amd_synced,'false') = 'true' THEN NULL ELSE p.patient_id END AS patient_id_out,
+        |  CASE WHEN coalesce(st.amd_synced,'false') = 'true' THEN NULL ELSE p.patient_chart END AS patient_chart_out,
+        |  coalesce(st.amd_synced,'false') = 'true' AS locked
+        |FROM patients p
+        |LEFT JOIN id_map im
+        |  ON im.hubspot_object_type = 'contacts' AND im.natural_key = p.patient_id
+        |LEFT JOIN target_state st ON st.hubspot_id = im.hubspot_id
+        |ORDER BY p.c_custkey""".stripMargin))
+
+  // ---------- F6: PHI redaction (main.py:84-89) ----------
+  val projectRedact: Q = Q("project_redact",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+      p.select(col("c_custkey"),
+        Scalars.hash8(col("c_name")).as("name_hash"),
+        Scalars.hash8(Scalars.emailNorm(col("email_raw"))).as("email_hash"),
+        col("c_mktsegment").as("segment"))
+        .orderBy("c_custkey")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql) +
+      """SELECT c_custkey, substr(sha256(c_name),1,8) AS name_hash,
+        |  substr(sha256(nullif(lower(trim(email_raw)),'')),1,8) AS email_hash,
+        |  c_mktsegment AS segment
+        |FROM patients ORDER BY c_custkey""".stripMargin))
+
+  // ---------- J3: email fallback + ambiguity (main.py:694-706) ----------
+  val joinEmailAmbiguity: Q = Q("join_email_ambiguity",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+        .withColumn("email", Scalars.emailNorm(col("email_raw")))
+        .filter(col("email").isNotNull)
+      val w = Window.partitionBy(col("email"))
+      val st = Fixtures.targetState(spark, sfDir)
+        .filter(col("email").isNotNull)
+        .select(col("email").as("st_email"), col("hubspot_id"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("st_email"))))
+      p.join(st, p("email") === st("st_email"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(max(col("cnt")).as("n"), min(col("hubspot_id")).as("min_id"))
+        .select(col("c_custkey"),
+          when(col("n").isNull, lit("nomatch"))
+            .when(col("n") === 1, lit("matched"))
+            .otherwise(lit("ambiguous")).as("branch"),
+          when(col("n") === 1, col("min_id")).as("matched_id"))
+        .orderBy("c_custkey")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql, Fixtures.targetStateSql) +
+      """, st AS (
+        |  SELECT email AS st_email, hubspot_id,
+        |         count(*) OVER (PARTITION BY email) AS cnt
+        |  FROM target_state WHERE email IS NOT NULL),
+        |pe AS (
+        |  SELECT c_custkey, nullif(lower(trim(email_raw)),'') AS email
+        |  FROM patients WHERE nullif(lower(trim(email_raw)),'') IS NOT NULL)
+        |SELECT pe.c_custkey,
+        |  CASE WHEN max(st.cnt) IS NULL THEN 'nomatch'
+        |       WHEN max(st.cnt) = 1 THEN 'matched' ELSE 'ambiguous' END AS branch,
+        |  CASE WHEN max(st.cnt) = 1 THEN min(st.hubspot_id) END AS matched_id
+        |FROM pe LEFT JOIN st ON st.st_email = pe.email
+        |GROUP BY pe.c_custkey
+        |ORDER BY pe.c_custkey""".stripMargin))
+
+  // ---------- J4: tiered match (main.py:613-633, README.md:38-42) ----------
+  // One broadcast of the match table, three probe attempts, no repeated
+  // shuffles — the scalable form per SURVEY.md §4.
+  val joinTiered: Q = Q("join_tiered",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+        .withColumn("email", Scalars.emailNorm(col("email_raw")))
+      val im = Fixtures.idMap(spark, sfDir)
+        .filter(col("hubspot_object_type") === "contacts")
+      val t1 = im.select(col("natural_key").as("k1"), col("hubspot_id").as("id1"))
+      val t2 = im.select(col("natural_key").as("k2"), col("hubspot_id").as("id2"))
+      val t3 = Fixtures.targetState(spark, sfDir)
+        .filter(col("email").isNotNull)
+        .groupBy(col("email").as("k3"))
+        .agg(min(col("hubspot_id")).as("id3"), count(lit(1)).as("n3"))
+        .filter(col("n3") === 1)
+        .select(col("k3"), col("id3"))
+      p.join(broadcast(t1), p("patient_id") === col("k1"), "left")
+        .join(broadcast(t2), p("patient_chart") === col("k2"), "left")
+        .join(broadcast(t3), p("email") === col("k3"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("id1"), col("id2"), col("id3")).as("hubspot_id"),
+          when(col("id1").isNotNull, lit(1))
+            .when(col("id2").isNotNull, lit(2))
+            .when(col("id3").isNotNull, lit(3))
+            .otherwise(lit(0)).as("tier"))
+        .orderBy("c_custkey")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql, Fixtures.idMapSql, Fixtures.targetStateSql) +
+      """, t3 AS (
+        |  SELECT email AS k3, min(hubspot_id) AS id3
+        |  FROM target_state WHERE email IS NOT NULL
+        |  GROUP BY email HAVING count(*) = 1)
+        |SELECT p.c_custkey,
+        |  coalesce(t1.hubspot_id, t2.hubspot_id, t3.id3) AS hubspot_id,
+        |  CASE WHEN t1.hubspot_id IS NOT NULL THEN 1
+        |       WHEN t2.hubspot_id IS NOT NULL THEN 2
+        |       WHEN t3.id3 IS NOT NULL THEN 3 ELSE 0 END AS tier
+        |FROM patients p
+        |LEFT JOIN id_map t1 ON t1.hubspot_object_type = 'contacts' AND t1.natural_key = p.patient_id
+        |LEFT JOIN id_map t2 ON t2.hubspot_object_type = 'contacts' AND t2.natural_key = p.patient_chart
+        |LEFT JOIN t3 ON t3.k3 = nullif(lower(trim(p.email_raw)),'')
+        |ORDER BY p.c_custkey""".stripMargin))
+
+  // ---------- J5: MERGE upsert, last-writer-wins (main.py:354-371) ----------
+  val mergeUpsert: Q = Q("merge_upsert",
+    (spark, sfDir) => {
+      val old = Fixtures.idMap(spark, sfDir)
+      val k = col("c_custkey")
+      val batch = Tables.customer(spark, sfDir).filter(k % 4 === 0).select(
+        lit("contacts").as("hubspot_object_type"),
+        k.cast("string").as("natural_key"),
+        concat(lit("HSN-"), k.cast("string")).as("hubspot_id"),
+        timestamp_millis(lit(1712707200000L) + (k % 50) * 86400000L).as("updated_at"))
+      val w = Window.partitionBy(col("hubspot_object_type"), col("natural_key"))
+        .orderBy(col("updated_at").desc, col("hubspot_id").desc)
+      old.unionByName(batch)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("hubspot_object_type"), col("natural_key"), col("hubspot_id"),
+          unix_millis(col("updated_at")).as("updated_ms"))
+        .orderBy("natural_key", "hubspot_object_type")
+    },
+    Some(Fixtures.withCtes(Fixtures.idMapSql) +
+      """, batch AS (
+        |  SELECT 'contacts' AS hubspot_object_type,
+        |    CAST(c_custkey AS VARCHAR) AS natural_key,
+        |    concat('HSN-', CAST(c_custkey AS VARCHAR)) AS hubspot_id,
+        |    make_timestamp((1712707200000 + (c_custkey % 50) * 86400000) * 1000) AS updated_at
+        |  FROM customer WHERE c_custkey % 4 = 0),
+        |merged AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY hubspot_object_type, natural_key
+        |      ORDER BY updated_at DESC, hubspot_id DESC) AS rn
+        |  FROM (SELECT * FROM id_map UNION ALL SELECT * FROM batch))
+        |SELECT hubspot_object_type, natural_key, hubspot_id,
+        |  epoch_ms(updated_at) AS updated_ms
+        |FROM merged WHERE rn = 1
+        |ORDER BY natural_key, hubspot_object_type""".stripMargin))
+
+  // ---------- J6: anti-join orphan routing (main.py:743-774) ----------
+  val joinAntiOrphans: Q = Q("join_anti_orphans",
+    (spark, sfDir) => {
+      val r = Fixtures.rois(spark, sfDir)
+      val pk = Fixtures.patients(spark, sfDir)
+        .filter(col("patient_id").isNotNull).select(col("patient_id"))
+      r.join(pk, r("roi_patient_id") === pk("patient_id"), "left_anti")
+        .select(col("roi_id"), col("roi_patient_id"), col("status"))
+        .orderBy("roi_id")
+    },
+    Some(Fixtures.withCtes(Fixtures.roisSql, Fixtures.patientsSql) +
+      """SELECT r.roi_id, r.roi_patient_id, r.status
+        |FROM rois r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM patients p
+        |  WHERE p.patient_id IS NOT NULL AND p.patient_id = r.roi_patient_id)
+        |ORDER BY r.roi_id""".stripMargin))
+
+  // ---------- A2/J7: attempt counts (main.py:404-420) ----------
+  val aggAttempts: Q = Q("agg_attempts",
+    (spark, sfDir) =>
+      Fixtures.dlq(spark, sfDir)
+        .groupBy(col("job_type"), col("natural_key"), col("error"))
+        .agg(coalesce(max(col("attempt")), lit(0L)).as("attempts"))
+        .orderBy("job_type", "natural_key", "error"),
+    Some(Fixtures.withCtes(Fixtures.dlqSql) +
+      """SELECT job_type, natural_key, error,
+        |  coalesce(max(attempt), 0) AS attempts
+        |FROM dlq GROUP BY job_type, natural_key, error
+        |ORDER BY job_type, natural_key, error""".stripMargin))
+
+  // ---------- A3: alert threshold (main.py:714-727; >=5 attempts) ----------
+  val aggAttemptAlerts: Q = Q("agg_attempt_alerts",
+    (spark, sfDir) =>
+      Fixtures.dlq(spark, sfDir)
+        .groupBy(col("job_type"), col("natural_key"), col("error"))
+        .agg(coalesce(max(col("attempt")), lit(0L)).as("attempts"))
+        .filter(col("attempts") >= 5)
+        .orderBy("job_type", "natural_key", "error"),
+    Some(Fixtures.withCtes(Fixtures.dlqSql) +
+      """SELECT job_type, natural_key, error,
+        |  coalesce(max(attempt), 0) AS attempts
+        |FROM dlq GROUP BY job_type, natural_key, error
+        |HAVING coalesce(max(attempt), 0) >= 5
+        |ORDER BY job_type, natural_key, error""".stripMargin))
+
+  // ---------- A1/O1: latest successful watermark (main.py:330-345) ----------
+  val aggTop1Watermark: Q = Q("agg_top1_watermark",
+    (spark, sfDir) =>
+      Fixtures.ledger(spark, sfDir)
+        .filter(col("status") === "success" && col("job_type") === "patients")
+        .orderBy(col("finished_at").desc)
+        .limit(1)
+        .select(col("run_id"), unix_millis(col("high_watermark")).as("wm_ms")),
+    Some(Fixtures.withCtes(Fixtures.ledgerSql) +
+      """SELECT run_id, epoch_ms(high_watermark) AS wm_ms
+        |FROM ledger
+        |WHERE status = 'success' AND job_type = 'patients'
+        |ORDER BY finished_at DESC LIMIT 1""".stripMargin))
+
+  // ---------- A4: outcome counters (main.py:821-858) ----------
+  val aggOutcomes: Q = Q("agg_outcomes",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+      val im = Fixtures.idMap(spark, sfDir)
+        .filter(col("hubspot_object_type") === "contacts")
+        .select(col("natural_key"), col("hubspot_id"))
+      val st = Fixtures.targetState(spark, sfDir)
+        .select(col("hubspot_id").as("st_id"), col("amd_synced"), col("roi_manual_override"))
+      p.join(broadcast(im), p("patient_id") === im("natural_key"), "left")
+        .join(broadcast(st), col("hubspot_id") === col("st_id"), "left")
+        .select(
+          when(col("hubspot_id").isNull, lit("created"))
+            .when(coalesce(col("roi_manual_override"), lit("false")) === "true", lit("skipped"))
+            .when(coalesce(col("amd_synced"), lit("false")) === "true", lit("locked_update"))
+            .otherwise(lit("updated")).as("outcome"))
+        .groupBy("outcome").agg(count(lit(1)).as("n"))
+        .orderBy("outcome")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql, Fixtures.idMapSql, Fixtures.targetStateSql) +
+      """SELECT CASE WHEN im.hubspot_id IS NULL THEN 'created'
+        |            WHEN coalesce(st.roi_manual_override,'false') = 'true' THEN 'skipped'
+        |            WHEN coalesce(st.amd_synced,'false') = 'true' THEN 'locked_update'
+        |            ELSE 'updated' END AS outcome,
+        |       count(*) AS n
+        |FROM patients p
+        |LEFT JOIN id_map im
+        |  ON im.hubspot_object_type = 'contacts' AND im.natural_key = p.patient_id
+        |LEFT JOIN target_state st ON st.hubspot_id = im.hubspot_id
+        |GROUP BY 1 ORDER BY outcome""".stripMargin))
+
+  // ---------- window: latest event per user (window machinery, §2e) ----------
+  val windowLatestEvent: Q = Q("window_latest_event",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+           |    row_number() OVER (PARTITION BY user_id
+           |                       ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+           |  FROM events)
+           |SELECT user_id, event_id, event_type, ts_ms
+           |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    scanFull, scanDelta, projectPatient, projectRoi, filterBlanks,
+    filterProcessed, filterAmbiguousSplit, joinIdMap, joinOverrideSkip,
+    projectLocked, projectRedact, joinEmailAmbiguity, joinTiered,
+    mergeUpsert, joinAntiOrphans, aggAttempts, aggAttemptAlerts,
+    aggTop1Watermark, aggOutcomes, windowLatestEvent)
+}
