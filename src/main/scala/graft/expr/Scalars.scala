@@ -65,10 +65,13 @@ object Scalars {
   def nextBirthday(dob: Column, today: Column): Column = {
     val m = month(dob)
     val d = day(dob)
-    // Feb-29 -> Mar-1 in non-leap target years is handled by make_date
-    // returning null for invalid dates; coalesce to Mar-1.
+    // ANSI mode (Spark 4 default) makes make_date THROW on invalid
+    // dates, so Feb-29 must be redirected before construction.
+    def isLeap(y: Column): Column =
+      (y % 4 === 0 && y % 100 =!= 0) || (y % 400 === 0)
     def anniv(y: Column): Column =
-      coalesce(make_date(y, m, d), make_date(y, lit(3), lit(1)))
+      when(m === 2 && d === 29 && !isLeap(y), make_date(y, lit(3), lit(1)))
+        .otherwise(make_date(y, m, d))
     val thisYear = anniv(year(today))
     when(thisYear >= today, thisYear).otherwise(anniv(year(today) + 1))
   }

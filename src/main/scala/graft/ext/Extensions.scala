@@ -64,12 +64,19 @@ object Extensions {
   private val Bands = 4
   private val RowsPerBand = Perms / Bands
 
+  /** Mixing constant for derived permutations: one sha256 per shingle,
+    * then perm i = base XOR (i·C) — 16× fewer digest evaluations than
+    * hashing per-perm, still an independent-enough family for minhash.
+    * Stays under 2^61 so both engines' signed bigints never overflow. */
+  private val MixC = 53919893334301279L
+
   /** MinHash signature columns h0..h15 per doc_id over its shingles. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val exploded = docs.select(col("doc_id"),
       explode(shingles(col("text"))).as("s"))
+      .withColumn("bh", Scalars.hash60(col("s")))
     val aggs = (0 until Perms).map(i =>
-      min(Scalars.hash60(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+      min(col("bh").bitwiseXOR(lit(i * MixC))).as(s"h$i"))
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -97,7 +104,7 @@ object Extensions {
     },
     Some {
       val sigCols = (0 until Perms)
-        .map(i => s"min(${duckHash60(s"concat('$i:', s)")}) AS h$i").mkString(",\n    ")
+        .map(i => s"min(xor(bh, ${i * MixC})) AS h$i").mkString(",\n    ")
       val bandConds = (0 until Bands).map { bi =>
         (0 until RowsPerBand)
           .map(r => s"a.h${bi * RowsPerBand + r} = b.h${bi * RowsPerBand + r}")
@@ -106,7 +113,8 @@ object Extensions {
       val matchSum = (0 until Perms)
         .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-         |sh AS (SELECT doc_id, unnest(${duckShingles("text")}) AS s FROM docs),
+         |sh0 AS (SELECT doc_id, unnest(${duckShingles("text")}) AS s FROM docs),
+         |sh AS (SELECT doc_id, ${duckHash60("s")} AS bh FROM sh0),
          |sig AS (SELECT doc_id,
          |    $sigCols
          |  FROM sh GROUP BY doc_id),
@@ -281,34 +289,46 @@ object Extensions {
   // =====================================================================
   val annLsh: Q = Q("ext_ann_lsh",
     (spark, sfDir) => {
-      val nPlanes = 12
+      // L hash tables of b sign-bits each: small buckets bound candidate
+      // counts (stay linear in corpus size); multiple tables recover the
+      // recall a single wide signature would lose.
+      val nTables = 3
+      val bitsPerTable = 6
       val dim = 64
       // deterministic pseudo-random hyperplanes, driver-side (tiny)
-      val md = java.security.MessageDigest.getInstance("SHA-256")
       def w(p: Int, j: Int): Double = {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
         val h = md.digest(s"$p:$j".getBytes("UTF-8"))
         (java.nio.ByteBuffer.wrap(h.take(8)).getLong & 0xFFFFFFL).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0
       }
-      val planes = (0 until nPlanes).map(p => (0 until dim).map(w(p, _)).toArray)
-      val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
       val e = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-      // bucket = concat of sign bits of v . plane_p
-      val sigBits = transform(planesCol, pl =>
-        when(dotD(col("v"), pl) >= 0, lit("1")).otherwise(lit("0")))
-      val bucketed = e.withColumn("bucket", array_join(sigBits, ""))
+      def bucketCol(t: Int): Column = {
+        val bits = (0 until bitsPerTable).map { b =>
+          val plane = array((0 until dim).map(j => lit(w(t * bitsPerTable + b, j))): _*)
+          when(dotD(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
+        }
+        concat(lit(s"$t:") +: bits: _*)
+      }
+      // each vector lands in one bucket per table
+      val bucketed = e.withColumn("bucket",
+        explode(array((0 until nTables).map(bucketCol): _*)))
       val q = bucketed.filter(col("vec_id") % 199 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket"))
-      val c = bucketed.select(col("vec_id").as("corpus_id"), col("v").as("cv"),
-        col("nrm").as("cn"), col("bucket").as("c_bucket"))
+        .select(col("vec_id").as("query_id"), col("bucket"))
+      val c = bucketed.select(col("vec_id").as("corpus_id"),
+        col("bucket").as("c_bucket"))
+      // candidates share any table's bucket -> equi-join, never quadratic
+      val cand = c.join(broadcast(q),
+          col("bucket") === col("c_bucket") && col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id")).distinct()
+      val qv = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val cv = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
       val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
       val w10 = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("corpus_id").asc)
-      // candidates share the LSH bucket -> equi-join, never quadratic
-      c.join(broadcast(q),
-          col("bucket") === col("c_bucket") && col("query_id") =!= col("corpus_id"))
+      cand.join(broadcast(qv), col("query_id") === col("qid"))
+        .join(cv, col("corpus_id") === col("cid"))
         .select(col("query_id"), col("corpus_id"), cos.as("cos"))
         .withColumn("rank", row_number().over(w10))
         .filter(col("rank") <= 10)

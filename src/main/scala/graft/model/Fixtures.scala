@@ -28,8 +28,12 @@ object Fixtures {
       k,
       when(k % 10 === 3, lit(null)).otherwise(k.cast("string")).as("patient_id"),
       when(k % 7 === 2, lit(null)).otherwise(concat(lit("CH"), k.cast("string"))).as("patient_chart"),
+      // email tiers: null / shared "dup" address (→ ambiguous match) /
+      // unique per-key (→ cardinality-1 match) / nomatch domain
       when(k % 5 === 0, lit(null))
-        .otherwise(concat(lit("user"), (k % 97).cast("string"), lit("@Example.COM ")))
+        .when(k % 21 === 0, concat(lit("dup"), (k % 3).cast("string"), lit("@Example.COM ")))
+        .when(k % 2 === 1, concat(lit("user"), k.cast("string"), lit("@Example.COM ")))
+        .otherwise(concat(lit("user"), (k + 1).cast("string"), lit("@nomatch.com ")))
         .as("email_raw"),
       col("c_name"), col("c_acctbal"), col("c_nationkey"), col("c_mktsegment"))
   }
@@ -39,7 +43,10 @@ object Fixtures {
       |  SELECT c_custkey,
       |    CASE WHEN c_custkey % 10 = 3 THEN NULL ELSE CAST(c_custkey AS VARCHAR) END AS patient_id,
       |    CASE WHEN c_custkey % 7 = 2 THEN NULL ELSE concat('CH', CAST(c_custkey AS VARCHAR)) END AS patient_chart,
-      |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE concat('user', CAST(c_custkey % 97 AS VARCHAR), '@Example.COM ') END AS email_raw,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |         WHEN c_custkey % 21 = 0 THEN concat('dup', CAST(c_custkey % 3 AS VARCHAR), '@Example.COM ')
+      |         WHEN c_custkey % 2 = 1 THEN concat('user', CAST(c_custkey AS VARCHAR), '@Example.COM ')
+      |         ELSE concat('user', CAST(c_custkey + 1 AS VARCHAR), '@nomatch.com ') END AS email_raw,
       |    c_name, c_acctbal, c_nationkey, c_mktsegment
       |  FROM customer
       |)""".stripMargin
@@ -84,8 +91,11 @@ object Fixtures {
       concat(lit("HS-"), k.cast("string")).as("hubspot_id"),
       when(k % 5 === 0, lit("true")).otherwise(lit("false")).as("amd_synced"),
       when(k % 11 === 0, lit("true")).otherwise(lit("false")).as("roi_manual_override"),
+      // odd multiples of 7 share a "dup" address (ambiguity cases);
+      // everything else is unique per key
       when(k % 5 === 0, lit(null))
-        .otherwise(concat(lit("user"), (k % 97).cast("string"), lit("@example.com")))
+        .when(k % 7 === 0, concat(lit("dup"), (k % 3).cast("string"), lit("@example.com")))
+        .otherwise(concat(lit("user"), k.cast("string"), lit("@example.com")))
         .as("email"),
       k.cast("string").as("patient_id"),
       concat(lit("CH"), k.cast("string")).as("patient_chart"))
@@ -97,7 +107,9 @@ object Fixtures {
       |    concat('HS-', CAST(c_custkey AS VARCHAR)) AS hubspot_id,
       |    CASE WHEN c_custkey % 5 = 0 THEN 'true' ELSE 'false' END AS amd_synced,
       |    CASE WHEN c_custkey % 11 = 0 THEN 'true' ELSE 'false' END AS roi_manual_override,
-      |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE concat('user', CAST(c_custkey % 97 AS VARCHAR), '@example.com') END AS email,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |         WHEN c_custkey % 7 = 0 THEN concat('dup', CAST(c_custkey % 3 AS VARCHAR), '@example.com')
+      |         ELSE concat('user', CAST(c_custkey AS VARCHAR), '@example.com') END AS email,
       |    CAST(c_custkey AS VARCHAR) AS patient_id,
       |    concat('CH', CAST(c_custkey AS VARCHAR)) AS patient_chart
       |  FROM customer WHERE c_custkey % 2 = 1

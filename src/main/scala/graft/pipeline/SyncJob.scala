@@ -1,0 +1,189 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.sink.{RetryingUpserter, UpsertRecord, UpsertTransport}
+
+/** The reverse-ETL lifecycle (SURVEY.md §3, Spark replacement), one run:
+  *
+  *   read parquet → watermark filter → project/derive → broadcast-join
+  *   id_map → split {ready, ambiguous} → batched upsert sink → merge
+  *   id_map (last-writer-wins) → append DLQ + ledger → outcome agg →
+  *   alert check
+  *
+  * Control tables are parquet dirs under `controlDir` with the
+  * reference's DDL schemas (main.py:285-327 → Tables.*Schema).
+  *
+  * Scale notes: the id map is broadcast only when small
+  * (spark.sql.autoBroadcastJoinThreshold governs — we do NOT force the
+  * hint here, unlike the fixture queries, because at 100 TB an id map
+  * over all historical keys can exceed broadcast size; Catalyst/AQE
+  * picks broadcast vs shuffle from stats — SURVEY.md §7 risk (f)).
+  * The sink runs once per partition with batches of `batchSize`;
+  * repartition upstream controls sink parallelism vs API rate limits.
+  */
+object SyncJob {
+
+  final case class Summary(
+      runId: String,
+      jobType: String,
+      readCount: Long,
+      createdCount: Long,
+      updatedCount: Long,
+      skippedCount: Long,
+      errorCount: Long,
+      status: String,
+      highWatermarkMs: Option[Long])
+
+  final case class Config(
+      jobType: String,
+      objectType: String,
+      batchSize: Int = 50,
+      alertThreshold: Int = 5, // attempts (main.py:716,764)
+      nowMs: Long)             // injected clock for determinism
+
+  /** Latest successful watermark (A1). Falls back to None = full scan. */
+  def readHighWatermark(ledger: DataFrame, jobType: String): Option[java.sql.Timestamp] = {
+    val rows = ledger
+      .filter(col("status") === "success" && col("job_type") === jobType &&
+        col("high_watermark").isNotNull)
+      .agg(max_by(col("high_watermark"), col("finished_at")).as("wm"))
+      .collect()
+    rows.headOption.flatMap(r => Option(r.getTimestamp(0)))
+  }
+
+  /** Last-writer-wins merge of new (key → id) mappings into the id map
+    * (J5; main.py:354-371 MERGE re-expressed). Small-table full rewrite. */
+  def mergeIdMap(old: DataFrame, updates: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("hubspot_object_type"), col("natural_key"))
+      .orderBy(col("updated_at").desc, col("hubspot_id").desc)
+    old.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** One sync run.
+    *
+    * @param source    pre-projected source: must carry `natural_key`
+    *                  (nullable), `updated_at`, `props` (map<string,string>,
+    *                  already blank-filtered)
+    * @param controlDir parquet dir holding id_map / dlq / ledger
+    */
+  def run(spark: SparkSession, source: DataFrame, cfg: Config,
+          controlDir: String, transport: UpsertTransport): Summary = {
+    import spark.implicits._
+
+    Tables.ensureControlTable(spark, controlDir, "id_map", Tables.idMapSchema)
+    Tables.ensureControlTable(spark, controlDir, "dlq", Tables.dlqSchema)
+    Tables.ensureControlTable(spark, controlDir, "ledger", Tables.runLedgerSchema)
+    def ctl(name: String): DataFrame = spark.read.parquet(s"$controlDir/$name")
+
+    val runId = s"${cfg.jobType}-${cfg.nowMs}"
+    val started = new java.sql.Timestamp(cfg.nowMs)
+
+    // --- S2/F1: delta read from the last successful watermark ---
+    val wm = readHighWatermark(ctl("ledger"), cfg.jobType)
+    val delta = wm.map(t => source.filter(col("updated_at") >= lit(t))).getOrElse(source)
+
+    // --- J1: existing-id lookup (AQE picks broadcast vs shuffle) ---
+    val idMap = ctl("id_map")
+      .filter(col("hubspot_object_type") === cfg.objectType)
+      .select(col("natural_key").as("im_key"), col("hubspot_id").as("existing_id"))
+    val matched = delta.join(idMap, delta("natural_key") === col("im_key"), "left")
+      .drop("im_key")
+
+    // --- F3: ambiguity guard — no key at all → DLQ, not the sink ---
+    val ready = matched.filter(col("natural_key").isNotNull)
+    val ambiguous = matched.filter(col("natural_key").isNull)
+
+    // count the read once; cache the sink input (reused for results)
+    ready.cache()
+    val readCount = ready.count() + ambiguous.count()
+
+    // --- S6/S7: batched, retrying sink; results come back as a DF ---
+    val batchSize = cfg.batchSize
+    val objectType = cfg.objectType
+    val sinkOut = ready
+      .select(col("natural_key"), col("existing_id"), col("props"))
+      .as[(String, Option[String], Map[String, String])]
+      .mapPartitions { it =>
+        val upserter = new RetryingUpserter(transport)
+        it.grouped(batchSize).flatMap { chunk =>
+          val recs = chunk.map { case (k, id, props) => UpsertRecord(k, id, props) }
+          upserter.upsertBatch(objectType, recs)
+        }
+      }.toDF("natural_key", "hubspot_id", "outcome", "error", "attempts")
+    // The sink is non-idempotent at the HTTP level, so its output is
+    // persisted durably in ONE pass and re-read for every downstream
+    // use — a .cache() can silently recompute (evicted partitions, AQE
+    // replans) which would re-send the batch.
+    sinkOut.write.mode(SaveMode.Overwrite).parquet(s"$controlDir/results_$runId")
+    val results = spark.read.parquet(s"$controlDir/results_$runId")
+
+    // --- A4: outcome counters (distributed agg, no accumulators) ---
+    val counts = results.groupBy("outcome").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val created = counts.getOrElse("created", 0L)
+    val updated = counts.getOrElse("updated", 0L)
+    val failed = counts.getOrElse("failed", 0L)
+    val skipped = ambiguous.count()
+
+    // --- J5: merge new ids into the id map (idempotent re-runs) ---
+    val newIds = results.filter(col("hubspot_id").isNotNull && col("outcome") =!= "failed")
+      .select(lit(cfg.objectType).as("hubspot_object_type"), col("natural_key"),
+        col("hubspot_id"), lit(started).as("updated_at"))
+    val mergedIdMap = mergeIdMap(ctl("id_map"), newIds).cache()
+    mergedIdMap.count() // materialize before overwrite of the source dir
+    mergedIdMap.write.mode(SaveMode.Overwrite).parquet(s"$controlDir/id_map_next")
+    // atomic-ish swap: write next, then overwrite canonical from next
+    spark.read.parquet(s"$controlDir/id_map_next")
+      .write.mode(SaveMode.Overwrite).parquet(s"$controlDir/id_map")
+
+    // --- S5/T2: DLQ append — sink failures + ambiguous rows ---
+    val failDlq = results.filter(col("outcome") === "failed")
+      .select(lit(started).as("ts"), lit(cfg.jobType).as("job_type"),
+        col("natural_key"), lit(cfg.objectType).as("hubspot_object_type"),
+        lit("{}").as("payload"),
+        substring(coalesce(col("error"), lit("unknown")), 1, 10000).as("error"),
+        col("attempts").cast("long").as("attempt"))
+    val ambDlq = ambiguous
+      .select(lit(started).as("ts"), lit(cfg.jobType).as("job_type"),
+        lit(null).cast("string").as("natural_key"),
+        lit(cfg.objectType).as("hubspot_object_type"),
+        substring(to_json(col("props")), 1, 90000).as("payload"),
+        lit("ambiguous: no natural key").as("error"),
+        lit(1L).as("attempt"))
+    failDlq.unionByName(ambDlq).write.mode(SaveMode.Append).parquet(s"$controlDir/dlq")
+
+    // --- T1: watermark = max(updated_at) of the processed set (the
+    // tighter variant the reference's comment wishes for, main.py:838) ---
+    val status = if (failed == 0) "success" else "partial"
+    val maxUpdated = ready.agg(max(col("updated_at"))).collect().headOption
+      .flatMap(r => Option(r.getTimestamp(0)))
+    val newWm = if (failed == 0) maxUpdated.orElse(wm) else wm // hold on failure
+
+    // --- S4: ledger append ---
+    val ledgerRow = Seq((runId, started, new java.sql.Timestamp(cfg.nowMs + 1),
+      cfg.jobType, newWm.orNull, readCount, updated, created, skipped, failed, status))
+      .toDF("run_id", "started_at", "finished_at", "job_type", "high_watermark",
+        "read_count", "updated_count", "created_count", "skipped_count",
+        "error_count", "status")
+    ledgerRow.write.mode(SaveMode.Append).parquet(s"$controlDir/ledger")
+
+    ready.unpersist(); mergedIdMap.unpersist()
+    Summary(runId, cfg.jobType, readCount, created, updated, skipped, failed,
+      status, newWm.map(_.getTime))
+  }
+
+  /** A2/A3: per-(job,key,error) attempt maxima at-or-over the alert
+    * threshold — the caller posts these to its alert sink (S11).
+    * Returns a SMALL DataFrame (collect-safe by construction). */
+  def alerts(dlq: DataFrame, threshold: Int): DataFrame =
+    dlq.groupBy(col("job_type"), col("natural_key"), col("error"))
+      .agg(coalesce(max(col("attempt")), lit(0L)).as("attempts"))
+      .filter(col("attempts") >= threshold)
+}

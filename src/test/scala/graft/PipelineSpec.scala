@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Pipelines, SyncJob}
+import graft.sink._
+
+/** Scripted transport: behavior keyed by naturalKey prefix.
+  *   FAIL400-*  → permanent 400
+  *   RETRY-*    → 429 twice, then 201
+  *   FLAKY-*    → 503 forever (exhausts retries → sentinel 599)
+  *   everything else → 201 with id "ID-<key>"
+  * State lives in a JVM-static log (local-mode executors deserialize
+  * their own copy of the transport, so instance fields never reach the
+  * driver). */
+object StubLog {
+  val batches = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  val attempts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  def reset(): Unit = { batches.clear(); attempts.clear() }
+}
+
+class StubTransport extends UpsertTransport {
+  def batchSizes: Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    StubLog.batches.asScala.toSeq
+  }
+  override def send(objectType: String, batch: Seq[UpsertRecord]): Seq[TransportStatus] = {
+    StubLog.batches.add(batch.size)
+    batch.map { r =>
+      val k = r.naturalKey
+      val n = StubLog.attempts.merge(k, 1, _ + _)
+      if (k.startsWith("FAIL400")) TransportStatus(400, None, "bad request")
+      else if (k.startsWith("RETRY") && n <= 2) TransportStatus(429, None, "rate limited")
+      else if (k.startsWith("FLAKY")) TransportStatus(503, None, "unavailable")
+      else TransportStatus(201, Some(s"ID-$k"), "ok")
+    }
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkSource(rows: Seq[(String, String)]) =
+    rows.toDF("natural_key", "upd")
+      .select(col("natural_key"), col("upd").cast("timestamp").as("updated_at"),
+        map(lit("k"), lit("v")).as("props"))
+
+  private def freshDir() = Files.createTempDirectory("graft-ctl-").toString
+
+  test("end-to-end run: outcomes, DLQ routing, id-map merge, ledger, watermark") {
+    val dir = freshDir()
+    val transport = new StubTransport
+    // no-sleep retrying happens inside executors; keep keys tiny
+    val src = mkSource(Seq(
+      "A" -> "2024-01-01 00:00:00",
+      "B" -> "2024-01-02 00:00:00",
+      "FAIL400-C" -> "2024-01-03 00:00:00",
+      (null: String) -> "2024-01-04 00:00:00"))
+    val cfg = SyncJob.Config("patients", "contacts", batchSize = 50,
+      nowMs = 1750000000000L)
+    val s = SyncJob.run(spark, src, cfg, dir, transport)
+
+    assert(s.readCount == 4)
+    assert(s.createdCount == 2) // A, B
+    assert(s.errorCount == 1)   // FAIL400-C
+    assert(s.skippedCount == 1) // null key → ambiguous
+    assert(s.status == "partial")
+    // watermark HELD on failure (reference holds; main.py:837-842)
+    assert(s.highWatermarkMs.isEmpty)
+
+    val idMap = spark.read.parquet(s"$dir/id_map")
+    val ids = idMap.collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(ids == Map("A" -> "ID-A", "B" -> "ID-B"))
+
+    val dlq = spark.read.parquet(s"$dir/dlq")
+    assert(dlq.count() == 2)
+    assert(dlq.filter(col("error").startsWith("HTTP 400")).count() == 1)
+    assert(dlq.filter(col("error").startsWith("ambiguous")).count() == 1)
+
+    val ledger = spark.read.parquet(s"$dir/ledger")
+    assert(ledger.count() == 1 && ledger.collect()(0).getAs[String]("status") == "partial")
+  }
+
+  test("re-run is idempotent: matched keys become updates, not creates") {
+    val dir = freshDir()
+    val src = mkSource(Seq("A" -> "2024-01-01 00:00:00", "B" -> "2024-01-02 00:00:00"))
+    val cfg1 = SyncJob.Config("patients", "contacts", nowMs = 1750000000000L)
+    val s1 = SyncJob.run(spark, src, cfg1, dir, new StubTransport)
+    assert(s1.createdCount == 2 && s1.status == "success")
+    assert(s1.highWatermarkMs.contains(
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00").getTime))
+
+    // second run: same rows *plus later updates* so the delta filter
+    // (watermark from run 1) still admits them
+    val src2 = mkSource(Seq("A" -> "2024-03-01 00:00:00", "B" -> "2024-03-02 00:00:00"))
+    val s2 = SyncJob.run(spark, src2,
+      cfg1.copy(nowMs = 1750000100000L), dir, new StubTransport)
+    assert(s2.createdCount == 0 && s2.updatedCount == 2)
+    // id map still has exactly one row per key
+    assert(spark.read.parquet(s"$dir/id_map").groupBy("natural_key").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("watermark delta: rows at-or-before the watermark are not re-read") {
+    val dir = freshDir()
+    val cfg = SyncJob.Config("patients", "contacts", nowMs = 1750000000000L)
+    SyncJob.run(spark, mkSource(Seq("A" -> "2024-01-05 00:00:00")), cfg, dir, new StubTransport)
+    // second run sees an old row (before wm) and a new one
+    val s2 = SyncJob.run(spark,
+      mkSource(Seq("OLD" -> "2024-01-01 00:00:00", "NEW" -> "2024-02-01 00:00:00")),
+      cfg.copy(nowMs = 1750000100000L), dir, new StubTransport)
+    assert(s2.readCount == 1) // only NEW passes the delta filter
+    val ids = spark.read.parquet(s"$dir/id_map").collect().map(_.getString(1)).toSet
+    assert(ids == Set("A", "NEW"))
+  }
+
+  test("retry/backoff: 429 retried to success; 503 exhausts to sentinel 599") {
+    val upserter = new RetryingUpserter(new StubTransport, sleeper = _ => ())
+    val out = upserter.upsertBatch("contacts", Seq(
+      UpsertRecord("RETRY-X", None, Map()),
+      UpsertRecord("FLAKY-Y", Some("old"), Map()),
+      UpsertRecord("OK", None, Map())))
+    val byKey = out.map(r => r.naturalKey -> r).toMap
+    assert(byKey("RETRY-X").outcome == "created" && byKey("RETRY-X").attempts == 3)
+    assert(byKey("FLAKY-Y").outcome == "failed")
+    assert(byKey("FLAKY-Y").error.get.startsWith("HTTP 599")) // main.py:457 sentinel
+    assert(byKey("OK").outcome == "created" && byKey("OK").attempts == 1)
+  }
+
+  test("backoff schedule matches min(30, 0.5·2^(n-1)) (main.py:441)") {
+    assert(RetryPolicy.backoffSec(1) == 0.5)
+    assert(RetryPolicy.backoffSec(2) == 1.0)
+    assert(RetryPolicy.backoffSec(3) == 2.0)
+    assert(RetryPolicy.backoffSec(7) == 30.0) // capped
+  }
+
+  test("sink batches at the configured size (50; main.py:51)") {
+    val dir = freshDir()
+    StubLog.reset()
+    val transport = new StubTransport
+    val rows = (1 to 120).map(i => (f"K$i%03d", "2024-01-01 00:00:00"))
+    val src = mkSource(rows).coalesce(1) // single partition → deterministic chunks
+    SyncJob.run(spark, src, SyncJob.Config("patients", "contacts",
+      batchSize = 50, nowMs = 1750000000000L), dir, transport)
+    assert(transport.batchSizes.sorted == Seq(20, 50, 50))
+  }
+
+  test("alerts fire at >=5 attempts only (A3; main.py:716,764)") {
+    val dlq = Seq(
+      ("patients", "k1", "HTTP 500", 4L),
+      ("patients", "k1", "HTTP 500", 5L),
+      ("patients", "k2", "HTTP 400", 2L))
+      .toDF("job_type", "natural_key", "error", "attempt")
+    val posted = mutable.Buffer[String]()
+    val n = Pipelines.postAlerts(dlq, 5, posted += _)
+    assert(n == 1 && posted.head.contains("k1") && posted.head.contains("attempts=5"))
+  }
+
+  test("patients/rois sources satisfy the SyncJob contract on testdata") {
+    for (src <- Seq(Pipelines.patientsSource(spark, sf0001),
+                    Pipelines.roisSource(spark, sf0001))) {
+      assert(src.columns.toSet == Set("natural_key", "updated_at", "props"))
+      assert(src.count() > 0)
+      // P3: no blank values survive in props
+      val blanks = src.select(explode(col("props"))).filter(length(trim(col("value"))) === 0)
+      assert(blanks.count() == 0)
+    }
+  }
+}
