@@ -1,0 +1,17 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Session-independent Column wrappers for graft's catalyst expressions
+  * (no function-registry dependency, so library operators can use them
+  * on any session). */
+object ColumnOps {
+  def wrap(e: Expression): Column = JColumns.column(e)
+  def exprOf(c: Column): Expression = JColumns.expression(c)
+
+  def dotProduct(a: Column, b: Column): Column =
+    wrap(DotProduct(exprOf(a), exprOf(b)))
+  def nextBirthday(dob: Column, today: Column): Column =
+    wrap(NextBirthday(exprOf(dob), exprOf(today)))
+}

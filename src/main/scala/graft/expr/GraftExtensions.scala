@@ -1,0 +1,47 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Registration of graft's custom Catalyst expressions.
+  *
+  * Two paths, same functions:
+  *  - `GraftFunctions.register(spark)` — imperative, for an existing
+  *    session (used by Verify/Bench/tests);
+  *  - `.withExtensions(new GraftExtensions)` / config
+  *    `spark.sql.extensions=graft.expr.GraftExtensions` — declarative,
+  *    survives session cloning.
+  *
+  * After either, both the SQL surface (`SELECT next_birthday(d, t)`)
+  * and the Column surface (`GraftFunctions.nextBirthday(c1, c2)`) work.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "next_birthday" -> (es => NextBirthday(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  // Column-surface wrappers (resolved through the registry, so they
+  // work on any session where register()/extensions ran)
+  def nextBirthday(dob: Column, today: Column): Column =
+    org.apache.spark.sql.functions.call_function("next_birthday", dob, today)
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("dot_product", a, b)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.expr", name),
+        builder))
+    }
+}

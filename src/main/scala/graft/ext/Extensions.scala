@@ -214,8 +214,11 @@ object Extensions {
   // Embedding cosine near-dup: label-blocked pairs on a 10% sample,
   // double-precision cosine, threshold on the rounded value.
   // =====================================================================
+  /** Codegen'd fused dot product (graft.expr.DotProduct). Left-to-right
+    * accumulation — bit-identical to the HOF form
+    * `aggregate(zip_with(a,b,*), 0d, +)` and to the sequential oracle. */
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expr.ColumnOps.dotProduct(a, b)
 
   val dedupEmbedding: Q = Q("ext_dedup_embedding",
     (spark, sfDir) => {

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference has no true streaming (daily batch, README.md:98,172);
+  * these are the streaming-native forms of its incremental semantics
+  * (SURVEY.md §2h): the high-watermark becomes `withWatermark`, the
+  * nightly delta becomes a continuous windowed aggregation. Every
+  * transform here works identically on a batch DataFrame (Spark's
+  * unified model), which is how the specs exercise them deterministically.
+  */
+object EventStreams {
+
+  /** Tumbling/sliding event-time counts with late-data bound.
+    * At scale: pre-aggregation happens per partition before the shuffle
+    * (partial aggregates), and the watermark bounds state size. */
+  def windowedCounts(events: DataFrame, windowLen: String, slide: String,
+                     lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Declarative event-time sessionization — gap-based sessions via
+    * `session_window` (preferred over hand-rolled state: Catalyst plans
+    * it, state cleanup is automatic under the watermark). */
+  def sessionWindows(events: DataFrame, gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  // ---- custom state: semantics session_window cannot express ----
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class CapState(nEvents: Long, totalValue: Double)
+  final case class CappedSession(user_id: Long, n_events: Long,
+                                 total_value: Double, closed_by: String)
+
+  /** Value-capped sessions: a user's session closes when accumulated
+    * `value` exceeds `cap` (not expressible with session_window, which
+    * only understands time gaps) — the `flatMapGroupsWithState` escape
+    * hatch (SURVEY.md §2i). */
+  def valueCappedSessions(events: Dataset[Event], cap: Double)
+                         (implicit spark: SparkSession): Dataset[CappedSession] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[CapState]) =>
+          var s = state.getOption.getOrElse(CapState(0L, 0.0))
+          val out = scala.collection.mutable.Buffer[CappedSession]()
+          // deterministic order within the group
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            s = CapState(s.nEvents + 1, s.totalValue + e.value)
+            if (s.totalValue >= cap) {
+              out += CappedSession(user, s.nEvents, s.totalValue, "cap")
+              s = CapState(0L, 0.0)
+            }
+          }
+          if (s.nEvents > 0) state.update(s) else state.remove()
+          out.iterator
+      }
+  }
+
+  /** Wire a streaming source of the events schema through a transform to
+    * an in-memory sink and drain it — the test/demo harness
+    * (`format("memory")` + processAllAvailable, spark_guide.md). */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

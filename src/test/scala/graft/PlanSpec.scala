@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression checks: the 100 TB posture (SURVEY.md §4)
+  * asserted, not hoped for. If a refactor drops a pushdown or turns a
+  * broadcast join into a shuffle, these fail. */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Final plan after AQE re-planning (requires execution); codegen
+    * stages print as `*(n)` prefixes in this form. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("watermark predicate reaches the parquet scan (scan_delta / S2)") {
+    val df = ops.Relational.scanDelta.fn(spark, sf0001)
+    val plan = physical(df)
+    // events.ts arrives as a long (nanosAsLong) so the pushed filter is
+    // on the raw column; assert the scan carries a pushed filter at all
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"no pushed filters in:\n$plan")
+  }
+
+  test("column pruning: 2-column projection reads 2 columns (P-ops)") {
+    val df = model.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = physical(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"over-wide read: $readSchema")
+  }
+
+  test("id-map lookups broadcast (J1) — no shuffle on the probe side") {
+    val plan = physical(ops.Relational.joinIdMap.fn(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("tiered match (J4) runs as three broadcasts, zero sort-merge joins") {
+    val plan = physical(ops.Relational.joinTiered.fn(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 3)
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("anti-join orphan routing (J6) plans as a real anti join") {
+    val plan = physical(ops.Relational.joinAntiOrphans.fn(spark, sf0001))
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
+  }
+
+  test("scalar projections stay inside whole-stage codegen (no UDF black boxes)") {
+    val df = ops.Relational.projectPatient.fn(spark, sf0001)
+    val plan = finalPlan(df)
+    assert(plan.contains("*("), s"no codegen stage in:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("DotProduct expression participates in codegen (no CodegenFallback)") {
+    val df = model.Tables.embeddings(spark, sf0001)
+      .select(expr("vec_id"),
+        graft.expr.ColumnOps.dotProduct(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("d"))
+      .filter(col("d") > 0)
+    val plan = finalPlan(df)
+    // the Project evaluating dot_product must sit inside a codegen stage
+    assert(plan.linesIterator.exists(l => l.contains("dot_product") && l.trim.startsWith("*(")),
+      s"dot_product outside codegen:\n$plan")
+  }
+
+  test("dedup groupBy plans partial aggregation before the shuffle (A-ops)") {
+    val plan = physical(ext.Extensions.dedupExact.fn(spark, sf0001))
+    // two HashAggregate nodes (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("minhash LSH candidate generation contains no cartesian product") {
+    val plan = physical(ext.Extensions.dedupMinhash.fn(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH banding must stay equi-join:\n$plan")
+  }
+
+  test("topk scoring broadcasts the query set — corpus is never shuffled for the join") {
+    val plan = physical(ext.Extensions.topkCosine.fn(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$plan")
+  }
+
+  test("fixture filters fold into scans, not post-filters (optimizer visibility)") {
+    // Fixtures.patients is a projection over customer: the optimized plan
+    // must be Project→Relation with no intermediate barriers
+    val p = model.Fixtures.patients(spark, sf0001)
+    val opt = optimized(p.select(col("c_custkey"), col("patient_id")))
+    assert(opt.linesIterator.size <= 3, s"projection should collapse:\n$opt")
+  }
+}

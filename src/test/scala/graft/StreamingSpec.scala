@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    Event(1, ts("2024-01-01 00:00:10"), 1, "click", 10.0),
+    Event(2, ts("2024-01-01 00:01:10"), 1, "click", 20.0),
+    Event(3, ts("2024-01-01 00:09:00"), 1, "buy", 5.0),   // >5min gap → new session
+    Event(4, ts("2024-01-01 00:00:30"), 2, "click", 7.0))
+
+  test("windowedCounts over a real stream (MemoryStream → memory sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(ms.toDF(), "5 minutes", "5 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("win_counts").start()
+    try {
+      // append mode: a window emits only after the watermark passes its
+      // end, and the watermark advances at batch END — so feed three
+      // batches: data, a marker to advance the watermark, and one more
+      // to trigger the emission pass.
+      ms.addData(sample: _*); q.processAllAvailable()
+      ms.addData(Event(99, ts("2024-01-01 01:00:00"), 9, "noop", 0.0)); q.processAllAvailable()
+      ms.addData(Event(100, ts("2024-01-01 01:10:00"), 9, "noop", 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("win_counts").filter(col("event_type") === "click").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 3) // 3 clicks in closed windows
+  }
+
+  test("sessionWindows: gap-based sessions (batch-mode execution of the same plan)") {
+    // unified model: the streaming transform runs on a batch DF directly
+    val out = EventStreams.sessionWindows(sample.toDF(), "5 minutes", "10 minutes")
+    val u1 = out.filter(col("user_id") === 1).orderBy("sess_start").collect()
+    assert(u1.length == 2) // events 1,2 in one session; 3 after the gap
+    assert(u1(0).getAs[Long]("n_events") == 2)
+    assert(u1(1).getAs[Long]("n_events") == 1)
+    assert(out.filter(col("user_id") === 2).count() == 1)
+  }
+
+  test("valueCappedSessions: closes on accumulated value, not time") {
+    implicit val s = spark
+    val events = Seq(
+      Event(1, ts("2024-01-01 00:00:01"), 1, "a", 40.0),
+      Event(2, ts("2024-01-01 00:00:02"), 1, "b", 70.0), // 110 >= 100 → close
+      Event(3, ts("2024-01-01 00:00:03"), 1, "c", 30.0)) // dangling state
+      .toDS()
+    val out = EventStreams.valueCappedSessions(events, cap = 100.0).collect()
+    assert(out.length == 1)
+    assert(out(0).n_events == 2 && out(0).total_value == 110.0 && out(0).closed_by == "cap")
+  }
+
+  test("windowed agg on the real events table matches a batch groupBy") {
+    val e = model.Tables.events(spark, sf0001)
+    val streamingShaped = EventStreams.windowedCounts(e, "1 hour", "1 hour", "1 minute")
+    val batch = e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamingShaped.agg(sum("n")).collect()(0).getLong(0) ==
+      batch.agg(sum("n")).collect()(0).getLong(0))
+  }
+}
