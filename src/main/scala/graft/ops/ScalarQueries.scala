@@ -93,8 +93,12 @@ object ScalarQueries {
       val dob = make_date(lit(1940) + (k % 60).cast("int"), lit(1) + (k % 12).cast("int"),
         lit(1) + (k % 28).cast("int"))
       val today = lit("2026-08-12").cast("date")
+      // the custom Catalyst Expression (graft.expr.NextBirthday), so the
+      // oracle gate exercises the codegen path; Scalars.nextBirthday is
+      // the composed-Column fallback (equivalence asserted in ExprSpec)
       Tables.customer(spark, sfDir)
-        .select(k, dob.as("dob"), Scalars.nextBirthday(dob, today).as("next_birthday"))
+        .select(k, dob.as("dob"),
+          graft.expr.ColumnOps.nextBirthday(dob, today).as("next_birthday"))
         .orderBy("c_custkey")
     },
     Some("""WITH t AS (
