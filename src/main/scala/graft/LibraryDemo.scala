@@ -44,6 +44,35 @@ object LibraryDemo {
     sims.collect().foreach(r =>
       println(f"sim: ${r.getLong(0)}%d ~ ${r.getLong(1)}%d = ${r.getDouble(2)}%.4f"))
 
+    // 4. schema-pinned CSV ingest with quarantine (no inference scan)
+    val csvDir = java.nio.file.Files.createTempDirectory("graft-csv-demo-")
+    java.nio.file.Files.writeString(csvDir.resolve("in.csv"),
+      "id,name,amount\n1,a,10.5\n2,b,20.0\nbad-row,c,zzz\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.DoubleType)))
+    val (clean, bad) = sources.Sources.quarantine(
+      sources.Sources.csv(spark, csvDir.toString, schema))
+    println(s"csv: clean=${clean.count()} quarantined=${bad.count()}")
+
+    // 5. alert webhook against an in-process endpoint (zero egress)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      received.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      ex.sendResponseHeaders(200, 0); ex.close()
+    })
+    server.start()
+    import spark.implicits._
+    val dlq = Seq(("patients", "k9", "HTTP 599", 6L))
+      .toDF("job_type", "natural_key", "error", "attempt")
+    pipeline.Pipelines.postAlerts(dlq, 5,
+      pipeline.Pipelines.webhookPoster(s"http://127.0.0.1:${server.getAddress.getPort}"))
+    server.stop(0)
+    println(s"webhook received: ${received.peek()}")
+
     spark.stop()
   }
 }

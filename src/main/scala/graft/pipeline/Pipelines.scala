@@ -54,9 +54,29 @@ object Pipelines {
         "patient_chart" -> col("roi_patient_chart")).as("props"))
   }
 
+  /** Production webhook poster for postAlerts (S11: main.py:258-274) —
+    * one JSON `{"text": msg}` POST per alert line, 10s timeout,
+    * failures swallowed (alerting must never fail the run, matching the
+    * reference's try/except around the Slack call). */
+  def webhookPoster(url: String): String => Unit = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    msg => {
+      val body = "{\"text\": \"" + msg.replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
+      try {
+        client.send(java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(10))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.discarding())
+      } catch { case _: Exception => () }
+    }
+  }
+
   /** S11: alert sink — collects the (small) over-threshold aggregate and
     * posts one line per key. Pluggable poster so tests capture instead
-    * of egressing; production wires a webhook POST. */
+    * of egressing; production wires `webhookPoster`. */
   def postAlerts(dlq: DataFrame, threshold: Int, post: String => Unit): Int = {
     val rows = SyncJob.alerts(dlq, threshold).collect()
     rows.foreach { r =>

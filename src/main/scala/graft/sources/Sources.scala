@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Schema-applied readers/writers beyond parquet.
+  *
+  * The reference reads exactly one source (BigQuery SQL, main.py:534-549)
+  * and writes JSON rows back (main.py:347-352). A user switching to this
+  * library keeps the same data through whichever container format their
+  * lake uses; these helpers pin an explicit schema so ingestion is
+  * deterministic (no inference pass — at 100 TB a schema-inference scan
+  * is a full extra read of the data).
+  */
+object Sources {
+
+  /** CSV with explicit schema; malformed rows quarantined, not dropped
+    * (the DLQ philosophy of the reference applied at ingest). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read
+      .schema(addCorruptColumn(schema))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+
+  /** JSON-lines with explicit schema (same quarantine contract). */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(addCorruptColumn(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  val CorruptCol = "_corrupt_record"
+
+  private def addCorruptColumn(schema: StructType): StructType =
+    if (schema.fieldNames.contains(CorruptCol)) schema
+    else schema.add(CorruptCol, org.apache.spark.sql.types.StringType, nullable = true)
+
+  /** Split a permissive read into (clean, quarantined). */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val cached = df.cache()
+    (cached.filter(col(CorruptCol).isNull).drop(CorruptCol),
+     cached.filter(col(CorruptCol).isNotNull))
+  }
+}

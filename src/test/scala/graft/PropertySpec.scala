@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import graft.expr.{NextBirthdayUtil, Scalars}
+import graft.pipeline.SyncJob
+
+/** Property-based checks (SURVEY.md §5.3) — scalacheck driven directly
+  * (no scalatestplus bridge in the dependency set). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("formatIdentifier is idempotent (canonical form is a fixed point)") {
+    val gen = Gen.oneOf(
+      Gen.chooseNum(-99999L, 99999L).map(_.toString),
+      Gen.chooseNum(-999.0, 999.0).map(d => f"$d%.3f"),
+      Gen.alphaNumStr.suchThat(_.length < 20),
+      Gen.const(""), Gen.const("  7.10  "))
+    check(Prop.forAll(gen) { s =>
+      val df = Seq(s).toDF("raw")
+      val once = df.select(Scalars.formatIdentifier(col("raw")).as("f"))
+        .collect()(0).getString(0)
+      val twice = Seq(Option(once).getOrElse("")).toDF("raw")
+        .select(Scalars.formatIdentifier(col("raw")).as("f"))
+        .collect()(0).getString(0)
+      (once == null && twice == null) || once == twice
+    }, minSuccessful(30))
+  }
+
+  test("tolerantBool is total and stable (never throws, output in closed set or passthrough)") {
+    val gen = Gen.oneOf(Gen.alphaNumStr, Gen.numStr,
+      Gen.oneOf("true", "f", " Y ", "0.0", "", " 2 ", "-0"))
+    check(Prop.forAll(gen) { s =>
+      val out = Seq(s).toDF("raw")
+        .select(Scalars.tolerantBool(col("raw")).as("b")).collect()(0).getString(0)
+      out == null || out == "true" || out == "false" || out == s.trim.toLowerCase
+    }, minSuccessful(30))
+  }
+
+  test("nextBirthday result is always within (today, today+366] and preserves month/day or Mar-1") {
+    val dayGen = for {
+      dob <- Gen.chooseNum(0L, 20000L)     // 1970..2024-ish
+      today <- Gen.chooseNum(18000L, 22000L)
+    } yield (dob.toInt, today.toInt)
+    check(Prop.forAll(dayGen) { case (dob, today) =>
+      val nb = NextBirthdayUtil.compute(dob, today)
+      val nbd = java.time.LocalDate.ofEpochDay(nb.toLong)
+      val dobd = java.time.LocalDate.ofEpochDay(dob.toLong)
+      val sameAnniv = (nbd.getMonthValue, nbd.getDayOfMonth) ==
+        (dobd.getMonthValue, dobd.getDayOfMonth) ||
+        (dobd.getMonthValue == 2 && dobd.getDayOfMonth == 29 &&
+          nbd.getMonthValue == 3 && nbd.getDayOfMonth == 1)
+      nb >= today && nb <= today + 366 && sameAnniv
+    }, minSuccessful(100))
+  }
+
+  test("mergeIdMap: applying any batch twice equals applying it once") {
+    val keyGen = Gen.listOfN(6, Gen.chooseNum(1, 4))
+    check(Prop.forAll(keyGen) { ks =>
+      val base = Seq(("contacts", "k1", "OLD", tsAt(0)))
+        .toDF("hubspot_object_type", "natural_key", "hubspot_id", "updated_at")
+      val batch = ks.zipWithIndex.map { case (k, i) =>
+        ("contacts", s"k$k", s"N$i", tsAt(i + 1))
+      }.toDF("hubspot_object_type", "natural_key", "hubspot_id", "updated_at")
+      val once = SyncJob.mergeIdMap(base, batch)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSet
+      val twice = SyncJob.mergeIdMap(SyncJob.mergeIdMap(base, batch), batch)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSet
+      once == twice
+    }, minSuccessful(10))
+  }
+
+  test("watermark monotonicity: successful runs never move the watermark backwards") {
+    // property expressed over the ledger produced by consecutive runs
+    val gen = Gen.listOfN(3, Gen.chooseNum(1L, 100L))
+    check(Prop.forAll(gen) { deltas =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-wm-").toString
+      var days = 0L
+      var lastWm = 0L
+      var ok = true
+      deltas.zipWithIndex.foreach { case (d, i) =>
+        days += math.max(1L, d) // scalacheck shrinking may go below the gen range
+        val t = 1700000000000L + days * 86400000L
+        val src = Seq(("K" + i, new java.sql.Timestamp(t)))
+          .toDF("natural_key", "updated_at")
+          .select(col("natural_key"), col("updated_at"),
+            map(lit("k"), lit("v")).as("props"))
+        val s = SyncJob.run(spark, src,
+          SyncJob.Config("patients", "contacts", nowMs = 1750000000000L + i),
+          dir, new StubTransport)
+        s.highWatermarkMs.foreach { wm =>
+          ok &&= wm >= lastWm
+          lastWm = math.max(lastWm, wm)
+        }
+      }
+      ok
+    }, minSuccessful(5))
+  }
+
+  private def tsAt(i: Int) =
+    new java.sql.Timestamp(1700000000000L + i * 1000L)
+
+  private def minSuccessful(n: Int) =
+    org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(n)
+
+  private def check(p: Prop, params: org.scalacheck.Test.Parameters): Unit = {
+    val res = org.scalacheck.Test.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+}
