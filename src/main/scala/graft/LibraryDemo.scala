@@ -73,6 +73,24 @@ object LibraryDemo {
     server.stop(0)
     println(s"webhook received: ${received.peek()}")
 
+    // 6. scale techniques: bucketed co-located join + salted skew join
+    ops.Scale.writeBucketed(model.Tables.orders(spark, sfDir), "demo_orders", "o_custkey", 8)
+    ops.Scale.writeBucketed(
+      model.Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey"),
+      "demo_customer", "o_custkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bucketJoined = ops.Scale.bucketedJoin(spark, "demo_orders", "demo_customer", "o_custkey")
+    bucketJoined.collect()
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(bucketJoined.queryExecution.executedPlan.toString).size
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val salted = ops.Scale.saltedJoin(
+      model.Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey").as("k")),
+      model.Tables.customer(spark, sfDir).select(col("c_custkey").as("k"), col("c_mktsegment")),
+      "k", salt = 7)
+    println(s"scale: bucketedJoin rows=${bucketJoined.count()} shuffleExchanges=$shuffles " +
+      s"saltedJoin rows=${salted.count()}")
+
     spark.stop()
   }
 }

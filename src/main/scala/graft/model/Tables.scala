@@ -39,14 +39,29 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
   /** events with `ts` normalized to TimestampType (µs, UTC). */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsDelta(spark, sfDir, None)
+
+  /** Delta-read of events: the watermark predicate is applied to the RAW
+    * parquet column (the ns-encoded long) *before* the timestamp
+    * conversion, so it pushes into the scan as a row-group filter.
+    * Filtering the converted column instead leaves only IsNotNull pushed
+    * (Catalyst cannot push through `timestamp_micros(ts div 1000)`) and
+    * at 100 TB that is a full-table read. Equivalence is exact:
+    * floor(ns/1000) >= wm_µs  ⟺  ns >= wm_µs·1000. */
+  def eventsDelta(spark: SparkSession, sfDir: String,
+                  watermarkMicros: Option[Long]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(sfDir, "events"))
     df.schema("ts").dataType match {
       case LongType =>
+        val filtered = watermarkMicros
+          .map(wm => df.filter(col("ts") >= wm * 1000L)).getOrElse(df)
         // ns since epoch -> µs since epoch (floor; epoch is positive here)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
+        filtered.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        watermarkMicros
+          .map(wm => df.filter(col("ts") >= timestamp_micros(lit(wm)))).getOrElse(df)
     }
   }
 

@@ -27,12 +27,13 @@ object Relational {
     Some("SELECT * FROM customer ORDER BY c_custkey"))
 
   // ---------- S2/F1: watermark delta scan (main.py:537) ----------
-  // The predicate is pushed into the parquet scan (PushedFilters) —
-  // at 100 TB only row groups past the watermark are read.
+  // The predicate is applied to the raw parquet column via eventsDelta,
+  // so it pushes into the scan as a row-group filter — at 100 TB only
+  // row groups past the watermark are read.
   val scanDelta: Q = Q("scan_delta",
     (spark, sfDir) =>
-      Tables.events(spark, sfDir)
-        .filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp"))
+      Tables.eventsDelta(spark, sfDir,
+          Some(1704240000000000L)) // 2024-01-03T00:00:00Z in µs
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id"),

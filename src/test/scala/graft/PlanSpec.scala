@@ -24,10 +24,10 @@ class PlanSpec extends SparkSpec {
   test("watermark predicate reaches the parquet scan (scan_delta / S2)") {
     val df = ops.Relational.scanDelta.fn(spark, sf0001)
     val plan = physical(df)
-    // events.ts arrives as a long (nanosAsLong) so the pushed filter is
-    // on the raw column; assert the scan carries a pushed filter at all
-    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
-      s"no pushed filters in:\n$plan")
+    // the comparison itself must be pushed (row-group pruning), not just
+    // the IsNotNull that survives any filter
+    assert(plan.contains("GreaterThanOrEqual(ts,"),
+      s"watermark comparison not pushed to parquet:\n$plan")
   }
 
   test("column pruning: 2-column projection reads 2 columns (P-ops)") {
