@@ -174,6 +174,24 @@ object ScalarQueries {
            |                ',"event_type":"', event_type, '"}'), 1, 90000) AS payload
            |FROM events ORDER BY event_id""".stripMargin))
 
+  // ---------- X13: JSON decode (schema-on-read over events.props) ------
+  // Both the path-extraction form (get_json_object: no schema, lazy) and
+  // the schema-applied form (from_json: typed struct, Catalyst-visible).
+  val fnJsonGet: Q = Q("fn_json_get",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k_typed"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+           |  CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+           |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
+           |FROM events ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(fnCleanValue, fnBool, fnEpochMillis, fnEasternDate,
-    fnNextBirthday, fnFormatId, fnHash8, fnEmailNorm, fnToJson)
+    fnNextBirthday, fnFormatId, fnHash8, fnEmailNorm, fnToJson, fnJsonGet)
 }
