@@ -7,7 +7,8 @@ object SparkEntry {
 
   /** Every registered query (core relational + scalar fns + extensions). */
   def registry: Seq[Q] =
-    ops.Relational.all ++ ops.ScalarQueries.all ++ ext.Extensions.all
+    ops.Relational.all ++ ops.ScalarQueries.all ++ ops.SetAggQueries.all ++
+      ext.Extensions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The patients pipeline slice: projection + tiered id-map match. */

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.{Fixtures, Tables}
+
+/** Operator classes beyond the reference's surface (SURVEY.md §2d/§2f
+  * marked them absent): distinct aggregation, rollup, set ops, and the
+  * as-of join — each oracle-checked. */
+object SetAggQueries {
+
+  private val BaseMs = 1704067200000L
+  private val DayMs = 86400000L
+
+  // ---------- as-of join (AsOf.join composed form vs DuckDB ASOF) ------
+  val joinAsof: Q = Q("join_asof",
+    (spark, sfDir) => {
+      val l = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      // right side: per-user reference points spread across the event
+      // period (unique per (user, ts) by construction)
+      val r = Tables.orders(spark, sfDir)
+        .select(col("o_custkey").as("user_id"),
+          (lit(BaseMs) + (col("o_orderkey") % 60) * DayMs).as("rts"),
+          col("o_orderkey"))
+        .groupBy("user_id", "rts")
+        .agg(max(col("o_orderkey")).as("ref_id"))
+      AsOf.join(l, r, "user_id", "ts_ms", "rts", Seq("ref_id"))
+        .select(col("event_id"), col("user_id"), col("asof_ref_id"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH l AS (
+            |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+            |r AS (
+            |  SELECT o_custkey AS user_id,
+            |    $BaseMs + (o_orderkey % 60) * $DayMs AS rts,
+            |    max(o_orderkey) AS ref_id
+            |  FROM orders GROUP BY 1, 2)
+            |SELECT l.event_id, l.user_id, r.ref_id AS asof_ref_id
+            |FROM l ASOF LEFT JOIN r
+            |  ON l.user_id = r.user_id AND r.rts <= l.ts_ms
+            |ORDER BY l.event_id""".stripMargin))
+
+  // ---------- distinct aggregation ----------
+  val aggDistinct: Q = Q("agg_distinct",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+           |  count(*) AS n_events
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // ---------- rollup (subtotals + grand total) ----------
+  val aggRollup: Q = Q("agg_rollup",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc, col("l_linestatus").asc),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  // ---------- set op: unmapped natural keys (EXCEPT ALL) ----------
+  val setopExcept: Q = Q("setop_except",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+        .filter(col("patient_id").isNotNull).select(col("patient_id").as("k"))
+      val im = Fixtures.idMap(spark, sfDir)
+        .filter(col("hubspot_object_type") === "contacts")
+        .select(col("natural_key").as("k"))
+      p.exceptAll(im).orderBy("k")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql, Fixtures.idMapSql) +
+      """SELECT patient_id AS k FROM patients WHERE patient_id IS NOT NULL
+        |EXCEPT ALL
+        |SELECT natural_key AS k FROM id_map WHERE hubspot_object_type = 'contacts'
+        |ORDER BY k""".stripMargin))
+
+  val all: Seq[Q] = Seq(joinAsof, aggDistinct, aggRollup, setopExcept)
+}
