@@ -83,5 +83,32 @@ object SetAggQueries {
         |SELECT natural_key AS k FROM id_map WHERE hubspot_object_type = 'contacts'
         |ORDER BY k""".stripMargin))
 
-  val all: Seq[Q] = Seq(joinAsof, aggDistinct, aggRollup, setopExcept)
+  // ---------- exact percentiles (linear interpolation both engines) ----
+  val aggPercentile: Q = Q("agg_percentile",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  // ---------- sketch: approximate distinct (HLL++) ----------
+  // No oracle: HLL implementations differ across engines by design; the
+  // error bound vs exact distinct is asserted in SetAggSpec instead
+  // (driver records the weaker rows-only check).
+  val aggApproxDistinct: Q = Q("agg_approx_distinct",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    None)
+
+  val all: Seq[Q] = Seq(joinAsof, aggDistinct, aggRollup, setopExcept,
+    aggPercentile, aggApproxDistinct)
 }
