@@ -175,6 +175,12 @@ object SyncJob {
     ledgerRow.write.mode(SaveMode.Append).parquet(s"$controlDir/ledger")
 
     ready.unpersist(); mergedIdMap.unpersist()
+    // structured, PHI-safe run log (the reference's JSON log surface)
+    EtlLog.info("sync_run_complete",
+      "run_id" -> runId, "job_type" -> cfg.jobType, "status" -> status,
+      "read_count" -> readCount, "created" -> created, "updated" -> updated,
+      "skipped" -> skipped, "errors" -> failed,
+      "high_watermark_ms" -> newWm.map(_.getTime).getOrElse(-1L))
     Summary(runId, cfg.jobType, readCount, created, updated, skipped, failed,
       status, newWm.map(_.getTime))
   }
