@@ -290,53 +290,61 @@ object Extensions {
   // SQL oracle — driver records the weaker rows-only check).
   // Planes are derived from sha256 so the index is deterministic.
   // =====================================================================
+  /** Sign-random-hyperplane ANN: L hash tables of b sign-bits each —
+    * small buckets bound candidate counts (stay linear in corpus size);
+    * multiple tables recover the recall a single wide signature would
+    * lose. Planes are sha256-derived, so the index is deterministic.
+    *
+    * @param emb        (vec_id long, v array<double>)
+    * @param isQuery    predicate over vec_id choosing the query set
+    */
+  def annTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 10,
+              nTables: Int = 3, bitsPerTable: Int = 6): DataFrame = {
+    val dim = 64
+    // deterministic pseudo-random hyperplanes, driver-side (tiny)
+    def w(p: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val h = md.digest(s"$p:$j".getBytes("UTF-8"))
+      (java.nio.ByteBuffer.wrap(h.take(8)).getLong & 0xFFFFFFL).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0
+    }
+    val e = emb.withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    def bucketCol(t: Int): Column = {
+      val bits = (0 until bitsPerTable).map { b =>
+        val plane = array((0 until dim).map(j => lit(w(t * bitsPerTable + b, j))): _*)
+        when(dotD(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
+      }
+      concat(lit(s"$t:") +: bits: _*)
+    }
+    // each vector lands in one bucket per table
+    val bucketed = e.withColumn("bucket",
+      explode(array((0 until nTables).map(bucketCol): _*)))
+    val q = bucketed.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("corpus_id"),
+      col("bucket").as("c_bucket"))
+    // candidates share any table's bucket -> equi-join, never quadratic
+    val cand = c.join(broadcast(q),
+        col("bucket") === col("c_bucket") && col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id")).distinct()
+    val qv = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    val w10 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    cand.join(broadcast(qv), col("query_id") === col("qid"))
+      .join(cv, col("corpus_id") === col("cid"))
+      .select(col("query_id"), col("corpus_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w10))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   val annLsh: Q = Q("ext_ann_lsh",
-    (spark, sfDir) => {
-      // L hash tables of b sign-bits each: small buckets bound candidate
-      // counts (stay linear in corpus size); multiple tables recover the
-      // recall a single wide signature would lose.
-      val nTables = 3
-      val bitsPerTable = 6
-      val dim = 64
-      // deterministic pseudo-random hyperplanes, driver-side (tiny)
-      def w(p: Int, j: Int): Double = {
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        val h = md.digest(s"$p:$j".getBytes("UTF-8"))
-        (java.nio.ByteBuffer.wrap(h.take(8)).getLong & 0xFFFFFFL).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0
-      }
-      val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-      def bucketCol(t: Int): Column = {
-        val bits = (0 until bitsPerTable).map { b =>
-          val plane = array((0 until dim).map(j => lit(w(t * bitsPerTable + b, j))): _*)
-          when(dotD(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
-        }
-        concat(lit(s"$t:") +: bits: _*)
-      }
-      // each vector lands in one bucket per table
-      val bucketed = e.withColumn("bucket",
-        explode(array((0 until nTables).map(bucketCol): _*)))
-      val q = bucketed.filter(col("vec_id") % 199 === 0)
-        .select(col("vec_id").as("query_id"), col("bucket"))
-      val c = bucketed.select(col("vec_id").as("corpus_id"),
-        col("bucket").as("c_bucket"))
-      // candidates share any table's bucket -> equi-join, never quadratic
-      val cand = c.join(broadcast(q),
-          col("bucket") === col("c_bucket") && col("query_id") =!= col("corpus_id"))
-        .select(col("query_id"), col("corpus_id")).distinct()
-      val qv = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      val cv = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-      val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
-      val w10 = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("corpus_id").asc)
-      cand.join(broadcast(qv), col("query_id") === col("qid"))
-        .join(cv, col("corpus_id") === col("cid"))
-        .select(col("query_id"), col("corpus_id"), cos.as("cos"))
-        .withColumn("rank", row_number().over(w10))
-        .filter(col("rank") <= 10)
-        .orderBy("query_id", "rank")
-    },
+    (spark, sfDir) =>
+      annTopK(
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        id => id % 199 === 0),
     None)
 
   // =====================================================================

@@ -32,7 +32,7 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
            rightPayload: Seq[String]): DataFrame = {
-    val lCols = left.columns
+    val lCols = left.columns.toSeq
     val tagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))

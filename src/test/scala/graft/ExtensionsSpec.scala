@@ -41,18 +41,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.filter(col("query_id") === col("corpus_id")).count() == 0)
   }
 
-  test("ann_lsh results are a subset-quality approximation of brute force") {
-    val exact = Extensions.topkCosine.fn(spark, sf0001)
-      .filter(col("rank") === 1).select("query_id", "corpus_id")
+  test("annTopK finds planted near-duplicates (real recall, not vacuous)") {
+    // corpus: deterministic pseudo-random vectors + planted twins of the
+    // query vectors (tiny perturbation -> same LSH bucket w.h.p., cos≈1)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (0L until 200L).map(i => (i, vec()))
+    val planted = base.filter(_._1 % 50 == 0).map { case (i, v) =>
+      (i + 10000L, v.map(_ + 1e-4 * rnd.nextGaussian()))
+    }
+    val emb = spark.createDataFrame((base ++ planted)).toDF("vec_id", "v")
+    val out = Extensions.annTopK(emb, id => id % 50 === 0 && id < 1000, k = 3)
+      .filter(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every query's top-1 must be its planted twin
+    assert(out.keySet == Set(0L, 50L, 100L, 150L))
+    out.foreach { case (q, c) => assert(c == q + 10000L, s"query $q matched $c") }
+  }
+
+  test("ann_lsh on real data returns well-formed rankings") {
     val approx = Extensions.annLsh.fn(spark, sf0001)
-      .filter(col("rank") === 1).select("query_id", "corpus_id")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // every ANN query returns something, and when bucket recall hits,
-    // the top-1 agrees with brute force
-    assert(approx.nonEmpty)
-    val agree = approx.count { case (q, c) => exact.get(q).contains(c) }
-    assert(agree >= 0) // sanity: no crash; agreement tracked, not forced
+    assert(approx.count() > 0)
+    assert(approx.filter(col("query_id") === col("corpus_id")).count() == 0)
+    // ranks are 1..k, dense and deterministic
+    val ranks = approx.groupBy("query_id").agg(min("rank"), max("rank"), count(lit(1)))
+      .collect()
+    ranks.foreach(r => assert(r.getInt(1) == 1 && r.getInt(2) == r.getLong(3).toInt))
   }
 
   test("exact dedup groups byte-identical docs; fingerprint groups normalized") {
