@@ -452,10 +452,48 @@ object Relational {
            |SELECT user_id, event_id, event_type, ts_ms
            |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
+  // ---------- gaps-and-islands sessionization (running windows) --------
+  // The batch-SQL twin of streaming.EventStreams.sessionWindows: a new
+  // session opens after a >30min silence; sess_id is a running sum of
+  // session-breaks. lag + cumulative sum — one shuffle on user_id.
+  val windowSessionize: Q = Q("window_sessionize",
+    (spark, sfDir) => {
+      val gapMs = 30L * 60 * 1000
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      val newSess = when(
+        col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > gapMs, 1).otherwise(0)
+      e.withColumn("brk", newSess)
+        .withColumn("sess_id", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("sess_start_ms"),
+          max(col("ts_ms")).as("sess_end_ms"))
+        .orderBy("user_id", "sess_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+           |b AS (
+           |  SELECT user_id, event_id, ts_ms,
+           |    CASE WHEN ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)),
+           |s AS (
+           |  SELECT user_id, ts_ms,
+           |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+           |                   ROWS UNBOUNDED PRECEDING) AS sess_id
+           |  FROM b)
+           |SELECT user_id, sess_id, count(*) AS n_events,
+           |  min(ts_ms) AS sess_start_ms, max(ts_ms) AS sess_end_ms
+           |FROM s GROUP BY user_id, sess_id
+           |ORDER BY user_id, sess_id""".stripMargin))
+
   val all: Seq[Q] = Seq(
     scanFull, scanDelta, projectPatient, projectRoi, filterBlanks,
     filterProcessed, filterAmbiguousSplit, joinIdMap, joinOverrideSkip,
     projectLocked, projectRedact, joinEmailAmbiguity, joinTiered,
     mergeUpsert, joinAntiOrphans, aggAttempts, aggAttemptAlerts,
-    aggTop1Watermark, aggOutcomes, windowLatestEvent)
+    aggTop1Watermark, aggOutcomes, windowLatestEvent, windowSessionize)
 }
