@@ -91,6 +91,17 @@ object LibraryDemo {
     println(s"scale: bucketedJoin rows=${bucketJoined.count()} shuffleExchanges=$shuffles " +
       s"saltedJoin rows=${salted.count()}")
 
+    // 7. tiered match, large-build-side regime (melt: 1 join vs 3)
+    val p7 = model.Fixtures.patients(spark, sfDir)
+    val im7 = model.Fixtures.idMap(spark, sfDir)
+      .filter(col("hubspot_object_type") === "contacts")
+      .select(col("natural_key"), col("hubspot_id"))
+    val melted = ops.TieredMatch.melt(p7, "c_custkey",
+      Seq(col("patient_id"), col("patient_chart")), im7)
+    val tiers = melted.groupBy("tier").count().orderBy("tier").collect()
+      .map(r => s"t${r.getInt(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"tieredMelt: rows=${melted.count()} $tiers")
+
     spark.stop()
   }
 }
