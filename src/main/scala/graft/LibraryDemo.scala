@@ -102,6 +102,17 @@ object LibraryDemo {
       .map(r => s"t${r.getInt(0)}=${r.getLong(1)}").mkString(" ")
     println(s"tieredMelt: rows=${melted.count()} $tiers")
 
+    // 8. partitioned data-lake layout + pruning
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft-lake-").toString
+    sources.Sources.writePartitioned(
+      model.Tables.events(spark, sfDir).withColumn("event_date", to_date(col("ts"))),
+      s"$lakeDir/events", Seq("event_date"))
+    val pruned = spark.read.parquet(s"$lakeDir/events")
+      .filter(col("event_date") === "2024-01-03")
+    val nParts = new java.io.File(s"$lakeDir/events").listFiles()
+      .count(_.getName.startsWith("event_date="))
+    println(s"lake: partitions=$nParts prunedScanRows=${pruned.count()}")
+
     spark.stop()
   }
 }

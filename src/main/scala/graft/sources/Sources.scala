@@ -48,4 +48,26 @@ object Sources {
     (cached.filter(col(CorruptCol).isNull).drop(CorruptCol),
      cached.filter(col(CorruptCol).isNotNull))
   }
+
+  /** Hive-style partitioned parquet layout — the 100 TB contract for any
+    * time-series table: queries that filter on the partition columns
+    * prune whole directories (PartitionFilters in the scan) instead of
+    * reading footers of every file.
+    *
+    * `filesPerPartition` bounds the small-files problem: data is
+    * repartitioned on the partition columns (plus a bounded salt) before
+    * the write, so each Hive partition gets at most that many files
+    * instead of one per upstream task. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                      filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    val keys = partitionCols.map(col)
+    val distributed =
+      if (filesPerPartition <= 1) df.repartition(keys: _*)
+      else df.repartition(keys :+ pmod(spark_partition_id(), lit(filesPerPartition)): _*)
+    distributed.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
 }

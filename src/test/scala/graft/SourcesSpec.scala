@@ -39,6 +39,28 @@ class SourcesSpec extends SparkSpec {
     assert(clean.count() == 2 && bad.count() == 1)
   }
 
+  test("partitioned write prunes directories on partition-key filters") {
+    val dir = Files.createTempDirectory("graft-part-").toString
+    val e = model.Tables.events(spark, sf0001)
+      .withColumn("event_date", to_date(col("ts")))
+    Sources.writePartitioned(e, s"$dir/events", Seq("event_date"))
+    // layout: one dir per date
+    val dirs = new java.io.File(s"$dir/events").listFiles()
+      .filter(_.getName.startsWith("event_date=")).map(_.getName).sorted
+    assert(dirs.length >= 5 && dirs.head == "event_date=2024-01-01")
+    // read back with a partition filter → PartitionFilters prunes dirs
+    val q = spark.read.parquet(s"$dir/events")
+      .filter(col("event_date") === "2024-01-03")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*event_date[^\\]]*\\].*"),
+      s"no partition pruning:\n$plan")
+    // only the one date's rows come back
+    val dates = q.select("event_date").distinct().collect().map(_.get(0).toString)
+    assert(dates.sameElements(Array("2024-01-03")))
+  }
+
   test("orc round-trip preserves the table") {
     val dir = Files.createTempDirectory("graft-orc-").toString
     val src = model.Tables.customer(spark, sf0001)
