@@ -14,4 +14,6 @@ object ColumnOps {
     wrap(DotProduct(exprOf(a), exprOf(b)))
   def nextBirthday(dob: Column, today: Column): Column =
     wrap(NextBirthday(exprOf(dob), exprOf(today)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    wrap(SortedIntersectCount(exprOf(a), exprOf(b)))
 }

@@ -82,7 +82,7 @@ object Extensions {
 
   val dedupMinhash: Q = Q("ext_dedup_minhash",
     (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 5 === 0)
+      val docs = Tables.documents(spark, sfDir) // full corpus: LSH stays linear
       val sig = minhashSignatures(docs).cache()
       val a = sig.select(sig.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
       val b = sig.select(sig.columns.map(c => col(c).as(s"b_$c")).toSeq: _*)
@@ -112,7 +112,7 @@ object Extensions {
       }.mkString(" OR ")
       val matchSum = (0 until Perms)
         .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
          |sh0 AS (SELECT doc_id, unnest(${duckShingles("text")}) AS s FROM docs),
          |sh AS (SELECT doc_id, ${duckHash60("s")} AS bh FROM sh0),
          |sig AS (SELECT doc_id,
@@ -137,12 +137,22 @@ object Extensions {
   // =====================================================================
   val dedupNgram: Q = Q("ext_dedup_ngram",
     (spark, sfDir) => {
+      // shingles are hashed to 60-bit longs before the pair join:
+      // intersecting long arrays is ~10x cheaper than hashing ~450
+      // short strings per pair, and 60-bit collisions are negligible
+      // (jaccard unchanged); cached so the O(n^2) join reads
+      // materialized arrays
       val docs = Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          array_sort(transform(shingles(col("text")), sh => Scalars.hash60(sh))).as("sh"))
+        .cache()
       val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      // merge-walk over the sorted hashes (graft.expr.SortedIntersectCount):
+      // no per-pair hash set, stays in whole-stage codegen
+      val inter = graft.expr.ColumnOps
+        .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
       val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), round(inter / uni, 4).as("jaccard"))
@@ -150,8 +160,9 @@ object Extensions {
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH docs AS (
-            |  SELECT doc_id, ${duckShingles("text")} AS sh
-            |  FROM documents WHERE doc_id % 100 = 0),
+            |  SELECT doc_id,
+            |    [${duckHash60("x")} for x in ${duckShingles("text")}] AS sh
+            |  FROM documents WHERE doc_id % 20 = 0),
             |pairs AS (
             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
@@ -167,7 +178,7 @@ object Extensions {
   // =====================================================================
   val dedupSimhash: Q = Q("ext_dedup_simhash",
     (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 20 === 0)
+      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 4 === 0)
       val toks = docs.select(col("doc_id"),
         explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
         .withColumn("h", Scalars.hash60(col("tok")))
@@ -193,7 +204,7 @@ object Extensions {
       val sigExpr = (0 until 32)
         .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
         .mkString(" + ")
-      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
          |toks AS (
          |  SELECT doc_id, ${duckHash60("tok")} AS h
          |  FROM (SELECT doc_id,
@@ -223,7 +234,6 @@ object Extensions {
   val dedupEmbedding: Q = Q("ext_dedup_embedding",
     (spark, sfDir) => {
       val e = Tables.embeddings(spark, sfDir)
-        .filter(col("vec_id") % 10 === 0)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
@@ -240,7 +250,7 @@ object Extensions {
     Some("""WITH e AS (
            |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
            |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           |  FROM embeddings WHERE vec_id % 10 = 0)
+           |  FROM embeddings)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
            |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
            |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -257,7 +267,7 @@ object Extensions {
       val e = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-      val q = e.filter(col("vec_id") % 199 === 0)
+      val q = e.filter(col("vec_id") % 47 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("corpus_id"), col("v").as("cv"), col("nrm").as("cn"))
       val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
@@ -273,7 +283,7 @@ object Extensions {
            |  SELECT vec_id, embedding::DOUBLE[] AS v,
            |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
            |  FROM embeddings),
-           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id % 199 = 0),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id % 47 = 0),
            |scored AS (
            |  SELECT q.query_id, e.vec_id AS corpus_id,
            |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cos
@@ -344,7 +354,7 @@ object Extensions {
       annTopK(
         Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-        id => id % 199 === 0),
+        id => id % 47 === 0),
     None)
 
   // =====================================================================

@@ -192,6 +192,27 @@ object ScalarQueries {
            |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
            |FROM events ORDER BY event_id""".stripMargin))
 
+  // ---------- X14: higher-order array functions (Catalyst HOFs) --------
+  // filter/aggregate/array_max over array columns stay inside Catalyst
+  // (no UDF); the double cast before arithmetic keeps both engines in
+  // float64 with the same left-to-right accumulation.
+  val fnArrayOps: Q = Q("fn_array_ops",
+    (spark, sfDir) => {
+      val v = col("embedding").cast("array<double>")
+      Tables.embeddings(spark, sfDir).select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        round(aggregate(v, lit(0.0), (acc, x) => acc + x), 4).as("total"),
+        round(array_max(v), 4).as("mx"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id,
+           |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           |  round(list_sum(embedding::DOUBLE[]), 4) AS total,
+           |  round(list_max(embedding::DOUBLE[]), 4) AS mx
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
   val all: Seq[Q] = Seq(fnCleanValue, fnBool, fnEpochMillis, fnEasternDate,
-    fnNextBirthday, fnFormatId, fnHash8, fnEmailNorm, fnToJson, fnJsonGet)
+    fnNextBirthday, fnFormatId, fnHash8, fnEmailNorm, fnToJson, fnJsonGet,
+    fnArrayOps)
 }
