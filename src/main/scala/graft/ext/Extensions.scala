@@ -70,7 +70,12 @@ object Extensions {
     * Stays under 2^61 so both engines' signed bigints never overflow. */
   private val MixC = 53919893334301279L
 
-  /** MinHash signature columns h0..h15 per doc_id over its shingles. */
+  /** MinHash signature columns h0..h15 per doc_id over its shingles.
+    * Hashing runs inline per (doc, shingle) pair: measured against a
+    * distinct-shingle dictionary + broadcast join, the inline form wins
+    * (the join's 2M string probes cost more than 2M codegen'd digests,
+    * and the dictionary needs an extra shuffle + a second shingling
+    * pass). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val exploded = docs.select(col("doc_id"),
       explode(shingles(col("text"))).as("s"))
