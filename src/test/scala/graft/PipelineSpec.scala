@@ -148,6 +148,36 @@ class PipelineSpec extends SparkSpec {
     assert(transport.batchSizes.sorted == Seq(20, 50, 50))
   }
 
+  test("transport crash fails the run without corrupting control tables") {
+    val dir = freshDir()
+    // seed a successful run so there is a watermark to protect
+    val cfg = SyncJob.Config("patients", "contacts", nowMs = 1750000000000L)
+    SyncJob.run(spark, mkSource(Seq("A" -> "2024-01-05 00:00:00")), cfg, dir, new StubTransport)
+    val wmBefore = SyncJob.readHighWatermark(spark.read.parquet(s"$dir/ledger"), "patients")
+    assert(wmBefore.isDefined)
+    val ledgerRows = spark.read.parquet(s"$dir/ledger").count()
+
+    // a transport that throws (not an HTTP error — a crash)
+    val boom = new UpsertTransport {
+      override def send(objectType: String, batch: Seq[UpsertRecord]) =
+        throw new RuntimeException("connection pool exploded")
+    }
+    intercept[Exception] {
+      SyncJob.run(spark, mkSource(Seq("B" -> "2024-02-01 00:00:00")),
+        cfg.copy(nowMs = 1750000100000L), dir, boom)
+    }
+    // watermark held, no partial ledger row, id map unchanged
+    assert(SyncJob.readHighWatermark(
+      spark.read.parquet(s"$dir/ledger"), "patients") == wmBefore)
+    assert(spark.read.parquet(s"$dir/ledger").count() == ledgerRows)
+    assert(spark.read.parquet(s"$dir/id_map").collect().map(_.getString(1)).toSet == Set("A"))
+
+    // recovery: the same delta re-runs cleanly afterwards
+    val s3 = SyncJob.run(spark, mkSource(Seq("B" -> "2024-02-01 00:00:00")),
+      cfg.copy(nowMs = 1750000200000L), dir, new StubTransport)
+    assert(s3.createdCount == 1 && s3.status == "success")
+  }
+
   test("alerts fire at >=5 attempts only (A3; main.py:716,764)") {
     val dlq = Seq(
       ("patients", "k1", "HTTP 500", 4L),
