@@ -40,6 +40,36 @@ object PipelineDemo {
     val alerts = Pipelines.postAlerts(spark.read.parquet(s"$ctl/dlq"), 5,
       m => println(s"ALERT: $m"))
     println(s"alerts=$alerts ctl=$ctl")
+
+    // continuous mode: the same lifecycle per micro-batch over a file
+    // stream (new parquet files appear -> batch runs -> ledger row)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src-").toString
+    val ssCtl = java.nio.file.Files.createTempDirectory("graft-stream-ctl-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt-").toString
+    val schema = StructType(Seq(
+      StructField("natural_key", StringType),
+      StructField("updated_at", TimestampType),
+      StructField("props", MapType(StringType, StringType))))
+    import spark.implicits._
+    def writeBatch(keys: Seq[String]): Unit =
+      keys.map(k => (k, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Map("k" -> "v")))
+        .toDF("natural_key", "updated_at", "props")
+        .write.mode("append").parquet(srcDir)
+    writeBatch(Seq("S1", "S2"))
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = StreamingSync.start(spark, stream,
+      SyncJob.Config("patients", "contacts", nowMs = 1754001000000L),
+      ssCtl, t, ckpt)
+    q.processAllAvailable()
+    writeBatch(Seq("S3"))
+    q.processAllAvailable()
+    q.stop()
+    val ssLedger = spark.read.parquet(s"$ssCtl/ledger").count()
+    val ssKeys = spark.read.parquet(s"$ssCtl/id_map").collect().map(_.getString(1)).sorted
+    println(s"streaming: batches=$ssLedger idMapKeys=${ssKeys.mkString(",")}")
+
     spark.stop()
   }
 }

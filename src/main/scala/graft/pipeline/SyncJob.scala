@@ -43,7 +43,10 @@ object SyncJob {
       objectType: String,
       batchSize: Int = 50,
       alertThreshold: Int = 5, // attempts (main.py:716,764)
-      nowMs: Long)             // injected clock for determinism
+      nowMs: Long,             // injected clock for determinism
+      // streaming micro-batches are already deltas (the checkpoint owns
+      // progress), so StreamingSync disables the ledger-watermark filter
+      useWatermark: Boolean = true)
 
   /** Latest successful watermark (A1). Falls back to None = full scan. */
   def readHighWatermark(ledger: DataFrame, jobType: String): Option[java.sql.Timestamp] = {
@@ -86,7 +89,7 @@ object SyncJob {
     val started = new java.sql.Timestamp(cfg.nowMs)
 
     // --- S2/F1: delta read from the last successful watermark ---
-    val wm = readHighWatermark(ctl("ledger"), cfg.jobType)
+    val wm = if (cfg.useWatermark) readHighWatermark(ctl("ledger"), cfg.jobType) else None
     val delta = wm.map(t => source.filter(col("updated_at") >= lit(t))).getOrElse(source)
 
     // --- J1: existing-id lookup (AQE picks broadcast vs shuffle) ---
