@@ -18,9 +18,20 @@ object Scalars {
 
   // ---- X1: clean_value (main.py:103-112) ------------------------------
   /** Timestamp → Eastern-rendered ISO string with offset (engine policy:
-    * UTC storage, Eastern render — SURVEY.md §1). */
-  def cleanTimestampIso(c: Column): Column =
-    date_format(from_utc_timestamp(c, EasternTz), "yyyy-MM-dd'T'HH:mm:ssXXX")
+    * UTC storage, Eastern render — SURVEY.md §1).
+    *
+    * The offset is derived from the actual shift (DST-aware): a plain
+    * date_format(..., "XXX") would render the SESSION timezone's offset
+    * ('Z' under UTC), not Eastern's. */
+  def cleanTimestampIso(c: Column): Column = {
+    val shifted = from_utc_timestamp(c, EasternTz)
+    val offSec = unix_seconds(shifted) - unix_seconds(c)
+    val sign = when(offSec < 0, lit("-")).otherwise(lit("+"))
+    val absSec = abs(offSec)
+    val hh = lpad((absSec / 3600).cast("int").cast("string"), 2, "0")
+    val mm = lpad(((absSec % 3600) / 60).cast("int").cast("string"), 2, "0")
+    concat(date_format(shifted, "yyyy-MM-dd'T'HH:mm:ss"), sign, hh, lit(":"), mm)
+  }
 
   /** Timestamp → Eastern wall-clock string without offset (oracle-safe). */
   def easternWall(c: Column): Column =

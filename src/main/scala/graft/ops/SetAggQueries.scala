@@ -109,6 +109,35 @@ object SetAggQueries {
         .orderBy("l_returnflag"),
     None)
 
-  val all: Seq[Q] = Seq(joinAsof, aggDistinct, aggRollup, setopExcept,
-    aggPercentile, aggApproxDistinct)
+  // ---------- interval containment join (AsOf.intervalJoin) ----------
+  // events against per-user validity windows; equi-key bounds the pair
+  // set, the range predicate filters inside the join (no cartesian).
+  val joinInterval: Q = Q("join_interval",
+    (spark, sfDir) => {
+      val l = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      val r = Tables.orders(spark, sfDir)
+        .select(col("o_custkey").as("user_id"),
+          (lit(BaseMs) + (col("o_orderkey") % 60) * DayMs).as("win_start"),
+          (lit(BaseMs) + (col("o_orderkey") % 60) * DayMs + 7 * DayMs).as("win_end"),
+          col("o_orderkey").as("win_id"))
+      AsOf.intervalJoin(l, r, "user_id", "ts_ms", "win_start", "win_end")
+        .select(col("event_id"), col("win_id"))
+        .orderBy("event_id", "win_id")
+    },
+    Some(s"""WITH l AS (
+            |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+            |r AS (
+            |  SELECT o_custkey AS user_id,
+            |    $BaseMs + (o_orderkey % 60) * $DayMs AS win_start,
+            |    $BaseMs + (o_orderkey % 60) * $DayMs + 7 * $DayMs AS win_end,
+            |    o_orderkey AS win_id
+            |  FROM orders)
+            |SELECT l.event_id, r.win_id
+            |FROM l JOIN r ON l.user_id = r.user_id
+            |  AND l.ts_ms >= r.win_start AND l.ts_ms < r.win_end
+            |ORDER BY l.event_id, r.win_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(joinAsof, joinInterval, aggDistinct, aggRollup,
+    setopExcept, aggPercentile, aggApproxDistinct)
 }

@@ -79,6 +79,15 @@ class ScalarsSpec extends SparkSpec {
     assert(got.sameElements(Array("2024-07-01 08:00:00", "2024-01-01 07:00:00")))
   }
 
+  test("cleanTimestampIso renders Eastern with UTC offset (X1 full form)") {
+    val df = Seq("2024-07-01 12:00:00", "2024-01-01 12:00:00").toDF("s")
+      .select(Scalars.cleanTimestampIso(col("s").cast("timestamp")).as("r"))
+    val got = df.collect().map(_.getString(0))
+    assert(got.sameElements(Array(
+      "2024-07-01T08:00:00-04:00",  // EDT
+      "2024-01-01T07:00:00-05:00"))) // EST
+  }
+
   test("coalesceBlankFalsy skips empty strings like python `or` (X9)") {
     assert(one(Scalars.coalesceBlankFalsy(lit(""), lit("b"))) == "b")
     assert(one(Scalars.coalesceBlankFalsy(lit("a"), lit("b"))) == "a")
