@@ -16,6 +16,19 @@ object Scalars {
 
   val EasternTz = "America/New_York"
 
+  /** PRECONDITION for the wall-clock helpers below (easternWall,
+    * easternDateString, epochMillisFromEasternDate, cleanTimestampIso):
+    * spark.sql.session.timeZone must be UTC — `to_timestamp` parses and
+    * `date_format` renders in the SESSION zone, so a non-UTC session
+    * silently shifts results. Call this at pipeline entry; the repo's
+    * mains all set UTC. (epochMillisFromIsoUtc is session-independent:
+    * its pattern carries an explicit offset.) */
+  def requireUtcSession(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"graft's timezone-rendering helpers need spark.sql.session.timeZone=UTC (got '$tz')")
+  }
+
   // ---- X1: clean_value (main.py:103-112) ------------------------------
   /** Timestamp → Eastern-rendered ISO string with offset (engine policy:
     * UTC storage, Eastern render — SURVEY.md §1).
@@ -55,10 +68,13 @@ object Scalars {
   }
 
   // ---- X3: to_epoch_millis (main.py:134-158) --------------------------
-  /** ISO-8601 UTC string ('...Z' tolerated) → epoch millis. */
+  /** ISO-8601 UTC string ('...Z' tolerated) → epoch millis.
+    * Session-independent: the pattern parses an explicit offset, so a
+    * non-UTC session cannot shift the result. */
   def epochMillisFromIsoUtc(c: Column): Column =
-    unix_millis(to_timestamp(regexp_replace(c, "Z$", ""),
-      "yyyy-MM-dd'T'HH:mm:ss"))
+    unix_millis(to_timestamp(
+      concat(regexp_replace(c, "Z$", ""), lit("+00:00")),
+      "yyyy-MM-dd'T'HH:mm:ssXXX"))
 
   /** Bare date string — reference treats naive as Eastern (main.py:155). */
   def epochMillisFromEasternDate(c: Column): Column =

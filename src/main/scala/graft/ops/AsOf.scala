@@ -33,27 +33,37 @@ object AsOf {
            leftTs: String, rightTs: String,
            rightPayload: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
+    // the payload travels as ONE struct per right row (never per-column
+    // windows): a right row whose payload columns are null still
+    // produces a non-null struct, so the carried match is always the
+    // single most-recent right ROW — not a chimera of the last non-null
+    // value of each column from different rows
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val payloadType = {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      StructType(rightPayload.map(c => StructField(c, right.schema(c).dataType,
+        nullable = true)))
+    }
     val tagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .select((lCols.map(col) :+ col("__ts") :+ col("__side")) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .select((lCols.map(col) :+ col("__ts") :+ col("__side")) :+
+        lit(null).cast(payloadType).as("__r"): _*)
     val rTagged = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select((lCols.map(c => if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) :+
-        col("__ts") :+ col("__side")) ++
-        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+        col("__ts") :+ col("__side")) :+
+        payloadStruct.as("__r"): _*)
     // right rows (side=0) sort before left rows (side=1) at equal ts → `<=`
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = tagged.unionByName(rTagged)
-      .select(col("*") +: rightPayload.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__c_$c")): _*)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(lCols.map(col) ++
-        rightPayload.map(c => col(s"__c_$c").as(s"asof_$c")): _*)
+        rightPayload.map(c => col("__c").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Interval containment join, composed: events against [start, end)

@@ -230,7 +230,6 @@ object Relational {
       val p = Fixtures.patients(spark, sfDir)
         .withColumn("email", Scalars.emailNorm(col("email_raw")))
         .filter(col("email").isNotNull)
-      val w = Window.partitionBy(col("email"))
       val st = Fixtures.targetState(spark, sfDir)
         .filter(col("email").isNotNull)
         .select(col("email").as("st_email"), col("hubspot_id"))

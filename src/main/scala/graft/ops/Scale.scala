@@ -54,9 +54,12 @@ object Scale {
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0)
     val saltCol = "__graft_salt"
-    // deterministic spread: hash the whole left row's key + a row tag
+    // deterministic spread: hash ALL row content — stable under
+    // repartitioning/AQE/task retries, unlike monotonically_increasing_id
+    // or rand() (whose partition-dependence re-exposes shuffle-retry
+    // row loss/duplication)
     val l = left.withColumn(saltCol,
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+      pmod(hash(left.columns.map(col): _*), lit(salt)))
     val r = right.withColumn(saltCol,
       explode(array((0 until salt).map(lit): _*)))
     l.join(r, Seq(key, saltCol), joinType).drop(saltCol)

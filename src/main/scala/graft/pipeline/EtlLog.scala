@@ -19,6 +19,10 @@ object EtlLog {
     d.take(4).map("%02x".format(_)).mkString
   }
 
+  /** JSON string-content escaping (backslash, quote, all control chars)
+    * — shared with the webhook poster. */
+  def escape(s: String): String = esc(s)
+
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"

@@ -62,7 +62,11 @@ object Pipelines {
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     msg => {
-      val body = "{\"text\": \"" + msg.replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
+      // full JSON escaping (EtlLog.esc): DLQ error text can embed raw
+      // HTTP bodies with newlines/control chars — a partial escape
+      // produces invalid JSON the webhook rejects, silently losing the
+      // alert
+      val body = "{\"text\": \"" + EtlLog.escape(msg) + "\"}"
       try {
         client.send(java.net.http.HttpRequest.newBuilder()
           .uri(java.net.URI.create(url))

@@ -96,16 +96,19 @@ object SyncJob {
     val idMap = ctl("id_map")
       .filter(col("hubspot_object_type") === cfg.objectType)
       .select(col("natural_key").as("im_key"), col("hubspot_id").as("existing_id"))
+    // cache the JOIN OUTPUT (both branches below filter it): caching
+    // only `ready` would recompute the scan+join for every use of
+    // `ambiguous` (two counts + the DLQ write = three extra passes)
     val matched = delta.join(idMap, delta("natural_key") === col("im_key"), "left")
       .drop("im_key")
+      .cache()
 
     // --- F3: ambiguity guard — no key at all → DLQ, not the sink ---
     val ready = matched.filter(col("natural_key").isNotNull)
     val ambiguous = matched.filter(col("natural_key").isNull)
 
-    // count the read once; cache the sink input (reused for results)
-    ready.cache()
-    val readCount = ready.count() + ambiguous.count()
+    val ambiguousCount = ambiguous.count()
+    val readCount = ready.count() + ambiguousCount
 
     // --- S6/S7: batched, retrying sink; results come back as a DF ---
     val batchSize = cfg.batchSize
@@ -133,7 +136,7 @@ object SyncJob {
     val created = counts.getOrElse("created", 0L)
     val updated = counts.getOrElse("updated", 0L)
     val failed = counts.getOrElse("failed", 0L)
-    val skipped = ambiguous.count()
+    val skipped = ambiguousCount
 
     // --- J5: merge new ids into the id map (idempotent re-runs) ---
     val newIds = results.filter(col("hubspot_id").isNotNull && col("outcome") =!= "failed")
@@ -177,7 +180,14 @@ object SyncJob {
         "error_count", "status")
     ledgerRow.write.mode(SaveMode.Append).parquet(s"$controlDir/ledger")
 
-    ready.unpersist(); mergedIdMap.unpersist()
+    // the per-run sink-results dir has served every consumer (counts,
+    // id-map merge, DLQ); drop it or StreamingSync accumulates one
+    // directory per micro-batch forever
+    val resultsPath = new org.apache.hadoop.fs.Path(s"$controlDir/results_$runId")
+    val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(resultsPath, true)
+
+    matched.unpersist(); mergedIdMap.unpersist()
     // structured, PHI-safe run log (the reference's JSON log surface)
     EtlLog.info("sync_run_complete",
       "run_id" -> runId, "job_type" -> cfg.jobType, "status" -> status,

@@ -117,12 +117,25 @@ final class HttpUpsertTransport(baseUrl: String, apiKey: String,
       .build()
     try {
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      // batch-level status applied per record; id extraction is left to
-      // the response parser of the concrete API (kept minimal here)
-      batch.map(_ => TransportStatus(resp.statusCode(), None, resp.body().take(1000)))
+      // Response contract: {"results":[{"id":"..."},...]} order-aligned
+      // with the request inputs. Ids MUST be captured on create — the
+      // id map is the engine's idempotency source (T3): a created
+      // record without its id would be re-created on every later run.
+      val ids: Seq[Option[String]] = {
+        val found = HttpUpsertTransport.IdPattern.findAllMatchIn(resp.body()).map(m => m.group(1)).toSeq
+        if (found.size == batch.size) found.map(Some(_))
+        else batch.map(_ => None)
+      }
+      batch.zip(ids).map { case (_, id) =>
+        TransportStatus(resp.statusCode(), id, resp.body().take(1000))
+      }
     } catch {
       case e: Exception =>
         batch.map(_ => TransportStatus(598, None, String.valueOf(e.getMessage)))
     }
   }
+}
+
+object HttpUpsertTransport {
+  private[sink] val IdPattern = """"id"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
 }

@@ -35,6 +35,16 @@ class AsOfSpec extends SparkSpec {
       Set((1L, 250L, "r200"), (1L, 120L, "r100")))
   }
 
+  test("matched right row with NULL payload yields NULL, not an older value") {
+    // true as-of semantics (and DuckDB ASOF): the most recent row wins
+    // even when its payload is null — no reaching back to older rows
+    val r = Seq((1L, 100L, Some("old")), (1L, 200L, None))
+      .toDF("k", "rts", "payload")
+    val left = Seq((1L, 250L)).toDF("k", "lts")
+    val out = AsOf.join(left, r, "k", "lts", "rts", Seq("payload")).collect()(0)
+    assert(out.isNullAt(2), s"expected null payload, got ${out.get(2)}")
+  }
+
   test("intervalJoin: containment, half-open [start, end)") {
     val l = Seq((1L, 10L), (1L, 20L), (1L, 30L)).toDF("k", "ts")
     val r = Seq((1L, 10L, 20L, "w1"), (1L, 20L, 30L, "w2")).toDF("k", "s", "e", "win")

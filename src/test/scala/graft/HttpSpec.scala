@@ -46,6 +46,30 @@ class HttpSpec extends SparkSpec {
     assert(req.contains("""B \"quoted\"""")) // JSON escaping of properties
   }
 
+  test("created ids are parsed from the response and survive into results") {
+    withServer((_, _) => (200,
+      """{"results":[{"id":"HS-NEW-1"},{"id":"HS-NEW-2"}]}""")) { base =>
+      val t = new HttpUpsertTransport(base, "k")
+      val out = t.send("contacts", Seq(
+        UpsertRecord("k1", None, Map()), UpsertRecord("k2", None, Map())))
+      assert(out.map(_.id) == Seq(Some("HS-NEW-1"), Some("HS-NEW-2")))
+    }
+    // through the retrying layer: the create outcome carries the id
+    // (this is what feeds the id map — T3 idempotency)
+    withServer((_, _) => (200, """{"results":[{"id":"HS-SOLO"}]}""")) { base =>
+      val res = new RetryingUpserter(new HttpUpsertTransport(base, "k"), sleeper = _ => ())
+        .upsertBatch("contacts", Seq(UpsertRecord("k1", None, Map())))
+      assert(res.head.hubspotId.contains("HS-SOLO"))
+      assert(res.head.outcome == "created")
+    }
+    // count mismatch → no ids claimed (never mis-align records and ids)
+    withServer((_, _) => (200, """{"results":[{"id":"only-one"}]}""")) { base =>
+      val out = new HttpUpsertTransport(base, "k").send("contacts", Seq(
+        UpsertRecord("k1", None, Map()), UpsertRecord("k2", None, Map())))
+      assert(out.forall(_.id.isEmpty))
+    }
+  }
+
   test("retry on injected 429 observed at the socket; recovery completes the batch") {
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     withServer((_, _) =>
@@ -80,5 +104,19 @@ class HttpSpec extends SparkSpec {
     assert(seen.peek() == """{"text": "alert: key=k1 attempts=5"}""")
     // dead endpoint: must not throw (alerting never fails the run)
     Pipelines.webhookPoster("http://127.0.0.1:1/nope")("x")
+  }
+
+  test("webhook body stays valid JSON when the message embeds raw HTTP bodies") {
+    val seen = new ConcurrentLinkedQueue[String]()
+    withServer((_, req) => { seen.add(req); (200, "ok") }) { base =>
+      Pipelines.webhookPoster(base)("error=HTTP 500: <html>\nline2\t\"quoted\"")
+    }
+    val body = seen.peek()
+    assert(body.contains("\\n") && body.contains("\\t") && body.contains("\\\""))
+    // must parse as JSON
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(body).toDS())
+    assert(parsed.select("text").collect()(0).getString(0)
+      .contains("line2\t\"quoted\""))
   }
 }
