@@ -138,6 +138,34 @@ object SetAggQueries {
             |  AND l.ts_ms >= r.win_start AND l.ts_ms < r.win_end
             |ORDER BY l.event_id, r.win_id""".stripMargin))
 
+  // ---------- pricing summary (multi-agg over the largest table) -------
+  // The canonical wide-aggregation shape: map-side partial aggregation
+  // carries eight accumulators per group through one shuffle of ~6 rows.
+  val aggPricingSummary: Q = Q("agg_pricing_summary",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  round(sum(l_extendedprice), 2) AS sum_base_price,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           |  round(avg(l_quantity), 4) AS avg_qty,
+           |  round(avg(l_extendedprice), 4) AS avg_price,
+           |  round(avg(l_discount), 4) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
   val all: Seq[Q] = Seq(joinAsof, joinInterval, aggDistinct, aggRollup,
-    setopExcept, aggPercentile, aggApproxDistinct)
+    setopExcept, aggPercentile, aggApproxDistinct, aggPricingSummary)
 }

@@ -13,10 +13,13 @@ import graft.sink._
   * on injected 400 — observed at the socket, not mocked). */
 class HttpSpec extends SparkSpec {
 
+  private val authHeaders = new ConcurrentLinkedQueue[String]()
+
   private def withServer(handler: (String, String) => (Int, String))
                         (body: String => Unit): Unit = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
+      Option(ex.getRequestHeaders.getFirst("Authorization")).foreach(authHeaders.add)
       val req = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       val (code, resp) = handler(ex.getRequestURI.getPath, req)
       val bytes = resp.getBytes("UTF-8")
@@ -44,6 +47,7 @@ class HttpSpec extends SparkSpec {
     assert(req.contains(""""naturalKey":"k1""""))
     assert(req.contains(""""id":"HS-2""""))
     assert(req.contains("""B \"quoted\"""")) // JSON escaping of properties
+    assert(authHeaders.peek() == "Bearer test-key") // S10 key reaches the wire
   }
 
   test("created ids are parsed from the response and survive into results") {
