@@ -73,6 +73,24 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream inner join with an event-time range bound: each
+    * right event matches left events of the same key that happened in
+    * the trailing `windowBound` before it. Both sides carry watermarks,
+    * so Spark bounds the join state buffers (without the time bound a
+    * stream-stream join would buffer forever — the range condition IS
+    * the state-eviction contract).
+    *
+    * Column contract: left has (key, ts, ...), right has (key, rts, ...)
+    * — distinct time-column names keep the range condition unambiguous. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       lateness: String, windowBound: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("rts", lateness).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND " +
+        s"l.ts BETWEEN r.rts - INTERVAL $windowBound AND r.rts"))
+  }
+
   /** Wire a streaming source of the events schema through a transform to
     * an in-memory sink and drain it — the test/demo harness
     * (`format("memory")` + processAllAvailable, spark_guide.md). */

@@ -57,6 +57,29 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).n_events == 2 && out(0).total_value == 110.0 && out(0).closed_by == "cap")
   }
 
+  test("stream-stream join: purchases match clicks in the trailing window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = EventStreams.streamStreamJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      buys.toDF().toDF("user_id", "rts"),
+      "user_id", lateness = "1 hour", windowBound = "10 minutes")
+      .selectExpr("l.user_id AS u", "l.ts AS click_ts", "r.rts AS buy_ts")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 00:00:00")), // within 10min of buy
+                     (1L, ts("2024-01-01 00:20:00")), // AFTER the buy → no match
+                     (2L, ts("2024-01-01 00:01:00"))) // other user
+      buys.addData((1L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString))
+    assert(rows.toSet == Set((1L, "2024-01-01 00:00:00.0")))
+  }
+
   test("windowed agg on the real events table matches a batch groupBy") {
     val e = model.Tables.events(spark, sf0001)
     val streamingShaped = EventStreams.windowedCounts(e, "1 hour", "1 hour", "1 minute")
