@@ -1,0 +1,29 @@
+package graft
+
+/** Uniform smoke over the whole registry: every query — including the
+  * rows-only ones the DuckDB gate can't hash (ext_ann_lsh,
+  * agg_approx_distinct) — must plan, run, and return a stable schema at
+  * sf0.001. Catches runtime regressions in queries the oracle compare
+  * would only reveal driver-side. */
+class RegistrySpec extends SparkSpec {
+
+  test("all registered queries run and return columns at sf0.001") {
+    val failures = SparkEntry.registry.flatMap { q =>
+      try {
+        val df = q.fn(spark, sf0001)
+        assert(df.columns.nonEmpty)
+        df.count() // execute the full plan
+        None
+      } catch {
+        case e: Throwable => Some(s"${q.name}: ${e.getMessage.take(200)}")
+      } finally spark.sqlContext.clearCache()
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every oracle belongs to a registered query; names are unique") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
