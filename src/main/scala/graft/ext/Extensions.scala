@@ -540,7 +540,42 @@ object Extensions {
            |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin))
 
+  // =====================================================================
+  // Winnowing fingerprints: polynomial k-gram hashes (k=8, mod 1000000007)
+  // + sliding-window minima (w=4) — the classic rolling-hash document
+  // fingerprint scheme (local algorithms literature, PAPERS.md). Docs
+  // sharing a min-fingerprint are near-dup cluster candidates.
+  // =====================================================================
+  val fingerprintWinnow: Q = Q("ext_fingerprint_winnow",
+    (spark, sfDir) => {
+      val text = col("text")
+      val kgramHashes = transform(
+        sequence(lit(1), greatest(length(text) - 7, lit(1))),
+        i => (ascii(text.substr(i + lit(0), lit(1))) * lit(13163680L) + ascii(text.substr(i + lit(1), lit(1))) * lit(805498697L) + ascii(text.substr(i + lit(2), lit(1))) * lit(154885210L) + ascii(text.substr(i + lit(3), lit(1))) * lit(362470373L) + ascii(text.substr(i + lit(4), lit(1))) * lit(16974593L) + ascii(text.substr(i + lit(5), lit(1))) * lit(66049L) + ascii(text.substr(i + lit(6), lit(1))) * lit(257L) + ascii(text.substr(i + lit(7), lit(1))) * lit(1L)) % 1000000007L)
+      val selected = array_distinct(transform(
+        sequence(lit(1), greatest(size(col("kh")) - 3, lit(1))),
+        i => array_min(slice(col("kh"), i, lit(4)))))
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), kgramHashes.as("kh"))
+        .select(col("doc_id"), selected.as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          array_min(col("fp")).as("min_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH kh AS (
+           |  SELECT doc_id,
+           |    [(CAST(ascii(substr(text, i + 0, 1)) AS BIGINT) * 13163680 + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 805498697 + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 154885210 + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT) * 362470373 + CAST(ascii(substr(text, i + 4, 1)) AS BIGINT) * 16974593 + CAST(ascii(substr(text, i + 5, 1)) AS BIGINT) * 66049 + CAST(ascii(substr(text, i + 6, 1)) AS BIGINT) * 257 + CAST(ascii(substr(text, i + 7, 1)) AS BIGINT) * 1) % 1000000007
+           |     for i in range(1, greatest(length(text) - 7, 1) + 1)] AS kh
+           |  FROM documents),
+           |fp AS (
+           |  SELECT doc_id,
+           |    list_distinct([list_min(kh[i:i+3])
+           |      for i in range(1, greatest(len(kh) - 3, 1) + 1)]) AS fp
+           |  FROM kh)
+           |SELECT doc_id, CAST(len(fp) AS INT) AS n_fp, list_min(fp) AS min_fp
+           |FROM fp ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
     dedupEmbedding, topkCosine, annLsh, textStats, langId, qualityScore,
-    tokenCount, fingerprint, multimodalJoin)
+    tokenCount, fingerprint, fingerprintWinnow, multimodalJoin)
 }
