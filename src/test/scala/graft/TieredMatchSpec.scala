@@ -40,6 +40,38 @@ class TieredMatchSpec extends SparkSpec {
     })
   }
 
+  test("README.md:38-42 tier spec: email → (first,last,DOB) composite → address") {
+    import spark.implicits._
+    // target-side records with all three key shapes
+    val state = Seq(
+      ("jo@x.com", "jo|smith|1990-01-01", "12 main st", "HS-1"),
+      (null, "al|jones|1985-05-05", "99 oak ave", "HS-2"),
+      (null, null, "7 pine rd", "HS-3"))
+      .toDF("email", "name_dob", "address", "hubspot_id")
+    val matchTbl = state.selectExpr("concat('em:', email) AS natural_key", "hubspot_id")
+      .where("email IS NOT NULL")
+      .unionByName(state.selectExpr("concat('nd:', name_dob) AS natural_key", "hubspot_id")
+        .where("name_dob IS NOT NULL"))
+      .unionByName(state.selectExpr("concat('ad:', address) AS natural_key", "hubspot_id"))
+    val probe = Seq(
+      (1L, "jo@x.com", "jo", "smith", "1990-01-01", "wrong addr"), // tier 1: email
+      (2L, null, "al", "jones", "1985-05-05", "wrong addr"),       // tier 2: composite
+      (3L, null, "zz", "top", "2000-01-01", "7 pine rd"),          // tier 3: address
+      (4L, null, "no", "body", "1999-09-09", "nowhere"))           // no match
+      .toDF("row_id", "email", "first", "last", "dob", "address")
+    val out = TieredMatch.melt(probe, "row_id",
+      Seq(concat(lit("em:"), col("email")),
+        concat(lit("nd:"), lower(col("first")), lit("|"), lower(col("last")),
+          lit("|"), col("dob")),
+        concat(lit("ad:"), col("address"))),
+      matchTbl)
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getInt(2))).toMap
+    assert(out(1L) == (Some("HS-1"), 1))
+    assert(out(2L) == (Some("HS-2"), 2))
+    assert(out(3L) == (Some("HS-3"), 3))
+    assert(out(4L) == (None, 0))
+  }
+
   test("melt is a single join + single aggregation (plan shape)") {
     import org.apache.spark.sql.functions.{col => c}
     val p = Fixtures.patients(spark, sf0001)
