@@ -381,9 +381,9 @@ object Extensions {
            |  SELECT lang, n_chars,
            |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
            |  FROM documents)
-           |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
            |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
-           |  sum(n_tok) AS total_tokens,
+           |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
            |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 2) AS avg_tokens
            |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
 
@@ -494,8 +494,8 @@ object Extensions {
            |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tok,
            |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tok
            |  FROM documents)
-           |SELECT source, count(*) AS n_docs, sum(ws_tok) AS total_ws_tokens,
-           |  sum(bpe_tok) AS total_bpe_tokens,
+           |SELECT source, count(*) AS n_docs, CAST(sum(ws_tok) AS BIGINT) AS total_ws_tokens,
+           |  CAST(sum(bpe_tok) AS BIGINT) AS total_bpe_tokens,
            |  round(CAST(sum(ws_tok) AS DOUBLE) / count(*), 2) AS avg_ws_tokens
            |FROM t GROUP BY source ORDER BY source""".stripMargin))
 

@@ -41,41 +41,166 @@ object Relational {
             |FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
             |ORDER BY event_id""".stripMargin))
 
+  // ---- oracle-SQL fragment generators (DuckDB side of §2g scalars) ----
+  /** DuckDB twin of Scalars.tolerantBool (X2) applied to expression `e`. */
+  private def boolSql(e: String): String = {
+    val s = s"lower(trim($e))"
+    s"CASE WHEN $s IS NULL OR $s = '' THEN NULL " +
+      s"WHEN $s IN ('true','1','y','yes','t') THEN 'true' " +
+      s"WHEN $s IN ('false','0','n','no','f') THEN 'false' " +
+      "WHEN regexp_full_match(" + s + ", '-?[0-9]+(\\.[0-9]+)?') THEN " +
+      s"CASE WHEN CAST($s AS DOUBLE) <> 0.0 THEN 'true' ELSE 'false' END " +
+      s"ELSE $s END"
+  }
+
+  /** DuckDB twin of Scalars.nextBirthday's anniversary-in-year-y with the
+    * Feb-29 → Mar-1 policy (leapness of the literal year decided here). */
+  private def annivSql(d: String, y: Int): String = {
+    val leap = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+    if (leap) s"make_date($y, month($d)::INT, day($d)::INT)"
+    else s"CASE WHEN month($d) = 2 AND day($d) = 29 THEN make_date($y, 3, 1) " +
+      s"ELSE make_date($y, month($d)::INT, day($d)::INT) END"
+  }
+
+  private def nextBirthdaySql(d: String, todayIso: String): String = {
+    val y = todayIso.take(4).toInt
+    s"CASE WHEN ${annivSql(d, y)} >= DATE '$todayIso' THEN ${annivSql(d, y)} " +
+      s"ELSE ${annivSql(d, y + 1)} END"
+  }
+
+  /** DuckDB twin of Scalars.easternDateString (X4). */
+  private def easternDateSql(e: String): String =
+    s"strftime(timezone('America/New_York', timezone('UTC', $e)), '%Y-%m-%d')"
+
   // ---------- P1: patient → contact projection (main.py:555-611) ----------
+  // The FULL README.md:43-55 / main.py:555-611 property surface: every
+  // mapped field, the Preferred* fallbacks, the derived scalars
+  // (next_birthday X5, eastern date renders X4, epoch millis X3, tolerant
+  // bools X2, format_identifier X6), the lock flag, and the tiered
+  // natural key. `today` is injected as a literal for determinism.
   val projectPatient: Q = Q("project_patient",
     (spark, sfDir) => {
       val p = Fixtures.patients(spark, sfDir)
       val email = Scalars.emailNorm(col("email_raw"))
+      val pid = Scalars.formatIdentifier(col("patient_id_raw"))
+      val chart = Scalars.formatIdentifier(col("patient_chart"))
+      val today = lit("2026-08-12").cast("date")
       p.select(
         col("c_custkey"),
-        col("patient_id"), col("patient_chart"),
         email.as("email"),
+        col("first_name").as("firstname"),
+        col("preferred_first_name"),
+        Scalars.coalesceBlankFalsy(col("middle_name"), col("preferred_middle_name")).as("middlename"),
+        Scalars.coalesceBlankFalsy(col("last_name"), col("preferred_last_name")).as("lastname"),
+        col("gender"),
+        col("dob").cast("string").as("date_of_birth"),
+        graft.expr.ColumnOps.nextBirthday(col("dob"), today).as("next_birthday"),
+        col("address1").as("address"),
+        col("address2").as("street_address_line_2"),
+        col("city"),
+        col("state_code").as("state"),
+        col("zip"),
+        Scalars.coalesceBlankFalsy(col("home_phone"), col("phone_alt")).as("phone"),
+        col("other_phone").as("otherphone"),
+        pid.as("patient_id"),
+        chart.as("patient_chart"),
+        col("primary_facility"),
+        col("primary_facility_code"),
+        col("spravatos_to_date").as("spravatostodate"),
+        col("ketamines_to_date").as("ketaminestodate"),
+        col("treatments_to_date").as("treatmentstodate"),
+        col("future_treatment_count"),
+        col("future_follow_up_count"),
+        Scalars.easternDateString(coalesce(col("next_treatment"), col("max_scheduled_treatment"))).as("next_treatment_date"),
+        Scalars.easternDateString(col("next_follow_up")).as("next_follow_up_date"),
+        unix_millis(coalesce(col("first_treatment"), col("first_initial_consult"))).as("first_initial_consult_ms"),
+        Scalars.tolerantBool(col("started_raw")).as("started"),
+        Scalars.tolerantBool(col("active_raw")).as("active_treatment"),
+        col("care_type"),
+        lit("customer").as("lifecyclestage"),
+        lit(true).as("amd_synced"),
         // natural-key tiers: ID → Chart → Email → hash8(row) (README.md:43-55)
-        coalesce(col("patient_id"), col("patient_chart"), email,
-          Scalars.hash8(col("c_name"))).as("natural_key"),
-        col("c_name").as("full_name"),
-        col("c_mktsegment").as("segment"))
+        coalesce(pid, chart, email, Scalars.hash8(col("c_name"))).as("natural_key"))
         .orderBy("c_custkey")
     },
     Some(Fixtures.withCtes(Fixtures.patientsSql) +
-      """SELECT c_custkey, patient_id, patient_chart,
-        |  nullif(lower(trim(email_raw)), '') AS email,
-        |  coalesce(patient_id, patient_chart, nullif(lower(trim(email_raw)), ''),
-        |           substr(sha256(c_name), 1, 8)) AS natural_key,
-        |  c_name AS full_name, c_mktsegment AS segment
-        |FROM patients ORDER BY c_custkey""".stripMargin))
+      s"""SELECT c_custkey,
+         |  nullif(lower(trim(email_raw)), '') AS email,
+         |  first_name AS firstname,
+         |  preferred_first_name,
+         |  coalesce(middle_name, preferred_middle_name) AS middlename,
+         |  coalesce(last_name, preferred_last_name) AS lastname,
+         |  gender,
+         |  CAST(dob AS VARCHAR) AS date_of_birth,
+         |  ${nextBirthdaySql("dob", "2026-08-12")} AS next_birthday,
+         |  address1 AS address,
+         |  address2 AS street_address_line_2,
+         |  city,
+         |  state_code AS state,
+         |  zip,
+         |  coalesce(home_phone, phone_alt) AS phone,
+         |  other_phone AS otherphone,
+         |  regexp_replace(patient_id_raw, '\\.0$$', '') AS patient_id,
+         |  patient_chart,
+         |  primary_facility,
+         |  primary_facility_code,
+         |  spravatos_to_date AS spravatostodate,
+         |  ketamines_to_date AS ketaminestodate,
+         |  treatments_to_date AS treatmentstodate,
+         |  future_treatment_count,
+         |  future_follow_up_count,
+         |  ${easternDateSql("coalesce(next_treatment, max_scheduled_treatment)")} AS next_treatment_date,
+         |  ${easternDateSql("next_follow_up")} AS next_follow_up_date,
+         |  epoch_ms(coalesce(first_treatment, first_initial_consult)) AS first_initial_consult_ms,
+         |  ${boolSql("started_raw")} AS started,
+         |  ${boolSql("active_raw")} AS active_treatment,
+         |  care_type,
+         |  'customer' AS lifecyclestage,
+         |  TRUE AS amd_synced,
+         |  coalesce(regexp_replace(patient_id_raw, '\\.0$$', ''), patient_chart,
+         |           nullif(lower(trim(email_raw)), ''), substr(sha256(c_name), 1, 8)) AS natural_key
+         |FROM patients ORDER BY c_custkey""".stripMargin))
 
   // ---------- P2: ROI projection (main.py:635-661) ----------
+  // The full 15-field README.md:62-76 mapping: template, provider block,
+  // signer identity (DOB → epoch millis with the reference's
+  // naive-as-Eastern rule, main.py:155), accepted/completed epoch millis,
+  // format_identifier-canonicalized ids.
   val projectRoi: Q = Q("project_roi",
     (spark, sfDir) =>
       Fixtures.rois(spark, sfDir).select(
-        col("roi_id"), col("roi_patient_id"), col("roi_patient_chart"),
-        col("status"),
-        unix_millis(col("processed_at")).as("processed_ms"),
-        col("amount")).orderBy("roi_id"),
+        col("roi_id"),
+        Scalars.formatIdentifier(col("roi_id").cast("string")).as("natural_key"),
+        col("template_name").as("roi_type"),
+        col("template_id").as("amd_template_id"),
+        Scalars.formatIdentifier(col("roi_patient_id")).as("patient_id"),
+        Scalars.formatIdentifier(col("roi_patient_chart")).as("patient_chart"),
+        unix_millis(col("accepted_at")).as("accepted_datetime"),
+        unix_millis(col("completed_at")).as("completed_date"),
+        col("patient_name").as("patient_signed_name"),
+        Scalars.epochMillisFromEasternDate(col("patient_dob").cast("string")).as("patient_signed_dob"),
+        col("provider_name").as("raw_provider_name"),
+        col("provider_specialty").as("raw_provider_specialty"),
+        col("provider_email").as("raw_provider_email"),
+        col("provider_phone").as("raw_provider_phone"),
+        col("provider_fax").as("raw_provider_fax"))
+        .orderBy("roi_id"),
     Some(Fixtures.withCtes(Fixtures.roisSql) +
-      """SELECT roi_id, roi_patient_id, roi_patient_chart, status,
-        |  epoch_ms(processed_at) AS processed_ms, amount
+      """SELECT roi_id,
+        |  CAST(roi_id AS VARCHAR) AS natural_key,
+        |  template_name AS roi_type,
+        |  template_id AS amd_template_id,
+        |  roi_patient_id AS patient_id,
+        |  roi_patient_chart AS patient_chart,
+        |  epoch_ms(accepted_at) AS accepted_datetime,
+        |  epoch_ms(completed_at) AS completed_date,
+        |  patient_name AS patient_signed_name,
+        |  epoch_ms(timezone('UTC', timezone('America/New_York', patient_dob::TIMESTAMP))) AS patient_signed_dob,
+        |  provider_name AS raw_provider_name,
+        |  provider_specialty AS raw_provider_specialty,
+        |  provider_email AS raw_provider_email,
+        |  provider_phone AS raw_provider_phone,
+        |  provider_fax AS raw_provider_fax
         |FROM rois ORDER BY roi_id""".stripMargin))
 
   // ---------- P3: blank-as-null drop (main.py:610,656) ----------
@@ -304,6 +429,83 @@ object Relational {
         |LEFT JOIN t3 ON t3.k3 = nullif(lower(trim(p.email_raw)),'')
         |ORDER BY p.c_custkey""".stripMargin))
 
+  // ---------- J4b: README composite-tier match (README.md:38-42) ----------
+  // The reference's headline patient join spec: Tier 1 = email
+  // (case-insensitive, trimmed; ambiguous emails disqualified, J3
+  // semantics), Tier 2 = (FirstName, LastName, DOB), Tier 3 = the full
+  // address block. Runs through TieredMatch.melt — the ONE-shuffle form
+  // that survives a non-broadcastable match table at 100 TB (probe keys
+  // un-pivoted, single equi-join, min-tier wins per row).
+  val joinTieredComposite: Q = Q("join_tiered_composite",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+      val email = Scalars.emailNorm(col("email_raw"))
+      // tier keys are prefixed so keys can never collide across tiers
+      val k1 = concat(lit("em:"), email) // null-propagates
+      val k2 = when(col("first_name").isNotNull && col("last_name").isNotNull && col("dob").isNotNull,
+        concat(lit("nd:"), lower(col("first_name")), lit("|"),
+          lower(col("last_name")), lit("|"), col("dob").cast("string")))
+      val k3 = concat(lit("ad:"), lower(col("address1")), lit("|"),
+        coalesce(lower(col("address2")), lit("")), lit("|"), lower(col("city")),
+        lit("|"), lower(col("state_code")), lit("|"), col("zip"))
+      val st = Fixtures.targetState(spark, sfDir)
+      val m1 = st.filter(col("email").isNotNull)
+        .groupBy(concat(lit("em:"), col("email")).as("natural_key"))
+        .agg(min(col("hubspot_id")).as("hubspot_id"), count(lit(1)).as("n"))
+        .filter(col("n") === 1).drop("n")
+      val m2 = st.filter(col("first_name").isNotNull && col("last_name").isNotNull && col("dob").isNotNull)
+        .groupBy(concat(lit("nd:"), lower(col("first_name")), lit("|"),
+          lower(col("last_name")), lit("|"), col("dob").cast("string")).as("natural_key"))
+        .agg(min(col("hubspot_id")).as("hubspot_id"))
+      val m3 = st.groupBy(concat(lit("ad:"), lower(col("address1")), lit("|"),
+          coalesce(lower(col("address2")), lit("")), lit("|"), lower(col("city")),
+          lit("|"), lower(col("state_code")), lit("|"), col("zip")).as("natural_key"))
+        .agg(min(col("hubspot_id")).as("hubspot_id"))
+      TieredMatch.melt(p, "c_custkey", Seq(k1, k2, k3),
+          m1.unionByName(m2).unionByName(m3))
+        .orderBy("c_custkey")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql, Fixtures.targetStateSql) +
+      """, m1 AS (
+        |  SELECT concat('em:', email) AS natural_key, min(hubspot_id) AS hubspot_id
+        |  FROM target_state WHERE email IS NOT NULL
+        |  GROUP BY email HAVING count(*) = 1),
+        |m2 AS (
+        |  SELECT concat('nd:', lower(first_name), '|', lower(last_name), '|', CAST(dob AS VARCHAR)) AS natural_key,
+        |         min(hubspot_id) AS hubspot_id
+        |  FROM target_state
+        |  WHERE first_name IS NOT NULL AND last_name IS NOT NULL AND dob IS NOT NULL
+        |  GROUP BY 1),
+        |m3 AS (
+        |  SELECT concat('ad:', lower(address1), '|', coalesce(lower(address2), ''), '|',
+        |                lower(city), '|', lower(state_code), '|', zip) AS natural_key,
+        |         min(hubspot_id) AS hubspot_id
+        |  FROM target_state GROUP BY 1),
+        |m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3),
+        |keys AS (
+        |  SELECT c_custkey, 1 AS tier,
+        |         concat('em:', nullif(lower(trim(email_raw)), '')) AS k
+        |  FROM patients WHERE nullif(lower(trim(email_raw)), '') IS NOT NULL
+        |  UNION ALL
+        |  SELECT c_custkey, 2,
+        |         concat('nd:', lower(first_name), '|', lower(last_name), '|', CAST(dob AS VARCHAR))
+        |  FROM patients
+        |  WHERE first_name IS NOT NULL AND last_name IS NOT NULL AND dob IS NOT NULL
+        |  UNION ALL
+        |  SELECT c_custkey, 3,
+        |         concat('ad:', lower(address1), '|', coalesce(lower(address2), ''), '|',
+        |                lower(city), '|', lower(state_code), '|', zip)
+        |  FROM patients),
+        |j AS (
+        |  SELECT kp.c_custkey, kp.tier, m.hubspot_id,
+        |         row_number() OVER (PARTITION BY kp.c_custkey
+        |                            ORDER BY kp.tier, m.hubspot_id) AS rn
+        |  FROM keys kp JOIN m ON m.natural_key = kp.k)
+        |SELECT p.c_custkey, j.hubspot_id, coalesce(j.tier, 0) AS tier
+        |FROM patients p
+        |LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.c_custkey = p.c_custkey
+        |ORDER BY p.c_custkey""".stripMargin))
+
   // ---------- J5: MERGE upsert, last-writer-wins (main.py:354-371) ----------
   val mergeUpsert: Q = Q("merge_upsert",
     (spark, sfDir) => {
@@ -481,8 +683,8 @@ object Relational {
            |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)),
            |s AS (
            |  SELECT user_id, ts_ms,
-           |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
-           |                   ROWS UNBOUNDED PRECEDING) AS sess_id
+           |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+           |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
            |  FROM b)
            |SELECT user_id, sess_id, count(*) AS n_events,
            |  min(ts_ms) AS sess_start_ms, max(ts_ms) AS sess_end_ms
@@ -493,6 +695,6 @@ object Relational {
     scanFull, scanDelta, projectPatient, projectRoi, filterBlanks,
     filterProcessed, filterAmbiguousSplit, joinIdMap, joinOverrideSkip,
     projectLocked, projectRedact, joinEmailAmbiguity, joinTiered,
-    mergeUpsert, joinAntiOrphans, aggAttempts, aggAttemptAlerts,
+    joinTieredComposite, mergeUpsert, joinAntiOrphans, aggAttempts, aggAttemptAlerts,
     aggTop1Watermark, aggOutcomes, windowLatestEvent, windowSessionize)
 }

@@ -61,6 +61,29 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: schema {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1
             continue
+        # Type-strict: the driver hashes TYPED values, so DuckDB HUGEINT
+        # (from sum(BIGINT)) vs Spark int64 mismatches even when str() of
+        # the values agrees. The driver DOES accept differing widths
+        # within the 64-bit integer family (r1 evidence: TINYINT and
+        # BIGINT oracle columns hash-matched INTEGER spark columns), so
+        # normalize those; HUGEINT (int128) stays distinct.
+        def norm(t):
+            t = str(t)
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER"):
+                return "INT64"
+            if t in ("FLOAT", "DOUBLE"):
+                return "FLOAT64"
+            return t
+        got_types = dict(zip(got_cols, [norm(t) for t in con.sql(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").types]))
+        exp_types = dict(zip(exp_cols, [norm(t) for t in con.sql(oracles[name]).types]))
+        type_mismatch = {c: (got_types[c], exp_types[c])
+                         for c in got_cols if got_types[c] != exp_types[c]}
+        if type_mismatch:
+            print(f"FAIL {name}: column types differ: {type_mismatch}")
+            n_fail += 1
+            continue
         # driver sorts columns by name before hashing values
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
