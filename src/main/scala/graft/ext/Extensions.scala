@@ -89,20 +89,34 @@ object Extensions {
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir) // full corpus: LSH stays linear
       val sig = minhashSignatures(docs).cache()
-      val a = sig.select(sig.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
-      val b = sig.select(sig.columns.map(c => col(c).as(s"b_$c")).toSeq: _*)
-      // one equi-join per band; union + distinct = candidate pairs
-      val bandJoins = (0 until Bands).map { bi =>
-        val cond = (0 until RowsPerBand)
-          .map(r => col(s"a_h${bi * RowsPerBand + r}") === col(s"b_h${bi * RowsPerBand + r}"))
-          .reduce(_ && _) && (col("a_doc_id") < col("b_doc_id"))
-        a.join(b, cond, "inner")
+      // un-pivot each signature to (band, band-key struct) rows — ONE
+      // self-equi-join on (band, bk) replaces the previous 4 separate
+      // 17-column self-joins + union (which 4×-read the signature table
+      // and shuffled 4×; at 100 TB that was the dominant cost). The key
+      // is the struct of the band's raw minhash values, not a re-hash,
+      // so no collision can admit a candidate the oracle wouldn't.
+      val bandStructs = (0 until Bands).map { bi =>
+        struct(lit(bi).as("band"),
+          struct((0 until RowsPerBand)
+            .map(r => col(s"h${bi * RowsPerBand + r}").as(s"r$r")): _*).as("bk"))
       }
-      val cand = bandJoins.reduce(_ unionByName _).distinct()
+      val banded = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("b.band").as("band"), col("b.bk").as("bk"), col("doc_id"))
+      val cand = banded.select(col("band"), col("bk"), col("doc_id").as("id_a"))
+        .join(banded.select(col("band"), col("bk"), col("doc_id").as("id_b")),
+          Seq("band", "bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      // estimate from full signatures for the surviving candidates only
+      val sa = sig.select(sig.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
+      val sb = sig.select(sig.columns.map(c => col(c).as(s"b_$c")).toSeq: _*)
       val matches = (0 until Perms)
         .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
         .reduce(_ + _)
-      cand.select(col("a_doc_id").as("id_a"), col("b_doc_id").as("id_b"),
+      cand.join(sa, col("id_a") === col("a_doc_id"))
+        .join(sb, col("id_b") === col("b_doc_id"))
+        .select(col("id_a"), col("id_b"),
           round(matches / lit(Perms.toDouble), 4).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
@@ -194,12 +208,29 @@ object Extensions {
         .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _)
       val sig = sums.select(col("doc_id"), sigExpr.as("sig"))
-      val a = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val b = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      a.join(b, col("id_a") < col("id_b"))
+      // Pigeonhole banding: split the 32-bit signature into 5 bands
+      // (7/7/6/6/6 bits). Hamming ≤ 4 means at most 4 bands are touched,
+      // so every qualifying pair agrees EXACTLY on ≥1 band — candidates
+      // come from ONE equi-join on (band, bits), never an all-pairs
+      // cross product (the previous id_a < id_b theta-join was quadratic
+      // in the corpus and could not survive 100 TB).
+      val bandBounds = Seq((0, 7), (7, 14), (14, 20), (20, 26), (26, 32))
+      val bandStructs = bandBounds.zipWithIndex.map { case ((lo, hi), i) =>
+        struct(lit(i).as("band"),
+          shiftright(col("sig"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bits"))
+      }
+      val banded = sig
+        .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("b.band").as("band"), col("b.bits").as("bits"),
+          col("doc_id"), col("sig"))
+      banded.select(col("band"), col("bits"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+        .join(banded.select(col("band"), col("bits"), col("doc_id").as("id_b"), col("sig").as("sig_b")),
+          Seq("band", "bits"))
+        .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
         .filter(col("hamming") <= 4)
+        .distinct() // a pair may collide in several bands
         .orderBy("id_a", "id_b")
     },
     Some {

@@ -87,6 +87,21 @@ class PlanSpec extends SparkSpec {
       s"LSH banding must stay equi-join:\n$plan")
   }
 
+  test("minhash candidates come from ONE banded self-join, not one per band") {
+    // the exploded (band, bk) form joins once; the pre-round-2 shape had
+    // 4 separate SortMergeJoin/BroadcastHashJoin nodes just for candidates
+    val plan = physical(ext.Extensions.dedupMinhash.fn(spark, sf0001))
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(plan).size
+    // 1 candidate join + 2 signature joins for the estimate = 3
+    assert(joins <= 3, s"expected ≤3 equi-joins (1 banded candidate join):\n$plan")
+  }
+
+  test("simhash candidate generation is banded equi-join, not all-pairs") {
+    val plan = physical(ext.Extensions.dedupSimhash.fn(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pigeonhole banding must keep simhash an equi-join:\n$plan")
+  }
+
   test("topk scoring broadcasts the query set — corpus is never shuffled for the join") {
     val plan = physical(ext.Extensions.topkCosine.fn(spark, sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
