@@ -39,19 +39,33 @@ object Pipelines {
         "acct_balance" -> col("c_acctbal")).as("props"))
   }
 
+  /** P4: config-driven protected-property drop (main.py:657-658,
+    * README.md:77). Keys listed in `roi.protected.properties` (env
+    * `ROI_PROTECTED_PROPERTIES`, comma-separated) are removed from every
+    * payload before the sink can see them — the reference pops them from
+    * each dict; here it is one `map_filter` over the props column. */
+  def dropProtected(props: org.apache.spark.sql.Column, cfg: RunConfig): org.apache.spark.sql.Column = {
+    val protectedKeys = cfg.get("roi.protected.properties")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    if (protectedKeys.isEmpty) props
+    else map_filter(props, (k, _) => !k.isInCollection(protectedKeys))
+  }
+
   /** ROIs pipeline source (P2 over the orders stand-in). Processed rows
-    * are skipped up front (F2). */
-  def roisSource(spark: SparkSession, sfDir: String): DataFrame = {
+    * are skipped up front (F2); protected properties are dropped per the
+    * run config (P4). */
+  def roisSource(spark: SparkSession, sfDir: String,
+                 cfg: RunConfig = new RunConfig()): DataFrame = {
     val r = Fixtures.rois(spark, sfDir)
       .filter(!(lower(col("status")) === "processed" && col("processed_at").isNotNull))
     r.select(
       col("roi_patient_id").as("natural_key"),
       coalesce(col("processed_at"), col("o_orderdate")).as("updated_at"),
-      propsMap(
+      dropProtected(propsMap(
         "roi_id" -> col("roi_id"),
         "status" -> col("status"),
         "amount" -> col("amount"),
-        "patient_chart" -> col("roi_patient_chart")).as("props"))
+        "patient_chart" -> col("roi_patient_chart")), cfg).as("props"))
   }
 
   /** Production webhook poster for postAlerts (S11: main.py:258-274) —

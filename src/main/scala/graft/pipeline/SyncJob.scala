@@ -114,15 +114,26 @@ object SyncJob {
     val batchSize = cfg.batchSize
     val objectType = cfg.objectType
     val sinkOut = ready
-      .select(col("natural_key"), col("existing_id"), col("props"))
-      .as[(String, Option[String], Map[String, String])]
+      .select(col("natural_key"), col("existing_id"), col("props"),
+        // DLQ payload fidelity (main.py:398): the failed record's full
+        // JSON payload, truncated to 90 000 chars, rides along with the
+        // record so the DLQ write needs no join back to the source
+        substring(to_json(col("props")), 1, 90000).as("payload"))
+      .as[(String, Option[String], Map[String, String], String)]
       .mapPartitions { it =>
         val upserter = new RetryingUpserter(transport)
         it.grouped(batchSize).flatMap { chunk =>
-          val recs = chunk.map { case (k, id, props) => UpsertRecord(k, id, props) }
-          upserter.upsertBatch(objectType, recs)
+          val recs = chunk.map { case (k, id, props, _) => UpsertRecord(k, id, props) }
+          // upsertBatch results are order-aligned with its input; keep
+          // the payload only on failures so the durable results file
+          // stays lean at scale
+          upserter.upsertBatch(objectType, recs).zip(chunk).map {
+            case (r, (_, _, _, payload)) =>
+              (r.naturalKey, r.hubspotId, r.outcome, r.error, r.attempts,
+                if (r.outcome == "failed") payload else null)
+          }
         }
-      }.toDF("natural_key", "hubspot_id", "outcome", "error", "attempts")
+      }.toDF("natural_key", "hubspot_id", "outcome", "error", "attempts", "payload")
     // The sink is non-idempotent at the HTTP level, so its output is
     // persisted durably in ONE pass and re-read for every downstream
     // use — a .cache() can silently recompute (evicted partitions, AQE
@@ -153,7 +164,7 @@ object SyncJob {
     val failDlq = results.filter(col("outcome") === "failed")
       .select(lit(started).as("ts"), lit(cfg.jobType).as("job_type"),
         col("natural_key"), lit(cfg.objectType).as("hubspot_object_type"),
-        lit("{}").as("payload"),
+        coalesce(col("payload"), lit("{}")).as("payload"),
         substring(coalesce(col("error"), lit("unknown")), 1, 10000).as("error"),
         col("attempts").cast("long").as("attempt"))
     val ambDlq = ambiguous

@@ -5,7 +5,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Pipelines, SyncJob}
+import graft.pipeline.{Pipelines, RunConfig, SyncJob}
 import graft.sink._
 
 /** Scripted transport: behavior keyed by naturalKey prefix.
@@ -82,6 +82,33 @@ class PipelineSpec extends SparkSpec {
 
     val ledger = spark.read.parquet(s"$dir/ledger")
     assert(ledger.count() == 1 && ledger.collect()(0).getAs[String]("status") == "partial")
+  }
+
+  test("DLQ rows round-trip the failed record's JSON payload (main.py:398)") {
+    val dir = freshDir()
+    val src = mkSource(Seq("FAIL400-X" -> "2024-01-01 00:00:00",
+      "OK-Y" -> "2024-01-02 00:00:00"))
+    val cfg = SyncJob.Config("patients", "contacts", nowMs = 1750000000000L)
+    SyncJob.run(spark, src, cfg, dir, new StubTransport)
+    val dlq = spark.read.parquet(s"$dir/dlq").collect()
+    assert(dlq.length == 1)
+    // the reference stores the full JSON payload (truncated to 90 000);
+    // pre-round-2 this was a literal "{}"
+    assert(dlq(0).getAs[String]("payload") == """{"k":"v"}""")
+  }
+
+  test("P4: configured protected properties never reach the sink payload") {
+    val cfg = new RunConfig(Map("roi.protected.properties" -> "amount, status"))
+    val keys = Pipelines.roisSource(spark, sf0001, cfg)
+      .select(explode(map_keys(col("props"))).as("k")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!keys.contains("amount") && !keys.contains("status"), s"leaked: $keys")
+    assert(keys.contains("roi_id") && keys.contains("patient_chart"))
+    // without the config the same keys flow through
+    val open = Pipelines.roisSource(spark, sf0001)
+      .select(explode(map_keys(col("props"))).as("k")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(open.contains("amount") && open.contains("status"))
   }
 
   test("re-run is idempotent: matched keys become updates, not creates") {
