@@ -71,18 +71,22 @@ object Extensions {
   private val MixC = 53919893334301279L
 
   /** MinHash signature columns h0..h15 per doc_id over its shingles.
-    * Hashing runs inline per (doc, shingle) pair: measured against a
-    * distinct-shingle dictionary + broadcast join, the inline form wins
-    * (the join's 2M string probes cost more than 2M codegen'd digests,
-    * and the dictionary needs an extra shuffle + a second shingling
-    * pass). */
+    *
+    * Computed entirely with array higher-order functions: hash the
+    * distinct-shingle array ONCE per row, then take 16 xor-mixed
+    * `array_min`s. A signature is a per-document reduction, so the
+    * explode + groupBy form this replaces paid a full shuffle of every
+    * (doc, shingle) pair — at 100 TB that shuffle dwarfs the hashing —
+    * while this form is map-only and stays in whole-stage codegen.
+    * (Hashing stays inline per shingle: measured against a
+    * distinct-shingle dictionary + broadcast join, inline wins — the
+    * join's string probes cost more than the codegen'd digests.) */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = docs.select(col("doc_id"),
-      explode(shingles(col("text"))).as("s"))
-      .withColumn("bh", Scalars.hash60(col("s")))
-    val aggs = (0 until Perms).map(i =>
-      min(col("bh").bitwiseXOR(lit(i * MixC))).as(s"h$i"))
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val hashed = docs.select(col("doc_id"),
+      transform(shingles(col("text")), s => Scalars.hash60(s)).as("bh"))
+    val sigCols = (0 until Perms).map(i =>
+      array_min(transform(col("bh"), h => h.bitwiseXOR(lit(i * MixC)))).as(s"h$i"))
+    hashed.select(col("doc_id") +: sigCols: _*)
   }
 
   val dedupMinhash: Q = Q("ext_dedup_minhash",
@@ -198,16 +202,21 @@ object Extensions {
   val dedupSimhash: Q = Q("ext_dedup_simhash",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 4 === 0)
-      val toks = docs.select(col("doc_id"),
-        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
-        .withColumn("h", Scalars.hash60(col("tok")))
-      val bitAggs = (0 until 32).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b"))
-      val sums = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      val sigExpr = (0 until 32)
-        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sig = sums.select(col("doc_id"), sigExpr.as("sig"))
+      // Per-row signature via array HOFs — the signature is a
+      // per-document reduction, so the explode + 32-way groupBy-sum this
+      // replaces shuffled every (doc, token) pair for no reason. Bit b is
+      // set iff more token hashes have it set than not: 2·cnt_b > n
+      // (identical to the old sum(±1) > 0, ties → 0). Map-only, codegen.
+      val hashed = docs.select(col("doc_id"),
+        transform(array_distinct(split(trim(col("text")), "\\s+")),
+          t => Scalars.hash60(t)).as("hs"))
+      val n = size(col("hs"))
+      val sigExpr = (0 until 32).map { b =>
+        val cnt = size(filter(col("hs"),
+          h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
+        when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sig = hashed.select(col("doc_id"), sigExpr.as("sig"))
       // Pigeonhole banding: split the 32-bit signature into 5 bands
       // (7/7/6/6/6 bits). Hamming ≤ 4 means at most 4 bands are touched,
       // so every qualifying pair agrees EXACTLY on ≥1 band — candidates
