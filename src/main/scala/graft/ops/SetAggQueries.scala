@@ -166,6 +166,56 @@ object SetAggQueries {
            |GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
+  // ---------- set op: keys present in BOTH sides (INTERSECT) -----------
+  val setopIntersect: Q = Q("setop_intersect",
+    (spark, sfDir) => {
+      val p = Fixtures.patients(spark, sfDir)
+        .filter(col("patient_id").isNotNull).select(col("patient_id").as("k"))
+      val im = Fixtures.idMap(spark, sfDir)
+        .filter(col("hubspot_object_type") === "contacts")
+        .select(col("natural_key").as("k"))
+      p.intersect(im).orderBy("k")
+    },
+    Some(Fixtures.withCtes(Fixtures.patientsSql, Fixtures.idMapSql) +
+      """SELECT patient_id AS k FROM patients WHERE patient_id IS NOT NULL
+        |INTERSECT
+        |SELECT natural_key AS k FROM id_map WHERE hubspot_object_type = 'contacts'
+        |ORDER BY k""".stripMargin))
+
+  // ---------- cube (all grouping-set combinations) ----------
+  val aggCube: Q = Q("agg_cube",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc, col("l_linestatus").asc),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  // ---------- pivot (wide counts; fixed value list so the output schema
+  // is static — the scalable form: map-side partial agg, one shuffle) ----
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val aggPivot: Q = Q("agg_pivot",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", EventTypes)
+        .count()
+        .na.fill(0L, EventTypes)
+        .orderBy("user_bucket"),
+    Some {
+      val cols = EventTypes.map(t =>
+        s"count(*) FILTER (WHERE event_type = '$t') AS \"$t\"").mkString(",\n  ")
+      s"""SELECT user_id % 10 AS user_bucket,
+         |  $cols
+         |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(joinAsof, joinInterval, aggDistinct, aggRollup,
-    setopExcept, aggPercentile, aggApproxDistinct, aggPricingSummary)
+    setopExcept, setopIntersect, aggPercentile, aggApproxDistinct,
+    aggPricingSummary, aggCube, aggPivot)
 }

@@ -69,6 +69,42 @@ object SyncJob {
       .drop("rn")
   }
 
+  /** Partitioned (Delta-style) last-writer-wins merge for the regime
+    * where the id map itself approaches fact-table size and the full
+    * rewrite of `mergeIdMap` stops scaling (SURVEY.md §7 risk (f); noted
+    * in the round-1 review). The map lives as a parquet table
+    * hash-partitioned on `bucket = pmod(xxhash64(natural_key), n)`;
+    * a merge reads and rewrites ONLY the buckets the update batch
+    * touches — O(update batch), not O(id map):
+    *
+    *  - partition pruning keeps the read to the touched bucket dirs;
+    *  - dynamic partition overwrite replaces just those dirs on write;
+    *  - the bucket list collected to the driver is ≤ numBuckets ints.
+    */
+  def mergeIdMapBucketed(spark: SparkSession, dir: String, updates: DataFrame,
+                         numBuckets: Int = 64): Unit = {
+    val withBucket = updates.withColumn("bucket",
+      pmod(xxhash64(col("natural_key")), lit(numBuckets)).cast("int"))
+    val touched = withBucket.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(path))
+        spark.read.parquet(dir).filter(col("bucket").isin(touched: _*))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        withBucket.schema)
+    val merged = mergeIdMap(existing, withBucket)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** One sync run.
     *
     * @param source    pre-projected source: must carry `natural_key`

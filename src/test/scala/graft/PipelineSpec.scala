@@ -111,6 +111,40 @@ class PipelineSpec extends SparkSpec {
     assert(open.contains("amount") && open.contains("status"))
   }
 
+  test("bucketed id-map merge rewrites only the touched buckets") {
+    val dir = freshDir() + "/id_map_bucketed"
+    def mapDf(rows: Seq[(String, String, String)]) =
+      rows.toDF("natural_key", "hubspot_id", "upd")
+        .select(lit("contacts").as("hubspot_object_type"), col("natural_key"),
+          col("hubspot_id"), col("upd").cast("timestamp").as("updated_at"))
+    def bucketFiles(): Map[String, Set[String]] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val seed = mapDf((0 until 200).map(i => (s"K$i", s"ID$i", "2024-01-01 00:00:00")))
+    SyncJob.mergeIdMapBucketed(spark, dir, seed, numBuckets = 8)
+    val before = bucketFiles()
+    assert(before.size > 1, "seed should span several buckets")
+
+    SyncJob.mergeIdMapBucketed(spark, dir,
+      mapDf(Seq(("K5", "ID5-NEW", "2024-06-01 00:00:00"))), numBuckets = 8)
+    val after = bucketFiles()
+    val changed = before.keySet.filter(b => before(b) != after(b))
+    assert(changed.size == 1, s"exactly one bucket should be rewritten, got $changed")
+
+    // merged content: K5 updated (last writer wins), everything else intact
+    val m = spark.read.parquet(dir)
+    assert(m.count() == 200)
+    assert(m.filter(col("natural_key") === "K5").collect()
+      .head.getAs[String]("hubspot_id") == "ID5-NEW")
+    // stale-timestamp update loses (same LWW contract as mergeIdMap)
+    SyncJob.mergeIdMapBucketed(spark, dir,
+      mapDf(Seq(("K5", "ID5-STALE", "2023-01-01 00:00:00"))), numBuckets = 8)
+    assert(spark.read.parquet(dir).filter(col("natural_key") === "K5").collect()
+      .head.getAs[String]("hubspot_id") == "ID5-NEW")
+  }
+
   test("re-run is idempotent: matched keys become updates, not creates") {
     val dir = freshDir()
     val src = mkSource(Seq("A" -> "2024-01-01 00:00:00", "B" -> "2024-01-02 00:00:00"))
