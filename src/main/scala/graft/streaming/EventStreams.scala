@@ -40,6 +40,16 @@ object EventStreams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup with bounded state: duplicate `event_id`s
+    * arriving within the watermark are dropped; state for ids older
+    * than the watermark is evicted automatically. The streaming twin of
+    * the batch E1 exact dedup — at-least-once upstream delivery
+    * (retries, replays) becomes effectively-once downstream. */
+  def dedupWithinWatermark(events: DataFrame, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- custom state: semantics session_window cannot express ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

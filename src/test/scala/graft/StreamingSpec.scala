@@ -35,6 +35,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == 3) // 3 clicks in closed windows
   }
 
+  test("dedupWithinWatermark: replayed event_ids are dropped, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.dedupWithinWatermark(ms.toDF(), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      ms.addData(sample: _*); q.processAllAvailable()
+      // replay two events (same event_id — an at-least-once upstream
+      // redelivery) plus one genuinely new event
+      ms.addData(sample(0), sample(1),
+        Event(5, ts("2024-01-01 00:02:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"got ${ids.toSeq}")
+  }
+
   test("sessionWindows: gap-based sessions (batch-mode execution of the same plan)") {
     // unified model: the streaming transform runs on a batch DF directly
     val out = EventStreams.sessionWindows(sample.toDF(), "5 minutes", "10 minutes")
