@@ -71,6 +71,29 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful(10))
   }
 
+  test("mergeIdMapBucketed over any batch sequence equals full-rewrite mergeIdMap") {
+    val batchGen = Gen.listOfN(2, Gen.listOfN(5,
+      Gen.zip(Gen.chooseNum(1, 8), Gen.chooseNum(0, 50))))
+    check(Prop.forAll(batchGen) { batches =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm-").toString + "/map"
+      var fullDf = Seq.empty[(String, String, String, java.sql.Timestamp)]
+        .toDF("hubspot_object_type", "natural_key", "hubspot_id", "updated_at")
+      batches.zipWithIndex.foreach { case (b, bi) =>
+        val batch = b.zipWithIndex.map { case ((k, t), i) =>
+          ("contacts", s"k$k", s"B$bi-$i", tsAt(t))
+        }.toDF("hubspot_object_type", "natural_key", "hubspot_id", "updated_at")
+        SyncJob.mergeIdMapBucketed(spark, dir, batch, numBuckets = 4)
+        fullDf = SyncJob.mergeIdMap(fullDf, batch)
+      }
+      val bucketed = spark.read.parquet(dir)
+        .select("natural_key", "hubspot_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val expected = fullDf.select("natural_key", "hubspot_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      bucketed == expected
+    }, minSuccessful(5))
+  }
+
   test("watermark monotonicity: successful runs never move the watermark backwards") {
     // property expressed over the ledger produced by consecutive runs
     val gen = Gen.listOfN(3, Gen.chooseNum(1L, 100L))
