@@ -16,4 +16,6 @@ object ColumnOps {
     wrap(NextBirthday(exprOf(dob), exprOf(today)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     wrap(SortedIntersectCount(exprOf(a), exprOf(b)))
+  def sha60(c: Column): Column =
+    wrap(Sha60(exprOf(c)))
 }

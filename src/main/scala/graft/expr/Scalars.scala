@@ -153,7 +153,13 @@ object Scalars {
 
   // ---- deterministic 60-bit hash (extension ops) ----------------------
   /** Hex-prefix-of-sha256 → bigint; identical in DuckDB via
-    * cast(concat('0x', substr(sha256(x),1,15)) as bigint). */
-  def hash60(c: Column): Column =
+    * cast(concat('0x', substr(sha256(x),1,15)) as bigint). Backed by the
+    * fused Sha60 codegen Expression (digests bytes directly); the
+    * composed column form is kept for the equivalence test. */
+  def hash60(c: Column): Column = ColumnOps.sha60(c)
+
+  /** Composed-builtin form of hash60 — the reference implementation the
+    * Sha60 kernel must match bit-for-bit (asserted in ExprSpec). */
+  def hash60Composed(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
 }
