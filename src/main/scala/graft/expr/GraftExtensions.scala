@@ -19,7 +19,9 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "next_birthday" -> (es => NextBirthday(es(0), es(1))),
-    "dot_product" -> (es => DotProduct(es(0), es(1))))
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "sha60" -> (es => Sha60(es(0))),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>
@@ -33,6 +35,10 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("next_birthday", dob, today)
   def dotProduct(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("dot_product", a, b)
+  def sha60(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("sha60", c)
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
