@@ -18,4 +18,6 @@ object ColumnOps {
     wrap(SortedIntersectCount(exprOf(a), exprOf(b)))
   def sha60(c: Column): Column =
     wrap(Sha60(exprOf(c)))
+  def shingleSha60(c: Column, n: Int): Column =
+    wrap(ShingleSha60(exprOf(c), n))
 }

@@ -82,8 +82,13 @@ object Extensions {
     * distinct-shingle dictionary + broadcast join, inline wins — the
     * join's string probes cost more than the codegen'd digests.) */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    // ShingleSha60 hashes every n-gram window in ONE pass over the utf8
+    // bytes (the composed substr form re-walks the string per position —
+    // quadratic per doc, measured as ~95% of this query's time). The
+    // distinct step is dropped, not emulated: only minima are consumed,
+    // and min over the multiset == min over the distinct set.
     val hashed = docs.select(col("doc_id"),
-      transform(shingles(col("text")), s => Scalars.hash60(s)).as("bh"))
+      graft.expr.ColumnOps.shingleSha60(col("text"), N).as("bh"))
     val sigCols = (0 until Perms).map(i =>
       array_min(transform(col("bh"), h => h.bitwiseXOR(lit(i * MixC)))).as(s"h$i"))
     hashed.select(col("doc_id") +: sigCols: _*)
