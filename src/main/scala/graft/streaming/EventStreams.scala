@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Structured Streaming operators over the `events` shape
   * (event_id, ts, user_id, event_type, value).
@@ -54,6 +55,38 @@ object EventStreams {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
+
+  final case class UserTotal(user_id: Long, total_value: Double, n_in_batch: Long)
+
+  /** Spark 4 arbitrary-state API (transformWithState / StatefulProcessor
+    * — the successor of flatMapGroupsWithState): per-user lifetime
+    * running total, one UserTotal emitted per micro-batch the user
+    * appears in. State is a single ValueState[Double] per key; a TTL
+    * can bound it (TTLConfig) without hand-rolled timeout plumbing.
+    * Requires the RocksDB state store provider
+    * (spark.sql.streaming.stateStore.providerClass). */
+  class RunningTotalProcessor extends StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Double]("total", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserTotal] = {
+      var t = if (total.exists()) total.get() else 0.0
+      var n = 0L
+      rows.foreach { e => t += e.value; n += 1 }
+      total.update(t)
+      Iterator.single(UserTotal(user, t, n))
+    }
+  }
+
+  def runningUserTotals(events: Dataset[Event])
+                       (implicit spark: SparkSession): Dataset[UserTotal] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
+  }
   final case class CapState(nEvents: Long, totalValue: Double)
   final case class CappedSession(user_id: Long, n_events: Long,
                                  total_value: Double, closed_by: String)

@@ -52,6 +52,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"got ${ids.toSeq}")
   }
 
+  test("transformWithState: per-user running totals accumulate across micro-batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = EventStreams.runningUserTotals(ms.toDS())
+        .writeStream.outputMode("update").format("memory").queryName("run_totals").start()
+      try {
+        ms.addData(Event(1, ts("2024-01-01 00:00:10"), 1, "click", 10.0),
+          Event(2, ts("2024-01-01 00:00:20"), 1, "click", 5.0))
+        q.processAllAvailable()
+        ms.addData(Event(3, ts("2024-01-01 00:01:00"), 1, "buy", 7.0),
+          Event(4, ts("2024-01-01 00:01:10"), 2, "view", 3.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("run_totals")
+        .groupBy("user_id").agg(max("total_value").as("total"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows == Map(1L -> 22.0, 2L -> 3.0), s"got $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sessionWindows: gap-based sessions (batch-mode execution of the same plan)") {
     // unified model: the streaming transform runs on a batch DF directly
     val out = EventStreams.sessionWindows(sample.toDF(), "5 minutes", "10 minutes")
