@@ -113,7 +113,9 @@ object Relational {
         col("future_follow_up_count"),
         Scalars.easternDateString(coalesce(col("next_treatment"), col("max_scheduled_treatment"))).as("next_treatment_date"),
         Scalars.easternDateString(col("next_follow_up")).as("next_follow_up_date"),
-        unix_millis(coalesce(col("first_treatment"), col("first_initial_consult"))).as("first_initial_consult_ms"),
+        // exact reference property name, trailing underscore included
+        // (main.py:601: "first_initial_consult__treatment_")
+        unix_millis(coalesce(col("first_treatment"), col("first_initial_consult"))).as("first_initial_consult__treatment_"),
         Scalars.tolerantBool(col("started_raw")).as("started"),
         Scalars.tolerantBool(col("active_raw")).as("active_treatment"),
         col("care_type"),
@@ -151,7 +153,7 @@ object Relational {
          |  future_follow_up_count,
          |  ${easternDateSql("coalesce(next_treatment, max_scheduled_treatment)")} AS next_treatment_date,
          |  ${easternDateSql("next_follow_up")} AS next_follow_up_date,
-         |  epoch_ms(coalesce(first_treatment, first_initial_consult)) AS first_initial_consult_ms,
+         |  epoch_ms(coalesce(first_treatment, first_initial_consult)) AS "first_initial_consult__treatment_",
          |  ${boolSql("started_raw")} AS started,
          |  ${boolSql("active_raw")} AS active_treatment,
          |  care_type,
