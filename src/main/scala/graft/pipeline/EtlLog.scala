@@ -51,4 +51,7 @@ object EtlLog {
 
   def info(event: String, fields: (String, Any)*): Unit =
     System.out.println(line(event, fields: _*))
+
+  def error(event: String, fields: (String, Any)*): Unit =
+    System.err.println(line(event, fields: _*))
 }

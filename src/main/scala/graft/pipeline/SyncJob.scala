@@ -125,8 +125,36 @@ object SyncJob {
     val started = new java.sql.Timestamp(cfg.nowMs)
 
     // --- S2/F1: delta read from the last successful watermark ---
+    // (read OUTSIDE the try, like the reference — main.py:821)
     val wm = if (cfg.useWatermark) readHighWatermark(ctl("ledger"), cfg.jobType) else None
     val delta = wm.map(t => source.filter(col("updated_at") >= lit(t))).getOrElse(source)
+
+    // The reference's run_job never lets an exception escape without a
+    // ledger row: the finally block records status="failed" with the
+    // watermark HELD, and the job returns a failed summary
+    // (main.py:839-857). Mirror that: any crash below lands here.
+    try runBody(spark, delta, cfg, controlDir, transport, runId, started, wm)
+    catch {
+      case e: Exception =>
+        EtlLog.error("job_exception",
+          "run_id" -> runId, "job_type" -> cfg.jobType,
+          "error" -> String.valueOf(e.getMessage))
+        val failedRow = Seq((runId, started, new java.sql.Timestamp(cfg.nowMs + 1),
+          cfg.jobType, wm.orNull, 0L, 0L, 0L, 0L, 1L, "failed"))
+          .toDF("run_id", "started_at", "finished_at", "job_type", "high_watermark",
+            "read_count", "updated_count", "created_count", "skipped_count",
+            "error_count", "status")
+        failedRow.write.mode(SaveMode.Append).parquet(s"$controlDir/ledger")
+        Summary(runId, cfg.jobType, 0, 0, 0, 0, 1, "failed", wm.map(_.getTime))
+    }
+  }
+
+  private def runBody(spark: SparkSession, delta: DataFrame, cfg: Config,
+                      controlDir: String, transport: UpsertTransport,
+                      runId: String, started: java.sql.Timestamp,
+                      wm: Option[java.sql.Timestamp]): Summary = {
+    import spark.implicits._
+    def ctl(name: String): DataFrame = spark.read.parquet(s"$controlDir/$name")
 
     // --- J1: existing-id lookup (AQE picks broadcast vs shuffle) ---
     val idMap = ctl("id_map")

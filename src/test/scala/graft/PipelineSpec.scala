@@ -223,14 +223,18 @@ class PipelineSpec extends SparkSpec {
       override def send(objectType: String, batch: Seq[UpsertRecord]) =
         throw new RuntimeException("connection pool exploded")
     }
-    intercept[Exception] {
-      SyncJob.run(spark, mkSource(Seq("B" -> "2024-02-01 00:00:00")),
-        cfg.copy(nowMs = 1750000100000L), dir, boom)
-    }
-    // watermark held, no partial ledger row, id map unchanged
+    // the reference's run_job records the crash in the ledger (finally,
+    // status="failed", watermark held) and returns a failed summary
+    // rather than throwing (main.py:839-857)
+    val failed = SyncJob.run(spark, mkSource(Seq("B" -> "2024-02-01 00:00:00")),
+      cfg.copy(nowMs = 1750000100000L), dir, boom)
+    assert(failed.status == "failed" && failed.errorCount == 1)
+    // watermark held, failed ledger row appended, id map unchanged
     assert(SyncJob.readHighWatermark(
       spark.read.parquet(s"$dir/ledger"), "patients") == wmBefore)
-    assert(spark.read.parquet(s"$dir/ledger").count() == ledgerRows)
+    assert(spark.read.parquet(s"$dir/ledger").count() == ledgerRows + 1)
+    assert(spark.read.parquet(s"$dir/ledger")
+      .filter(col("status") === "failed").count() == 1)
     assert(spark.read.parquet(s"$dir/id_map").collect().map(_.getString(1)).toSet == Set("A"))
 
     // recovery: the same delta re-runs cleanly afterwards
