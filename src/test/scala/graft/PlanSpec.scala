@@ -108,6 +108,26 @@ class PlanSpec extends SparkSpec {
       s"query side should broadcast:\n$plan")
   }
 
+  test("registry-wide audit: no unintended cartesian / nested-loop joins") {
+    // the bounded ground-truth queries are all-pairs BY DESIGN
+    // (documented samples that exist to oracle-check the LSH paths);
+    // topk broadcasts the tiny query set against the corpus scan
+    val intendedAllPairs = Set(
+      "ext_dedup_ngram",     // 5% sample, exact Jaccard ground truth
+      "ext_dedup_embedding", // label-blocked pairs, ground truth for E3b
+      "ext_topk_cosine",     // broadcast query set × corpus — exact baseline
+      "ext_ann_lsh")         // broadcast query side over bucket candidates
+    val offenders = SparkEntry.registry
+      .filterNot(q => intendedAllPairs(q.name))
+      .flatMap { q =>
+        val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(q.name)
+        else None
+      }
+    assert(offenders.isEmpty, s"unintended cross-product plans: $offenders")
+  }
+
   test("fixture filters fold into scans, not post-filters (optimizer visibility)") {
     // Fixtures.patients is a projection over customer: the optimized plan
     // must be Project→Relation with no intermediate barriers
