@@ -699,10 +699,34 @@ object Relational {
            |FROM s GROUP BY user_id, sess_id
            |ORDER BY user_id, sess_id""".stripMargin))
 
+  // ---------- RANGE-frame rolling aggregate (trailing time window) -----
+  // The frame type the other window queries don't cover: a value-based
+  // RANGE frame over event-time (trailing 1h sum per user). RANGE
+  // includes ts peers regardless of tie order, so the result is
+  // deterministic without a unique-key tiebreak in the frame itself.
+  val windowRangeFrame: Q = Q("window_range_frame",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      e.select(col("user_id"), col("event_id"), col("ts_ms"),
+          round(sum(col("value")).over(w), 2).as("rolling_1h"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events)
+           |SELECT user_id, event_id, ts_ms,
+           |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_ms
+           |        RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 2) AS rolling_1h
+           |FROM e ORDER BY user_id, event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(
     scanFull, scanDelta, projectPatient, projectRoi, filterBlanks,
     filterProcessed, filterAmbiguousSplit, joinIdMap, joinOverrideSkip,
     projectLocked, projectRedact, joinEmailAmbiguity, joinTiered,
     joinTieredComposite, mergeUpsert, joinAntiOrphans, aggAttempts, aggAttemptAlerts,
-    aggTop1Watermark, aggOutcomes, windowLatestEvent, windowSessionize)
+    aggTop1Watermark, aggOutcomes, windowLatestEvent, windowSessionize,
+    windowRangeFrame)
 }
