@@ -408,6 +408,84 @@ object Extensions {
     None)
 
   // =====================================================================
+  // E3c: IVF (inverted-file) ANN — the coarse-quantizer scale path.
+  // A deterministic mini-KMeans (spherical Lloyd; assignment/means are
+  // distributed DataFrame jobs, only the nCells×dim centroid matrix is
+  // collected — a model parameter, like the LSH hyperplanes) partitions
+  // the corpus into cells; a query probes its nProbe nearest cells and
+  // reranks exactly inside them. Candidate generation is a cell
+  // equi-join — bounded by cell sizes, never quadratic — and one
+  // corpus scan per search, which is the IVF contract at 100 TB.
+  // =====================================================================
+  def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 10,
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    // unit-normalize once: cosine over normalized vectors = dot product
+    val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
+    val e = emb.select(col("vec_id"), nv.as("nv")).cache()
+
+    def scores(cs: Array[Array[Double]]): Seq[Column] =
+      cs.toSeq.map(c => dotD(col("nv"), array(c.map(lit).toSeq: _*)))
+    // first index achieving the max — deterministic tie-break
+    def cellOf(cs: Array[Array[Double]]): Column = {
+      val ss = scores(cs)
+      val mx = greatest(ss: _*)
+      ss.zipWithIndex.drop(1).foldLeft(when(ss.head === mx, lit(0))) {
+        case (acc, (s, i)) => acc.when(s === mx, lit(i))
+      }.otherwise(lit(0))
+    }
+
+    // deterministic seed: the nCells lowest-id vectors
+    var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(nCells)
+      .collect().map(_.getSeq[Double](1).toArray)
+    // spherical Lloyd iterations (re-normalized means; empty cells keep
+    // their previous centroid)
+    for (_ <- 0 until iters) {
+      val means = e.withColumn("cell", cellOf(centroids))
+        .select(col("cell"), posexplode(col("nv")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val next = centroids.map(_.clone())
+      val byCell = means.groupBy(_._1)
+      byCell.foreach { case (cell, rows) =>
+        val dimN = rows.map(_._2).max + 1
+        val m = new Array[Double](dimN)
+        rows.foreach { case (_, d, x) => m(d) = x }
+        val norm = math.sqrt(m.map(x => x * x).sum)
+        if (norm > 0) next(cell) = m.map(_ / norm)
+      }
+      centroids = next
+    }
+
+    val corpus = e.withColumn("cell", cellOf(centroids))
+      .select(col("vec_id").as("corpus_id"), col("cell"), col("nv").as("cv"))
+    // query side: nProbe nearest cells via sorted (negScore, cell) structs
+    val probeStructs = array(scores(centroids).zipWithIndex.map { case (s, i) =>
+      struct((-s).as("negs"), lit(i).as("cell"))
+    }: _*)
+    val queries = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"),
+        explode(slice(array_sort(probeStructs), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(dotD(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  val topkIvf: Q = Q("ext_topk_ivf",
+    (spark, sfDir) =>
+      ivfTopK(
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        id => id % 47 === 0),
+    None)
+
+  // =====================================================================
   // E4: text statistics per language
   // =====================================================================
   val textStats: Q = Q("ext_text_stats",
@@ -621,6 +699,6 @@ object Extensions {
            |FROM fp ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
-    dedupEmbedding, topkCosine, annLsh, textStats, langId, qualityScore,
+    dedupEmbedding, topkCosine, annLsh, topkIvf, textStats, langId, qualityScore,
     tokenCount, fingerprint, fingerprintWinnow, multimodalJoin)
 }

@@ -59,6 +59,32 @@ class ExtensionsSpec extends SparkSpec {
     out.foreach { case (q, c) => assert(c == q + 10000L, s"query $q matched $c") }
   }
 
+  test("ivfTopK finds planted near-duplicates (coarse quantizer has real recall)") {
+    // a planted twin lies ~on top of its query vector, so both land in
+    // the same KMeans cell and the exact rerank puts it at rank 1
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (0L until 200L).map(i => (i, vec()))
+    val planted = base.filter(_._1 % 50 == 0).map { case (i, v) =>
+      (i + 10000L, v.map(_ + 1e-4 * rnd.nextGaussian()))
+    }
+    val emb = spark.createDataFrame(base ++ planted).toDF("vec_id", "v")
+    val out = Extensions.ivfTopK(emb, id => id % 50 === 0 && id < 1000, k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 50L, 100L, 150L))
+    out.foreach { case (q, c) => assert(c == q + 10000L, s"query $q matched $c") }
+  }
+
+  test("topk_ivf on real data returns well-formed rankings") {
+    val approx = Extensions.topkIvf.fn(spark, sf0001)
+    assert(approx.count() > 0)
+    assert(approx.filter(col("query_id") === col("corpus_id")).count() == 0)
+    val ranks = approx.groupBy("query_id").agg(min("rank"), max("rank"), count(lit(1)))
+      .collect()
+    ranks.foreach(r => assert(r.getInt(1) == 1 && r.getInt(2) == r.getLong(3).toInt))
+  }
+
   test("ann_lsh on real data returns well-formed rankings") {
     val approx = Extensions.annLsh.fn(spark, sf0001)
     assert(approx.count() > 0)
