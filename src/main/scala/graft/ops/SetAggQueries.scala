@@ -215,7 +215,26 @@ object SetAggQueries {
          |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin
     })
 
+  // ---------- string aggregation (listagg class) ----------
+  // Deterministic cross-engine form: sorted distinct values joined —
+  // Spark's collect_set order is undefined, so array_sort fixes it;
+  // DuckDB's string_agg takes an explicit ORDER BY. lpad keeps string
+  // sort == numeric sort.
+  val aggStringConcat: Q = Q("agg_string_concat",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy("event_type")
+        .agg(array_join(array_sort(collect_set(
+            lpad((col("user_id") % 20).cast("string"), 2, "0"))), ",").as("buckets"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+           |  string_agg(DISTINCT lpad(CAST(user_id % 20 AS VARCHAR), 2, '0'), ','
+           |             ORDER BY lpad(CAST(user_id % 20 AS VARCHAR), 2, '0')) AS buckets,
+           |  count(*) AS n
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(joinAsof, joinInterval, aggDistinct, aggRollup,
     setopExcept, setopIntersect, aggPercentile, aggApproxDistinct,
-    aggPricingSummary, aggCube, aggPivot)
+    aggPricingSummary, aggCube, aggPivot, aggStringConcat)
 }
