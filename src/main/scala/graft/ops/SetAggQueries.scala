@@ -234,7 +234,43 @@ object SetAggQueries {
            |  count(*) AS n
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  // ---------- correlated subqueries (Catalyst decorrelation) ----------
+  // Exercised through the SQL surface on purpose: EXISTS and scalar
+  // subqueries are planner features (RewritePredicateSubquery /
+  // decorrelation → semi join / left-join agg), not Column-API sugar.
+  // `parquet.`path`` table syntax avoids temp-view state in the shared
+  // Verify/Bench session. The oracle runs the same shape verbatim.
+  private def pq(sfDir: String, t: String): String =
+    s"parquet.`${Tables.path(sfDir, t)}`"
+
+  val joinExistsSubquery: Q = Q("join_exists_subquery",
+    (spark, sfDir) => spark.sql(
+      s"""SELECT o_orderkey, o_totalprice
+         |FROM ${pq(sfDir, "orders")} o
+         |WHERE EXISTS (SELECT 1 FROM ${pq(sfDir, "lineitem")} l
+         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+         |ORDER BY o_orderkey""".stripMargin),
+    Some("""SELECT o_orderkey, o_totalprice
+           |FROM orders o
+           |WHERE EXISTS (SELECT 1 FROM lineitem l
+           |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  val joinScalarSubquery: Q = Q("join_scalar_subquery",
+    (spark, sfDir) => spark.sql(
+      s"""SELECT o_orderkey,
+         |  (SELECT CAST(max(l.l_quantity) AS DOUBLE) FROM ${pq(sfDir, "lineitem")} l
+         |   WHERE l.l_orderkey = o.o_orderkey) AS max_qty
+         |FROM ${pq(sfDir, "orders")} o
+         |ORDER BY o_orderkey""".stripMargin),
+    Some("""SELECT o_orderkey,
+           |  (SELECT CAST(max(l.l_quantity) AS DOUBLE) FROM lineitem l
+           |   WHERE l.l_orderkey = o.o_orderkey) AS max_qty
+           |FROM orders o
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(joinAsof, joinInterval, aggDistinct, aggRollup,
     setopExcept, setopIntersect, aggPercentile, aggApproxDistinct,
-    aggPricingSummary, aggCube, aggPivot, aggStringConcat)
+    aggPricingSummary, aggCube, aggPivot, aggStringConcat,
+    joinExistsSubquery, joinScalarSubquery)
 }
