@@ -26,17 +26,23 @@ object Sha60Util {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
   }
 
-  def hash60(s: UTF8String): Long = {
-    val d = md.get(); d.reset()
-    val h = d.digest(s.getBytes)
-    // first 15 hex chars = bytes 0..6 (14 nibbles) + the high nibble of
-    // byte 7, read big-endian — exactly what conv(substr(hex,1,15),16,10)
-    // parses
+  /** Per-thread reset digest — shared with ShingleSha60Util so both
+    * kernels stay on one implementation of the cross-engine contract. */
+  private[expr] def threadDigest: MessageDigest = { val d = md.get(); d.reset(); d }
+
+  /** Assemble the first 15 hex chars of a sha256 digest as a 60-bit
+    * non-negative long: bytes 0..6 (14 nibbles) + the high nibble of
+    * byte 7, read big-endian — exactly what conv(substr(hex,1,15),16,10)
+    * parses. The ONE definition both Sha60 and ShingleSha60 use. */
+  private[expr] def fold60(h: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
     (v << 4) | ((h(7) & 0xffL) >> 4)
   }
+
+  def hash60(s: UTF8String): Long =
+    fold60(threadDigest.digest(s.getBytes))
 }
 
 /** `sha60(string)` → BIGINT. Codegen + interpreted paths share the

@@ -1,7 +1,5 @@
 package graft.expr
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -28,9 +26,6 @@ import org.apache.spark.unsafe.types.UTF8String
   * Consumers that need exact distinct-shingle semantics (n-gram
   * Jaccard ground truth) keep the composed form. */
 object ShingleSha60Util {
-  private val md = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
-  }
 
   def hashes(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
@@ -47,19 +42,13 @@ object ShingleSha60Util {
     offsets(cnt) = len
     val numShingles = math.max(cnt - (n - 1), 1)
     val out = new Array[Long](numShingles)
-    val d = md.get()
     var k = 0
     while (k < numShingles) {
       val from = offsets(k)
       val until = offsets(math.min(k + n, cnt))
-      d.reset()
+      val d = Sha60Util.threadDigest
       d.update(bytes, from, until - from)
-      val h = d.digest()
-      // first 15 hex chars, big-endian — same assembly as Sha60Util
-      var v = 0L
-      var j = 0
-      while (j < 7) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
-      out(k) = (v << 4) | ((h(7) & 0xffL) >> 4)
+      out(k) = Sha60Util.fold60(d.digest())
       k += 1
     }
     new GenericArrayData(out)

@@ -449,7 +449,11 @@ object Extensions {
       byCell.foreach { case (cell, rows) =>
         val dimN = rows.map(_._2).max + 1
         val m = new Array[Double](dimN)
-        rows.foreach { case (_, d, x) => m(d) = x }
+        // round to 1e-9: distributed avg merges double partials in
+        // shuffle-arrival order (~1e-15 jitter), which could flip a
+        // near-tied cell assignment between runs — rounding makes the
+        // quantizer a pure function of the data
+        rows.foreach { case (_, d, x) => m(d) = math.rint(x * 1e9) / 1e9 }
         val norm = math.sqrt(m.map(x => x * x).sum)
         if (norm > 0) next(cell) = m.map(_ / norm)
       }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -438,33 +438,39 @@ object Relational {
   // address block. Runs through TieredMatch.melt — the ONE-shuffle form
   // that survives a non-broadcastable match table at 100 TB (probe keys
   // un-pivoted, single equi-join, min-tier wins per row).
+  /** The three prefixed composite tier keys of README.md:38-42, built
+    * identically for BOTH sides of the match so the expressions cannot
+    * drift apart (a one-sided edit would silently stop keys ever
+    * equaling). Email is normalized (lower+trim+blank→null) on both
+    * sides — the "case-insensitive, trimmed" Tier-1 contract. Prefixes
+    * make cross-tier key collisions impossible; nulls propagate so a row
+    * missing a tier's inputs contributes no key for that tier. */
+  private def tierKeys(emailRaw: Column, first: Column, last: Column,
+                       dob: Column, addr1: Column, addr2: Column,
+                       city: Column, state: Column, zip: Column): Seq[Column] = Seq(
+    concat(lit("em:"), Scalars.emailNorm(emailRaw)),
+    when(first.isNotNull && last.isNotNull && dob.isNotNull,
+      concat(lit("nd:"), lower(first), lit("|"), lower(last), lit("|"), dob.cast("string"))),
+    concat(lit("ad:"), lower(addr1), lit("|"), coalesce(lower(addr2), lit("")),
+      lit("|"), lower(city), lit("|"), lower(state), lit("|"), zip))
+
   val joinTieredComposite: Q = Q("join_tiered_composite",
     (spark, sfDir) => {
       val p = Fixtures.patients(spark, sfDir)
-      val email = Scalars.emailNorm(col("email_raw"))
-      // tier keys are prefixed so keys can never collide across tiers
-      val k1 = concat(lit("em:"), email) // null-propagates
-      val k2 = when(col("first_name").isNotNull && col("last_name").isNotNull && col("dob").isNotNull,
-        concat(lit("nd:"), lower(col("first_name")), lit("|"),
-          lower(col("last_name")), lit("|"), col("dob").cast("string")))
-      val k3 = concat(lit("ad:"), lower(col("address1")), lit("|"),
-        coalesce(lower(col("address2")), lit("")), lit("|"), lower(col("city")),
-        lit("|"), lower(col("state_code")), lit("|"), col("zip"))
+      val Seq(k1, k2, k3) = tierKeys(col("email_raw"), col("first_name"),
+        col("last_name"), col("dob"), col("address1"), col("address2"),
+        col("city"), col("state_code"), col("zip"))
       val st = Fixtures.targetState(spark, sfDir)
       // ONE pass over target_state: explode the three tier keys (nulls
       // dropped), one groupBy dedups every key; the email tier's
       // ambiguity guard (J3: >1 holder disqualifies) becomes a post-agg
       // filter keyed off the prefix. Replaces 3 groupBys + union —
       // 2 fewer shuffles of the match side.
-      val stK1 = concat(lit("em:"), col("email"))
-      val stK2 = when(col("first_name").isNotNull && col("last_name").isNotNull && col("dob").isNotNull,
-        concat(lit("nd:"), lower(col("first_name")), lit("|"),
-          lower(col("last_name")), lit("|"), col("dob").cast("string")))
-      val stK3 = concat(lit("ad:"), lower(col("address1")), lit("|"),
-        coalesce(lower(col("address2")), lit("")), lit("|"), lower(col("city")),
-        lit("|"), lower(col("state_code")), lit("|"), col("zip"))
+      val stKs = tierKeys(col("email"), col("first_name"),
+        col("last_name"), col("dob"), col("address1"), col("address2"),
+        col("city"), col("state_code"), col("zip"))
       val matchTbl = st
-        .select(col("hubspot_id"), explode(array(stK1, stK2, stK3)).as("natural_key"))
+        .select(col("hubspot_id"), explode(array(stKs: _*)).as("natural_key"))
         .filter(col("natural_key").isNotNull)
         .groupBy("natural_key")
         .agg(min(col("hubspot_id")).as("hubspot_id"), count(lit(1)).as("n"))
@@ -475,9 +481,10 @@ object Relational {
     },
     Some(Fixtures.withCtes(Fixtures.patientsSql, Fixtures.targetStateSql) +
       """, m1 AS (
-        |  SELECT concat('em:', email) AS natural_key, min(hubspot_id) AS hubspot_id
-        |  FROM target_state WHERE email IS NOT NULL
-        |  GROUP BY email HAVING count(*) = 1),
+        |  SELECT concat('em:', nullif(lower(trim(email)), '')) AS natural_key,
+        |         min(hubspot_id) AS hubspot_id
+        |  FROM target_state WHERE nullif(lower(trim(email)), '') IS NOT NULL
+        |  GROUP BY nullif(lower(trim(email)), '') HAVING count(*) = 1),
         |m2 AS (
         |  SELECT concat('nd:', lower(first_name), '|', lower(last_name), '|', CAST(dob AS VARCHAR)) AS natural_key,
         |         min(hubspot_id) AS hubspot_id

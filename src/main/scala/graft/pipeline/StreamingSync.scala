@@ -30,9 +30,21 @@ object StreamingSync {
             checkpointDir: String): StreamingQuery = {
     val handler: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       if (!batch.isEmpty) {
-        SyncJob.run(spark, batch,
+        val s = SyncJob.run(spark, batch,
           cfg.copy(nowMs = cfg.nowMs + batchId, useWatermark = false),
           controlDir, transport)
+        // A "failed" status means run() caught a CRASH (nothing reached
+        // the sink or DLQ) — swallowing it here would let foreachBatch
+        // commit the checkpoint and lose the batch forever, since the
+        // stream has no ledger watermark to re-read from. Fail the query
+        // so the checkpoint holds and replay re-delivers the batch (T3:
+        // the id map absorbs the duplicates). "partial" (HTTP-level
+        // failures, recorded in the DLQ with retry counting) does NOT
+        // fail the query — that is the DLQ's job.
+        if (s.status == "failed")
+          throw new IllegalStateException(
+            s"micro-batch $batchId crashed (run ${s.runId}); failing the " +
+              "query so the checkpoint does not advance past unprocessed data")
       }
       ()
     }

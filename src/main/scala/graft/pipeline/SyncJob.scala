@@ -133,12 +133,17 @@ object SyncJob {
     // ledger row: the finally block records status="failed" with the
     // watermark HELD, and the job returns a failed summary
     // (main.py:839-857). Mirror that: any crash below lands here.
-    try runBody(spark, delta, cfg, controlDir, transport, runId, started, wm)
+    // runBody's success-ledger append is its LAST fatal step (cleanup
+    // after it is non-fatal), so reaching this catch implies no success
+    // row was written — the run can never leave two contradictory rows.
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try runBody(spark, delta, cfg, controlDir, transport, runId, started, wm, cached)
     catch {
       case e: Exception =>
         EtlLog.error("job_exception",
           "run_id" -> runId, "job_type" -> cfg.jobType,
-          "error" -> String.valueOf(e.getMessage))
+          "error" -> (e.toString + " @ " +
+            e.getStackTrace.take(3).mkString(" <- ")))
         val failedRow = Seq((runId, started, new java.sql.Timestamp(cfg.nowMs + 1),
           cfg.jobType, wm.orNull, 0L, 0L, 0L, 0L, 1L, "failed"))
           .toDF("run_id", "started_at", "finished_at", "job_type", "high_watermark",
@@ -146,13 +151,18 @@ object SyncJob {
             "error_count", "status")
         failedRow.write.mode(SaveMode.Append).parquet(s"$controlDir/ledger")
         Summary(runId, cfg.jobType, 0, 0, 0, 0, 1, "failed", wm.map(_.getTime))
+    } finally {
+      // caches are unpersisted on BOTH outcomes — a crashed run must not
+      // leak executor storage (StreamingSync runs this per micro-batch)
+      cached.foreach(df => try df.unpersist() catch { case _: Exception => () })
     }
   }
 
   private def runBody(spark: SparkSession, delta: DataFrame, cfg: Config,
                       controlDir: String, transport: UpsertTransport,
                       runId: String, started: java.sql.Timestamp,
-                      wm: Option[java.sql.Timestamp]): Summary = {
+                      wm: Option[java.sql.Timestamp],
+                      cached: scala.collection.mutable.ListBuffer[DataFrame]): Summary = {
     import spark.implicits._
     def ctl(name: String): DataFrame = spark.read.parquet(s"$controlDir/$name")
 
@@ -166,6 +176,7 @@ object SyncJob {
     val matched = delta.join(idMap, delta("natural_key") === col("im_key"), "left")
       .drop("im_key")
       .cache()
+    cached += matched
 
     // --- F3: ambiguity guard — no key at all → DLQ, not the sink ---
     val ready = matched.filter(col("natural_key").isNotNull)
@@ -218,6 +229,7 @@ object SyncJob {
       .select(lit(cfg.objectType).as("hubspot_object_type"), col("natural_key"),
         col("hubspot_id"), lit(started).as("updated_at"))
     val mergedIdMap = mergeIdMap(ctl("id_map"), newIds).cache()
+    cached += mergedIdMap
     mergedIdMap.count() // materialize before overwrite of the source dir
     mergedIdMap.write.mode(SaveMode.Overwrite).parquet(s"$controlDir/id_map_next")
     // atomic-ish swap: write next, then overwrite canonical from next
@@ -255,14 +267,21 @@ object SyncJob {
         "error_count", "status")
     ledgerRow.write.mode(SaveMode.Append).parquet(s"$controlDir/ledger")
 
-    // the per-run sink-results dir has served every consumer (counts,
-    // id-map merge, DLQ); drop it or StreamingSync accumulates one
-    // directory per micro-batch forever
-    val resultsPath = new org.apache.hadoop.fs.Path(s"$controlDir/results_$runId")
-    val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(resultsPath, true)
-
-    matched.unpersist(); mergedIdMap.unpersist()
+    // Post-ledger steps are NON-FATAL by design: the success row is
+    // already durable, so a cleanup hiccup must not trip run()'s catch
+    // and append a contradictory "failed" row for the same run.
+    try {
+      // the per-run sink-results dir has served every consumer (counts,
+      // id-map merge, DLQ); drop it or StreamingSync accumulates one
+      // directory per micro-batch forever
+      val resultsPath = new org.apache.hadoop.fs.Path(s"$controlDir/results_$runId")
+      val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(resultsPath, true)
+    } catch {
+      case e: Exception =>
+        EtlLog.error("results_cleanup_failed",
+          "run_id" -> runId, "error" -> String.valueOf(e.getMessage))
+    }
     // structured, PHI-safe run log (the reference's JSON log surface)
     EtlLog.info("sync_run_complete",
       "run_id" -> runId, "job_type" -> cfg.jobType, "status" -> status,

@@ -48,4 +48,31 @@ class StreamingSyncSpec extends SparkSpec {
     val counts = ledger.map(r => r.getAs[Long]("read_count")).sorted
     assert(counts.sameElements(Array(2L, 3L)))
   }
+
+  test("a crashed micro-batch fails the query — the checkpoint must not advance") {
+    implicit val sqlCtx = spark.sqlContext
+    val ctl = Files.createTempDirectory("graft-ss-ctl-").toString
+    val ckpt = Files.createTempDirectory("graft-ss-ckpt-").toString
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val stream = ms.toDF().toDF("natural_key", "updated_at")
+      .withColumn("props", map(lit("k"), lit("v")))
+    val boom = new graft.sink.UpsertTransport {
+      override def send(objectType: String, batch: Seq[graft.sink.UpsertRecord]) =
+        throw new RuntimeException("connection pool exploded")
+    }
+    val cfg = SyncJob.Config("patients", "contacts", nowMs = 1750000000000L)
+    val q = StreamingSync.start(spark, stream, cfg, ctl, boom, ckpt)
+    try {
+      ms.addData(Fixture.row("A", "2024-01-01 00:00:00"))
+      // the crash must surface as a query failure (checkpoint held for
+      // replay), NOT be swallowed as a completed batch
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(q.exception.isDefined)
+    } finally q.stop()
+    // the crash is still auditable: a failed ledger row was recorded
+    val ledger = spark.read.parquet(s"$ctl/ledger")
+    assert(ledger.filter(col("status") === "failed").count() >= 1)
+  }
 }
