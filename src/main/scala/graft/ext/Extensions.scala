@@ -94,8 +94,9 @@ object Extensions {
     hashed.select(col("doc_id") +: sigCols: _*)
   }
 
-  val dedupMinhash: Q = Q("ext_dedup_minhash",
-    (spark, sfDir) => {
+  /** Near-dup pairs (id_a < id_b, est_jaccard ≥ 0.5) — the shared core
+    * of ext_dedup_minhash and ext_dedup_clusters. Unordered. */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
       val docs = Tables.documents(spark, sfDir) // full corpus: LSH stays linear
       val sig = minhashSignatures(docs).cache()
       // un-pivot each signature to (band, band-key struct) rows — ONE
@@ -128,35 +129,71 @@ object Extensions {
         .select(col("id_a"), col("id_b"),
           round(matches / lit(Perms.toDouble), 4).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB CTE chain (docs→sh→sig→cand→est→pairs) shared by the
+    * minhash and cluster oracles — ONE definition of the pair set. */
+  private def minhashPairsSqlCtes: String = {
+    val sigCols = (0 until Perms)
+      .map(i => s"min(xor(bh, ${i * MixC})) AS h$i").mkString(",\n    ")
+    val bandConds = (0 until Bands).map { bi =>
+      (0 until RowsPerBand)
+        .map(r => s"a.h${bi * RowsPerBand + r} = b.h${bi * RowsPerBand + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val matchSum = (0 until Perms)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""docs AS (SELECT doc_id, text FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(${duckShingles("text")}) AS s FROM docs),
+       |sh AS (SELECT doc_id, ${duckHash60("s")} AS bh FROM sh0),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)),
+       |est AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(($matchSum) / ${Perms}.0, 4) AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b),
+       |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5)""".stripMargin
+  }
+
+  val dedupMinhash: Q = Q("ext_dedup_minhash",
+    (spark, sfDir) => minhashPairs(spark, sfDir).orderBy("id_a", "id_b"),
+    Some(s"""WITH $minhashPairsSqlCtes
+            |SELECT id_a, id_b, est_jaccard FROM est
+            |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin))
+
+  // =====================================================================
+  // Near-dup CLUSTERS: connected components over the minhash pair graph
+  // — the step a dedup pipeline runs after pair generation. Each doc is
+  // labeled with the min doc_id of its component (singletons label
+  // themselves); keep = "I am my cluster's representative". Spark side
+  // is iterative min-label propagation (ops.Graph); the oracle computes
+  // the same closure with a recursive CTE.
+  // =====================================================================
+  val dedupClusters: Q = Q("ext_dedup_clusters",
+    (spark, sfDir) => {
+      val pairs = minhashPairs(spark, sfDir).select("id_a", "id_b")
+      val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
+      graft.ops.Graph.connectedComponents(pairs, nodes)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          (col("id") === col("component")).as("keep"))
+        .orderBy("doc_id")
     },
-    Some {
-      val sigCols = (0 until Perms)
-        .map(i => s"min(xor(bh, ${i * MixC})) AS h$i").mkString(",\n    ")
-      val bandConds = (0 until Bands).map { bi =>
-        (0 until RowsPerBand)
-          .map(r => s"a.h${bi * RowsPerBand + r} = b.h${bi * RowsPerBand + r}")
-          .mkString("(", " AND ", ")")
-      }.mkString(" OR ")
-      val matchSum = (0 until Perms)
-        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH docs AS (SELECT doc_id, text FROM documents),
-         |sh0 AS (SELECT doc_id, unnest(${duckShingles("text")}) AS s FROM docs),
-         |sh AS (SELECT doc_id, ${duckHash60("s")} AS bh FROM sh0),
-         |sig AS (SELECT doc_id,
-         |    $sigCols
-         |  FROM sh GROUP BY doc_id),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)),
-         |est AS (
-         |  SELECT c.id_a, c.id_b,
-         |    round(($matchSum) / ${Perms}.0, 4) AS est_jaccard
-         |  FROM cand c
-         |  JOIN sig sa ON sa.doc_id = c.id_a
-         |  JOIN sig sb ON sb.doc_id = c.id_b)
-         |SELECT * FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
-    })
+    Some(s"""WITH RECURSIVE $minhashPairsSqlCtes,
+            |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            |        UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, root) AS (
+            |  SELECT doc_id, doc_id FROM docs
+            |  UNION
+            |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.id)
+            |SELECT id AS doc_id, min(root) AS cluster_id,
+            |       id = min(root) AS keep
+            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
   // Exact n-gram Jaccard (ground truth for minhash) on a 1% sample —
@@ -702,7 +739,8 @@ object Extensions {
            |SELECT doc_id, CAST(len(fp) AS INT) AS n_fp, list_min(fp) AS min_fp
            |FROM fp ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
-    dedupEmbedding, topkCosine, annLsh, topkIvf, textStats, langId, qualityScore,
-    tokenCount, fingerprint, fingerprintWinnow, multimodalJoin)
+  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupNgram,
+    dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, textStats,
+    langId, qualityScore, tokenCount, fingerprint, fingerprintWinnow,
+    multimodalJoin)
 }

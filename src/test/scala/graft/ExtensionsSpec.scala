@@ -59,6 +59,29 @@ class ExtensionsSpec extends SparkSpec {
     out.foreach { case (q, c) => assert(c == q + 10000L, s"query $q matched $c") }
   }
 
+  test("connectedComponents: chains collapse to min id, isolated nodes keep themselves") {
+    import spark.implicits._
+    // component {1,2,3,4} via a chain, {10,11}, and isolated 20
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val got = ops.Graph.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("dedup clusters are consistent with the pair set they come from") {
+    val pairs = Extensions.minhashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Extensions.dedupClusters.fn(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every paired duo shares a cluster, and cluster ids are members
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.values.foreach(c => assert(clusters(c) == c, s"cluster id $c not a root"))
+  }
+
   test("ivfTopK finds planted near-duplicates (coarse quantizer has real recall)") {
     // a planted twin lies ~on top of its query vector, so both land in
     // the same KMeans cell and the exact rerank puts it at rank 1
