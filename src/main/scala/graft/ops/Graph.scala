@@ -21,30 +21,53 @@ object Graph {
   /** @param edges undirected edges as (id_a, id_b) long columns
     * @param nodes one `id` long column (components of isolated nodes =
     *              themselves)
+    * @param roundsPerCheck propagation rounds composed lazily between
+    *        materializations — labels are monotone, so a final round
+    *        that changed nothing proves the fixpoint regardless of what
+    *        earlier composed rounds did; fewer jobs for the same result
     * @return (id, component) — component = min id reachable */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = nodes.select(col("id"), col("id").as("component"))
+                          maxIter: Int = 20, roundsPerCheck: Int = 2): DataFrame = {
+    // materialize the EDGES once, then derive the symmetric set from the
+    // checkpoint: the union's two branches would otherwise each re-run
+    // the whole upstream pair-generation pipeline (2× there), and every
+    // iteration joins against sym (N× more without materialization)
+    val edgesCk = edges.select(col("id_a"), col("id_b")).localCheckpoint()
+    val sym = edgesCk.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edgesCk.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
+    // only edge-touched nodes can ever change label; isolated nodes are
+    // their own components and rejoin at the end — the loop then works
+    // on the (usually much smaller) connected subgraph
+    val touched = sym.select(col("src").as("id")).distinct().localCheckpoint()
+    var labels = touched.select(col("id"), col("id").as("component"))
+
+    def propagate(cur: DataFrame, withFlag: Boolean): DataFrame = {
+      val neighborMin = sym
+        .join(cur.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("nmin"))
+      val merged = cur.join(neighborMin, Seq("id"), "left")
+      val newComp = least(col("component"), coalesce(col("nmin"), col("component")))
+      if (withFlag)
+        merged.select(col("id"), newComp.as("component"),
+          (col("nmin") < col("component")).as("changed"))
+      else
+        merged.select(col("id"), newComp.as("component"))
+    }
+
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // smallest label among each node's neighbors
-      val neighborMin = sym
-        .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nc")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
-          (col("nmin") < col("component")).as("changed"))
-        .localCheckpoint()
+      var cur = labels
+      for (r <- 1 until roundsPerCheck) cur = propagate(cur, withFlag = false)
+      val next = propagate(cur, withFlag = true).localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("id"), col("component"))
       iter += 1
     }
-    labels
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 }
