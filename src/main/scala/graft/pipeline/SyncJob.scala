@@ -237,12 +237,25 @@ object SyncJob {
       .write.mode(SaveMode.Overwrite).parquet(s"$controlDir/id_map")
 
     // --- S5/T2: DLQ append — sink failures + ambiguous rows ---
+    // `attempt` is the CROSS-RUN counter the reference keeps
+    // (read_failure_attempts + 1 per (job, key, error) — main.py:404-420,
+    // 713-715): a record failing once per nightly run reaches the
+    // alert threshold after 5 runs. The within-run HTTP try count is a
+    // different number (retry/backoff bookkeeping) and is not it.
+    val newError = substring(coalesce(col("error"), lit("unknown")), 1, 10000)
+    val priorAttempts = ctl("dlq")
+      .filter(col("job_type") === cfg.jobType)
+      .groupBy(col("natural_key").as("pk"), col("error").as("pe"))
+      .agg(max(col("attempt")).as("prior"))
     val failDlq = results.filter(col("outcome") === "failed")
+      .withColumn("error_txt", newError)
+      .join(priorAttempts,
+        col("natural_key") === col("pk") && col("error_txt") === col("pe"), "left")
       .select(lit(started).as("ts"), lit(cfg.jobType).as("job_type"),
         col("natural_key"), lit(cfg.objectType).as("hubspot_object_type"),
         coalesce(col("payload"), lit("{}")).as("payload"),
-        substring(coalesce(col("error"), lit("unknown")), 1, 10000).as("error"),
-        col("attempts").cast("long").as("attempt"))
+        col("error_txt").as("error"),
+        (coalesce(col("prior"), lit(0L)) + 1L).as("attempt"))
     val ambDlq = ambiguous
       .select(lit(started).as("ts"), lit(cfg.jobType).as("job_type"),
         lit(null).cast("string").as("natural_key"),

@@ -97,6 +97,23 @@ class PipelineSpec extends SparkSpec {
     assert(dlq(0).getAs[String]("payload") == """{"k":"v"}""")
   }
 
+  test("DLQ attempt is the cross-run counter — alert reachable after N nightly retries") {
+    val dir = freshDir()
+    val cfg = SyncJob.Config("patients", "contacts", nowMs = 1750000000000L)
+    SyncJob.run(spark, mkSource(Seq("FAIL400-P" -> "2024-01-01 00:00:00")),
+      cfg, dir, new StubTransport)
+    SyncJob.run(spark, mkSource(Seq("FAIL400-P" -> "2024-01-02 00:00:00")),
+      cfg.copy(nowMs = 1750000100000L), dir, new StubTransport)
+    // the reference increments per (job, key, error) across runs
+    // (main.py:404-420): one failure per nightly run → 1 then 2, so the
+    // 5-attempt alert threshold is actually reachable
+    val attempts = spark.read.parquet(s"$dir/dlq")
+      .filter(col("natural_key") === "FAIL400-P")
+      .collect().map(_.getAs[Long]("attempt")).sorted
+    assert(attempts.toSeq == Seq(1L, 2L), s"got ${attempts.toSeq}")
+    assert(SyncJob.alerts(spark.read.parquet(s"$dir/dlq"), 2).count() == 1)
+  }
+
   test("P4: configured protected properties never reach the sink payload") {
     val cfg = new RunConfig(Map("roi.protected.properties" -> "amount, status"))
     val keys = Pipelines.roisSource(spark, sf0001, cfg)
