@@ -21,13 +21,24 @@ object Graph {
   /** @param edges undirected edges as (id_a, id_b) long columns
     * @param nodes one `id` long column (components of isolated nodes =
     *              themselves)
+    * @param maxIter outer-loop cap. Hitting it THROWS rather than
+    *        returning silently-wrong partial labels (one component
+    *        reported as several, multiple keep=true survivors) — a
+    *        dedup consumer cannot detect truncation after the fact.
+    *        maxIter × roundsPerCheck bounds the reachable diameter.
     * @param roundsPerCheck propagation rounds composed lazily between
     *        materializations — labels are monotone, so a final round
     *        that changed nothing proves the fixpoint regardless of what
     *        earlier composed rounds did; fewer jobs for the same result
+    *
+    * Durability note: lineage is truncated with `localCheckpoint`
+    * (executor-local blocks, NOT recomputable after executor loss). On a
+    * long-lived dynamic-allocation cluster prefer a reliable checkpoint
+    * dir (`sc.setCheckpointDir` + `.checkpoint()`) — same plan-size
+    * benefit, survives decommission; swap the two calls below.
     * @return (id, component) — component = min id reachable */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          maxIter: Int = 20, roundsPerCheck: Int = 2): DataFrame = {
+                          maxIter: Int = 50, roundsPerCheck: Int = 2): DataFrame = {
     // materialize the EDGES once, then derive the symmetric set from the
     // checkpoint: the union's two branches would otherwise each re-run
     // the whole upstream pair-generation pipeline (2× there), and every
@@ -66,6 +77,11 @@ object Graph {
       labels = next.select(col("id"), col("component"))
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter×$roundsPerCheck rounds " +
+          "(component diameter exceeds the cap); raise maxIter — partial labels " +
+          "would silently split components")
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

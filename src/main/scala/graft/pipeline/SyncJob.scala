@@ -242,20 +242,35 @@ object SyncJob {
     // 713-715): a record failing once per nightly run reaches the
     // alert threshold after 5 runs. The within-run HTTP try count is a
     // different number (retry/backoff bookkeeping) and is not it.
+    // Counting joins on the STABLE error class ("HTTP 400"), never the
+    // raw transport text — real CRM error bodies embed per-request
+    // correlation ids, so raw-text keys would never repeat and the
+    // counter would stay at 1 forever. The full text still lands in the
+    // DLQ row for debugging.
     val newError = substring(coalesce(col("error"), lit("unknown")), 1, 10000)
-    val priorAttempts = ctl("dlq")
-      .filter(col("job_type") === cfg.jobType)
-      .groupBy(col("natural_key").as("pk"), col("error").as("pe"))
-      .agg(max(col("attempt")).as("prior"))
-    val failDlq = results.filter(col("outcome") === "failed")
-      .withColumn("error_txt", newError)
-      .join(priorAttempts,
-        col("natural_key") === col("pk") && col("error_txt") === col("pe"), "left")
-      .select(lit(started).as("ts"), lit(cfg.jobType).as("job_type"),
-        col("natural_key"), lit(cfg.objectType).as("hubspot_object_type"),
-        coalesce(col("payload"), lit("{}")).as("payload"),
-        col("error_txt").as("error"),
-        (coalesce(col("prior"), lit(0L)) + 1L).as("attempt"))
+    val failDlq =
+      if (failed == 0)
+        // no failures → don't aggregate the (ever-growing, append-only)
+        // DLQ at all; under StreamingSync this would otherwise run per
+        // micro-batch for nothing
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Tables.dlqSchema)
+      else {
+        val priorAttempts = ctl("dlq")
+          .filter(col("job_type") === cfg.jobType)
+          .groupBy(col("natural_key").as("pk"), errorClass(col("error")).as("pe"))
+          .agg(max(col("attempt")).as("prior"))
+        results.filter(col("outcome") === "failed")
+          .withColumn("error_txt", newError)
+          .join(priorAttempts,
+            col("natural_key") === col("pk") &&
+              errorClass(col("error_txt")) === col("pe"), "left")
+          .select(lit(started).as("ts"), lit(cfg.jobType).as("job_type"),
+            col("natural_key"), lit(cfg.objectType).as("hubspot_object_type"),
+            coalesce(col("payload"), lit("{}")).as("payload"),
+            col("error_txt").as("error"),
+            (coalesce(col("prior"), lit(0L)) + 1L).as("attempt"))
+      }
     val ambDlq = ambiguous
       .select(lit(started).as("ts"), lit(cfg.jobType).as("job_type"),
         lit(null).cast("string").as("natural_key"),
@@ -305,11 +320,21 @@ object SyncJob {
       status, newWm.map(_.getTime))
   }
 
-  /** A2/A3: per-(job,key,error) attempt maxima at-or-over the alert
-    * threshold — the caller posts these to its alert sink (S11).
+  /** Stable error identity for attempt counting and alerting: the
+    * "HTTP <code>" prefix when present, else the whole (truncated) text.
+    * Raw transport bodies vary per request (correlation ids, timestamps)
+    * and must never key a cross-run counter. */
+  def errorClass(error: Column): Column = {
+    val cls = regexp_extract(error, "^(HTTP [0-9]+)", 1)
+    when(cls =!= "", cls).otherwise(coalesce(error, lit("unknown")))
+  }
+
+  /** A2/A3: per-(job,key,error-class) attempt maxima at-or-over the
+    * alert threshold — the caller posts these to its alert sink (S11).
     * Returns a SMALL DataFrame (collect-safe by construction). */
   def alerts(dlq: DataFrame, threshold: Int): DataFrame =
-    dlq.groupBy(col("job_type"), col("natural_key"), col("error"))
+    dlq.groupBy(col("job_type"), col("natural_key"),
+        errorClass(col("error")).as("error"))
       .agg(coalesce(max(col("attempt")), lit(0L)).as("attempts"))
       .filter(col("attempts") >= threshold)
 }
