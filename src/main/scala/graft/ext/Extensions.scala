@@ -739,8 +739,62 @@ object Extensions {
            |SELECT doc_id, CAST(len(fp) AS INT) AS n_fp, list_min(fp) AS min_fp
            |FROM fp ORDER BY doc_id""".stripMargin))
 
+  // =====================================================================
+  // Train/val/test split by CONTENT hash — the split stays stable under
+  // repartitioning, re-ingestion, and row reordering (seeded random
+  // sampling does not), and a document's assignment never changes when
+  // the corpus around it grows. 90/5/5 via hash60(text) mod 100.
+  // =====================================================================
+  val splitTrainTest: Q = Q("ext_split_assign",
+    (spark, sfDir) => {
+      val bucket = pmod(Scalars.hash60(col("text")), lit(100L))
+      val split = when(bucket < 90, lit("train"))
+        .when(bucket < 95, lit("val")).otherwise(lit("test"))
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split.as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (
+            |  SELECT doc_id, ${duckHash60("text")} % 100 AS bucket FROM documents)
+            |SELECT doc_id,
+            |  CASE WHEN bucket < 90 THEN 'train'
+            |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+            |FROM b ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // Sequence packing: assign documents to fixed token-budget bins per
+  // language — the batching step before training. Deterministic greedy
+  // packing in doc_id order: bin = floor(tokens-before-me / budget),
+  // one window running sum per language partition (single shuffle).
+  // =====================================================================
+  val packSequences: Q = Q("ext_pack_sequences",
+    (spark, sfDir) => {
+      val budget = 2048L
+      val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), toks.as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          ((col("cum") - col("n_tok")) / budget).cast("long").as("bin"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, lang, n_tok,
+           |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+           |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM t)
+           |SELECT doc_id, lang, n_tok,
+           |  CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
+           |FROM c ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, textStats,
     langId, qualityScore, tokenCount, fingerprint, fingerprintWinnow,
-    multimodalJoin)
+    multimodalJoin, splitTrainTest, packSequences)
 }
