@@ -49,8 +49,9 @@ object Graph {
       .localCheckpoint()
     // only edge-touched nodes can ever change label; isolated nodes are
     // their own components and rejoin at the end — the loop then works
-    // on the (usually much smaller) connected subgraph
-    val touched = sym.select(col("src").as("id")).distinct().localCheckpoint()
+    // on the (usually much smaller) connected subgraph. No checkpoint:
+    // the frame is consumed once, into the first loop's materialization.
+    val touched = sym.select(col("src").as("id")).distinct()
     var labels = touched.select(col("id"), col("id").as("component"))
 
     def propagate(cur: DataFrame, withFlag: Boolean): DataFrame = {
