@@ -601,40 +601,40 @@ object Extensions {
   // =====================================================================
   // Quality scoring: length / alpha-ratio / stopword signals
   // =====================================================================
+  /** The quality-score expression (length / alpha-ratio / stopword
+    * signals, rounded), shared by ext_quality_score and the end-to-end
+    * curation query so the formula exists once per engine. */
+  def qualityExpr(txt: Column): Column = {
+    val nTok = size(split(trim(txt), "\\s+")).cast("double")
+    val alphaRatio = length(regexp_replace(lower(txt), "[^a-z]", "")).cast("double") /
+      length(txt).cast("double")
+    val padded = concat(lit(" "), lower(txt), lit(" "))
+    val stopCnt = ((length(padded) - length(regexp_replace(padded, " the ", ""))) / 5).cast("double")
+    round(least(nTok / 100.0, lit(1.0)) * 0.4 + alphaRatio * 0.4 +
+      least(stopCnt / 5.0, lit(1.0)) * 0.2, 4)
+  }
+
+  /** DuckDB twin of qualityExpr over column expression `t`. */
+  private def qualitySql(t: String): String =
+    s"""round(least(CAST(len(regexp_split_to_array(trim($t), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+       | + CAST(length(regexp_replace(lower($t), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length($t) AS DOUBLE) * 0.4
+       | + least(CAST((length(concat(' ', lower($t), ' ')) - length(replace(concat(' ', lower($t), ' '), ' the ', ''))) / 5 AS DOUBLE) / 5.0, 1.0) * 0.2, 4)""".stripMargin.replace("\n", "")
+
   val qualityScore: Q = Q("ext_quality_score",
     (spark, sfDir) => {
-      val txt = col("text")
-      val nTok = size(split(trim(txt), "\\s+")).cast("double")
-      val alphaRatio = length(regexp_replace(lower(txt), "[^a-z]", "")).cast("double") /
-        length(txt).cast("double")
-      val padded = concat(lit(" "), lower(txt), lit(" "))
-      val stopCnt = ((length(padded) - length(regexp_replace(padded, " the ", ""))) / 5).cast("double")
-      val score = round(
-        least(nTok / 100.0, lit(1.0)) * 0.4 + alphaRatio * 0.4 +
-          least(stopCnt / 5.0, lit(1.0)) * 0.2, 4)
+      val score = qualityExpr(col("text"))
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), score.as("score"),
           when(score >= 0.6, lit("high")).when(score >= 0.4, lit("medium"))
             .otherwise(lit("low")).as("quality"))
         .orderBy("doc_id")
     },
-    Some("""WITH t AS (
-           |  SELECT doc_id,
-           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
-           |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-           |      / CAST(length(text) AS DOUBLE) AS alpha_ratio,
-           |    CAST((length(concat(' ', lower(text), ' '))
-           |          - length(replace(concat(' ', lower(text), ' '), ' the ', ''))) / 5 AS DOUBLE) AS stop_cnt
-           |  FROM documents),
-           |s AS (
-           |  SELECT doc_id,
-           |    round(least(n_tok / 100.0, 1.0) * 0.4 + alpha_ratio * 0.4
-           |          + least(stop_cnt / 5.0, 1.0) * 0.2, 4) AS score
-           |  FROM t)
-           |SELECT doc_id, score,
-           |  CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.4 THEN 'medium'
-           |       ELSE 'low' END AS quality
-           |FROM s ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH s AS (
+            |  SELECT doc_id, ${qualitySql("text")} AS score FROM documents)
+            |SELECT doc_id, score,
+            |  CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.4 THEN 'medium'
+            |       ELSE 'low' END AS quality
+            |FROM s ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
   // Token counting: whitespace + BPE-ish regex tokens, per source
@@ -793,8 +793,44 @@ object Extensions {
            |  CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
            |FROM c ORDER BY doc_id""".stripMargin))
 
+  // =====================================================================
+  // END-TO-END corpus curation — the query a user of this engine
+  // actually runs: quality gate ∧ language gate ∧ dedup representative
+  // (normalized-fingerprint group min) ∧ train split, composed from the
+  // operators above. All linear passes + one groupBy + one semi join.
+  // =====================================================================
+  val corpusCurate: Q = Q("ext_corpus_curate",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+      val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      val keepers = d
+        .groupBy(substring(sha2(norm, 256), 1, 16).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      d.filter(qualityExpr(col("text")) >= 0.4)
+        .filter(col("lang") === "en")
+        .filter(pmod(Scalars.hash60(col("text")), lit(100L)) < 90) // train
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"),
+          qualityExpr(col("text")).as("score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH keepers AS (
+            |  SELECT min(doc_id) AS doc_id FROM documents
+            |  GROUP BY substr(sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16)),
+            |cand AS (
+            |  SELECT doc_id, lang, ${qualitySql("text")} AS score
+            |  FROM documents
+            |  WHERE lang = 'en'
+            |    AND ${duckHash60("text")} % 100 < 90)
+            |SELECT c.doc_id, c.lang, c.score
+            |FROM cand c
+            |WHERE c.score >= 0.4
+            |  AND EXISTS (SELECT 1 FROM keepers k WHERE k.doc_id = c.doc_id)
+            |ORDER BY c.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, textStats,
     langId, qualityScore, tokenCount, fingerprint, fingerprintWinnow,
-    multimodalJoin, splitTrainTest, packSequences)
+    multimodalJoin, splitTrainTest, packSequences, corpusCurate)
 }
