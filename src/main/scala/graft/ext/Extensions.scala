@@ -807,12 +807,11 @@ object Extensions {
         .groupBy(substring(sha2(norm, 256), 1, 16).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      d.filter(qualityExpr(col("text")) >= 0.4)
-        .filter(col("lang") === "en")
-        .filter(pmod(Scalars.hash60(col("text")), lit(100L)) < 90) // train
+      d.withColumn("score", qualityExpr(col("text"))) // once per row
+        .filter(col("score") >= 0.4 && col("lang") === "en" &&
+          pmod(Scalars.hash60(col("text")), lit(100L)) < 90) // train
         .join(keepers, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("lang"),
-          qualityExpr(col("text")).as("score"))
+        .select(col("doc_id"), col("lang"), col("score"))
         .orderBy("doc_id")
     },
     Some(s"""WITH keepers AS (
