@@ -49,6 +49,32 @@ object Sources {
      cached.filter(col(CorruptCol).isNotNull))
   }
 
+  /** Align a (possibly drifted) frame to an expected schema — the
+    * schema-on-read posture of the reference (`row.get(...)` tolerates
+    * absence, main.py:560-604) made explicit for a data lake:
+    *
+    *  - expected columns missing from the data → added as typed nulls;
+    *  - present columns → cast to the expected type (Spark rules;
+    *    incompatible casts fail analysis loudly rather than corrupt);
+    *  - unexpected extra columns → dropped (or kept with keepExtra).
+    *
+    * Output column order follows the expected schema, so unioning
+    * across heterogeneous historical partitions just works. */
+  def alignToSchema(df: DataFrame, expected: StructType,
+                    keepExtra: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.schema.fieldNames.toSet
+    val aligned = expected.fields.toSeq.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val extras =
+      if (keepExtra)
+        df.schema.fieldNames.toSeq.filterNot(expected.fieldNames.contains).map(col)
+      else Seq.empty
+    df.select(aligned ++ extras: _*)
+  }
+
   /** Hive-style partitioned parquet layout — the 100 TB contract for any
     * time-series table: queries that filter on the partition columns
     * prune whole directories (PartitionFilters in the scan) instead of

@@ -41,6 +41,15 @@ object EventStreams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-static enrichment join: each micro-batch joins the stream
+    * against a batch-side dimension (re-read per batch, so dimension
+    * updates are picked up without restarting the query). Small
+    * dimensions broadcast; no state, no watermark needed — the static
+    * side is not a stream. The streaming form of the J1/J2 lookups. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       key: String): DataFrame =
+    stream.join(dim, Seq(key), "left")
+
   /** Streaming exact dedup with bounded state: duplicate `event_id`s
     * arriving within the watermark are dropped; state for ids older
     * than the watermark is evicted automatically. The streaming twin of

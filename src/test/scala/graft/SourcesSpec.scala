@@ -61,6 +61,27 @@ class SourcesSpec extends SparkSpec {
     assert(dates.sameElements(Array("2024-01-03")))
   }
 
+  test("alignToSchema: drifted frames align to the expected shape") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val expected = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    // drifted: id as int, score missing, extra column present
+    val drifted = Seq((1, "a", "x"), (2, "b", "y")).toDF("id", "name", "junk")
+    val aligned = sources.Sources.alignToSchema(drifted, expected)
+    assert(aligned.schema.map(f => f.name -> f.dataType) ==
+      expected.map(f => f.name -> f.dataType))
+    assert(aligned.collect().forall(_.isNullAt(2))) // score null-filled
+    // keepExtra retains the unexpected column at the end
+    val kept = sources.Sources.alignToSchema(drifted, expected, keepExtra = true)
+    assert(kept.columns.toSeq == Seq("id", "name", "score", "junk"))
+    // unioning heterogeneous partitions works by construction
+    val other = Seq((3L, "c", 0.5)).toDF("id", "name", "score")
+    assert(aligned.unionByName(sources.Sources.alignToSchema(other, expected))
+      .count() == 3)
+  }
+
   test("orc round-trip preserves the table") {
     val dir = Files.createTempDirectory("graft-orc-").toString
     val src = model.Tables.customer(spark, sf0001)

@@ -35,6 +35,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == 3) // 3 clicks in closed windows
   }
 
+  test("stream-static enrichment joins each micro-batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[Event]
+    val q = EventStreams.enrichWithStatic(ms.toDF(), dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      ms.addData(sample: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(1L).contains("gold") && rows(4L).contains("silver"))
+    assert(rows.size == 4) // left join: unmatched users survive with null
+  }
+
   test("dedupWithinWatermark: replayed event_ids are dropped, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
