@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a subset of registered queries, N repetitions each,
+  * on a chosen SF dir — the inner loop for performance work without
+  * paying for the whole bench. Usage:
+  *   runMain graft.Profile <sfDir> <reps> <q1,q2,...>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val wanted =
+      if (args.length > 2) args(2).split(",").toSeq
+      else SparkEntry.queries.keys.toSeq
+    for (name <- wanted; fn = SparkEntry.queries(name); r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      spark.sqlContext.clearCache()
+      println(f"PROFILE $name rep$r rows=$n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}

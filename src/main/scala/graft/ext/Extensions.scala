@@ -462,13 +462,13 @@ object Extensions {
 
     def scores(cs: Array[Array[Double]]): Seq[Column] =
       cs.toSeq.map(c => dotD(col("nv"), array(c.map(lit).toSeq: _*)))
-    // first index achieving the max — deterministic tie-break
+    // first index achieving the max — deterministic tie-break. One
+    // scores array + array_position keeps each centroid dot product a
+    // single expression node; the previous greatest + when-chain form
+    // duplicated every dot and made codegen the dominant cost.
     def cellOf(cs: Array[Array[Double]]): Column = {
-      val ss = scores(cs)
-      val mx = greatest(ss: _*)
-      ss.zipWithIndex.drop(1).foldLeft(when(ss.head === mx, lit(0))) {
-        case (acc, (s, i)) => acc.when(s === mx, lit(i))
-      }.otherwise(lit(0))
+      val sa = array(scores(cs): _*)
+      (array_position(sa, array_max(sa)) - 1).cast("int")
     }
 
     // deterministic seed: the nCells lowest-id vectors
@@ -476,21 +476,29 @@ object Extensions {
       .collect().map(_.getSeq[Double](1).toArray)
     // spherical Lloyd iterations (re-normalized means; empty cells keep
     // their previous centroid)
+    val dim = centroids.head.length
     for (_ <- 0 until iters) {
+      // per-dimension sum aggregates (not posexplode→groupBy(cell,dim)):
+      // map-side partial aggregation reduces each partition to
+      // nCells×dim doubles before the shuffle, so the exchange carries
+      // kilobytes regardless of corpus size — the explode form shuffled
+      // one row per (vector, dimension)
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(d => sum(col("nv")(d)).as(s"s$d"))
       val means = e.withColumn("cell", cellOf(centroids))
-        .select(col("cell"), posexplode(col("nv")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg("x").as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+        .collect()
       val next = centroids.map(_.clone())
-      val byCell = means.groupBy(_._1)
-      byCell.foreach { case (cell, rows) =>
-        val dimN = rows.map(_._2).max + 1
-        val m = new Array[Double](dimN)
-        // round to 1e-9: distributed avg merges double partials in
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        val m = new Array[Double](dim)
+        // round to 1e-9: distributed sum merges double partials in
         // shuffle-arrival order (~1e-15 jitter), which could flip a
         // near-tied cell assignment between runs — rounding makes the
         // quantizer a pure function of the data
-        rows.foreach { case (_, d, x) => m(d) = math.rint(x * 1e9) / 1e9 }
+        var d = 0
+        while (d < dim) { m(d) = math.rint(r.getDouble(2 + d) / n * 1e9) / 1e9; d += 1 }
         val norm = math.sqrt(m.map(x => x * x).sum)
         if (norm > 0) next(cell) = m.map(_ / norm)
       }

@@ -18,6 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Partition-local contraction: exact union-find over each partition's
+    * edges, emitting one (node, local-min-root) star edge per non-root
+    * node. One narrow pass — no shuffle — that preserves connectivity
+    * exactly (a node shared by two partitions transitively links its two
+    * local roots), while collapsing every within-partition path to depth
+    * 1. The iterative loop then runs on a graph whose diameter is the
+    * CROSS-partition hop count, not the raw component diameter — on a
+    * single-partition graph it converges in one confirming round, and at
+    * 1000 executors it turns O(diameter) rounds into O(log partitions).
+    * Memory is bounded by distinct nodes per partition (2× edge count),
+    * the same order as the join state the loop would hold anyway. */
+  private def contractLocal(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges.select(col("id_a"), col("id_b")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union by min id: the root IS the local min
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        parent.keySet().forEach { x => val r = find(x); if (r != x) out += ((x, r)) }
+        out.iterator
+      }
+      .toDF("id_a", "id_b")
+  }
+
   /** @param edges undirected edges as (id_a, id_b) long columns
     * @param nodes one `id` long column (components of isolated nodes =
     *              themselves)
@@ -43,7 +80,8 @@ object Graph {
     // checkpoint: the union's two branches would otherwise each re-run
     // the whole upstream pair-generation pipeline (2× there), and every
     // iteration joins against sym (N× more without materialization)
-    val edgesCk = edges.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edgesCk = contractLocal(edges.select(col("id_a"), col("id_b")))
+      .localCheckpoint()
     val sym = edgesCk.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edgesCk.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
