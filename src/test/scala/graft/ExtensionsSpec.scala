@@ -131,6 +131,75 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.filter(col("hamming") > 4 || col("hamming") < 0).count() == 0)
   }
 
+  test("hot minhash buckets are star-capped: 1000-copy group stays linear") {
+    // 1000 byte-identical docs share every band key -> one hot bucket per
+    // band; uncapped that is 499 500 pairs. The cap star-links the bucket
+    // to its min member: exactly 999 pairs, connectivity preserved.
+    val hot = (0L until 1000L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val lone = Seq((5000L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr"))
+    val docs = (hot ++ lone).toDF("doc_id", "text")
+    val pairs = Extensions.minhashPairsFrom(docs, cap = 128).collect()
+    assert(pairs.length == 999, s"expected 999 star pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) == 0L), "star pairs must anchor at min doc_id")
+    assert(pairs.forall(r => r.getDouble(2) == 1.0), "identical docs estimate jaccard 1.0")
+    // the star keeps the family one component for downstream clustering
+    val comps = graft.ops.Graph.connectedComponents(
+      Extensions.minhashPairsFrom(docs, cap = 128).select("id_a", "id_b"),
+      docs.select(col("doc_id").as("id")))
+    assert(comps.filter(col("component") === 0L).count() == 1000)
+    assert(comps.filter(col("id") === 5000L && col("component") === 5000L).count() == 1)
+  }
+
+  test("bandCandidates: small buckets keep the exact pair set") {
+    // two buckets of 3 and 2 members, cap far above both -> full m-choose-2
+    val banded = Seq((0, 7L, 1L), (0, 7L, 2L), (0, 7L, 3L),
+                     (1, 9L, 10L), (1, 9L, 11L))
+      .toDF("band", "bits", "doc_id")
+    val got = Extensions.bandCandidates(banded, Seq("band", "bits"), cap = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+  }
+
+  test("hot simhash buckets are star-capped") {
+    val hot = (0L until 600L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val docs = hot.toDF("doc_id", "text")
+    val pairs = Extensions.simhashPairsFrom(docs, cap = 100).collect()
+    // identical token sets -> identical sigs -> hamming 0; star caps to 599
+    assert(pairs.length == 599)
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
+  }
+
+  test("annTopK with a hot bucket still returns correct neighbors under the cap") {
+    // 600 copies of one vector: every copy lands in the same bucket in all
+    // tables. With bucketCap=20 the candidate join sees <=20 corpus rows
+    // per (table, bucket) instead of 600 -> bounded work; any twin is a
+    // correct top-k answer (cos == 1).
+    val v = Array.tabulate(64)(j => math.sin(j + 1.0))
+    val emb = (0L until 600L).map(i => (i, v)).toDF("vec_id", "v")
+    val out = Extensions.annTopK(emb, id => id === 0L, k = 5, bucketCap = 20)
+    val rows = out.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getDouble(2) == 1.0))
+  }
+
+  test("band buckets at driver SFs stay under the cap (capping never alters CORRECTNESS)") {
+    // CORRECTNESS runs at sf0.01, BENCH at sf0.1: the cap must sit above
+    // every real bucket size there so the oracle-compared output is
+    // byte-identical with or without the cap.
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = graft.model.Tables.documents(spark, sf)
+      val mh = Extensions.minhashBanded(Extensions.minhashSignatures(docs))
+        .groupBy("band", "bk").count().agg(max("count")).head().getLong(0)
+      info(s"$sf minhash max bucket = $mh (cap ${Extensions.BandBucketCap})")
+      assert(mh <= Extensions.BandBucketCap, s"minhash max bucket $mh at $sf")
+      val sh = Extensions.simhashBanded(
+          Extensions.simhashSignatures(docs.filter(col("doc_id") % 4 === 0)))
+        .groupBy("band", "bits").count().agg(max("count")).head().getLong(0)
+      info(s"$sf simhash max bucket = $sh (cap ${Extensions.SimhashBucketCap})")
+      assert(sh <= Extensions.SimhashBucketCap, s"simhash max bucket $sh at $sf")
+    }
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
