@@ -246,6 +246,53 @@ object Extensions {
             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
+  // Cluster representative by QUALITY: every real curation pipeline
+  // keeps the best member of a near-dup cluster, not the lowest id —
+  // min-id keep can discard a clean original in favor of a truncated
+  // or boilerplate-wrapped copy. Representative = argmax quality score
+  // (min doc_id tiebreak). One window over the cluster id; both the
+  // ranking and the member count share its single shuffle.
+  // =====================================================================
+  val clusterRepresentative: Q = Q("ext_cluster_representative",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val pairs = minhashPairs(spark, sfDir).select("id_a", "id_b")
+      val comps = graft.ops.Graph
+        .connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      val scored = docs.select(col("doc_id"), qualityExpr(col("text")).as("score"))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      val rank = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      comps.join(scored, Seq("doc_id"))
+        .withColumn("rn", row_number().over(rank))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("rep_id"),
+          col("score").as("rep_score"), col("n_members"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashPairsSqlCtes,
+            |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            |        UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, root) AS (
+            |  SELECT doc_id, doc_id FROM docs
+            |  UNION
+            |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.id),
+            |comp AS (SELECT id AS doc_id, min(root) AS cluster_id
+            |         FROM reach GROUP BY id),
+            |scored AS (SELECT doc_id, ${qualitySql("text")} AS score FROM documents),
+            |j AS (
+            |  SELECT c.cluster_id, c.doc_id, s.score,
+            |    row_number() OVER (PARTITION BY c.cluster_id
+            |        ORDER BY s.score DESC, c.doc_id ASC) AS rn,
+            |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+            |  FROM comp c JOIN scored s ON s.doc_id = c.doc_id)
+            |SELECT cluster_id, doc_id AS rep_id, score AS rep_score,
+            |  CAST(n_members AS BIGINT) AS n_members
+            |FROM j WHERE rn = 1 ORDER BY cluster_id""".stripMargin))
+
+  // =====================================================================
   // Exact n-gram Jaccard (ground truth for minhash) on a 1% sample —
   // all-pairs is intentionally bounded; the scalable path is the LSH
   // banding above.
@@ -467,17 +514,36 @@ object Extensions {
       (java.nio.ByteBuffer.wrap(h.take(8)).getLong & 0xFFFFFFL).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0
     }
     val e = emb.withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-    def bucketCol(t: Int): Column = {
-      val bits = (0 until bitsPerTable).map { b =>
+    def bitCols(t: Int): Seq[Column] =
+      (0 until bitsPerTable).map { b =>
         val plane = array((0 until dim).map(j => lit(w(t * bitsPerTable + b, j))): _*)
         when(dotD(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
       }
-      concat(lit(s"$t:") +: bits: _*)
-    }
-    // each vector lands in one bucket per table
+    def bucketCol(t: Int): Column = concat(lit(s"$t:") +: bitCols(t): _*)
+    // each corpus vector lands in ONE bucket per table
     val bucketed = e.withColumn("bucket",
       explode(array((0 until nTables).map(bucketCol): _*)))
-    val q = bucketed.filter(isQuery(col("vec_id")))
+    // MULTIPROBE on the query side: a near neighbor that straddles one
+    // hyperplane lands one sign-bit away, so each query also probes
+    // every bucket at hamming distance 1 (1 + bitsPerTable probes per
+    // table). Recall rises steeply for a constant-factor increase in
+    // PROBES — the index itself stays one entry per vector per table,
+    // which is what matters at 100 TB (probes are per-query work,
+    // index entries are per-corpus storage and shuffle).
+    def probeCols(t: Int): Seq[Column] = {
+      val bits = bitCols(t)
+      val exact = concat(lit(s"$t:") +: bits: _*)
+      val flips = bits.indices.map { f =>
+        val flipped = bits.zipWithIndex.map { case (b, i) =>
+          if (i == f) when(b === "1", lit("0")).otherwise(lit("1")) else b
+        }
+        concat(lit(s"$t:") +: flipped: _*)
+      }
+      exact +: flips
+    }
+    val q = e.filter(isQuery(col("vec_id")))
+      .withColumn("bucket",
+        explode(array((0 until nTables).flatMap(probeCols): _*)))
       .select(col("vec_id").as("query_id"), col("bucket"))
     val c = bucketed.select(col("vec_id").as("corpus_id"),
       col("bucket").as("c_bucket"))
@@ -529,11 +595,28 @@ object Extensions {
   // equi-join — bounded by cell sizes, never quadratic — and one
   // corpus scan per search, which is the IVF contract at 100 TB.
   // =====================================================================
+  /** Deterministic training-sample stride: keep every s-th vec_id so
+    * the quantizer trains on ~trainPerCell·nCells vectors. */
+  def ivfTrainStride(n: Long, nCells: Int, trainPerCell: Int): Long =
+    math.max(1L, n / (trainPerCell.toLong * nCells))
+
   def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 10,
-              nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 6, iters: Int = 2,
+              trainPerCell: Int = 100): DataFrame = {
     // unit-normalize once: cosine over normalized vectors = dot product
     val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
     val e = emb.select(col("vec_id"), nv.as("nv")).cache()
+    // Train the quantizer on a deterministic sample (`vec_id % s = 0`,
+    // ~trainPerCell vectors per cell): each Lloyd iteration was a FULL
+    // corpus pass, which at 100 TB made training cost iters× the
+    // search itself. Centroids are statistics of the distribution, not
+    // of individual vectors — a bounded sample trains them to the same
+    // quality — and the full corpus is now scanned exactly once, for
+    // the final cell assignment. At small n the stride degenerates to
+    // 1 and training is bit-identical to the full-corpus form.
+    val stride = ivfTrainStride(e.count(), nCells, trainPerCell)
+    val train =
+      if (stride > 1) e.filter(col("vec_id") % stride === 0).cache() else e
 
     def scores(cs: Array[Array[Double]]): Seq[Column] =
       cs.toSeq.map(c => dotD(col("nv"), array(c.map(lit).toSeq: _*)))
@@ -546,8 +629,8 @@ object Extensions {
       (array_position(sa, array_max(sa)) - 1).cast("int")
     }
 
-    // deterministic seed: the nCells lowest-id vectors
-    var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(nCells)
+    // deterministic seed: the nCells lowest-id training vectors
+    var centroids: Array[Array[Double]] = train.orderBy("vec_id").limit(nCells)
       .collect().map(_.getSeq[Double](1).toArray)
     // spherical Lloyd iterations (re-normalized means; empty cells keep
     // their previous centroid)
@@ -560,7 +643,7 @@ object Extensions {
       // one row per (vector, dimension)
       val aggs = count(lit(1)).as("n") +:
         (0 until dim).map(d => sum(col("nv")(d)).as(s"s$d"))
-      val means = e.withColumn("cell", cellOf(centroids))
+      val means = train.withColumn("cell", cellOf(centroids))
         .groupBy("cell").agg(aggs.head, aggs.tail: _*)
         .collect()
       val next = centroids.map(_.clone())
@@ -579,6 +662,7 @@ object Extensions {
       }
       centroids = next
     }
+    if (stride > 1) train.unpersist()
 
     val corpus = e.withColumn("cell", cellOf(centroids))
       .select(col("vec_id").as("corpus_id"), col("cell"), col("nv").as("cv"))
@@ -608,6 +692,42 @@ object Extensions {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         id => id % 47 === 0),
     None)
+
+  // =====================================================================
+  // ANN index quality as a REGISTERED query: recall@10 of the sign-LSH
+  // and IVF indexes against the exact top-k baseline, Spark-computed
+  // and deterministic (both indexes are sha-derived / deterministic
+  // Lloyd). As a registry entry the recall shows up in CORRECTNESS /
+  // BENCH trend lines, so an index-quality regression is visible
+  // per-round instead of only inside a test run. No DuckDB oracle by
+  // nature (approximate indexes), so the `pass` column carries the
+  // threshold in the output itself.
+  // =====================================================================
+  val annRecall: Q = Q("ext_ann_recall",
+    (spark, sfDir) => {
+      val exact = topkCosine.fn(spark, sfDir)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+      def recallOf(approx: DataFrame, method: String, threshold: Double): DataFrame =
+        approx.select(col("query_id"), col("corpus_id"))
+          .join(exact, Seq("query_id", "corpus_id"), "left")
+          .groupBy("query_id")
+          .agg((sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall"))
+          .agg(count(lit(1)).as("n_queries"),
+            round(avg(col("recall")), 4).as("recall_at_10"))
+          .select(lit(method).as("method"), col("n_queries"),
+            col("recall_at_10"),
+            (col("recall_at_10") >= threshold).as("pass"))
+      recallOf(annLsh.fn(spark, sfDir), "ann_lsh", AnnLshRecallFloor)
+        .unionByName(recallOf(topkIvf.fn(spark, sfDir), "ivf", IvfRecallFloor))
+        .orderBy("method")
+    },
+    None)
+
+  /** Recall floors asserted by ext_ann_recall's `pass` column (and by
+    * ExtensionsSpec). Sign-LSH with 3×6-bit tables prunes harder than
+    * IVF's nProbe=4/16 cells, hence the lower floor. */
+  val AnnLshRecallFloor = 0.35
+  val IvfRecallFloor = 0.60
 
   // =====================================================================
   // E4: text statistics per language
@@ -911,8 +1031,10 @@ object Extensions {
             |  AND EXISTS (SELECT 1 FROM keepers k WHERE k.doc_id = c.doc_id)
             |ORDER BY c.doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupNgram,
-    dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, textStats,
+  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
+    clusterRepresentative, dedupNgram,
+    dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
+    textStats,
     langId, qualityScore, tokenCount, fingerprint, fingerprintWinnow,
     multimodalJoin, splitTrainTest, packSequences, corpusCurate)
 }

@@ -200,6 +200,55 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("ann_recall: both indexes clear their registered recall floors") {
+    val rows = Extensions.annRecall.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rows.keySet == Set("ann_lsh", "ivf"))
+    assert(rows("ann_lsh")._2, s"ann_lsh recall ${rows("ann_lsh")._1} below floor")
+    assert(rows("ivf")._2, s"ivf recall ${rows("ivf")._1} below floor")
+  }
+
+  test("cluster representative is the max-quality member of its cluster") {
+    val comps = Extensions.dedupClusters.fn(spark, sf0001)
+      .select(col("doc_id"), col("cluster_id"))
+    val scores = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Extensions.qualityExpr(col("text")).as("score"))
+    val best = comps.join(scores, Seq("doc_id"))
+      .groupBy("cluster_id").agg(max("score").as("best"), count(lit(1)).as("n"))
+    val reps = Extensions.clusterRepresentative.fn(spark, sf0001)
+    // one representative per cluster, carrying the cluster's max score
+    // and exact member count
+    assert(reps.count() == best.count())
+    val bad = reps.join(best, Seq("cluster_id"))
+      .filter(col("rep_score") =!= col("best") || col("n_members") =!= col("n"))
+    assert(bad.count() == 0)
+    // the representative must itself belong to the cluster it represents
+    val foreign = reps.join(comps,
+        reps("rep_id") === comps("doc_id") &&
+        reps("cluster_id") === comps("cluster_id"), "left_anti")
+    assert(foreign.count() == 0)
+  }
+
+  test("ivfTrainStride bounds the training sample; sampled training keeps recall") {
+    assert(Extensions.ivfTrainStride(500, 16, 100) == 1L)   // small corpus: full
+    assert(Extensions.ivfTrainStride(320000, 16, 100) == 200L)
+    // planted twins still found when the quantizer trains on a strict
+    // sample (trainPerCell=2 -> stride>1 on a 204-vector corpus)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (0L until 200L).map(i => (i, vec()))
+    val planted = base.filter(_._1 % 50 == 0).map { case (i, v) =>
+      (i + 10000L, v.map(_ + 1e-4 * rnd.nextGaussian()))
+    }
+    val emb = spark.createDataFrame(base ++ planted).toDF("vec_id", "v")
+    assert(Extensions.ivfTrainStride(204, 16, 2) > 1L)
+    val out = Extensions.ivfTopK(emb, id => id % 50 === 0 && id < 1000,
+        k = 3, trainPerCell = 2)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (q, c) => assert(c == q + 10000L, s"query $q matched $c") }
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")

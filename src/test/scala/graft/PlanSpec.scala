@@ -116,7 +116,8 @@ class PlanSpec extends SparkSpec {
       "ext_dedup_ngram",     // 5% sample, exact Jaccard ground truth
       "ext_dedup_embedding", // label-blocked pairs, ground truth for E3b
       "ext_topk_cosine",     // broadcast query set × corpus — exact baseline
-      "ext_ann_lsh")         // broadcast query side over bucket candidates
+      "ext_ann_lsh",         // broadcast query side over bucket candidates
+      "ext_ann_recall")      // composes topk_cosine + ann_lsh above
     val offenders = SparkEntry.registry
       .filterNot(q => intendedAllPairs(q.name))
       .flatMap { q =>
