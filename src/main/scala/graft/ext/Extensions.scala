@@ -908,6 +908,43 @@ object Extensions {
            |ORDER BY d.doc_id""".stripMargin))
 
   // =====================================================================
+  // Multimodal DECODE: synthesize payloads with REAL public-format
+  // headers (PNG / RIFF-WAVE / GIF89a), then parse them back with the
+  // columnar fixed-offset header parser (Multimodal.decodeHeaders — no
+  // UDF, whole-stage codegen). The oracle recomputes the expected
+  // metadata INDEPENDENTLY from the document columns, so a parser that
+  // mis-reads an offset or endianness hash-mismatches immediately.
+  // =====================================================================
+  val multimodalDecode: Q = Q("ext_multimodal_decode",
+    (spark, sfDir) => {
+      val media = graft.multimodal.Multimodal.syntheticMediaBinary(spark, sfDir)
+      graft.multimodal.Multimodal.decodeHeaders(media)
+        .select(col("media_id"), col("kind"), col("fmt"),
+          col("width"), col("height"), col("sample_rate"), col("channels"),
+          length(col("payload")).cast("long").as("n_payload"))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id AS media_id,
+            |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+            |    CAST(n_chars % 640 + 1 AS INT) AS w,
+            |    CAST(n_chars % 480 + 1 AS INT) AS h,
+            |    CAST(doc_id % 2 + 1 AS INT) AS ch,
+            |    octet_length(encode(text)) AS body_len
+            |  FROM documents)
+            |SELECT media_id, kind,
+            |  CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav'
+            |            ELSE 'gif' END AS fmt,
+            |  CASE WHEN kind IN ('image','video') THEN w END AS width,
+            |  CASE WHEN kind IN ('image','video') THEN h END AS height,
+            |  CASE WHEN kind = 'audio' THEN 16000 END AS sample_rate,
+            |  CASE WHEN kind = 'audio' THEN ch END AS channels,
+            |  CAST(body_len + CASE kind WHEN 'image' THEN ${graft.multimodal.Multimodal.PngHeaderLen}
+            |                            WHEN 'audio' THEN ${graft.multimodal.Multimodal.WavHeaderLen}
+            |                            ELSE ${graft.multimodal.Multimodal.GifHeaderLen} END AS BIGINT) AS n_payload
+            |FROM m ORDER BY media_id""".stripMargin))
+
+  // =====================================================================
   // Winnowing fingerprints: polynomial k-gram hashes (k=8, mod 1000000007)
   // + sliding-window minima (w=4) — the classic rolling-hash document
   // fingerprint scheme (local algorithms literature, PAPERS.md). Docs
@@ -1036,5 +1073,6 @@ object Extensions {
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
     textStats,
     langId, qualityScore, tokenCount, fingerprint, fingerprintWinnow,
-    multimodalJoin, splitTrainTest, packSequences, corpusCurate)
+    multimodalJoin, multimodalDecode, splitTrainTest, packSequences,
+    corpusCurate)
 }

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -92,6 +92,114 @@ object Multimodal {
         col("meta.sample_rate").as("sample_rate"),
         col("meta.n_frames").as("n_frames"),
         col("meta.format").as("format")))
+
+  // =====================================================================
+  // Real public-format header parsing — PNG, WAV (RIFF), GIF. These are
+  // fixed-offset headers, so the parse is pure columnar arithmetic over
+  // the binary payload (substring + hex + conv): whole-stage codegen,
+  // no UDF, no library. Given any genuine PNG/WAV/GIF file bytes these
+  // expressions extract the true dimensions / sample rate (asserted in
+  // MultimodalSpec against hand-written real headers).
+  // =====================================================================
+
+  private def byteHex(bin: Column, pos: Int, len: Int): Column =
+    hex(substring(bin, pos, len))
+
+  /** Big-endian uint32 at 1-based byte offset `pos` (PNG). */
+  private def beU32(bin: Column, pos: Int): Column =
+    conv(byteHex(bin, pos, 4), 16, 10).cast("long")
+
+  /** Little-endian uint16 at `pos` (GIF, WAV) — swap the two hex byte
+    * pairs, then parse. */
+  private def leU16(bin: Column, pos: Int): Column = {
+    val h = byteHex(bin, pos, 2) // always 4 hex chars for 2 bytes
+    conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
+  }
+
+  /** Little-endian uint32 at `pos` (WAV). */
+  private def leU32(bin: Column, pos: Int): Column = {
+    val h = byteHex(bin, pos, 4)
+    conv(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
+  }
+
+  /** Decode format + header metadata from the binary `payload` column:
+    * PNG signature + IHDR (width/height big-endian at 17/21), RIFF/WAVE
+    * fmt chunk (channels LE16 at 23, sample rate LE32 at 25), GIF87a/89a
+    * logical screen (width/height LE16 at 7/9). Unknown magics decode
+    * to fmt='unknown' with null metadata — never an error row. */
+  def decodeHeaders(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val isPng = byteHex(p, 1, 8) === "89504E470D0A1A0A" &&
+      byteHex(p, 13, 4) === "49484452" // "IHDR"
+    val isWav = byteHex(p, 1, 4) === "52494646" && // "RIFF"
+      byteHex(p, 9, 4) === "57415645" // "WAVE"
+    val isGif = byteHex(p, 1, 6).isin("474946383961", "474946383761")
+    media
+      .withColumn("fmt",
+        when(isPng, lit("png")).when(isWav, lit("wav"))
+          .when(isGif, lit("gif")).otherwise(lit("unknown")))
+      .withColumn("width",
+        when(isPng, beU32(p, 17)).when(isGif, leU16(p, 7)).cast("int"))
+      .withColumn("height",
+        when(isPng, beU32(p, 21)).when(isGif, leU16(p, 9)).cast("int"))
+      .withColumn("sample_rate", when(isWav, leU32(p, 25)).cast("int"))
+      .withColumn("channels", when(isWav, leU16(p, 23)).cast("int"))
+  }
+
+  // ---- synthesis of REAL format headers (columnar, hex -> unhex) ------
+
+  private def be32hex(c: Column): Column = format_string("%08x", c)
+  private def byteOf(c: Column, i: Int): Column =
+    shiftright(c, 8 * i).bitwiseAND(lit(255L))
+  private def le16hex(c: Column): Column =
+    format_string("%04x", shiftleft(byteOf(c, 0), 8) + byteOf(c, 1))
+  private def le32hex(c: Column): Column =
+    be32hex(shiftleft(byteOf(c, 0), 24) + shiftleft(byteOf(c, 1), 16) +
+      shiftleft(byteOf(c, 2), 8) + byteOf(c, 3))
+
+  /** PNG byte-length of the synthesized header (sig + IHDR chunk). */
+  val PngHeaderLen = 33
+  /** Canonical 44-byte WAV header (RIFF + fmt + data chunk header). */
+  val WavHeaderLen = 44
+  /** GIF signature + logical screen width/height. */
+  val GifHeaderLen = 10
+
+  /** Media table with REAL format headers: image rows carry a genuine
+    * PNG signature + IHDR (width/height), audio rows a canonical RIFF/
+    * WAVE fmt chunk (sample rate, channels), video rows a GIF89a
+    * logical-screen header; the document's UTF-8 bytes follow as the
+    * body. Built entirely with columnar hex assembly + unhex — the
+    * synthesis is itself distributed and deterministic. */
+  def syntheticMediaBinary(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.model.Tables.documents(spark, sfDir)
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val width = (col("n_chars") % 640 + 1).cast("long")
+    val height = (col("n_chars") % 480 + 1).cast("long")
+    val rate = lit(16000L)
+    val chans = (col("doc_id") % 2 + 1).cast("long")
+    val body = encode(col("text"), "UTF-8")
+    val bodyLen = length(body).cast("long")
+    val pngHex = concat(
+      lit("89504e470d0a1a0a"), // signature
+      lit("0000000d49484452"), // IHDR chunk length 13 + type
+      be32hex(width), be32hex(height),
+      lit("0802000000"), // bit depth 8, truecolor, deflate, none, none
+      lit("00000000")) // CRC placeholder (parser does not verify)
+    val wavHex = concat(
+      lit("52494646"), le32hex(bodyLen + lit(36L)), lit("57415645"), // RIFF size WAVE
+      lit("666d7420"), lit("10000000"), lit("0100"), // "fmt " len=16 PCM
+      le16hex(chans), le32hex(rate),
+      le32hex(rate * chans * 2L), le16hex(chans * 2L), lit("1000"), // byte rate, align, 16-bit
+      lit("64617461"), le32hex(bodyLen)) // "data" + size
+    val gifHex = concat(lit("474946383961"), le16hex(width), le16hex(height))
+    val headerHex = when(kind === "image", pngHex)
+      .when(kind === "audio", wavHex).otherwise(gifHex)
+    d.select(
+      col("doc_id").as("media_id"), kind.as("kind"),
+      unhex(concat(headerHex, hex(body))).as("payload"))
+  }
 
   /** Deterministic synthetic media table derived from `documents` (the
     * testdata carries no binary columns): payload bytes are the UTF-8
