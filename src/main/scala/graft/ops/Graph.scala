@@ -68,23 +68,31 @@ object Graph {
     *        that changed nothing proves the fixpoint regardless of what
     *        earlier composed rounds did; fewer jobs for the same result
     *
-    * Durability note: lineage is truncated with `localCheckpoint`
-    * (executor-local blocks, NOT recomputable after executor loss). On a
-    * long-lived dynamic-allocation cluster prefer a reliable checkpoint
-    * dir (`sc.setCheckpointDir` + `.checkpoint()`) — same plan-size
-    * benefit, survives decommission; swap the two calls below.
+    * @param checkpointDir when set, lineage is truncated with RELIABLE
+    *        checkpoints into this directory (`sc.setCheckpointDir` +
+    *        `.checkpoint()`): blocks live on the checkpoint filesystem
+    *        and survive executor loss, which `localCheckpoint`'s
+    *        executor-local blocks do not. Default None = localCheckpoint
+    *        (cheaper; fine for static single-job clusters). On a
+    *        dynamic-allocation cluster ALWAYS pass a dir — executor
+    *        decommission mid-loop otherwise kills the job.
     * @return (id, component) — component = min id reachable */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          maxIter: Int = 50, roundsPerCheck: Int = 2): DataFrame = {
+                          maxIter: Int = 50, roundsPerCheck: Int = 2,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ck: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     // materialize the EDGES once, then derive the symmetric set from the
     // checkpoint: the union's two branches would otherwise each re-run
     // the whole upstream pair-generation pipeline (2× there), and every
     // iteration joins against sym (N× more without materialization)
-    val edgesCk = contractLocal(edges.select(col("id_a"), col("id_b")))
-      .localCheckpoint()
-    val sym = edgesCk.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edgesCk.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    val edgesCk = ck(contractLocal(edges.select(col("id_a"), col("id_b"))))
+    val sym = ck(edgesCk.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edgesCk.select(col("id_b").as("src"), col("id_a").as("dst"))))
     // only edge-touched nodes can ever change label; isolated nodes are
     // their own components and rejoin at the end — the loop then works
     // on the (usually much smaller) connected subgraph. No checkpoint:
@@ -121,7 +129,7 @@ object Graph {
     while (!converged && iter < maxIter) {
       var cur = labels
       for (r <- 1 until roundsPerCheck) cur = propagate(cur, withFlag = false)
-      val next = propagate(cur, withFlag = true).localCheckpoint()
+      val next = ck(propagate(cur, withFlag = true))
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("id"), col("component"))
       iter += 1

@@ -70,6 +70,23 @@ class ExtensionsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents reliable-checkpoint mode: same labels, files on disk") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 7L, 8L, 99L).toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val reliable = graft.ops.Graph
+      .connectedComponents(edges, nodes, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = graft.ops.Graph.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 99L -> 99L))
+    // reliable mode must actually write recoverable blocks to the dir
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, s"no checkpoint files under $dir")
+  }
+
   test("dedup clusters are consistent with the pair set they come from") {
     val pairs = Extensions.minhashPairs(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
