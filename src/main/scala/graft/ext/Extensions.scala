@@ -129,9 +129,13 @@ object Extensions {
   def bandCandidates(banded: DataFrame, keyCols: Seq[String],
                      cap: Int = BandBucketCap): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
+    // cached: three consumers (two self-join sides + the star branch)
+    // would otherwise each re-run the explode + window shuffle — the
+    // static plan shows no ReusedExchange across them
     val sized = banded
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("bmin", min(col("doc_id")).over(w))
+      .cache()
     val small = sized.filter(col("bsz") <= cap)
     val full = small.select(keyCols.map(col) :+ col("doc_id").as("id_a"): _*)
       .join(small.select(keyCols.map(col) :+ col("doc_id").as("id_b"): _*),
