@@ -984,6 +984,165 @@ object Extensions {
            |FROM fp ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
+  // PII redaction — the scrub pass a training-data pipeline runs before
+  // anything else. Generic regex redaction (emails, phone numbers,
+  // SSN-shaped ids) with per-doc counts and a digest of the redacted
+  // text so the oracle verifies the REDACTION ITSELF, not just counts.
+  // The synthetic corpus carries no natural PII, so a deterministic
+  // contact line (derived from doc_id, same device as model.Fixtures)
+  // is planted columnar-ly first; the redactor never sees doc_id.
+  // Patterns use [.]/[+]/[0-9] classes — identical semantics in Java
+  // regex and RE2, no escape-dialect traps. Linear scan, map-only.
+  // =====================================================================
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  private val PhoneRe = "[+][0-9][0-9-]{7,}[0-9]"
+  private val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** Redact emails/phones/SSNs in `t` (applied in that order). */
+  def redactPii(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      SsnRe, "[ID]")
+
+  val piiRedact: Q = Q("ext_pii_redact",
+    (spark, sfDir) => {
+      val contact = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" tel +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-0199")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" ssn "),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-45-6789")))
+          .otherwise(lit("")))
+      val redacted = redactPii(contact)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(contact, lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(contact, lit(PhoneRe), lit(0))).as("n_phones"),
+          size(regexp_extract_all(contact, lit(SsnRe), lit(0))).as("n_ids"),
+          length(redacted).as("redacted_len"),
+          substring(sha2(redacted, 256), 1, 16).as("redacted_sha"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH p AS (
+            |  SELECT doc_id,
+            |    concat(text,
+            |      CASE WHEN doc_id % 3 = 0
+            |           THEN concat(' reach user', CAST(doc_id AS VARCHAR), '@example.com')
+            |           ELSE '' END,
+            |      CASE WHEN doc_id % 4 = 0
+            |           THEN concat(' tel +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '-0199')
+            |           ELSE '' END,
+            |      CASE WHEN doc_id % 7 = 0
+            |           THEN concat(' ssn ', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-45-6789')
+            |           ELSE '' END) AS t
+            |  FROM documents),
+            |r AS (
+            |  SELECT doc_id, t,
+            |    regexp_replace(regexp_replace(regexp_replace(t,
+            |      '$EmailRe', '[EMAIL]', 'g'),
+            |      '$PhoneRe', '[PHONE]', 'g'),
+            |      '$SsnRe', '[ID]', 'g') AS red
+            |  FROM p)
+            |SELECT doc_id,
+            |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails,
+            |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones,
+            |  CAST(len(regexp_extract_all(t, '$SsnRe')) AS INT) AS n_ids,
+            |  CAST(length(red) AS INT) AS redacted_len,
+            |  substr(sha256(red), 1, 16) AS redacted_sha
+            |FROM r ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // Top terms per language — the vocabulary profile pass. One explode +
+  // one (lang, token) groupBy with map-side partial aggregation (the
+  // shuffle carries distinct (lang, token) partials, not token
+  // instances), then a per-language top-k window over the (small)
+  // aggregated frame. Deterministic tiebreak on the token itself.
+  // =====================================================================
+  val topTerms: Q = Q("ext_top_terms",
+    (spark, sfDir) => {
+      val counted = Tables.documents(spark, sfDir)
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 2)
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("token").asc)
+      counted.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy("lang", "rank")
+    },
+    Some("""WITH toks AS (
+           |  SELECT lang,
+           |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           |  FROM documents),
+           |counted AS (
+           |  SELECT lang, token, count(*) AS n FROM toks
+           |  WHERE length(token) > 2 GROUP BY lang, token),
+           |ranked AS (
+           |  SELECT lang, token, n,
+           |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+           |  FROM counted)
+           |SELECT lang, token, n, CAST(rank AS INT) AS rank
+           |FROM ranked WHERE rank <= 10 ORDER BY lang, rank""".stripMargin))
+
+  // =====================================================================
+  // Test-set DECONTAMINATION — flag training documents sharing any
+  // 5-word gram with any test document (split = the same content-hash
+  // buckets as ext_split_assign, so the check is stable under
+  // re-ingestion). Gram generation is a map-only array HOF pass over
+  // hashed grams; the test gram set is distinct-small (5% of corpus) —
+  // broadcast side of the join — so the train side is ONE scan + one
+  // broadcast semi-join, never a shuffle of the corpus. At 100 TB with
+  // a larger test split the same plan degrades gracefully to a
+  // shuffled semi-join on the 60-bit gram hash.
+  // =====================================================================
+  val decontaminate: Q = Q("ext_decontaminate",
+    (spark, sfDir) => {
+      val bucket = pmod(Scalars.hash60(col("text")), lit(100L))
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val grams = transform(
+        sequence(lit(1), greatest(size(col("toks")) - 4, lit(1))),
+        i => Scalars.hash60(concat_ws(" ", slice(col("toks"), i, lit(5)))))
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), bucket.as("bucket"), toks.as("toks"))
+        .select(col("doc_id"), col("bucket"), grams.as("grams"))
+      val trainG = base.filter(col("bucket") < 90)
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+      val testG = base.filter(col("bucket") >= 95)
+        .select(explode(col("grams")).as("g")).distinct()
+      val hit = trainG.join(broadcast(testG), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      base.filter(col("bucket") < 90).select("doc_id")
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (
+            |  SELECT doc_id, ${duckHash60("text")} % 100 AS bucket,
+            |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            |  FROM documents),
+            |g AS (
+            |  SELECT doc_id, bucket,
+            |    [${duckHash60("array_to_string(toks[i:i+4], ' ')")}
+            |     for i in range(1, greatest(len(toks) - 4, 1) + 1)] AS grams
+            |  FROM b),
+            |train AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE bucket < 90),
+            |testg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE bucket >= 95),
+            |hit AS (SELECT DISTINCT t.doc_id FROM train t
+            |        WHERE EXISTS (SELECT 1 FROM testg x WHERE x.gr = t.gr))
+            |SELECT b.doc_id, EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = b.doc_id) AS contaminated
+            |FROM b WHERE bucket < 90 ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
   // Train/val/test split by CONTENT hash — the split stays stable under
   // repartitioning, re-ingestion, and row reordering (seeded random
   // sampling does not), and a document's assignment never changes when
@@ -1077,6 +1236,6 @@ object Extensions {
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
     textStats,
     langId, qualityScore, tokenCount, fingerprint, fingerprintWinnow,
-    multimodalJoin, multimodalDecode, splitTrainTest, packSequences,
-    corpusCurate)
+    multimodalJoin, multimodalDecode, piiRedact, topTerms, decontaminate,
+    splitTrainTest, packSequences, corpusCurate)
 }

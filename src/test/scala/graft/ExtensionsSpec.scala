@@ -266,6 +266,56 @@ class ExtensionsSpec extends SparkSpec {
     out.foreach { case (q, c) => assert(c == q + 10000L, s"query $q matched $c") }
   }
 
+  test("redactPii masks real-world shaped PII and leaves clean text alone") {
+    val rows = Seq(
+      (1L, "write to jane.doe+spam@mail-host.co.uk or call +44-20-7946-0958 now"),
+      (2L, "ssn on file: 078-05-1120, backup 078-05-1121"),
+      (3L, "no pii here, just 12 plain words and a date 2026-08-12"))
+      .toDF("id", "t")
+      .select(col("id"), Extensions.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "write to [EMAIL] or call [PHONE] now")
+    assert(rows(2L) == "ssn on file: [ID], backup [ID]")
+    // 2026-08-12 is yyyy-mm-dd, not ddd-dd-dddd — must survive
+    assert(rows(3L) == "no pii here, just 12 plain words and a date 2026-08-12")
+  }
+
+  test("pii_redact counts match the planting arithmetic") {
+    val df = Extensions.piiRedact.fn(spark, sf0001)
+    val bad = df.filter(
+      col("n_emails") =!= when(col("doc_id") % 3 === 0, 1).otherwise(0) ||
+      col("n_phones") =!= when(col("doc_id") % 4 === 0, 1).otherwise(0) ||
+      col("n_ids") =!= when(col("doc_id") % 7 === 0, 1).otherwise(0))
+    assert(bad.count() == 0)
+    // redacted text must contain no residual matches
+    val residual = graft.model.Tables.documents(spark, sf0001)
+      .select(Extensions.redactPii(concat(col("text"),
+        lit(" user1@example.com +1-555-0000-0199 123-45-6789"))).as("r"))
+      .filter(col("r").rlike("@|[0-9]{3}-[0-9]{2}-[0-9]{4}"))
+    assert(residual.count() == 0)
+  }
+
+  test("top_terms: 10 per language, ordered by count with token tiebreak") {
+    val df = Extensions.topTerms.fn(spark, sf0001).collect()
+    val byLang = df.groupBy(_.getString(0))
+    assert(byLang.forall(_._2.length == 10))
+    byLang.values.foreach { rows =>
+      val ns = rows.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(ns.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    assert(df.forall(_.getString(1).length > 2))
+  }
+
+  test("decontaminate flags train docs sharing a 5-gram with the test split") {
+    val df = Extensions.decontaminate.fn(spark, sf0001)
+    val n = df.count()
+    val flagged = df.filter(col("contaminated")).count()
+    // only train-bucket docs appear; corpus is near-dup heavy, so the
+    // check must find real contamination but never flag everything
+    assert(n > 0 && flagged > 0 && flagged < n,
+      s"train=$n contaminated=$flagged")
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
