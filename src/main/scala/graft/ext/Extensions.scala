@@ -125,7 +125,11 @@ object Extensions {
     * bucket AND whose similarity check would have passed — documented,
     * and standard LSH practice. Bucket sizing is one window over the
     * band key (linear per bucket, no extra shuffle: the self-join
-    * reuses the window's hash partitioning). */
+    * reuses the window's hash partitioning). Caching contract: the
+    * sized frame stays cached for the session (as do the signature
+    * frames upstream) — the graft harness mains clear the SQL cache
+    * between queries; long-lived library sessions should do the same
+    * or call spark.sqlContext.clearCache() after consuming the pairs. */
   def bandCandidates(banded: DataFrame, keyCols: Seq[String],
                      cap: Int = BandBucketCap): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -215,6 +219,22 @@ object Extensions {
        |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5)""".stripMargin
   }
 
+  /** Recursive-CTE closure over the minhash pair graph — the ONE SQL
+    * definition of near-dup components, shared by the cluster and
+    * representative oracles (hand-copying it invites silent
+    * divergence). Appends to [[minhashPairsSqlCtes]]; yields `comp`
+    * (doc_id, cluster_id). */
+  private def componentsSqlCtes: String =
+    s"""$minhashPairsSqlCtes,
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, root) AS (
+       |  SELECT doc_id, doc_id FROM docs
+       |  UNION
+       |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.id),
+       |comp AS (SELECT id AS doc_id, min(root) AS cluster_id
+       |         FROM reach GROUP BY id)""".stripMargin
+
   val dedupMinhash: Q = Q("ext_dedup_minhash",
     (spark, sfDir) => minhashPairs(spark, sfDir).orderBy("id_a", "id_b"),
     Some(s"""WITH $minhashPairsSqlCtes
@@ -238,16 +258,9 @@ object Extensions {
           (col("id") === col("component")).as("keep"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE $minhashPairsSqlCtes,
-            |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-            |        UNION ALL SELECT id_b, id_a FROM pairs),
-            |reach(id, root) AS (
-            |  SELECT doc_id, doc_id FROM docs
-            |  UNION
-            |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.id)
-            |SELECT id AS doc_id, min(root) AS cluster_id,
-            |       id = min(root) AS keep
-            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH RECURSIVE $componentsSqlCtes
+            |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+            |FROM comp ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
   // Cluster representative by QUALITY: every real curation pipeline
@@ -276,15 +289,7 @@ object Extensions {
           col("score").as("rep_score"), col("n_members"))
         .orderBy("cluster_id")
     },
-    Some(s"""WITH RECURSIVE $minhashPairsSqlCtes,
-            |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-            |        UNION ALL SELECT id_b, id_a FROM pairs),
-            |reach(id, root) AS (
-            |  SELECT doc_id, doc_id FROM docs
-            |  UNION
-            |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.id),
-            |comp AS (SELECT id AS doc_id, min(root) AS cluster_id
-            |         FROM reach GROUP BY id),
+    Some(s"""WITH RECURSIVE $componentsSqlCtes,
             |scored AS (SELECT doc_id, ${qualitySql("text")} AS score FROM documents),
             |j AS (
             |  SELECT c.cluster_id, c.doc_id, s.score,
@@ -619,8 +624,15 @@ object Extensions {
     // the final cell assignment. At small n the stride degenerates to
     // 1 and training is bit-identical to the full-corpus form.
     val stride = ivfTrainStride(e.count(), nCells, trainPerCell)
+    // sample on a HASH of vec_id, not vec_id % stride: arbitrary caller
+    // id spaces (all-odd ids, strided ids) would make a modulus filter
+    // select few or zero training vectors; the hash is uniform over any
+    // id distribution and still deterministic
     val train =
-      if (stride > 1) e.filter(col("vec_id") % stride === 0).cache() else e
+      if (stride > 1)
+        e.filter(pmod(Scalars.hash60(col("vec_id").cast("string")),
+          lit(stride)) === 0).cache()
+      else e
 
     def scores(cs: Array[Array[Double]]): Seq[Column] =
       cs.toSeq.map(c => dotD(col("nv"), array(c.map(lit).toSeq: _*)))
@@ -633,8 +645,12 @@ object Extensions {
       (array_position(sa, array_max(sa)) - 1).cast("int")
     }
 
-    // deterministic seed: the nCells lowest-id training vectors
-    var centroids: Array[Array[Double]] = train.orderBy("vec_id").limit(nCells)
+    // deterministic seed: the nCells lowest-id vectors of the FULL
+    // corpus (one TakeOrdered scan) — seeding from the sample could
+    // under-fill if a pathological sample is smaller than nCells, and
+    // with seeds guaranteed, an empty sample degrades to a
+    // nearest-seed quantizer instead of crashing
+    var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(nCells)
       .collect().map(_.getSeq[Double](1).toArray)
     // spherical Lloyd iterations (re-normalized means; empty cells keep
     // their previous centroid)
@@ -709,18 +725,28 @@ object Extensions {
   // =====================================================================
   val annRecall: Q = Q("ext_ann_recall",
     (spark, sfDir) => {
+      // cached: the exact baseline feeds BOTH comparisons — without it
+      // the full corpus-scan scoring pass runs twice
       val exact = topkCosine.fn(spark, sfDir)
-        .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
-      def recallOf(approx: DataFrame, method: String, threshold: Double): DataFrame =
-        approx.select(col("query_id"), col("corpus_id"))
-          .join(exact, Seq("query_id", "corpus_id"), "left")
-          .groupBy("query_id")
-          .agg((sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall"))
+        .select(col("query_id"), col("corpus_id"))
+        .cache()
+      // the aggregation is driven from the EXACT query set, so a query
+      // whose approx index returned zero candidates counts as recall 0
+      // instead of silently dropping out of the average — that failure
+      // mode is precisely what this metric exists to surface
+      val queryIds = exact.select("query_id").distinct()
+      def recallOf(approx: DataFrame, method: String, threshold: Double): DataFrame = {
+        val hits = approx.select(col("query_id"), col("corpus_id"))
+          .join(exact, Seq("query_id", "corpus_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("nhit"))
+        queryIds.join(hits, Seq("query_id"), "left")
+          .select((coalesce(col("nhit"), lit(0L)) / 10.0).as("recall"))
           .agg(count(lit(1)).as("n_queries"),
             round(avg(col("recall")), 4).as("recall_at_10"))
           .select(lit(method).as("method"), col("n_queries"),
             col("recall_at_10"),
             (col("recall_at_10") >= threshold).as("pass"))
+      }
       recallOf(annLsh.fn(spark, sfDir), "ann_lsh", AnnLshRecallFloor)
         .unionByName(recallOf(topkIvf.fn(spark, sfDir), "ivf", IvfRecallFloor))
         .orderBy("method")
@@ -729,7 +755,7 @@ object Extensions {
 
   /** Recall floors asserted by ext_ann_recall's `pass` column (and by
     * ExtensionsSpec). Sign-LSH with 3×6-bit tables prunes harder than
-    * IVF's nProbe=4/16 cells, hence the lower floor. */
+    * IVF's nProbe=6/16 cells, hence the lower floor. */
   val AnnLshRecallFloor = 0.35
   val IvfRecallFloor = 0.60
 
@@ -994,7 +1020,10 @@ object Extensions {
   // Patterns use [.]/[+]/[0-9] classes — identical semantics in Java
   // regex and RE2, no escape-dialect traps. Linear scan, map-only.
   // =====================================================================
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  // (?i): emails are case-insensitive in the wild ("Jane.Doe@Example.COM"
+  // must not survive the scrub); the inline flag means the same thing in
+  // Java regex and RE2, so oracle parity holds
+  private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
   private val PhoneRe = "[+][0-9][0-9-]{7,}[0-9]"
   private val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
 
@@ -1117,7 +1146,12 @@ object Extensions {
         .select(col("doc_id"), explode(col("grams")).as("g"))
       val testG = base.filter(col("bucket") >= 95)
         .select(explode(col("grams")).as("g")).distinct()
-      val hit = trainG.join(broadcast(testG), Seq("g"), "left_semi")
+      // no broadcast HINT: at this SF AQE broadcasts the distinct test
+      // gram set on its own; at 100 TB the same set is 5% of corpus
+      // grams — forcing it into memory would OOM the executors, while
+      // the unhinted plan degrades to a shuffled semi-join on the
+      // 60-bit gram hash (uniform key, no skew)
+      val hit = trainG.join(testG, Seq("g"), "left_semi")
         .select("doc_id").distinct()
         .withColumn("contaminated", lit(true))
       base.filter(col("bucket") < 90).select("doc_id")

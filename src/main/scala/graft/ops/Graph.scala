@@ -76,6 +76,12 @@ object Graph {
     *        (cheaper; fine for static single-job clusters). On a
     *        dynamic-allocation cluster ALWAYS pass a dir — executor
     *        decommission mid-loop otherwise kills the job.
+    *        RETENTION: Spark does not delete reliable checkpoints on
+    *        its own — the dir accumulates one snapshot per truncation
+    *        until the CALLER removes it (safe once the returned frame
+    *        has been consumed), or set
+    *        `spark.cleaner.referenceTracking.cleanCheckpoints=true` to
+    *        let the context GC them. Use a per-job subdirectory.
     * @return (id, component) — component = min id reachable */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 50, roundsPerCheck: Int = 2,

@@ -85,6 +85,8 @@ class ExtensionsSpec extends SparkSpec {
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(files > 0, s"no checkpoint files under $dir")
+    // retention is caller-owned (see Graph scaladoc): clean up here
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
   test("dedup clusters are consistent with the pair set they come from") {
@@ -221,6 +223,13 @@ class ExtensionsSpec extends SparkSpec {
     val rows = Extensions.annRecall.fn(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
     assert(rows.keySet == Set("ann_lsh", "ivf"))
+    // n_queries must equal the EXACT baseline's query count — a query
+    // with zero approx candidates counts as recall 0, never drops out
+    val nExact = Extensions.topkCosine.fn(spark, sf0001)
+      .select("query_id").distinct().count()
+    val ns = Extensions.annRecall.fn(spark, sf0001).collect()
+      .map(_.getLong(1)).toSet
+    assert(ns == Set(nExact))
     assert(rows("ann_lsh")._2, s"ann_lsh recall ${rows("ann_lsh")._1} below floor")
     assert(rows("ivf")._2, s"ivf recall ${rows("ivf")._1} below floor")
   }
@@ -270,7 +279,8 @@ class ExtensionsSpec extends SparkSpec {
     val rows = Seq(
       (1L, "write to jane.doe+spam@mail-host.co.uk or call +44-20-7946-0958 now"),
       (2L, "ssn on file: 078-05-1120, backup 078-05-1121"),
-      (3L, "no pii here, just 12 plain words and a date 2026-08-12"))
+      (3L, "no pii here, just 12 plain words and a date 2026-08-12"),
+      (4L, "mixed case: Jane.Doe@Example.COM must not leak"))
       .toDF("id", "t")
       .select(col("id"), Extensions.redactPii(col("t")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -278,6 +288,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(2L) == "ssn on file: [ID], backup [ID]")
     // 2026-08-12 is yyyy-mm-dd, not ddd-dd-dddd — must survive
     assert(rows(3L) == "no pii here, just 12 plain words and a date 2026-08-12")
+    assert(rows(4L) == "mixed case: [EMAIL] must not leak")
   }
 
   test("pii_redact counts match the planting arithmetic") {
