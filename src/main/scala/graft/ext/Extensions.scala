@@ -1199,6 +1199,69 @@ object Extensions {
             |FROM b ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
+  // Language-balanced stratified sample — downsample every language to
+  // the smallest language's size (the balancing step before
+  // multilingual training). Selection is pure integer arithmetic on
+  // the content hash: keep iff hash60(text) % n_lang < min_n, which is
+  // exactly deterministic, reshuffle-stable, and reproduces the
+  // min_n/n_lang fraction without any float rounding to disagree on
+  // cross-engine. The per-language counts are a 5-row aggregate —
+  // broadcast — so the corpus side is one scan.
+  // =====================================================================
+  val stratifiedSample: Q = Q("ext_stratified_sample",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        .withColumn("min_n", min(col("n_lang")).over(Window.partitionBy()))
+      docs.join(broadcast(counts), Seq("lang"))
+        .filter(pmod(Scalars.hash60(col("text")), col("n_lang")) < col("min_n"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+            |m AS (SELECT min(n_lang) AS min_n FROM c)
+            |SELECT d.doc_id, d.lang
+            |FROM documents d JOIN c ON c.lang = d.lang CROSS JOIN m
+            |WHERE ${duckHash60("d.text")} % c.n_lang < m.min_n
+            |ORDER BY d.doc_id""".stripMargin))
+
+  // =====================================================================
+  // Inverse-cluster-size weighted sample — soft dedup: instead of
+  // keeping exactly one representative per near-dup cluster, keep each
+  // doc with probability 1/cluster_size (deterministic: content hash
+  // mod cluster size == 0), so big boilerplate families shrink to ~1
+  // expected survivor while the corpus keeps its natural variance.
+  // This is the repetition-aware sampling the dedup literature applies
+  // when exact dedup is too aggressive. Output carries cluster size
+  // and the keep decision for every doc (auditable).
+  // =====================================================================
+  val clusterWeightedSample: Q = Q("ext_cluster_weighted_sample",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val pairs = minhashPairs(spark, sfDir).select("id_a", "id_b")
+      val comps = graft.ops.Graph
+        .connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      val sized = comps.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      docs.select(col("doc_id"), col("text"))
+        .join(sized, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (pmod(Scalars.hash60(col("text")), col("cluster_size")) === 0)
+            .as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $componentsSqlCtes,
+            |sized AS (
+            |  SELECT doc_id, cluster_id,
+            |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            |  FROM comp)
+            |SELECT d.doc_id, s.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+            |  ${duckHash60("d.text")} % s.cluster_size = 0 AS keep
+            |FROM documents d JOIN sized s ON s.doc_id = d.doc_id
+            |ORDER BY d.doc_id""".stripMargin))
+
+  // =====================================================================
   // Sequence packing: assign documents to fixed token-budget bins per
   // language — the batching step before training. Deterministic greedy
   // packing in doc_id order: bin = floor(tokens-before-me / budget),
@@ -1271,5 +1334,6 @@ object Extensions {
     textStats,
     langId, qualityScore, tokenCount, fingerprint, fingerprintWinnow,
     multimodalJoin, multimodalDecode, piiRedact, topTerms, decontaminate,
-    splitTrainTest, packSequences, corpusCurate)
+    stratifiedSample, clusterWeightedSample, splitTrainTest, packSequences,
+    corpusCurate)
 }

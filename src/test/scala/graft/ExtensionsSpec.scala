@@ -327,6 +327,38 @@ class ExtensionsSpec extends SparkSpec {
       s"train=$n contaminated=$flagged")
   }
 
+  test("stratified sample balances languages toward the smallest") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = before.values.min
+    val after = Extensions.stratifiedSample.fn(spark, sf0001)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet == before.keySet)
+    after.foreach { case (lang, n) =>
+      // hash-threshold sampling: each language lands near min_n
+      assert(n <= before(lang))
+      assert(math.abs(n - minN) <= math.max(3, minN / 2), s"$lang: $n vs $minN")
+    }
+    // the dominant language must actually shrink
+    val (bigLang, bigN) = before.maxBy(_._2)
+    assert(after(bigLang) < bigN)
+  }
+
+  test("cluster-weighted sample keeps singletons, thins big clusters") {
+    val df = Extensions.clusterWeightedSample.fn(spark, sf0001).cache()
+    assert(df.count() == 500) // one auditable row per doc
+    // probability 1/1 for singletons: always kept
+    assert(df.filter(col("cluster_size") === 1 && !col("keep")).count() == 0)
+    // multi-doc clusters keep fewer than all members (hash mod size == 0
+    // selects ~1/size of them)
+    val big = df.filter(col("cluster_size") >= 4)
+      .groupBy("cluster_id", "cluster_size")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+    assert(big.filter(col("kept") === col("cluster_size")).count() == 0)
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
