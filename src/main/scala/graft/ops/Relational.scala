@@ -668,6 +668,43 @@ object Relational {
            |SELECT user_id, event_id, event_type, ts_ms
            |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
+  // ---------- SCD2 history from an update stream -----------------------
+  // The warehouse twin of the reference's "current state only" sync: a
+  // type-2 slowly-changing-dimension table with validity intervals.
+  // Each user's events in (ts, event_id) order become versioned rows;
+  // valid_to = next version's valid_from (null = current). ONE window
+  // (row_number + lead share the same partition/order spec, so Catalyst
+  // plans a single sort+window over a single shuffle). Timestamps
+  // compared at epoch-ms like window_latest_event — the ns-parquet /
+  // µs-Spark / DuckDB conversion parity trap lives below ms.
+  val windowScd2History: Q = Q("window_scd2_history",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      e.select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(w))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"),
+          col("ts_ms").as("valid_from_ms"), col("valid_to_ms"),
+          col("valid_to_ms").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+           |h AS (
+           |  SELECT user_id, event_type,
+           |    row_number() OVER w AS version,
+           |    ts_ms AS valid_from_ms,
+           |    lead(ts_ms) OVER w AS valid_to_ms
+           |  FROM e
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC))
+           |SELECT user_id, CAST(version AS INT) AS version, event_type AS state,
+           |  valid_from_ms, valid_to_ms, valid_to_ms IS NULL AS is_current
+           |FROM h ORDER BY user_id, version""".stripMargin))
+
   // ---------- gaps-and-islands sessionization (running windows) --------
   // The batch-SQL twin of streaming.EventStreams.sessionWindows: a new
   // session opens after a >30min silence; sess_id is a running sum of
@@ -735,5 +772,5 @@ object Relational {
     projectLocked, projectRedact, joinEmailAmbiguity, joinTiered,
     joinTieredComposite, mergeUpsert, joinAntiOrphans, aggAttempts, aggAttemptAlerts,
     aggTop1Watermark, aggOutcomes, windowLatestEvent, windowSessionize,
-    windowRangeFrame)
+    windowRangeFrame, windowScd2History)
 }

@@ -78,5 +78,25 @@ class RelationalSpec extends SparkSpec {
     assert(SyncJob.readHighWatermark(ledger.filter(col("status") === "nope"), "patients").isEmpty)
   }
 
+  test("scd2 history: intervals tile exactly, one current row per user") {
+    val df = ops.Relational.windowScd2History.fn(spark, sf0001).cache()
+    // exactly one open-ended (current) version per user
+    val cur = df.filter(col("is_current")).groupBy("user_id").count()
+    assert(cur.collect().forall(_.getLong(1) == 1))
+    // valid_to of version k equals valid_from of version k+1 — no gaps,
+    // no overlaps
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val holes = df
+      .withColumn("next_from", lead(col("valid_from_ms"), 1).over(w))
+      .filter(col("next_from").isNotNull && col("valid_to_ms") =!= col("next_from"))
+    assert(holes.count() == 0)
+    // versions are dense from 1
+    val dense = df.groupBy("user_id")
+      .agg(min("version").as("lo"), max("version").as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(dense.count() == 0)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
