@@ -124,6 +124,48 @@ class PropertySpec extends SparkSpec {
   private def tsAt(i: Int) =
     new java.sql.Timestamp(1700000000000L + i * 1000L)
 
+  test("bandCandidates: huge cap = exact pair set; any cap preserves connectivity") {
+    // random banded frames: a few buckets, random small memberships
+    val gen = for {
+      nBuckets <- Gen.chooseNum(1, 4)
+      members <- Gen.listOfN(nBuckets, Gen.nonEmptyListOf(Gen.chooseNum(0L, 30L)))
+    } yield members.zipWithIndex.flatMap { case (ids, b) =>
+      ids.distinct.map(id => (b, b.toLong, id))
+    }
+    check(Prop.forAll(gen) { rows =>
+      rows.nonEmpty && {
+        val banded = rows.toDF("band", "bits", "doc_id")
+        // exact pair set per bucket, computed independently
+        val expected = rows.groupBy(r => (r._1, r._2)).values.flatMap { bucket =>
+          val ids = bucket.map(_._3).distinct.sorted
+          for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+        }.toSet
+        val uncapped = graft.ext.Extensions
+          .bandCandidates(banded, Seq("band", "bits"), cap = 1000)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // cap=1: every multi-member bucket star-links — fewer edges, but
+        // the union-find closure over them must equal the exact one
+        val capped = graft.ext.Extensions
+          .bandCandidates(banded, Seq("band", "bits"), cap = 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        def components(edges: Iterable[(Long, Long)]): Map[Long, Long] = {
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            parent.getOrElseUpdate(x, x)
+            if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+          }
+          edges.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          parent.keys.map(k => k -> find(k)).toMap
+        }
+        uncapped == expected &&
+          components(capped.toSeq) == components(expected.toSeq)
+      }
+    }, minSuccessful(10))
+  }
+
   private def minSuccessful(n: Int) =
     org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(n)
 
