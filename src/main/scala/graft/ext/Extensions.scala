@@ -302,7 +302,7 @@ object Extensions {
             |FROM j WHERE rn = 1 ORDER BY cluster_id""".stripMargin))
 
   // =====================================================================
-  // Exact n-gram Jaccard (ground truth for minhash) on a 1% sample —
+  // Exact n-gram Jaccard (ground truth for minhash) on a 5% sample —
   // all-pairs is intentionally bounded; the scalable path is the LSH
   // banding above.
   // =====================================================================

@@ -359,6 +359,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(big.filter(col("kept") === col("cluster_size")).count() == 0)
   }
 
+  test("frame-level operators tolerate empty inputs (no seq/head crashes)") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Extensions.minhashPairsFrom(emptyDocs).count() == 0)
+    assert(Extensions.simhashPairsFrom(emptyDocs).count() == 0)
+    val emptyBanded = Seq.empty[(Int, Long, Long)].toDF("band", "bits", "doc_id")
+    assert(Extensions.bandCandidates(emptyBanded, Seq("band", "bits")).count() == 0)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L).toDF("id")
+    val cc = graft.ops.Graph.connectedComponents(emptyEdges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 2L)) // isolated nodes label themselves
+    val emptyMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+    assert(graft.multimodal.Multimodal.decodeHeaders(emptyMedia).count() == 0)
+    // null payload decodes to unknown, never throws
+    val nullRow = Seq((1L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+    val d = graft.multimodal.Multimodal.decodeHeaders(nullRow).collect()(0)
+    assert(d.getString(2) == "unknown" || d.isNullAt(2))
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
