@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: demonstrate the hot-bucket cap at a duplicate-heavy scale
+  * the sf testdata never reaches. Synthesizes `nFamilies` templates ×
+  * `copies` near-identical documents (each copy differs by one token —
+  * the boilerplate/web-template shape), then runs the CAPPED minhash
+  * pipeline end-to-end and reports candidate counts vs the uncapped m²
+  * theory, plus connected-components timing and family recovery.
+  *
+  * Usage: runMain graft.ScaleProbe [nFamilies] [copies]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nFamilies = if (args.length > 0) args(0).toInt else 200
+    val copies = if (args.length > 1) args(1).toInt else 1000
+    val cap = if (args.length > 2) args(2).toInt
+              else ext.Extensions.BandBucketCap
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 500 distinct tokens: with a tiny vocabulary the char-5-shingle
+    // sets of DIFFERENT templates genuinely overlap past the 0.5
+    // jaccard threshold and families merge — that is correct minhash
+    // behavior, but it measures the generator, not the cap
+    val vocab = (0 until 500).map(i => s"tok${i}x")
+    // template text: 40 words drawn via murmur3 of (family, position) —
+    // an affine (family*a + w*b) % |vocab| scheme yields at most |vocab|
+    // distinct templates and collapses every family into one near-dup
+    // blob; the hash gives each family its own template. Each copy then
+    // appends ONE varying token (near-dup, not byte-identical).
+    val words = (0 until 40).map { w =>
+      element_at(typedLit(vocab),
+        (pmod(hash(col("family"), lit(w)), lit(vocab.size)) + 1).cast("int"))
+    }
+    val docs = spark.range(nFamilies.toLong * copies)
+      .select(col("id").as("doc_id"), (col("id") % nFamilies).as("family"))
+      .withColumn("text", concat_ws(" ",
+        words :+ concat(lit("v"), (col("doc_id") / nFamilies).cast("long").cast("string")): _*))
+      .select("doc_id", "family", "text")
+      .cache()
+    val n = docs.count()
+    println(s"PROBE corpus: $n docs, $nFamilies families x $copies copies")
+
+    var t0 = System.nanoTime()
+    val pairs = ext.Extensions.minhashPairsFrom(docs.select("doc_id", "text"), cap)
+      .cache()
+    val nPairs = pairs.count()
+    val tPairs = (System.nanoTime() - t0) / 1e9
+    val uncappedTheory = nFamilies.toLong * copies * (copies - 1) / 2
+    println(f"PROBE pairs: $nPairs%d in $tPairs%.1f s " +
+      f"(uncapped all-pairs theory: $uncappedTheory%d -> ${uncappedTheory / math.max(nPairs, 1)}%dx reduction)")
+
+    t0 = System.nanoTime()
+    val comps = ops.Graph.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select(col("doc_id").as("id")))
+      .cache()
+    val nComp = comps.select("component").distinct().count()
+    val tCc = (System.nanoTime() - t0) / 1e9
+    println(f"PROBE components: $nComp%d (expected ~$nFamilies%d) in $tCc%.1f s")
+
+    // family recovery: every component must be PURE (one family) and
+    // families must not fragment
+    val joined = comps.join(docs.select(col("doc_id").as("id"), col("family")), Seq("id"))
+    val impure = joined.groupBy("component")
+      .agg(countDistinct("family").as("nf")).filter(col("nf") > 1).count()
+    val fragments = joined.groupBy("family")
+      .agg(countDistinct("component").as("nc")).filter(col("nc") > 1).count()
+    println(s"PROBE purity: $impure impure components, $fragments fragmented families")
+    spark.stop()
+  }
+}
