@@ -1132,8 +1132,10 @@ object Extensions {
   // a larger test split the same plan degrades gracefully to a
   // shuffled semi-join on the 60-bit gram hash.
   // =====================================================================
-  val decontaminate: Q = Q("ext_decontaminate",
-    (spark, sfDir) => {
+  /** (doc_id of a train-split doc, contaminated?) plus the underlying
+    * bucketed frame — the shared Spark core of ext_decontaminate and
+    * the full curation funnel. */
+  def contaminationFlags(spark: SparkSession, sfDir: String): DataFrame = {
       val bucket = pmod(Scalars.hash60(col("text")), lit(100L))
       val toks = split(lower(trim(col("text"))), "\\s+")
       val grams = transform(
@@ -1158,21 +1160,30 @@ object Extensions {
         .join(hit, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("contaminated"), lit(false)).as("contaminated"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH b AS (
-            |  SELECT doc_id, ${duckHash60("text")} % 100 AS bucket,
-            |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-            |  FROM documents),
-            |g AS (
-            |  SELECT doc_id, bucket,
-            |    [${duckHash60("array_to_string(toks[i:i+4], ' ')")}
-            |     for i in range(1, greatest(len(toks) - 4, 1) + 1)] AS grams
-            |  FROM b),
-            |train AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE bucket < 90),
-            |testg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE bucket >= 95),
-            |hit AS (SELECT DISTINCT t.doc_id FROM train t
-            |        WHERE EXISTS (SELECT 1 FROM testg x WHERE x.gr = t.gr))
+  }
+
+  /** DuckDB CTE chain ending in `hit` (doc_id of contaminated train
+    * docs) and `b` (doc_id, bucket) — shared by the decontamination and
+    * full-curation oracles so the gram semantics exist once. */
+  private def decontamSqlCtes: String =
+    s"""b AS (
+       |  SELECT doc_id, ${duckHash60("text")} % 100 AS bucket,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, bucket,
+       |    [${duckHash60("array_to_string(toks[i:i+4], ' ')")}
+       |     for i in range(1, greatest(len(toks) - 4, 1) + 1)] AS grams
+       |  FROM b),
+       |train AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE bucket < 90),
+       |testg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE bucket >= 95),
+       |hit AS (SELECT DISTINCT t.doc_id FROM train t
+       |        WHERE EXISTS (SELECT 1 FROM testg x WHERE x.gr = t.gr))""".stripMargin
+
+  val decontaminate: Q = Q("ext_decontaminate",
+    (spark, sfDir) =>
+      contaminationFlags(spark, sfDir).orderBy("doc_id"),
+    Some(s"""WITH $decontamSqlCtes
             |SELECT b.doc_id, EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = b.doc_id) AS contaminated
             |FROM b WHERE bucket < 90 ORDER BY doc_id""".stripMargin))
 
@@ -1328,6 +1339,38 @@ object Extensions {
             |  AND EXISTS (SELECT 1 FROM keepers k WHERE k.doc_id = c.doc_id)
             |ORDER BY c.doc_id""".stripMargin))
 
+  // =====================================================================
+  // FULL curation funnel — every gate a production training-data
+  // pipeline applies, composed end-to-end: quality ∧ language ∧
+  // dedup representative ∧ train split ∧ NOT test-contaminated.
+  // Composition is by library reuse (ext_corpus_curate anti-joined
+  // with the contamination flags), so the funnel inherits each stage's
+  // verified semantics; the oracle composes the same shared CTE chains.
+  // =====================================================================
+  val corpusCurateFull: Q = Q("ext_corpus_curate_full",
+    (spark, sfDir) => {
+      val contaminated = contaminationFlags(spark, sfDir)
+        .filter(col("contaminated")).select("doc_id")
+      corpusCurate.fn(spark, sfDir)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $decontamSqlCtes,
+            |keepers AS (
+            |  SELECT min(doc_id) AS doc_id FROM documents
+            |  GROUP BY substr(sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16)),
+            |cand AS (
+            |  SELECT doc_id, lang, ${qualitySql("text")} AS score
+            |  FROM documents
+            |  WHERE lang = 'en'
+            |    AND ${duckHash60("text")} % 100 < 90)
+            |SELECT c.doc_id, c.lang, c.score
+            |FROM cand c
+            |WHERE c.score >= 0.4
+            |  AND EXISTS (SELECT 1 FROM keepers k WHERE k.doc_id = c.doc_id)
+            |  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = c.doc_id)
+            |ORDER BY c.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -1335,5 +1378,5 @@ object Extensions {
     langId, qualityScore, tokenCount, fingerprint, fingerprintWinnow,
     multimodalJoin, multimodalDecode, piiRedact, topTerms, decontaminate,
     stratifiedSample, clusterWeightedSample, splitTrainTest, packSequences,
-    corpusCurate)
+    corpusCurate, corpusCurateFull)
 }

@@ -378,6 +378,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(d.getString(2) == "unknown" || d.isNullAt(2))
   }
 
+  test("full curation funnel = curate minus exactly the contaminated docs") {
+    val curate = Extensions.corpusCurate.fn(spark, sf0001).select("doc_id")
+    val full = Extensions.corpusCurateFull.fn(spark, sf0001).select("doc_id")
+    val contaminated = Extensions.contaminationFlags(spark, sf0001)
+      .filter(col("contaminated")).select("doc_id")
+    // full ⊆ curate, and curate \ full == curate ∩ contaminated
+    assert(full.join(curate, Seq("doc_id"), "left_anti").count() == 0)
+    val removed = curate.join(full, Seq("doc_id"), "left_anti")
+    val expected = curate.join(contaminated, Seq("doc_id"), "left_semi")
+    assert(removed.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(removed).count() == 0)
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
