@@ -20,4 +20,6 @@ object ColumnOps {
     wrap(Sha60(exprOf(c)))
   def shingleSha60(c: Column, n: Int): Column =
     wrap(ShingleSha60(exprOf(c), n))
+  def wordGramSha60(c: Column, n: Int): Column =
+    wrap(WordGramSha60(exprOf(c), n))
 }
