@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * pipeline end-to-end and reports candidate counts vs the uncapped m²
   * theory, plus connected-components timing and family recovery.
   *
-  * Usage: runMain graft.ScaleProbe [nFamilies] [copies]
+  * Usage: runMain graft.ScaleProbe [nFamilies] [copies] [bandBucketCap]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {

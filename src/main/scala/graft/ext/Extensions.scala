@@ -1132,18 +1132,22 @@ object Extensions {
   // a larger test split the same plan degrades gracefully to a
   // shuffled semi-join on the 60-bit gram hash.
   // =====================================================================
-  /** (doc_id of a train-split doc, contaminated?) plus the underlying
-    * bucketed frame — the shared Spark core of ext_decontaminate and
-    * the full curation funnel. */
+  /** (doc_id, contaminated) for every train-split doc — the shared
+    * Spark core of ext_decontaminate and the full curation funnel. */
   def contaminationFlags(spark: SparkSession, sfDir: String): DataFrame = {
       val bucket = pmod(Scalars.hash60(col("text")), lit(100L))
       // WordGramSha60 tokenizes + hashes every 5-word gram in ONE pass
       // (codegen). The composed split/slice/concat_ws form it replaces
-      // went quadratic after projection collapse — Catalyst inlined the
-      // split into the transform lambda, re-tokenizing the document per
+      // went quadratic after a pushed-down inferred filter inlined the
+      // split into the gram lambda, re-tokenizing the document per
       // gram position (measured 6 s for 225k grams; now 0.2 s).
-      val grams = graft.expr.ColumnOps
-        .wordGramSha60(lower(trim(col("text"))), 5)
+      // Edge whitespace is stripped by REGEX, not trim(): trim removes
+      // only ASCII spaces in both engines, and a trailing "\n" makes
+      // Java split, DuckDB regexp_split_to_array, and the fused
+      // scanner disagree three ways (dropped vs trailing-empty-token
+      // vs non-ws-run); on fully edge-trimmed input all three agree.
+      val cleaned = regexp_replace(lower(col("text")), "^\\s+|\\s+$", "")
+      val grams = graft.expr.ColumnOps.wordGramSha60(cleaned, 5)
       val base = Tables.documents(spark, sfDir)
         .select(col("doc_id"), bucket.as("bucket"), grams.as("grams"))
       val trainG = base.filter(col("bucket") < 90)
@@ -1170,7 +1174,8 @@ object Extensions {
   private def decontamSqlCtes: String =
     s"""b AS (
        |  SELECT doc_id, ${duckHash60("text")} % 100 AS bucket,
-       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |    regexp_split_to_array(
+       |      regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
        |  FROM documents),
        |g AS (
        |  SELECT doc_id, bucket,
