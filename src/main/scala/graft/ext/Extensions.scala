@@ -29,6 +29,14 @@ object Extensions {
 
   private val N = 5 // char-shingle width
 
+  /** Edge whitespace stripped by REGEX — `trim()` removes only ASCII
+    * spaces in both engines, and edge tabs/newlines make Java split,
+    * DuckDB regexp_split_to_array, and non-ws-run scanners disagree
+    * three ways; after this normalization all agree on any input.
+    * Every `\s+` tokenization in this file goes through it (the
+    * oracle twins apply the same regexp_replace). */
+  def edgeTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Distinct character n-gram shingles of `text`. */
   def shingles(text: Column, n: Int = N): Column =
     array_distinct(transform(
@@ -355,7 +363,7 @@ object Extensions {
     * Map-only, codegen. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"),
-      transform(array_distinct(split(trim(col("text")), "\\s+")),
+      transform(array_distinct(split(edgeTrim(col("text")), "\\s+")),
         t => Scalars.hash60(t)).as("hs"))
     val n = size(col("hs"))
     val sigExpr = (0 until 32).map { b =>
@@ -412,7 +420,8 @@ object Extensions {
          |toks AS (
          |  SELECT doc_id, ${duckHash60("tok")} AS h
          |  FROM (SELECT doc_id,
-         |          unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+         |          unnest(list_distinct(regexp_split_to_array(
+         |            regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))) AS tok
          |        FROM docs)),
          |sums AS (SELECT doc_id,
          |    $bitSums
@@ -765,7 +774,8 @@ object Extensions {
   val textStats: Q = Q("ext_text_stats",
     (spark, sfDir) => {
       val d = Tables.documents(spark, sfDir)
-        .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("n_tok",
+          size(split(edgeTrim(col("text")), "\\s+")).cast("long"))
       d.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
@@ -776,7 +786,8 @@ object Extensions {
     },
     Some("""WITH d AS (
            |  SELECT lang, n_chars,
-           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+           |    CAST(len(regexp_split_to_array(
+           |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tok
            |  FROM documents)
            |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
            |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
@@ -838,7 +849,7 @@ object Extensions {
     * signals, rounded), shared by ext_quality_score and the end-to-end
     * curation query so the formula exists once per engine. */
   def qualityExpr(txt: Column): Column = {
-    val nTok = size(split(trim(txt), "\\s+")).cast("double")
+    val nTok = size(split(edgeTrim(txt), "\\s+")).cast("double")
     val alphaRatio = length(regexp_replace(lower(txt), "[^a-z]", "")).cast("double") /
       length(txt).cast("double")
     val padded = concat(lit(" "), lower(txt), lit(" "))
@@ -849,7 +860,7 @@ object Extensions {
 
   /** DuckDB twin of qualityExpr over column expression `t`. */
   private def qualitySql(t: String): String =
-    s"""round(least(CAST(len(regexp_split_to_array(trim($t), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+    s"""round(least(CAST(len(regexp_split_to_array(regexp_replace($t, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
        | + CAST(length(regexp_replace(lower($t), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length($t) AS DOUBLE) * 0.4
        | + least(CAST((length(concat(' ', lower($t), ' ')) - length(replace(concat(' ', lower($t), ' '), ' the ', ''))) / 5 AS DOUBLE) / 5.0, 1.0) * 0.2, 4)""".stripMargin.replace("\n", "")
 
@@ -874,7 +885,7 @@ object Extensions {
   // =====================================================================
   val tokenCount: Q = Q("ext_token_count",
     (spark, sfDir) => {
-      val ws = size(split(trim(col("text")), "\\s+")).cast("long")
+      val ws = size(split(edgeTrim(col("text")), "\\s+")).cast("long")
       val bpe = size(regexp_extract_all(lower(col("text")),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
       Tables.documents(spark, sfDir)
@@ -888,7 +899,8 @@ object Extensions {
     },
     Some("""WITH t AS (
            |  SELECT source,
-           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tok,
+           |    CAST(len(regexp_split_to_array(
+           |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS ws_tok,
            |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tok
            |  FROM documents)
            |SELECT source, count(*) AS n_docs, CAST(sum(ws_tok) AS BIGINT) AS total_ws_tokens,
@@ -1098,7 +1110,7 @@ object Extensions {
     (spark, sfDir) => {
       val counted = Tables.documents(spark, sfDir)
         .select(col("lang"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+          explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("token"))
         .filter(length(col("token")) > 2)
         .groupBy("lang", "token").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("lang"))
@@ -1109,7 +1121,8 @@ object Extensions {
     },
     Some("""WITH toks AS (
            |  SELECT lang,
-           |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           |    unnest(regexp_split_to_array(
+           |      regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
            |  FROM documents),
            |counted AS (
            |  SELECT lang, token, count(*) AS n FROM toks
@@ -1146,8 +1159,8 @@ object Extensions {
       // Java split, DuckDB regexp_split_to_array, and the fused
       // scanner disagree three ways (dropped vs trailing-empty-token
       // vs non-ws-run); on fully edge-trimmed input all three agree.
-      val cleaned = regexp_replace(lower(col("text")), "^\\s+|\\s+$", "")
-      val grams = graft.expr.ColumnOps.wordGramSha60(cleaned, 5)
+      val grams = graft.expr.ColumnOps
+        .wordGramSha60(edgeTrim(lower(col("text"))), 5)
       val base = Tables.documents(spark, sfDir)
         .select(col("doc_id"), bucket.as("bucket"), grams.as("grams"))
       val trainG = base.filter(col("bucket") < 90)
@@ -1288,7 +1301,7 @@ object Extensions {
   val packSequences: Q = Q("ext_pack_sequences",
     (spark, sfDir) => {
       val budget = 2048L
-      val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+      val toks = size(split(edgeTrim(col("text")), "\\s+")).cast("long")
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(spark, sfDir)
@@ -1300,7 +1313,8 @@ object Extensions {
     },
     Some("""WITH t AS (
            |  SELECT doc_id, lang,
-           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+           |    CAST(len(regexp_split_to_array(
+           |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tok
            |  FROM documents),
            |c AS (
            |  SELECT doc_id, lang, n_tok,

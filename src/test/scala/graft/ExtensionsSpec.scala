@@ -391,6 +391,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(expected.exceptAll(removed).count() == 0)
   }
 
+  test("edgeTrim tokenization is immune to edge tabs/newlines") {
+    // trim() leaves "hello\n" intact -> Java split gives 1 token but
+    // DuckDB's regexp split gives 2; after edgeTrim both give 1
+    val got = Seq("hello\n", "\tfoo bar", "a b\r\n", " x ", "", "one")
+      .toDF("text")
+      .select(size(split(Extensions.edgeTrim(col("text")), "\\s+")).as("n"))
+      .collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(1, 2, 2, 1, 1, 1))
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
