@@ -881,6 +881,35 @@ object Extensions {
             |FROM s ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
+  // Per-language adaptive quality gate — keep each language's top half
+  // BY ITS OWN quality distribution (percent_rank ≤ 0.5). A single
+  // global threshold over-prunes languages whose quality signals run
+  // low (stopword lists, alpha ratios are en-biased); ranking within
+  // the language is the standard data-mixing fix. One window per lang
+  // partition; deterministic (score desc, doc_id asc) tiebreak.
+  // =====================================================================
+  val qualityPercentileGate: Q = Q("ext_quality_percentile_gate",
+    (spark, sfDir) => {
+      val score = qualityExpr(col("text"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), score.as("score"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .filter(col("pr") <= 0.5)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH s AS (
+            |  SELECT doc_id, lang, ${qualitySql("text")} AS score FROM documents),
+            |r AS (
+            |  SELECT doc_id, lang, score,
+            |    round(percent_rank() OVER (PARTITION BY lang
+            |        ORDER BY score DESC, doc_id ASC), 6) AS pr
+            |  FROM s)
+            |SELECT doc_id, lang, score, pr FROM r
+            |WHERE pr <= 0.5 ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
   // Token counting: whitespace + BPE-ish regex tokens, per source
   // =====================================================================
   val tokenCount: Q = Q("ext_token_count",
@@ -1396,7 +1425,8 @@ object Extensions {
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
     textStats,
-    langId, qualityScore, tokenCount, fingerprint, fingerprintWinnow,
+    langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,
+    fingerprintWinnow,
     multimodalJoin, multimodalDecode, piiRedact, topTerms, decontaminate,
     stratifiedSample, clusterWeightedSample, splitTrainTest, packSequences,
     corpusCurate, corpusCurateFull)

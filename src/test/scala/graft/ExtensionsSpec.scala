@@ -391,6 +391,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(expected.exceptAll(removed).count() == 0)
   }
 
+  test("quality percentile gate keeps ~half of EVERY language") {
+    val before = graft.model.Tables.documents(spark, sf0001)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Extensions.qualityPercentileGate.fn(spark, sf0001)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet == before.keySet) // no language is wiped out
+    after.foreach { case (lang, n) =>
+      // percent_rank <= 0.5 keeps between half and half+ties
+      assert(n >= before(lang) / 2 && n <= before(lang) * 3 / 4 + 1,
+        s"$lang kept $n of ${before(lang)}")
+    }
+  }
+
   test("edgeTrim tokenization is immune to edge tabs/newlines") {
     // trim() leaves "hello\n" intact -> Java split gives 1 token but
     // DuckDB's regexp split gives 2; after edgeTrim both give 1
