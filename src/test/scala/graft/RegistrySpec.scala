@@ -26,4 +26,20 @@ class RegistrySpec extends SparkSpec {
     assert(names.distinct.size == names.size, "duplicate query names")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("SURVEY.md §2 and the registry stay in sync, both directions") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val prefixes = Seq("scan_", "project_", "filter_", "join_", "agg_",
+      "window_", "setop_", "fn_", "merge_", "ext_")
+    val mentioned = "`([a-z0-9_]+)`".r.findAllMatchIn(survey)
+      .map(_.group(1)).filter(n => prefixes.exists(n.startsWith)).toSet
+    val registered = SparkEntry.registry.map(_.name).toSet
+    // every registered query must be documented in the inventory…
+    val undocumented = registered -- mentioned
+    assert(undocumented.isEmpty, s"registered but absent from SURVEY.md: $undocumented")
+    // …and every query name SURVEY promises must actually exist
+    val phantom = mentioned -- registered
+    assert(phantom.isEmpty, s"SURVEY.md names unregistered queries: $phantom")
+  }
 }
