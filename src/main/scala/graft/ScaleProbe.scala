@@ -11,9 +11,66 @@ import org.apache.spark.sql.functions._
   * theory, plus connected-components timing and family recovery.
   *
   * Usage: runMain graft.ScaleProbe [nFamilies] [copies] [bandBucketCap]
+  *        runMain graft.ScaleProbe skew [spokes]
+  *
+  * The `skew` mode measures the connected-components loop on a planted
+  * MEGA-COMPONENT (one hub star of `spokes` edges + a background of
+  * 1000 chain components): the hub key is maximally hot in the `sym`
+  * self-join and in the neighbor-min aggregation, which is exactly the
+  * skew shape a boilerplate near-dup family produces at 100 TB. It
+  * reports wall time plus per-task duration max/median so the claim
+  * "map-side partial aggregation + AQE bound the hot key" is a
+  * measurement, not an assertion (numbers recorded in DESIGN.md).
   */
 object ScaleProbe {
+
+  private def skewProbe(args: Array[String]): Unit = {
+    val spokes = if (args.length > 1) args(1).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // defaults in Spark 4, pinned so the probe measures the posture
+      // the library documents (AQE skew-join + coalescing active)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskMs.add(t.taskInfo.duration)
+    })
+    // hub 0 star: spokes edges all touching node 0 (one mega-component)
+    val star = spark.range(1, spokes + 1)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    // background: 1000 chains of 100 nodes each, ids offset far away
+    val base = 1000000000L
+    val chains = spark.range(0, 100000)
+      .filter(col("id") % 100 =!= 99) // don't bridge adjacent chains
+      .select((col("id") + base).as("id_a"), (col("id") + base + 1).as("id_b"))
+    val edges = star.unionByName(chains)
+    val nodes = edges.select(col("id_a").as("id"))
+      .unionByName(edges.select(col("id_b").as("id"))).distinct()
+    val t0 = System.nanoTime()
+    val comps = ops.Graph.connectedComponents(edges, nodes).cache()
+    val nComp = comps.select("component").distinct().count()
+    val mega = comps.filter(col("component") === 0L).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val times = taskMs.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
+    val med = if (times.nonEmpty) times(times.length / 2) else 0L
+    val p99 = if (times.nonEmpty) times((times.length * 99) / 100) else 0L
+    val max = if (times.nonEmpty) times.last else 0L
+    println(f"SKEWPROBE spokes=$spokes%d components=$nComp%d mega=$mega%d wall=$wall%.1fs " +
+      f"tasks=${times.length}%d task_ms{median=$med%d p99=$p99%d max=$max%d}")
+    assert(mega == spokes + 1, s"mega-component fragmented: $mega of ${spokes + 1}")
+    assert(nComp == 1001, s"expected 1 mega + 1000 chains, got $nComp")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) { skewProbe(args); return }
     val nFamilies = if (args.length > 0) args(0).toInt else 200
     val copies = if (args.length > 1) args(1).toInt else 1000
     val cap = if (args.length > 2) args(2).toInt

@@ -18,16 +18,45 @@ import graft.model.Tables
   * compare/threshold; arrays are cast to double before arithmetic so
   * both engines accumulate in float64.
   *
-  * Scale posture: subsets below (`doc_id % k = 0`) bound the
-  * *quadratic verification* stages only — the signature/banding stages
-  * are linear and run on the full table shape. At 100 TB the LSH band
-  * join replaces the all-pairs comparisons entirely (that is its
-  * purpose); the all-pairs variants exist as oracle-checkable ground
-  * truth at small SF.
+  * Scale posture: the *quadratic verification* stages (exact n-gram
+  * Jaccard, label-blocked cosine) are bounded by ABSOLUTE-size
+  * deterministic samples ([[hashOrderedSample]] /
+  * [[perLabelHashSample]]) — pair volume is O(1) in corpus size, so a
+  * 100× scale-up changes the sample's identity, never its cost. The
+  * signature/banding stages are linear and run on the full table
+  * shape; at 100 TB the LSH band join replaces all-pairs comparison
+  * entirely (that is its purpose) and the bounded variants exist as
+  * oracle-checkable ground truth.
   */
 object Extensions {
 
   private val N = 5 // char-shingle width
+
+  /** Every intermediate this object caches (minhash/simhash signatures,
+    * banded bucket sizes, shingle arrays, the exact ANN baseline) is
+    * registered here so sessions that outlive a query can release the
+    * blocks deterministically via [[releaseCaches]] — the graft harness
+    * mains call `spark.sqlContext.clearCache()` between queries, but a
+    * long-lived library session shouldn't have to nuke caches it
+    * doesn't own. */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cacheTracked(df: DataFrame): DataFrame = {
+    df.cache()
+    trackedCaches.add(df)
+    df
+  }
+
+  /** Unpersist every cache this object has registered. Safe to call at
+    * any time: consumers re-compute from source if re-executed. */
+  def releaseCaches(): Unit = {
+    var df = trackedCaches.poll()
+    while (df != null) {
+      try df.unpersist() catch { case _: Exception => () }
+      df = trackedCaches.poll()
+    }
+  }
 
   /** Edge whitespace stripped by REGEX — `trim()` removes only ASCII
     * spaces in both engines, and edge tabs/newlines make Java split,
@@ -48,6 +77,63 @@ object Extensions {
 
   private def duckHash60(e: String): String =
     s"cast(concat('0x', substr(sha256($e),1,15)) as bigint)"
+
+  // =====================================================================
+  // Absolute-size deterministic samples — the bound for every
+  // intentionally-quadratic ground-truth op. A FRACTION sample (the old
+  // `doc_id % k = 0`) keeps pair volume quadratic in corpus size: 100×
+  // the data → 10 000× the pairs. Ordering by a sha-derived hash and
+  // taking a fixed COUNT makes pair volume a constant of the operator,
+  // independent of SF — the shape a 100 TB run needs. Both engines
+  // compute the identical sample (hash60 == DuckDB sha256 prefix).
+  // =====================================================================
+
+  /** Docs the exact n-gram ground truth compares all-pairs: 128² / 2
+    * ≈ 8k pairs regardless of corpus size. */
+  val NgramSampleDocs = 128
+
+  /** Per-label cap for the label-blocked exact cosine ground truth:
+    * ≤ labels · 64² / 2 pairs regardless of corpus size. */
+  val EmbeddingSamplePerLabel = 64
+
+  /** k shared by the exact top-k baseline, both ANN indexes, and the
+    * recall denominator — ONE constant at the top of the object so no
+    * consumer (or init order) can drift from it; a hard-coded `10.0`
+    * denominator once lived inside the recall closure, correct only by
+    * accident of lazy evaluation. */
+  val AnnK = 10
+
+  /** Recall floors asserted by ext_ann_recall's `pass` column (and by
+    * ExtensionsSpec). Measured recall@10 on the benchmark corpus:
+    * sign-LSH with hamming-≤2 multiprobe 0.88/0.89/0.92 at
+    * sf0.001/0.01/0.1 (was 0.52-0.59 with hamming-≤1); IVF nProbe=6/16
+    * 0.66-0.73. Floors sit a wide margin below the measured minima so
+    * they trip on real index regressions, not corpus jitter. */
+  val AnnLshRecallFloor = 0.7
+  val IvfRecallFloor = 0.60
+
+  /** The `n` rows with the smallest (hash60(id), id) — one TakeOrdered
+    * pass (O(corpus · log n), executor-side top-n merge, no driver
+    * collect), deterministic for any id distribution. */
+  def hashOrderedSample(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.withColumn("__hk", Scalars.hash60(col(idCol).cast("string")))
+      .orderBy(col("__hk"), col(idCol)).limit(n).drop("__hk")
+
+  /** Per-group variant: the ≤ `n` smallest (hash60(id), id) rows of
+    * every `labelCol` group — one window shuffle, linear. */
+  def perLabelHashSample(df: DataFrame, labelCol: String, idCol: String,
+                         n: Int): DataFrame = {
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(Scalars.hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  private def duckHashOrderedSampleSql(table: String, idCol: String, n: Int,
+                                       cols: String): String =
+    s"""SELECT $cols FROM $table
+       |  ORDER BY ${duckHash60(s"CAST($idCol AS VARCHAR)")}, $idCol
+       |  LIMIT $n""".stripMargin
 
   // =====================================================================
   // E1: exact dedup — hash-groupBy, min(doc_id) survives
@@ -125,38 +211,48 @@ object Extensions {
   /** Candidate pairs (id_a < id_b, distinct) from a banded frame of
     * (keyCols…, doc_id). Buckets of ≤ `cap` members get the exact m²
     * self-join; buckets above it are STAR-LINKED — every member pairs
-    * with the bucket's min doc_id only (m−1 pairs, linear). A hot
-    * bucket means its members near-certainly belong to one near-dup
-    * family, so the star preserves the connectivity the downstream
-    * clustering needs while dropping the redundant intra-family pairs;
-    * the recall trade is only on pairs whose sole collision was a hot
-    * bucket AND whose similarity check would have passed — documented,
-    * and standard LSH practice. Bucket sizing is one window over the
-    * band key (linear per bucket, no extra shuffle: the self-join
-    * reuses the window's hash partitioning). Caching contract: the
-    * sized frame stays cached for the session (as do the signature
-    * frames upstream) — the graft harness mains clear the SQL cache
-    * between queries; long-lived library sessions should do the same
-    * or call spark.sqlContext.clearCache() after consuming the pairs. */
+    * with TWO anchors (≈2m pairs, linear). A hot bucket means its
+    * members near-certainly belong to one near-dup family, so the star
+    * preserves the connectivity the downstream clustering needs while
+    * dropping the redundant intra-family pairs; the recall trade is
+    * only on pairs whose sole collision was a hot bucket AND whose
+    * similarity check would have passed — documented, and standard LSH
+    * practice. Anchors are the 2 members with the smallest SALTED hash
+    * (xxhash64 over band key + doc_id), not the min doc_id: a single
+    * anchor that happens to fail the downstream similarity check would
+    * sever every star edge and fragment the whole family, and min-id
+    * anchoring correlates that risk with whatever makes low ids special
+    * — two independent pseudo-random anchors make a full severance
+    * require both to be outliers. Bucket sizing + anchor ranking share
+    * one window shuffle; the anchor join reuses its partitioning.
+    * Caching: the sized frame is cache-tracked ([[releaseCaches]]) —
+    * three consumers (two self-join sides + the star branch) would
+    * otherwise each re-run the explode + window shuffle. */
   def bandCandidates(banded: DataFrame, keyCols: Seq[String],
                      cap: Int = BandBucketCap): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*)
-    // cached: three consumers (two self-join sides + the star branch)
-    // would otherwise each re-run the explode + window shuffle — the
-    // static plan shows no ReusedExchange across them
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("bmin", min(col("doc_id")).over(w))
-      .cache()
+    // ONE window (one shuffle+sort) carries bucket size AND both
+    // anchors as full-frame aggregates — an anchors self-join would
+    // cost an extra exchange for the (rare) hot branch
+    val anchorOrder = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(xxhash64(keyCols.map(col) :+ col("doc_id"): _*), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sized = cacheTracked(banded
+      .withColumn("bsz", count(lit(1)).over(anchorOrder))
+      .withColumn("a1", first(col("doc_id")).over(anchorOrder))
+      .withColumn("a2", nth_value(col("doc_id"), 2).over(anchorOrder)))
     val small = sized.filter(col("bsz") <= cap)
     val full = small.select(keyCols.map(col) :+ col("doc_id").as("id_a"): _*)
       .join(small.select(keyCols.map(col) :+ col("doc_id").as("id_b"): _*),
         keyCols)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val star = sized.filter(col("bsz") > cap && col("doc_id") =!= col("bmin"))
-      .select(col("bmin").as("id_a"), col("doc_id").as("id_b"))
-    full.unionByName(star).distinct()
+    val hot = sized.filter(col("bsz") > cap)
+    def starTo(anchor: Column): DataFrame = hot
+      .filter(col("doc_id") =!= anchor && anchor.isNotNull)
+      .select(least(anchor, col("doc_id")).as("id_a"),
+        greatest(anchor, col("doc_id")).as("id_b"))
+    full.unionByName(starTo(col("a1"))).unionByName(starTo(col("a2")))
+      .distinct()
   }
 
   /** (band, bk, doc_id) band rows: un-pivot each signature to one row
@@ -179,7 +275,7 @@ object Extensions {
     * (doc_id, text) frame — the shared core of ext_dedup_minhash and
     * ext_dedup_clusters. Unordered. */
   def minhashPairsFrom(docs: DataFrame, cap: Int = BandBucketCap): DataFrame = {
-      val sig = minhashSignatures(docs).cache()
+      val sig = cacheTracked(minhashSignatures(docs))
       val cand = bandCandidates(minhashBanded(sig), Seq("band", "bk"), cap)
       // estimate from full signatures for the surviving candidates only
       val sa = sig.select(sig.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
@@ -310,22 +406,22 @@ object Extensions {
             |FROM j WHERE rn = 1 ORDER BY cluster_id""".stripMargin))
 
   // =====================================================================
-  // Exact n-gram Jaccard (ground truth for minhash) on a 5% sample —
-  // all-pairs is intentionally bounded; the scalable path is the LSH
-  // banding above.
+  // Exact n-gram Jaccard (ground truth for minhash) on an ABSOLUTE
+  // 128-doc hash-ordered sample — all-pairs stays a constant ~8k pairs
+  // at every SF; the scalable full-corpus path is the LSH banding above.
   // =====================================================================
   val dedupNgram: Q = Q("ext_dedup_ngram",
     (spark, sfDir) => {
       // shingles are hashed to 60-bit longs before the pair join:
       // intersecting long arrays is ~10x cheaper than hashing ~450
       // short strings per pair, and 60-bit collisions are negligible
-      // (jaccard unchanged); cached so the O(n^2) join reads
+      // (jaccard unchanged); cached so the O(sample^2) join reads
       // materialized arrays
-      val docs = Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 20 === 0)
+      val docs = cacheTracked(hashOrderedSample(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", NgramSampleDocs)
         .select(col("doc_id"),
-          array_sort(transform(shingles(col("text")), sh => Scalars.hash60(sh))).as("sh"))
-        .cache()
+          array_sort(transform(shingles(col("text")), sh => Scalars.hash60(sh))).as("sh")))
       val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       // merge-walk over the sorted hashes (graft.expr.SortedIntersectCount):
@@ -338,10 +434,12 @@ object Extensions {
         .filter(col("jaccard") >= 0.2)
         .orderBy("id_a", "id_b")
     },
-    Some(s"""WITH docs AS (
+    Some(s"""WITH docs0 AS (
+            |  ${duckHashOrderedSampleSql("documents", "doc_id", NgramSampleDocs, "doc_id, text")}),
+            |docs AS (
             |  SELECT doc_id,
             |    [${duckHash60("x")} for x in ${duckShingles("text")}] AS sh
-            |  FROM documents WHERE doc_id % 20 = 0),
+            |  FROM docs0),
             |pairs AS (
             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
@@ -394,7 +492,7 @@ object Extensions {
   /** SimHash near-dup pairs (hamming ≤ 4) over any (doc_id, text)
     * frame; hot band buckets are capped via [[bandCandidates]]. */
   def simhashPairsFrom(docs: DataFrame, cap: Int = SimhashBucketCap): DataFrame = {
-    val sig = simhashSignatures(docs).cache()
+    val sig = cacheTracked(simhashSignatures(docs))
     val cand = bandCandidates(simhashBanded(sig), Seq("band", "bits"), cap)
     cand
       .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -435,8 +533,10 @@ object Extensions {
     })
 
   // =====================================================================
-  // Embedding cosine near-dup: label-blocked pairs on a 10% sample,
-  // double-precision cosine, threshold on the rounded value.
+  // Embedding cosine near-dup GROUND TRUTH: label-blocked pairs over an
+  // absolute ≤64-per-label hash sample (≤ labels·64²/2 pairs at every
+  // SF), double-precision cosine, threshold on the rounded value. The
+  // production near-dup paths at scale are ext_ann_lsh / ext_topk_ivf.
   // =====================================================================
   /** Codegen'd fused dot product (graft.expr.DotProduct). Left-to-right
     * accumulation — bit-identical to the HOF form
@@ -446,9 +546,11 @@ object Extensions {
 
   val dedupEmbedding: Q = Q("ext_dedup_embedding",
     (spark, sfDir) => {
-      val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
+      val e = perLabelHashSample(
+          Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v")),
+          "label", "vec_id", EmbeddingSamplePerLabel)
         .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
       val a = e.select(col("vec_id").as("id_a"), col("label"),
         col("v").as("v_a"), col("nrm").as("n_a"))
@@ -460,10 +562,14 @@ object Extensions {
         .filter(col("cos") >= 0.25)
         .orderBy("id_a", "id_b")
     },
-    Some("""WITH e AS (
+    Some(s"""WITH ranked AS (
            |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
-           |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           |  FROM embeddings)
+           |    row_number() OVER (PARTITION BY label
+           |      ORDER BY ${duckHash60("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+           |  FROM embeddings),
+           |e AS (
+           |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+           |  FROM ranked WHERE rn <= $EmbeddingSamplePerLabel)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
            |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
            |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -489,7 +595,7 @@ object Extensions {
       c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
         .select(col("query_id"), col("corpus_id"), cos.as("cos"))
         .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+        .filter(col("rank") <= AnnK)
         .orderBy("query_id", "rank")
     },
     Some("""WITH e AS (
@@ -521,7 +627,7 @@ object Extensions {
     * @param emb        (vec_id long, v array<double>)
     * @param isQuery    predicate over vec_id choosing the query set
     */
-  def annTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 10,
+  def annTopK(emb: DataFrame, isQuery: Column => Column, k: Int = AnnK,
               nTables: Int = 3, bitsPerTable: Int = 6,
               bucketCap: Int = 256): DataFrame = {
     val dim = 64
@@ -542,24 +648,35 @@ object Extensions {
     val bucketed = e.withColumn("bucket",
       explode(array((0 until nTables).map(bucketCol): _*)))
     // MULTIPROBE on the query side: a near neighbor that straddles one
-    // hyperplane lands one sign-bit away, so each query also probes
-    // every bucket at hamming distance 1 (1 + bitsPerTable probes per
-    // table). Recall rises steeply for a constant-factor increase in
-    // PROBES — the index itself stays one entry per vector per table,
-    // which is what matters at 100 TB (probes are per-query work,
-    // index entries are per-corpus storage and shuffle).
+    // hyperplane lands one sign-bit away, two hyperplanes → two bits
+    // away — so each query probes every bucket at hamming distance ≤ 2
+    // (1 + b + b·(b-1)/2 = 22 probes per 6-bit table). Recall rises
+    // steeply for a constant-factor increase in PROBES — the index
+    // itself stays one entry per vector per table, which is what
+    // matters at 100 TB (probes are per-query work, index entries are
+    // per-corpus storage and shuffle). The sign bits are computed ONCE
+    // per table in a first projection (18 dot products per query row);
+    // the 66 probe keys are then cheap string flips of those 6-char
+    // bit strings — without the two-step split every probe expression
+    // would re-embed its own copy of the hyperplane dot products and
+    // the codegen'd scoring would dominate the query side.
+    val qbits = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id") +:
+        (0 until nTables).map(t => concat(bitCols(t): _*).as(s"bs_$t")): _*)
+    def flipAt(b: Column, i: Int): Column =
+      concat(substring(b, 1, i),
+        when(substring(b, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(b, i + 2, bitsPerTable - i - 1))
     def probeCols(t: Int): Seq[Column] = {
-      val bits = bitCols(t)
-      val exact = concat(lit(s"$t:") +: bits: _*)
-      val flips = bits.indices.map { f =>
-        val flipped = bits.zipWithIndex.map { case (b, i) =>
-          if (i == f) when(b === "1", lit("0")).otherwise(lit("1")) else b
-        }
-        concat(lit(s"$t:") +: flipped: _*)
-      }
-      exact +: flips
+      val base = col(s"bs_$t")
+      val d1 = (0 until bitsPerTable).map(i => flipAt(base, i))
+      val d2 = for {
+        i <- 0 until bitsPerTable
+        j <- i + 1 until bitsPerTable
+      } yield flipAt(flipAt(base, i), j)
+      (base +: (d1 ++ d2)).map(p => concat(lit(s"$t:"), p))
     }
-    val q = e.filter(isQuery(col("vec_id")))
+    val q = qbits
       .withColumn("bucket",
         explode(array((0 until nTables).flatMap(probeCols): _*)))
       .select(col("vec_id").as("query_id"), col("bucket"))
@@ -618,12 +735,18 @@ object Extensions {
   def ivfTrainStride(n: Long, nCells: Int, trainPerCell: Int): Long =
     math.max(1L, n / (trainPerCell.toLong * nCells))
 
-  def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = 10,
+  def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = AnnK,
               nCells: Int = 16, nProbe: Int = 6, iters: Int = 2,
               trainPerCell: Int = 100): DataFrame = {
-    // unit-normalize once: cosine over normalized vectors = dot product
+    // unit-normalize once: cosine over normalized vectors = dot product.
+    // Persisted MEMORY_AND_DISK (never MEMORY_ONLY: at 100 TB eviction
+    // under memory pressure would silently re-run the normalize scan
+    // per training action; disk spill is the graceful mode) and ONLY
+    // for the duration of the eager training phase — see unpersist
+    // below.
     val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
-    val e = emb.select(col("vec_id"), nv.as("nv")).cache()
+    val e = emb.select(col("vec_id"), nv.as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Train the quantizer on a deterministic sample (`vec_id % s = 0`,
     // ~trainPerCell vectors per cell): each Lloyd iteration was a FULL
     // corpus pass, which at 100 TB made training cost iters× the
@@ -640,7 +763,8 @@ object Extensions {
     val train =
       if (stride > 1)
         e.filter(pmod(Scalars.hash60(col("vec_id").cast("string")),
-          lit(stride)) === 0).cache()
+          lit(stride)) === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else e
 
     def scores(cs: Array[Array[Double]]): Seq[Column] =
@@ -692,6 +816,16 @@ object Extensions {
       centroids = next
     }
     if (stride > 1) train.unpersist()
+    // Training (count + seed scan + Lloyd means) is the ONLY multi-pass
+    // consumer, and it is fully eager — so release the corpus cache
+    // BEFORE building the lazy search plan. The plan below re-reads the
+    // source twice (corpus assignment + filtered query side), both
+    // map-only linear scans: at 100 TB two streaming scans beat pinning
+    // the whole normalized corpus in executor storage (the cache was a
+    // spill-storm waiting to happen). Unpersisting now is safe because
+    // cache substitution happens at each action's planning time, not at
+    // DataFrame construction.
+    e.unpersist()
 
     val corpus = e.withColumn("cell", cellOf(centroids))
       .select(col("vec_id").as("corpus_id"), col("cell"), col("nv").as("cv"))
@@ -732,24 +866,58 @@ object Extensions {
   // nature (approximate indexes), so the `pass` column carries the
   // threshold in the output itself.
   // =====================================================================
+  /** Exact top-k (query_id, corpus_id) ground truth for the recall
+    * metric, PERSISTED once per input under target/ann-baseline: the
+    * exact search is a full corpus-scan scoring pass (linear in
+    * corpus × queries), and re-running it on every recall evaluation
+    * is exactly the cost the metric's consumers shouldn't pay at
+    * scale. The fixture key includes the source file's length+mtime,
+    * so regenerated testdata can never serve a stale baseline; set
+    * SPARK_GRAFT_ANN_BASELINE=live to force the in-session recompute.
+    * The write is tmp + atomic-move, so a concurrent reader sees
+    * either nothing (and computes live into its own tmp) or a
+    * complete fixture. */
+  def annExactBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    val live = topkCosine.fn(spark, sfDir).select(col("query_id"), col("corpus_id"))
+    if (sys.env.get("SPARK_GRAFT_ANN_BASELINE").contains("live")) return live
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      s"_${src.length()}_${src.lastModified()}_k$AnnK"
+    val dir = java.nio.file.Paths.get(s"target/ann-baseline/$key")
+    if (!java.nio.file.Files.exists(dir)) {
+      val tmp = java.nio.file.Paths.get(
+        s"target/ann-baseline/.tmp_${key}_${java.util.UUID.randomUUID()}")
+      live.write.mode("overwrite").parquet(tmp.toString)
+      try java.nio.file.Files.move(tmp, dir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost a benign race: another writer already published it
+        case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    spark.read.parquet(dir.toString)
+  }
+
   val annRecall: Q = Q("ext_ann_recall",
     (spark, sfDir) => {
-      // cached: the exact baseline feeds BOTH comparisons — without it
-      // the full corpus-scan scoring pass runs twice
-      val exact = topkCosine.fn(spark, sfDir)
-        .select(col("query_id"), col("corpus_id"))
-        .cache()
+      // cached (tracked): the exact baseline feeds BOTH comparisons —
+      // without it the full corpus-scan scoring pass runs twice
+      val exact = cacheTracked(annExactBaseline(spark, sfDir))
       // the aggregation is driven from the EXACT query set, so a query
       // whose approx index returned zero candidates counts as recall 0
       // instead of silently dropping out of the average — that failure
-      // mode is precisely what this metric exists to surface
-      val queryIds = exact.select("query_id").distinct()
+      // mode is precisely what this metric exists to surface. The
+      // denominator is the exact baseline's OWN per-query row count
+      // (== AnnK whenever the corpus has ≥ AnnK+1 vectors), never a
+      // constant that could drift from the baseline's k.
+      val exactN = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       def recallOf(approx: DataFrame, method: String, threshold: Double): DataFrame = {
         val hits = approx.select(col("query_id"), col("corpus_id"))
           .join(exact, Seq("query_id", "corpus_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("nhit"))
-        queryIds.join(hits, Seq("query_id"), "left")
-          .select((coalesce(col("nhit"), lit(0L)) / 10.0).as("recall"))
+        exactN.join(hits, Seq("query_id"), "left")
+          .select((coalesce(col("nhit"), lit(0L)) / col("n_exact")).as("recall"))
           .agg(count(lit(1)).as("n_queries"),
             round(avg(col("recall")), 4).as("recall_at_10"))
           .select(lit(method).as("method"), col("n_queries"),
@@ -761,12 +929,6 @@ object Extensions {
         .orderBy("method")
     },
     None)
-
-  /** Recall floors asserted by ext_ann_recall's `pass` column (and by
-    * ExtensionsSpec). Sign-LSH with 3×6-bit tables prunes harder than
-    * IVF's nProbe=6/16 cells, hence the lower floor. */
-  val AnnLshRecallFloor = 0.35
-  val IvfRecallFloor = 0.60
 
   // =====================================================================
   // E4: text statistics per language

@@ -88,7 +88,24 @@ object Graph {
                           checkpointDir: Option[String] = None): DataFrame = {
     val ck: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        // CAVEAT: the checkpoint dir is SparkContext-GLOBAL state —
+        // setting it here is a session-wide side effect. Two concurrent
+        // jobs wanting different dirs must serialize externally (or
+        // share one parent dir: setCheckpointDir creates a unique
+        // UUID subdirectory per call, so same-dir callers never
+        // collide). We only touch the setting when the current value
+        // was not derived from this dir, so repeated calls with the
+        // same dir don't churn a fresh UUID subdir into existence and
+        // don't clobber a concurrent same-dir caller's setting.
+        val sc = edges.sparkSession.sparkContext
+        val hPath = new org.apache.hadoop.fs.Path(dir)
+        val qualified = hPath.getFileSystem(sc.hadoopConfiguration)
+          .makeQualified(hPath).toString
+        val alreadySet = sc.getCheckpointDir.exists { cur =>
+          val parent = new org.apache.hadoop.fs.Path(cur).getParent
+          parent != null && parent.toString == qualified
+        }
+        if (!alreadySet) sc.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }

@@ -152,20 +152,23 @@ class ExtensionsSpec extends SparkSpec {
 
   test("hot minhash buckets are star-capped: 1000-copy group stays linear") {
     // 1000 byte-identical docs share every band key -> one hot bucket per
-    // band; uncapped that is 499 500 pairs. The cap star-links the bucket
-    // to its min member: exactly 999 pairs, connectivity preserved.
-    val hot = (0L until 1000L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    // band; uncapped that is 499 500 pairs. The cap star-links every
+    // member to TWO salted-hash anchors per band (so one bad anchor
+    // can't sever the family): between 2m-3 pairs (all four bands pick
+    // the same anchors) and 4·(2m-3) (all distinct) — linear either way.
+    val m = 1000
+    val hot = (0L until m.toLong).map(i => (i, "the quick brown fox jumps over the lazy dog"))
     val lone = Seq((5000L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr"))
     val docs = (hot ++ lone).toDF("doc_id", "text")
     val pairs = Extensions.minhashPairsFrom(docs, cap = 128).collect()
-    assert(pairs.length == 999, s"expected 999 star pairs, got ${pairs.length}")
-    assert(pairs.forall(r => r.getLong(0) == 0L), "star pairs must anchor at min doc_id")
+    assert(pairs.length >= 2 * m - 3 && pairs.length <= 4 * (2 * m - 3),
+      s"expected linear dual-anchor star pairs, got ${pairs.length}")
     assert(pairs.forall(r => r.getDouble(2) == 1.0), "identical docs estimate jaccard 1.0")
     // the star keeps the family one component for downstream clustering
     val comps = graft.ops.Graph.connectedComponents(
       Extensions.minhashPairsFrom(docs, cap = 128).select("id_a", "id_b"),
       docs.select(col("doc_id").as("id")))
-    assert(comps.filter(col("component") === 0L).count() == 1000)
+    assert(comps.filter(col("component") === 0L).count() == m)
     assert(comps.filter(col("id") === 5000L && col("component") === 5000L).count() == 1)
   }
 
@@ -180,12 +183,20 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("hot simhash buckets are star-capped") {
-    val hot = (0L until 600L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val m = 600
+    val hot = (0L until m.toLong).map(i => (i, "alpha beta gamma delta epsilon zeta"))
     val docs = hot.toDF("doc_id", "text")
     val pairs = Extensions.simhashPairsFrom(docs, cap = 100).collect()
-    // identical token sets -> identical sigs -> hamming 0; star caps to 599
-    assert(pairs.length == 599)
-    assert(pairs.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
+    // identical token sets -> identical sigs -> hamming 0; dual-anchor
+    // star caps each of the 5 bands to ≈2m pairs — linear, never m²/2
+    assert(pairs.length >= 2 * m - 3 && pairs.length <= 5 * (2 * m - 3),
+      s"expected linear dual-anchor star pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getInt(2) == 0))
+    // one bad anchor can't fragment the family: still one component
+    val comps = graft.ops.Graph.connectedComponents(
+      Extensions.simhashPairsFrom(docs, cap = 100).select("id_a", "id_b"),
+      docs.select(col("doc_id").as("id")))
+    assert(comps.filter(col("component") === 0L).count() == m)
   }
 
   test("annTopK with a hot bucket still returns correct neighbors under the cap") {
@@ -232,6 +243,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(ns == Set(nExact))
     assert(rows("ann_lsh")._2, s"ann_lsh recall ${rows("ann_lsh")._1} below floor")
     assert(rows("ivf")._2, s"ivf recall ${rows("ivf")._1} below floor")
+  }
+
+  test("annExactBaseline fixture round-trips identically to the live exact search") {
+    val live = Extensions.topkCosine.fn(spark, sf0001).select("query_id", "corpus_id")
+    val fx1 = Extensions.annExactBaseline(spark, sf0001) // writes on first miss
+    val fx2 = Extensions.annExactBaseline(spark, sf0001) // reads the fixture back
+    assert(fx1.count() == live.count())
+    assert(fx2.exceptAll(live).count() == 0 && live.exceptAll(fx2).count() == 0)
   }
 
   test("cluster representative is the max-quality member of its cluster") {

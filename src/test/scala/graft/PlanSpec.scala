@@ -113,8 +113,8 @@ class PlanSpec extends SparkSpec {
     // (documented samples that exist to oracle-check the LSH paths);
     // topk broadcasts the tiny query set against the corpus scan
     val intendedAllPairs = Set(
-      "ext_dedup_ngram",     // 5% sample, exact Jaccard ground truth
-      "ext_dedup_embedding", // label-blocked pairs, ground truth for E3b
+      "ext_dedup_ngram",     // 128-doc absolute sample, exact Jaccard ground truth
+      "ext_dedup_embedding", // ≤64-per-label absolute sample, ground truth for E3b
       "ext_topk_cosine",     // broadcast query set × corpus — exact baseline
       "ext_ann_lsh",         // broadcast query side over bucket candidates
       "ext_ann_recall")      // composes topk_cosine + ann_lsh above

@@ -42,6 +42,64 @@ class ScaleSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("quadratic ground-truth ops are bounded by ABSOLUTE sample size, constant in SF") {
+    import graft.ext.Extensions
+    // the bound must be a fixed COUNT, not a fraction: a fraction sample
+    // makes all-pairs verification quadratic in corpus size (100× data →
+    // 10 000× pairs). sf0.01 → sf0.1 is the driver's own 10× step.
+    val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val ngramSizes = sfs.map { sf =>
+      val docs = model.Tables.documents(spark, sf).select("doc_id", "text")
+      Extensions.hashOrderedSample(docs, "doc_id", Extensions.NgramSampleDocs).count()
+    }
+    // corpus is ≥128 at both SFs: the sample saturates at exactly N —
+    // pair volume N·(N-1)/2 is identical at every SF
+    assert(ngramSizes.toSet == Set(Extensions.NgramSampleDocs.toLong),
+      s"ngram sample not constant in SF: $ngramSizes")
+    sfs.foreach { sf =>
+      val emb = model.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label"))
+      val perLabel = Extensions.perLabelHashSample(emb, "label", "vec_id",
+          Extensions.EmbeddingSamplePerLabel)
+        .groupBy("label").count().collect().map(_.getLong(1))
+      assert(perLabel.forall(_ <= Extensions.EmbeddingSamplePerLabel),
+        s"$sf: label block exceeds the absolute cap: ${perLabel.toSeq}")
+    }
+    // at sf0.1 every label exceeds the cap: the bound must actually bind
+    val bound = Extensions.perLabelHashSample(
+        model.Tables.embeddings(spark, "/root/testdata/sf0.1")
+          .select(col("vec_id"), col("label")),
+        "label", "vec_id", Extensions.EmbeddingSamplePerLabel)
+      .groupBy("label").count().collect().map(_.getLong(1))
+    assert(bound.forall(_ == Extensions.EmbeddingSamplePerLabel),
+      s"cap not binding at sf0.1: ${bound.toSeq}")
+  }
+
+  test("connectedComponents handles a planted mega-component (hot join key) correctly") {
+    // one hub star (maximally hot key in the sym self-join + neighbor
+    // aggregation — the boilerplate-family skew shape) alongside small
+    // components: labels must stay exact. Task-time boundedness at
+    // probe scale is measured by `runMain graft.ScaleProbe skew`
+    // (numbers in DESIGN.md); this case pins correctness under skew.
+    val spokes = 20000L
+    val star = spark.range(1, spokes + 1)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val base = 1000000L
+    val chains = spark.range(0, 1000)
+      .filter(col("id") % 100 =!= 99)
+      .select((col("id") + base).as("id_a"), (col("id") + base + 1).as("id_b"))
+    val edges = star.unionByName(chains)
+    val nodes = edges.select(col("id_a").as("id"))
+      .unionByName(edges.select(col("id_b").as("id"))).distinct()
+    val comps = ops.Graph.connectedComponents(edges, nodes).cache()
+    assert(comps.filter(col("component") === 0L).count() == spokes + 1)
+    val chainComps = comps.filter(col("id") >= base)
+      .groupBy("component").count().collect()
+    assert(chainComps.length == 10) // 1000 ids in runs of 100
+    assert(chainComps.forall(_.getLong(1) == 100L))
+    comps.unpersist()
+  }
+
   test("saltedJoin preserves left-outer semantics") {
     val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
     val right = Seq((1, "X")).toDF("k", "w")
