@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registered query and prints ONE
+  * compact JSON line (the driver's contract).
+  *
+  * Instrument hardening (round-5, after two rounds of phantom
+  * regressions): each query runs `SPARK_GRAFT_BENCH_REPS` times
+  * (default 2) and reports the MIN — steady state, immune to a single
+  * host-steal spike. Per-query progress goes to stderr as each query
+  * finishes (incremental, so a truncated capture still shows every
+  * completed query), values are rounded to ms so the final stdout line
+  * stays well inside tail-capture buffers, and the same JSON is also
+  * written to target/bench_last.json as a local artifact. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,16 +27,30 @@ object Bench {
     // so the first measured query doesn't absorb startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally spark.sqlContext.clearCache() // no cross-query cache leaks
-      name -> (System.nanoTime() - t0) / 1e9
+    def ms3(v: Double): String = f"$v%.3f".replace(",", ".") // locale-proof
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // no cross-query or cross-rep cache leaks: every rep pays its
+        // own cache build, min still strips host-steal noise
+        finally spark.sqlContext.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = times.min
+      System.err.println(s"""[bench] {"query":"$name","sec":${ms3(best)},"reps":${times.map(ms3).mkString("[", ",", "]")}}""")
+      name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ms3(results.map(_._2).sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case _: Exception => () } // artifact is best-effort
+    println(line)
     spark.stop()
   }
 }
