@@ -5,10 +5,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Every registered query (core relational + scalar fns + extensions). */
+  /** Every registered query (core relational + scalar fns + extensions
+    * + bounded streaming lifecycles). */
   def registry: Seq[Q] =
     ops.Relational.all ++ ops.ScalarQueries.all ++ ops.SetAggQueries.all ++
-      ext.Extensions.all
+      ext.Extensions.all ++ streaming.StreamQueries.all
+
+  /** Queries that intentionally ship WITHOUT a DuckDB oracle (the
+    * driver records its weaker rows-only check), each with the reason
+    * that gate is the right one. RegistrySpec asserts this set matches
+    * the registry exactly — an oracle-less query with no documented
+    * reason is a coverage hole, not a design choice. */
+  val rowsOnlyJustification: Map[String, String] = Map(
+    "agg_approx_distinct" ->
+      "HLL sketch estimates are engine-specific by construction; <5% error vs the exact count is asserted in SetAggSpec",
+    "ext_ann_lsh" ->
+      "approximate index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
+    "ext_topk_ivf" ->
+      "approximate index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
+    "ext_ann_recall" ->
+      "self-checking metric: the output carries its own pass column asserting the registered recall floors",
+    "stream_sync_microbatch" ->
+      "streaming foreachBatch lifecycle has no DuckDB analog; semantics are covered by StreamingSyncSpec and PipelineSpec")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The patients pipeline slice: projection + tiered id-map match. */

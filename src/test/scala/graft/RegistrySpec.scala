@@ -27,11 +27,22 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every rows-only query carries a documented justification — and nothing else does") {
+    val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
+    val justified = SparkEntry.rowsOnlyJustification.keySet
+    assert(rowsOnly == justified,
+      s"undocumented rows-only: ${rowsOnly -- justified}; stale justifications: ${justified -- rowsOnly}")
+    // a reason must actually say something
+    SparkEntry.rowsOnlyJustification.foreach { case (n, why) =>
+      assert(why.length > 40, s"$n: justification too thin: '$why'")
+    }
+  }
+
   test("SURVEY.md §2 and the registry stay in sync, both directions") {
     val survey = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
     val prefixes = Seq("scan_", "project_", "filter_", "join_", "agg_",
-      "window_", "setop_", "fn_", "merge_", "ext_")
+      "window_", "setop_", "fn_", "merge_", "ext_", "stream_")
     val mentioned = "`([a-z0-9_]+)`".r.findAllMatchIn(survey)
       .map(_.group(1)).filter(n => prefixes.exists(n.startsWith)).toSet
     val registered = SparkEntry.registry.map(_.name).toSet
