@@ -16,7 +16,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,14 +32,19 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         // no cross-query or cross-rep cache leaks: every rep pays its
         // own cache build, min still strips host-steal noise
         finally spark.sqlContext.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val best = times.min
-      System.err.println(s"""[bench] {"query":"$name","sec":${ms3(best)},"reps":${times.map(ms3).mkString("[", ",", "]")}}""")
+      // a FAILED rep must never win the min — a fast crash would
+      // otherwise report as a phantom speedup; a query with zero
+      // successful reps reports -1 (unambiguous failure marker)
+      val good = times.filter(_._2).map(_._1)
+      val best = if (good.nonEmpty) good.min else -1.0
+      System.err.println(s"""[bench] {"query":"$name","sec":${ms3(best)},"reps":${times.map(t => if (t._2) ms3(t._1) else "-1").mkString("[", ",", "]")}}""")
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }

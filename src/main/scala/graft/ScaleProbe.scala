@@ -58,6 +58,11 @@ object ScaleProbe {
     val nComp = comps.select("component").distinct().count()
     val mega = comps.filter(col("component") === 0L).count()
     val wall = (System.nanoTime() - t0) / 1e9
+    // listener events arrive asynchronously — give the bus time to
+    // drain or the slowest (last-finishing) tasks, i.e. exactly the
+    // skew evidence, would be missing from the stats
+    Iterator.continually { Thread.sleep(500); taskMs.size }
+      .take(20).sliding(2).find(w => w.head == w.last)
     val times = taskMs.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
     val med = if (times.nonEmpty) times(times.length / 2) else 0L
     val p99 = if (times.nonEmpty) times((times.length * 99) / 100) else 0L

@@ -40,21 +40,30 @@ object Extensions {
     * long-lived library session shouldn't have to nuke caches it
     * doesn't own. */
   private val trackedCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.ref.WeakReference[DataFrame]]()
 
   private def cacheTracked(df: DataFrame): DataFrame = {
     df.cache()
-    trackedCaches.add(df)
+    // WEAK references: the registry must never pin a frame (and its
+    // analyzed plan + session) for the process lifetime — a long-lived
+    // session running these queries repeatedly would otherwise leak
+    // driver memory through the very hook meant to help it. Storage
+    // blocks themselves are freed by clearCache()/releaseCaches();
+    // a collected weak ref means the consumer is long done with it.
+    trackedCaches.add(new java.lang.ref.WeakReference(df))
+    // opportunistic purge of collected entries keeps the queue O(live)
+    trackedCaches.removeIf(r => r.get() == null)
     df
   }
 
   /** Unpersist every cache this object has registered. Safe to call at
     * any time: consumers re-compute from source if re-executed. */
   def releaseCaches(): Unit = {
-    var df = trackedCaches.poll()
-    while (df != null) {
-      try df.unpersist() catch { case _: Exception => () }
-      df = trackedCaches.poll()
+    var ref = trackedCaches.poll()
+    while (ref != null) {
+      val df = ref.get()
+      if (df != null) { try df.unpersist() catch { case _: Exception => () } }
+      ref = trackedCaches.poll()
     }
   }
 
@@ -598,7 +607,7 @@ object Extensions {
         .filter(col("rank") <= AnnK)
         .orderBy("query_id", "rank")
     },
-    Some("""WITH e AS (
+    Some(s"""WITH e AS (
            |  SELECT vec_id, embedding::DOUBLE[] AS v,
            |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
            |  FROM embeddings),
@@ -612,7 +621,7 @@ object Extensions {
            |      ORDER BY cos DESC, corpus_id ASC) AS rank
            |  FROM scored)
            |SELECT query_id, corpus_id, cos, rank FROM ranked
-           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+           |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin))
 
   // =====================================================================
   // ANN via sign-random-hyperplane LSH (Spark-only; approximate, so no
@@ -699,7 +708,10 @@ object Extensions {
     val cand = cCapped.join(broadcast(q),
         col("bucket") === col("c_bucket") && col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id")).distinct()
-    val qv = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    // query vectors ONLY — broadcasting the unfiltered corpus here
+    // would ship every embedding to every executor (and the driver)
+    val qv = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val cv = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
     val w10 = Window.partitionBy(col("query_id"))
@@ -880,23 +892,38 @@ object Extensions {
   def annExactBaseline(spark: SparkSession, sfDir: String): DataFrame = {
     val live = topkCosine.fn(spark, sfDir).select(col("query_id"), col("corpus_id"))
     if (sys.env.get("SPARK_GRAFT_ANN_BASELINE").contains("live")) return live
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      s"_${src.length()}_${src.lastModified()}_k$AnnK"
-    val dir = java.nio.file.Paths.get(s"target/ann-baseline/$key")
-    if (!java.nio.file.Files.exists(dir)) {
-      val tmp = java.nio.file.Paths.get(
-        s"target/ann-baseline/.tmp_${key}_${java.util.UUID.randomUUID()}")
-      live.write.mode("overwrite").parquet(tmp.toString)
-      try java.nio.file.Files.move(tmp, dir,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // lost a benign race: another writer already published it
-        case _: java.nio.file.FileAlreadyExistsException
-           | _: java.nio.file.FileSystemException =>
-          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    try {
+      val src = new java.io.File(s"$sfDir/embeddings.parquet")
+      // the key fingerprints the DATA (length+mtime) and the CODE: a
+      // normalized hash of the exact query's logical plan (expression
+      // ids stripped — they vary per session, the structure doesn't).
+      // Editing topkCosine's scoring/predicate/k orphans old fixtures
+      // instead of silently serving a stale ground truth.
+      val planFp = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(live.queryExecution.logical.toString
+          .replaceAll("#[0-9]+", "").getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+      val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        s"_${src.length()}_${src.lastModified()}_k${AnnK}_$planFp"
+      val dir = java.nio.file.Paths.get(s"target/ann-baseline/$key")
+      if (!java.nio.file.Files.exists(dir)) {
+        val tmp = java.nio.file.Paths.get(
+          s"target/ann-baseline/.tmp_${key}_${java.util.UUID.randomUUID()}")
+        live.write.mode("overwrite").parquet(tmp.toString)
+        try java.nio.file.Files.move(tmp, dir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // lost a benign race: another writer already published it
+          case _: java.nio.file.FileAlreadyExistsException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        }
       }
+      spark.read.parquet(dir.toString)
+    } catch {
+      // the fixture is an optimization, never a point of failure: on a
+      // read-only cwd, disk-full, unsupported atomic move, or any
+      // publish race fallout, compute the baseline in-session instead
+      case _: Exception => live
     }
-    spark.read.parquet(dir.toString)
   }
 
   val annRecall: Q = Q("ext_ann_recall",

@@ -38,6 +38,14 @@ object StreamQueries {
   val streamSyncMicrobatch: Q = Q("stream_sync_microbatch",
     (spark, sfDir) => {
       val base = java.nio.file.Files.createTempDirectory("graft-sbench-")
+      // the returned frame lazily reads the ledger under `base`, so the
+      // tree must outlive this call — reclaim it at JVM exit instead
+      // (bench/verify/spec runs would otherwise leave one full sync
+      // output per invocation in /tmp)
+      sys.addShutdownHook {
+        try org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+        catch { case _: Exception => () }
+      }
       val ctl = s"$base/ctl"
       val ckpt = s"$base/ckpt"
       val batchSchema = Tables.orders(spark, sfDir).schema
