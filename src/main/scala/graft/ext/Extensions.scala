@@ -1610,6 +1610,147 @@ object Extensions {
             |  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = c.doc_id)
             |ORDER BY c.doc_id""".stripMargin))
 
+  // =====================================================================
+  // Word-repetition quality rules (Gopher-style, word-level): duplicate
+  // word fraction + most-frequent-bigram fraction. Repetitive documents
+  // (boilerplate loops, templated junk, degenerate generations) are the
+  // canonical pre-training removal class. Bigram counting is the
+  // wordcount shape — explode hashed 2-grams (WordGramSha60, one
+  // codegen pass) → two-level aggregate with map-side partials — which
+  // is linear and co-partitioned by construction at any corpus size;
+  // a per-doc HOF count would be O(tokens²) per document and one
+  // optimizer substitution away from re-tokenizing per element.
+  // Thresholds sit on ROUNDED values (cross-engine float parity) and
+  // were chosen against the corpus distribution (median dup 0.54 /
+  // top-bigram 0.033): repetitive ≈ top quartile.
+  // =====================================================================
+  val repetitionScore: Q = Q("ext_repetition_score",
+    (spark, sfDir) => {
+      val t = Tables.documents(spark, sfDir).select(col("doc_id"),
+        split(edgeTrim(col("text")), "\\s+").as("toks"),
+        graft.expr.ColumnOps.wordGramSha60(edgeTrim(col("text")), 2).as("bg"))
+      val scal = t.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      val top = t.select(col("doc_id"), explode(col("bg")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+      val dupFrac = round(lit(1.0) -
+        col("n_distinct").cast("double") / col("n_words"), 4)
+      val topFrac = round(col("top_bg").cast("double") / col("n_bg"), 4)
+      scal.join(top, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"),
+          dupFrac.as("dup_word_frac"), topFrac.as("top_bigram_frac"))
+        .withColumn("repetitive",
+          col("dup_word_frac") >= 0.6 || col("top_bigram_frac") >= 0.05)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, regexp_split_to_array(
+            |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
+            |  FROM documents),
+            |g AS (
+            |  SELECT doc_id,
+            |    unnest([${duckHash60("array_to_string(toks[i:i+1], ' ')")}
+            |            for i in range(1, greatest(len(toks) - 1, 1) + 1)]) AS g
+            |  FROM t),
+            |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+            |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg,
+            |               CAST(sum(c) AS BIGINT) AS n_bg
+            |        FROM c GROUP BY doc_id),
+            |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+            |             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+            |      FROM t)
+            |SELECT s.doc_id, n_words,
+            |  round(1 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
+            |  round(CAST(top_bg AS DOUBLE) / n_bg, 4) AS top_bigram_frac,
+            |  (round(1 - CAST(n_distinct AS DOUBLE) / n_words, 4) >= 0.6 OR
+            |   round(CAST(top_bg AS DOUBLE) / n_bg, 4) >= 0.05) AS repetitive
+            |FROM s JOIN top ON s.doc_id = top.doc_id
+            |ORDER BY s.doc_id""".stripMargin))
+
+  // =====================================================================
+  // Character-distribution entropy — the cheap gibberish/degeneracy
+  // signal (keyboard mash and single-char floods sit far below natural
+  // text's ~4 bits/char). H = ln(n)/ln 2 − Σ c·ln c / (n·ln 2), computed
+  // from per-(doc, char) counts: explode + two-level aggregate, the
+  // wordcount shape again — linear, map-side combined, no per-doc
+  // quadratic HOF. The sum's float accumulation order differs between
+  // engines at ~1e-15; rounding to 4 decimals before the threshold
+  // absorbs it (parity contract used across this file).
+  // =====================================================================
+  val charEntropy: Q = Q("ext_char_entropy",
+    (spark, sfDir) => {
+      val counts = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val ent = counts.groupBy("doc_id").agg(
+        sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+      ent.select(col("doc_id"), col("n").cast("long").as("n_chars_counted"),
+          round((log(col("n").cast("double")) - col("slc") / col("n")) /
+            log(lit(2.0)), 4).as("entropy_bits"))
+        .withColumn("low_entropy", col("entropy_bits") < 4.0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH ch AS (
+           |  SELECT doc_id,
+           |    unnest([substr(text, i, 1) for i in range(1, length(text) + 1)]) AS ch
+           |  FROM documents),
+           |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+           |h AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+           |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+           |  FROM c GROUP BY doc_id)
+           |SELECT doc_id, n AS n_chars_counted,
+           |  round((ln(CAST(n AS DOUBLE)) - slc / n) / ln(2), 4) AS entropy_bits,
+           |  round((ln(CAST(n AS DOUBLE)) - slc / n) / ln(2), 4) < 4.0 AS low_entropy
+           |FROM h ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // Contamination OVERLAP RATIO — ext_decontaminate's boolean answers
+  // "is any 5-gram shared with the test split"; real decontamination
+  // policies grade by HOW MUCH overlaps (a quote is not a leaked
+  // document). Per train doc: distinct matched grams / distinct grams.
+  // Same gram semantics (WordGramSha60 over lowered, edge-trimmed
+  // text, content-hash split buckets), same unhinted semi-join that
+  // degrades from AQE-broadcast to a shuffled semi-join at scale.
+  // =====================================================================
+  val contaminationScore: Q = Q("ext_contamination_score",
+    (spark, sfDir) => {
+      val bucket = pmod(Scalars.hash60(col("text")), lit(100L))
+      val grams = graft.expr.ColumnOps
+        .wordGramSha60(edgeTrim(lower(col("text"))), 5)
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), bucket.as("bucket"), grams.as("grams"))
+      val trainG = base.filter(col("bucket") < 90)
+        .select(col("doc_id"), explode(col("grams")).as("g")).distinct()
+      val testG = base.filter(col("bucket") >= 95)
+        .select(explode(col("grams")).as("g")).distinct()
+      val totals = trainG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = trainG.join(testG, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      totals.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_grams"), 4).as("overlap_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $decontamSqlCtes,
+            |traind AS (SELECT DISTINCT doc_id, gr FROM train),
+            |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            |        FROM traind GROUP BY doc_id),
+            |hitc AS (
+            |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nh FROM traind t
+            |  WHERE EXISTS (SELECT 1 FROM testg x WHERE x.gr = t.gr)
+            |  GROUP BY t.doc_id)
+            |SELECT tot.doc_id, n_grams, coalesce(nh, 0) AS n_hit,
+            |  round(CAST(coalesce(nh, 0) AS DOUBLE) / n_grams, 4) AS overlap_frac
+            |FROM tot LEFT JOIN hitc ON tot.doc_id = hitc.doc_id
+            |ORDER BY tot.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -1618,5 +1759,6 @@ object Extensions {
     fingerprintWinnow,
     multimodalJoin, multimodalDecode, piiRedact, topTerms, decontaminate,
     stratifiedSample, clusterWeightedSample, splitTrainTest, packSequences,
-    corpusCurate, corpusCurateFull)
+    corpusCurate, corpusCurateFull,
+    repetitionScore, charEntropy, contaminationScore)
 }

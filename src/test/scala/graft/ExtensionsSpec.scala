@@ -425,6 +425,46 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("repetition score flags looped text, passes varied text") {
+    val df = Extensions.repetitionScore.fn(spark, sf0001).cache()
+    assert(df.count() == 500)
+    // fractions are well-formed
+    assert(df.filter(col("dup_word_frac") < 0 || col("dup_word_frac") >= 1 ||
+      col("top_bigram_frac") <= 0 || col("top_bigram_frac") > 1).count() == 0)
+    // the flag must split the corpus, not rubber-stamp it
+    val flagged = df.filter(col("repetitive")).count()
+    assert(flagged > 0 && flagged < 500, s"repetitive=$flagged of 500")
+    df.unpersist()
+    // planted sanity: a pure loop maxes the duplicate-word signal
+    val t = Seq((1L, "spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val toks = split(Extensions.edgeTrim(col("text")), "\\s+")
+    val dup = t.select((lit(1.0) - size(array_distinct(toks)).cast("double") /
+      size(toks)).as("d")).head().getDouble(0)
+    assert(dup > 0.8)
+  }
+
+  test("char entropy: floods score near zero, varied text near log2(alphabet)") {
+    val df = Extensions.charEntropy.fn(spark, sf0001)
+    assert(df.count() == 500)
+    // natural-ish synthetic text sits in a sane band
+    assert(df.filter(col("entropy_bits") < 0 || col("entropy_bits") > 6).count() == 0)
+    val low = df.filter(col("low_entropy")).count()
+    assert(low < 500, "low_entropy must not flag everything")
+  }
+
+  test("contamination score agrees with the boolean decontamination flags") {
+    val score = Extensions.contaminationScore.fn(spark, sf0001)
+      .select(col("doc_id"), col("overlap_frac"))
+    val flags = Extensions.decontaminate.fn(spark, sf0001)
+    val joined = score.join(flags, Seq("doc_id"))
+    assert(joined.count() == flags.count()) // same train universe
+    // overlap > 0  ⟺  contaminated
+    assert(joined.filter((col("overlap_frac") > 0) =!= col("contaminated")).count() == 0)
+    // ratios are fractions of the doc's gram set
+    assert(score.filter(col("overlap_frac") < 0 || col("overlap_frac") > 1).count() == 0)
+  }
+
   test("edgeTrim tokenization is immune to edge tabs/newlines") {
     // trim() leaves "hello\n" intact -> Java split gives 1 token but
     // DuckDB's regexp split gives 2; after edgeTrim both give 1
