@@ -108,6 +108,17 @@ class PlanSpec extends SparkSpec {
       s"query side should broadcast:\n$plan")
   }
 
+  test("repetition/entropy aggregations plan map-side partials (wordcount shape)") {
+    // the hot-key safety story for exploded (doc, gram)/(doc, char)
+    // counting IS partial aggregation — assert it exists at both levels
+    for (q <- Seq(ext.Extensions.repetitionScore, ext.Extensions.charEntropy)) {
+      val plan = physical(q.fn(spark, sf0001))
+      assert("HashAggregate".r.findAllIn(plan).size >= 4,
+        s"${q.name}: expected two partial+final aggregate pairs:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"${q.name} plans a cross product")
+    }
+  }
+
   test("registry-wide audit: no unintended cartesian / nested-loop joins") {
     // the bounded ground-truth queries are all-pairs BY DESIGN
     // (documented samples that exist to oracle-check the LSH paths);
