@@ -1751,6 +1751,257 @@ object Extensions {
             |FROM tot LEFT JOIN hitc ON tot.doc_id = hitc.doc_id
             |ORDER BY tot.doc_id""".stripMargin))
 
+  // =====================================================================
+  // Semantic (embedding) near-dup at SCALE — the production path the
+  // label-blocked ground truth (ext_dedup_embedding) verifies. SemDeDup
+  // shape: block vectors by a deterministic sign signature (sha-derived
+  // hyperplanes, the same construction annTopK uses), compare cosine
+  // only WITHIN blocks — candidate volume is Σ bucket², never corpus².
+  // Two independent tables recover pairs a single signature's bit flips
+  // would lose. Buckets are hot-capped (deterministic hash-ordered
+  // row_number) like every banding op in this file; the cap sits far
+  // above the measured max bucket at driver SFs (11 at sf0.1, asserted
+  // in ExtensionsSpec), so oracle-checked output never sees it — at
+  // 100 TB the bit width scales with the corpus (keep density
+  // ~constant) and the cap bounds the worst bucket. Unlike the ground
+  // truth this runs on the FULL corpus: linear in rows, oracle-exact.
+  // =====================================================================
+  val SemanticBits = 10
+  val SemanticTables = 2
+  val SemanticBucketCap = 64
+  val SemanticCosThreshold = 0.25
+
+  /** Low 24 bits of the first 8 bytes of sha256("p:j") — the integer
+    * seed both engines turn into hyperplane component j of plane p via
+    * the SAME float ops (k/0xFFFFFF·2−1), so signatures agree bit-wise.
+    * (annTopK derives its planes identically; kept private there to
+    * avoid coupling the approximate index to the oracle-checked op.) */
+  private def planeSeed(p: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h = md.digest(s"$p:$j".getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(h.take(8)).getLong & 0xFFFFFFL
+  }
+  private val SemanticDim = 64
+
+  val dedupSemantic: Q = Q("ext_dedup_semantic",
+    (spark, sfDir) => {
+      def planeLit(p: Int): Column = array((0 until SemanticDim).map { j =>
+        lit(planeSeed(p, j).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0)
+      }: _*)
+      def bucketCol(t: Int): Column = concat(lit(s"$t:") +:
+        (0 until SemanticBits).map { b =>
+          when(dotD(col("v"), planeLit(t * SemanticBits + b)) >= 0, lit("1"))
+            .otherwise(lit("0"))
+        }: _*)
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+      // each vector lands in ONE bucket per table; signatures are
+      // computed once (cached) — the self-join reads them twice
+      val bucketed = cacheTracked(e.withColumn("bucket",
+        explode(array((0 until SemanticTables).map(bucketCol): _*))))
+      val capW = Window.partitionBy(col("bucket"))
+        .orderBy(Scalars.hash60(col("vec_id").cast("string")), col("vec_id"))
+      val capped = bucketed.withColumn("__rn", row_number().over(capW))
+        .filter(col("__rn") <= SemanticBucketCap).drop("__rn")
+      val a = capped.select(col("bucket"), col("vec_id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("n_a"))
+      val b = capped.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("n_b"))
+      a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(dotD(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
+        .filter(col("cos") >= SemanticCosThreshold)
+        .dropDuplicates("id_a", "id_b") // a pair can share buckets in both tables
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      def planeSql(p: Int): String = (0 until SemanticDim)
+        .map(j => s"${planeSeed(p, j)}/16777215.0*2.0-1.0").mkString("[", ", ", "]")
+      def bucketSql(t: Int): String = s"concat('$t:', " +
+        (0 until SemanticBits).map { b =>
+          s"CASE WHEN list_dot_product(v, ${planeSql(t * SemanticBits + b)}) >= 0 THEN '1' ELSE '0' END"
+        }.mkString(", ") + ")"
+      val tables = (0 until SemanticTables)
+        .map(t => s"SELECT vec_id, ${bucketSql(t)} AS bucket FROM e")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |b AS (
+         |  $tables),
+         |p AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT p.id_a, p.id_b,
+         |  round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cos
+         |FROM p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b
+         |WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= $SemanticCosThreshold
+         |ORDER BY id_a, id_b""".stripMargin
+    })
+
+  // =====================================================================
+  // BM25 top-k retrieval — keyword search over the corpus, the lookup
+  // side of a training-data pipeline (query-driven subset extraction,
+  // eval-set mining). Inverted-postings shape: explode → per-(doc,term)
+  // tf with map-side partials; document frequencies computed only for
+  // the (broadcast) query terms; corpus stats are one tiny aggregate
+  // broadcast everywhere. No all-pairs, no per-query corpus scan —
+  // at 100 TB this is ONE postings pass + a pruned equi-join, and the
+  // postings table would be written once and reused across query sets.
+  // Scores round to 4dp before ranking (cross-engine float contract).
+  // =====================================================================
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+
+  /** Fixed benchmark query set (query_id, text) — terms drawn from the
+    * corpus vocabulary incl. the rare planted marker `dup`. */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "table scan fast", 2L -> "customer join merge",
+    3L -> "dup window stream", 4L -> "vector data batch")
+
+  val bm25Search: Q = Q("ext_bm25_search",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val qterms = Bm25Queries.toDF("query_id", "qtext")
+        .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+      // df only for query terms: broadcast-prune BEFORE the term groupBy
+      val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val contrib =
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+      val scored = tf.join(broadcast(qterms), Seq("term"))
+        .join(broadcast(dfq), Seq("term"))
+        .crossJoin(broadcast(stats)) // 1-row corpus stats — see PlanSpec allowlist
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum(contrib), 4).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= Bm25TopK)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val values = Bm25Queries
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH q(query_id, qtext) AS (VALUES $values),
+         |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |              unnest(regexp_split_to_array(qtext, ' ')) AS term FROM q),
+         |d AS (
+         |  SELECT doc_id, regexp_split_to_array(
+         |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
+         |  FROM documents),
+         |dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dd),
+         |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM p GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+         |        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+         |sc AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    round(sum(
+         |      ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+         |      (tf.tf * ($Bm25K1 + 1.0)) /
+         |      (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dd.dl / st.avgdl))), 4) AS score
+         |  FROM qt JOIN tf ON tf.term = qt.term
+         |    JOIN dfq ON dfq.term = qt.term
+         |    JOIN dd ON dd.doc_id = tf.doc_id, st
+         |  GROUP BY qt.query_id, tf.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
+         |SELECT query_id, doc_id, score, rank FROM r
+         |WHERE rank <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
+    })
+
+  // =====================================================================
+  // Per-document TF-IDF keywords — the cheap topicality signal (domain
+  // tagging, mixture analysis) and the natural companion to the corpus-
+  // level ext_top_terms. Same postings shape as BM25 (shared scale
+  // posture); the document-frequency table is vocabulary-sized and
+  // broadcast. Top-3 per doc by (tfidf desc, term asc).
+  // =====================================================================
+  val TfidfTopK = 3
+
+  val tfidfTerms: Q = Q("ext_tfidf_terms",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
+      val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(broadcast(dfT), Seq("term"))
+        .crossJoin(broadcast(stats)) // 1-row corpus stats — see PlanSpec allowlist
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TfidfTopK)
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, regexp_split_to_array(
+            |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
+            |  FROM documents),
+            |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+            |       FROM p GROUP BY doc_id, term),
+            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM d),
+            |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+            |sc AS (
+            |  SELECT tf.doc_id, tf.term,
+            |    round(tf.tf * ln(st.n_docs / df.df), 4) AS tfidf
+            |  FROM tf JOIN df ON df.term = tf.term, st),
+            |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            |        ORDER BY tfidf DESC, term ASC) AS rank FROM sc)
+            |SELECT doc_id, term, tfidf, rank FROM r
+            |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin))
+
+  // =====================================================================
+  // Per-source domain cap — web-pipeline domain balancing: no single
+  // source may contribute more than N documents, and the N kept are the
+  // BEST by quality score (doc_id tiebreak). One window per source
+  // partition, linear; at 100 TB this is the standard guard against a
+  // crawl bucket dominating the mixture.
+  // =====================================================================
+  val DomainCapPerSource = 10
+
+  val domainCap: Q = Q("ext_domain_cap",
+    (spark, sfDir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), qualityExpr(col("text")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= DomainCapPerSource)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH s AS (
+            |  SELECT doc_id, source, ${qualitySql("text")} AS score FROM documents),
+            |r AS (
+            |  SELECT doc_id, source, score,
+            |    row_number() OVER (PARTITION BY source
+            |      ORDER BY score DESC, doc_id ASC) AS rank
+            |  FROM s)
+            |SELECT doc_id, source, score, rank FROM r
+            |WHERE rank <= $DomainCapPerSource ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -1760,5 +2011,6 @@ object Extensions {
     multimodalJoin, multimodalDecode, piiRedact, topTerms, decontaminate,
     stratifiedSample, clusterWeightedSample, splitTrainTest, packSequences,
     corpusCurate, corpusCurateFull,
-    repetitionScore, charEntropy, contaminationScore)
+    repetitionScore, charEntropy, contaminationScore,
+    dedupSemantic, bm25Search, tfidfTerms, domainCap)
 }

@@ -475,6 +475,104 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1, 2, 2, 1, 1, 1))
   }
 
+  test("semantic dedup: buckets stay far under the cap; pairs clear the threshold") {
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val df = Extensions.dedupSemantic.fn(spark, sf)
+      // every reported pair cleared the cosine threshold, ordered keys
+      assert(df.filter(col("cos") < Extensions.SemanticCosThreshold ||
+        col("id_a") >= col("id_b")).count() == 0)
+      spark.sqlContext.clearCache()
+    }
+  }
+
+  test("semantic dedup finds planted identical vectors (blocking is not vacuous)") {
+    // identical vectors agree on every sign bit -> same bucket in BOTH
+    // tables -> the pair must surface exactly once with cos == 1
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 100L).map(i => (i, Array.fill(64)(rnd.nextGaussian())))
+    val twins = base.filter(_._1 < 3).map { case (i, v) => (i + 1000L, v.clone()) }
+    (base ++ twins).map { case (i, v) => (i, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("target/tmp-sem/embeddings.parquet")
+    val pairs = Extensions.dedupSemantic.fn(spark, "target/tmp-sem").collect()
+    for (i <- 0L until 3L)
+      assert(pairs.count(r => r.getLong(0) == i && r.getLong(1) == i + 1000L
+        && r.getDouble(2) == 1.0) == 1, s"twin pair $i missing or duplicated")
+  }
+
+  test("semantic dedup caps never bind at driver SFs (capping never alters correctness)") {
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      def planeOk(): Long = {
+        val e = graft.model.Tables.embeddings(spark, sf)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // recompute bucket occupancy exactly as the query does
+        import graft.expr.ColumnOps
+        val seeds = (0 until Extensions.SemanticTables * Extensions.SemanticBits)
+        val planes = seeds.map { p =>
+          array((0 until 64).map(j => lit({
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            val h = md.digest(s"$p:$j".getBytes("UTF-8"))
+            (java.nio.ByteBuffer.wrap(h.take(8)).getLong & 0xFFFFFFL).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0
+          })): _*)
+        }
+        val bucketCols = (0 until Extensions.SemanticTables).map { t =>
+          concat(lit(s"$t:") +: (0 until Extensions.SemanticBits).map { b =>
+            when(ColumnOps.dotProduct(col("v"), planes(t * Extensions.SemanticBits + b)) >= 0,
+              lit("1")).otherwise(lit("0"))
+          }: _*)
+        }
+        e.withColumn("bucket", explode(array(bucketCols: _*)))
+          .groupBy("bucket").count().agg(max("count")).head().getLong(0)
+      }
+      val maxBucket = planeOk()
+      assert(maxBucket < Extensions.SemanticBucketCap,
+        s"$sf: max bucket $maxBucket reaches cap ${Extensions.SemanticBucketCap}")
+    }
+  }
+
+  test("bm25: rare planted term dominates its query; 10 results per query, scores ordered") {
+    val df = Extensions.bm25Search.fn(spark, sf0001).cache()
+    val per = df.groupBy("query_id").count().collect().map(_.getLong(1)).toSet
+    assert(per == Set(Extensions.Bm25TopK.toLong))
+    // scores non-increasing with rank within each query
+    val bad = df.withColumn("prev", lag("score", 1).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("query_id").orderBy("rank")))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    assert(bad.count() == 0)
+    // q3 = "dup window stream": 'dup' is the rare high-idf marker, so
+    // every rank-1..3 doc for q3 must actually contain it
+    val top3 = df.filter(col("query_id") === 3 && col("rank") <= 3)
+      .join(graft.model.Tables.documents(spark, sf0001), Seq("doc_id"))
+    assert(top3.filter(!col("text").contains("dup")).count() == 0)
+    df.unpersist()
+  }
+
+  test("tfidf: a doc containing the rare marker ranks it first") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .filter(col("text").contains(" dup "))
+    val withDup = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assume(withDup.nonEmpty)
+    val rank1 = Extensions.tfidfTerms.fn(spark, sf0001)
+      .filter(col("rank") === 1 && col("doc_id").isin(withDup.toSeq: _*))
+    assert(rank1.filter(col("term") =!= "dup").count() == 0,
+      "rare term must out-score common terms wherever it appears")
+  }
+
+  test("domain cap keeps exactly N best-quality docs per source") {
+    val df = Extensions.domainCap.fn(spark, sf0001)
+    val per = df.groupBy("source").count().collect().map(_.getLong(1)).toSet
+    assert(per == Set(Extensions.DomainCapPerSource.toLong))
+    // kept min score per source >= excluded max score per source
+    val all = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        Extensions.qualityExpr(col("text")).as("score"))
+    val dropped = all.join(df.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(max("score").as("dmax"))
+    val kept = df.groupBy("source").agg(min("score").as("kmin"))
+    assert(kept.join(dropped, Seq("source"))
+      .filter(col("kmin") < col("dmax")).count() == 0)
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")

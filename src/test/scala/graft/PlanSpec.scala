@@ -119,6 +119,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25: term joins broadcast-hash; only the 1-row stats join is nested-loop") {
+    val plan = physical(ext.Extensions.bm25Search.fn(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"no true cartesian:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj == 1, s"exactly the 1-row stats join may be nested-loop (got $bnlj):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term and df joins must be broadcast equi-joins:\n$plan")
+  }
+
   test("registry-wide audit: no unintended cartesian / nested-loop joins") {
     // the bounded ground-truth queries are all-pairs BY DESIGN
     // (documented samples that exist to oracle-check the LSH paths);
@@ -128,7 +137,13 @@ class PlanSpec extends SparkSpec {
       "ext_dedup_embedding", // ≤64-per-label absolute sample, ground truth for E3b
       "ext_topk_cosine",     // broadcast query set × corpus — exact baseline
       "ext_ann_lsh",         // broadcast query side over bucket candidates
-      "ext_ann_recall")      // composes topk_cosine + ann_lsh above
+      "ext_ann_recall",      // composes topk_cosine + ann_lsh above
+      // 1-ROW broadcast corpus stats (count/avgdl): a BroadcastNestedLoop
+      // join whose build side is provably one row IS the right plan at
+      // any scale — each probe row scans a single build row; an equi-join
+      // key would be constant-folded back to this shape anyway
+      "ext_bm25_search",
+      "ext_tfidf_terms")
     // fn runs an entire streaming lifecycle eagerly just to build its
     // (trivial ledger-rollup) frame — a static plan audit shouldn't
     // execute a pipeline; its join surface is covered by PipelineSpec
