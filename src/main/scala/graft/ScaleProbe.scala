@@ -74,8 +74,73 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `semantic` mode: the sign-signature blocking at 100×-scale vector
+    * counts. Bit width is raised to log₂(n/targetBucket) exactly as the
+    * operator's scaladoc prescribes; reports candidate volume vs the
+    * all-pairs theory, hot-bucket max, and wall time — so "Σ bucket²,
+    * never corpus²" is a measurement, not an assertion. */
+  private def semanticProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.length > 1) args(1).toLong else 2000000L
+    val targetBucket = 32.0
+    val bits = math.max(ext.Extensions.SemanticBits,
+      math.ceil(math.log(nVecs / targetBucket) / math.log(2)).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // deterministic pseudo-random 64-dim vectors: hash(vec_id, j) uniform
+    // in [-1, 1] — no Math.random, re-runs identical
+    val v = transform(sequence(lit(0), lit(63)),
+      j => pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0 - 1.0)
+    val emb = spark.range(nVecs)
+      .select(col("id").as("vec_id"), v.as("v")).cache()
+    emb.count()
+    val t0 = System.nanoTime()
+    val pairs = ext.Extensions.semanticPairsFrom(emb, bits = bits)
+    val nPairs = pairs.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val theory = nVecs * (nVecs - 1) / 2
+    println(f"SEMPROBE n=$nVecs%d bits=$bits%d pairs=$nPairs%d wall=$wall%.1fs " +
+      f"(all-pairs theory $theory%d -> ${theory / math.max(nPairs, 1)}%dx reduction)")
+    spark.stop()
+  }
+
+  /** `bm25` mode: the inverted-postings pass at millions of documents —
+    * measures the explode→tf shuffle and the pruned scoring join. */
+  private def bm25Probe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vocab = (0 until 5000).map(i => s"tok${i}x")
+    val words = (0 until 50).map { w =>
+      element_at(typedLit(vocab),
+        (pmod(hash(col("id"), lit(w)), lit(vocab.size)) + 1).cast("int"))
+    }
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
+      .cache()
+    docs.count()
+    val queries = Seq(1L -> "tok1x tok2x tok3x", 2L -> "tok10x tok500x",
+      3L -> "tok4999x tok42x tok7x")
+    val t0 = System.nanoTime()
+    val out = ext.Extensions.bm25From(docs, queries).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"BM25PROBE n_docs=$nDocs%d postings=${nDocs * 50}%d results=$out%d wall=$wall%.1fs")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) { skewProbe(args); return }
+    if (args.headOption.contains("semantic")) { semanticProbe(args); return }
+    if (args.headOption.contains("bm25")) { bm25Probe(args); return }
     val nFamilies = if (args.length > 0) args(0).toInt else 200
     val copies = if (args.length > 1) args(1).toInt else 1000
     val cap = if (args.length > 2) args(2).toInt

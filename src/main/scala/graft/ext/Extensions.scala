@@ -1783,38 +1783,48 @@ object Extensions {
   }
   private val SemanticDim = 64
 
-  val dedupSemantic: Q = Q("ext_dedup_semantic",
-    (spark, sfDir) => {
-      def planeLit(p: Int): Column = array((0 until SemanticDim).map { j =>
-        lit(planeSeed(p, j).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0)
+  /** Semantic near-dup candidate pairs from `emb` (vec_id, v:array<double>).
+    * At the registered-query scale `bits`=[[SemanticBits]] is right for
+    * ~5k vectors; at larger corpora callers raise `bits` ≈
+    * log₂(n/targetBucket) so per-bucket density stays constant
+    * (ScaleProbe `semantic` mode measures this at 2M vectors). */
+  def semanticPairsFrom(emb: DataFrame, bits: Int = SemanticBits,
+                        nTables: Int = SemanticTables,
+                        cap: Int = SemanticBucketCap,
+                        threshold: Double = SemanticCosThreshold): DataFrame = {
+    def planeLit(p: Int): Column = array((0 until SemanticDim).map { j =>
+      lit(planeSeed(p, j).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0)
+    }: _*)
+    def bucketCol(t: Int): Column = concat(lit(s"$t:") +:
+      (0 until bits).map { b =>
+        when(dotD(col("v"), planeLit(t * bits + b)) >= 0, lit("1"))
+          .otherwise(lit("0"))
       }: _*)
-      def bucketCol(t: Int): Column = concat(lit(s"$t:") +:
-        (0 until SemanticBits).map { b =>
-          when(dotD(col("v"), planeLit(t * SemanticBits + b)) >= 0, lit("1"))
-            .otherwise(lit("0"))
-        }: _*)
-      val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-      // each vector lands in ONE bucket per table; signatures are
-      // computed once (cached) — the self-join reads them twice
-      val bucketed = cacheTracked(e.withColumn("bucket",
-        explode(array((0 until SemanticTables).map(bucketCol): _*))))
-      val capW = Window.partitionBy(col("bucket"))
-        .orderBy(Scalars.hash60(col("vec_id").cast("string")), col("vec_id"))
-      val capped = bucketed.withColumn("__rn", row_number().over(capW))
-        .filter(col("__rn") <= SemanticBucketCap).drop("__rn")
-      val a = capped.select(col("bucket"), col("vec_id").as("id_a"),
-        col("v").as("v_a"), col("nrm").as("n_a"))
-      val b = capped.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
-        col("v").as("v_b"), col("nrm").as("n_b"))
-      a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(dotD(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
-        .filter(col("cos") >= SemanticCosThreshold)
-        .dropDuplicates("id_a", "id_b") // a pair can share buckets in both tables
-        .orderBy("id_a", "id_b")
-    },
+    val e = emb.withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    // each vector lands in ONE bucket per table; signatures are
+    // computed once (cached) — the self-join reads them twice
+    val bucketed = cacheTracked(e.withColumn("bucket",
+      explode(array((0 until nTables).map(bucketCol): _*))))
+    val capW = Window.partitionBy(col("bucket"))
+      .orderBy(Scalars.hash60(col("vec_id").cast("string")), col("vec_id"))
+    val capped = bucketed.withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= cap).drop("__rn")
+    val a = capped.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = capped.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dotD(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b") // a pair can share buckets in both tables
+  }
+
+  val dedupSemantic: Q = Q("ext_dedup_semantic",
+    (spark, sfDir) =>
+      semanticPairsFrom(Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+        .orderBy("id_a", "id_b"),
     Some {
       def planeSql(p: Int): String = (0 until SemanticDim)
         .map(j => s"${planeSeed(p, j)}/16777215.0*2.0-1.0").mkString("[", ", ", "]")
@@ -1862,38 +1872,44 @@ object Extensions {
     1L -> "table scan fast", 2L -> "customer join merge",
     3L -> "dup window stream", 4L -> "vector data batch")
 
+  /** BM25 top-k over `docsRaw` (doc_id, text) for a literal query set.
+    * One postings pass; everything query-sized is broadcast. */
+  def bm25From(docsRaw: DataFrame, queries: Seq[(Long, String)] = Bm25Queries,
+               k: Int = Bm25TopK): DataFrame = {
+    val spark = docsRaw.sparkSession
+    import spark.implicits._
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+    val docs = docsRaw
+      .select(col("doc_id"),
+        split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+    // df only for query terms: broadcast-prune BEFORE the term groupBy
+    val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * (Bm25K1 + 1.0)) /
+        (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats)) // 1-row corpus stats — see PlanSpec allowlist
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(contrib), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   val bm25Search: Q = Q("ext_bm25_search",
-    (spark, sfDir) => {
-      import spark.implicits._
-      val qterms = Bm25Queries.toDF("query_id", "qtext")
-        .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
-      val docs = Tables.documents(spark, sfDir)
-        .select(col("doc_id"),
-          split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
-        .withColumn("dl", size(col("toks")).cast("double"))
-      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl"))
-      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
-      // df only for query terms: broadcast-prune BEFORE the term groupBy
-      val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
-        .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      val contrib =
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (Bm25K1 + 1.0)) /
-          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
-      val scored = tf.join(broadcast(qterms), Seq("term"))
-        .join(broadcast(dfq), Seq("term"))
-        .crossJoin(broadcast(stats)) // 1-row corpus stats — see PlanSpec allowlist
-        .groupBy("query_id", "doc_id")
-        .agg(round(sum(contrib), 4).as("score"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= Bm25TopK)
-        .orderBy("query_id", "rank")
-    },
+    (spark, sfDir) =>
+      bm25From(Tables.documents(spark, sfDir)).orderBy("query_id", "rank"),
     Some {
       val values = Bm25Queries
         .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
