@@ -1825,31 +1825,66 @@ object Extensions {
       semanticPairsFrom(Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
         .orderBy("id_a", "id_b"),
-    Some {
-      def planeSql(p: Int): String = (0 until SemanticDim)
-        .map(j => s"${planeSeed(p, j)}/16777215.0*2.0-1.0").mkString("[", ", ", "]")
-      def bucketSql(t: Int): String = s"concat('$t:', " +
-        (0 until SemanticBits).map { b =>
-          s"CASE WHEN list_dot_product(v, ${planeSql(t * SemanticBits + b)}) >= 0 THEN '1' ELSE '0' END"
-        }.mkString(", ") + ")"
-      val tables = (0 until SemanticTables)
-        .map(t => s"SELECT vec_id, ${bucketSql(t)} AS bucket FROM e")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |  FROM embeddings),
-         |b AS (
-         |  $tables),
-         |p AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-         |SELECT p.id_a, p.id_b,
-         |  round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cos
-         |FROM p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b
-         |WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= $SemanticCosThreshold
-         |ORDER BY id_a, id_b""".stripMargin
-    })
+    Some(s"""WITH $semanticPairsSqlCtes
+            |SELECT id_a, id_b, cos FROM spairs ORDER BY id_a, id_b""".stripMargin))
+
+  /** DuckDB twin of [[semanticPairsFrom]] at the registered parameters —
+    * the ONE SQL definition of semantic near-dup pairs, shared by the
+    * pair and cluster oracles. Yields `spairs` (id_a, id_b, cos). */
+  private def semanticPairsSqlCtes: String = {
+    def planeSql(p: Int): String = (0 until SemanticDim)
+      .map(j => s"${planeSeed(p, j)}/16777215.0*2.0-1.0").mkString("[", ", ", "]")
+    def bucketSql(t: Int): String = s"concat('$t:', " +
+      (0 until SemanticBits).map { b =>
+        s"CASE WHEN list_dot_product(v, ${planeSql(t * SemanticBits + b)}) >= 0 THEN '1' ELSE '0' END"
+      }.mkString(", ") + ")"
+    val tables = (0 until SemanticTables)
+      .map(t => s"SELECT vec_id, ${bucketSql(t)} AS bucket FROM e")
+      .mkString("\n  UNION ALL\n  ")
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |b AS (
+       |  $tables),
+       |p AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+       |spairs AS (
+       |  SELECT p.id_a, p.id_b,
+       |    round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cos
+       |  FROM p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b
+       |  WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= $SemanticCosThreshold)""".stripMargin
+  }
+
+  // =====================================================================
+  // Semantic near-dup CLUSTERS — the same closure the minhash path gets
+  // (E2a'), over the semantic pair graph: keep one member per connected
+  // component. Reuses ops.Graph (contraction + pointer jumping) on the
+  // Spark side and the recursive-CTE closure shape on the oracle side.
+  // =====================================================================
+  val semanticClusters: Q = Q("ext_semantic_clusters",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val pairs = semanticPairsFrom(emb).select("id_a", "id_b")
+      graft.ops.Graph.connectedComponents(
+          pairs, emb.select(col("vec_id").as("id")))
+        .select(col("id").as("vec_id"), col("component").as("cluster_id"),
+          (col("id") === col("component")).as("keep"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE $semanticPairsSqlCtes,
+            |sym AS (SELECT id_a AS src, id_b AS dst FROM spairs
+            |        UNION ALL SELECT id_b, id_a FROM spairs),
+            |reach(id, root) AS (
+            |  SELECT vec_id, vec_id FROM embeddings
+            |  UNION
+            |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.id),
+            |comp AS (SELECT id AS vec_id, min(root) AS cluster_id
+            |         FROM reach GROUP BY id)
+            |SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
+            |FROM comp ORDER BY vec_id""".stripMargin))
 
   // =====================================================================
   // BM25 top-k retrieval — keyword search over the corpus, the lookup
@@ -2028,5 +2063,5 @@ object Extensions {
     stratifiedSample, clusterWeightedSample, splitTrainTest, packSequences,
     corpusCurate, corpusCurateFull,
     repetitionScore, charEntropy, contaminationScore,
-    dedupSemantic, bm25Search, tfidfTerms, domainCap)
+    dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap)
 }

@@ -530,6 +530,24 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("semantic clusters: planted twins share a component labeled by the min id") {
+    // reuses the tmp-sem fixture written by the planted-twin test above
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 100L).map(i => (i, Array.fill(64)(rnd.nextGaussian())))
+    val twins = base.filter(_._1 < 3).map { case (i, v) => (i + 1000L, v.clone()) }
+    (base ++ twins).map { case (i, v) => (i, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("target/tmp-semc/embeddings.parquet")
+    val comps = Extensions.semanticClusters.fn(spark, "target/tmp-semc")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    for (i <- 0L until 3L) {
+      assert(comps(i + 1000L)._1 == comps(i)._1, s"twin $i split from its original")
+      assert(comps(i)._1 <= i, "cluster label must be the component min")
+    }
+    // keep is exactly the member equal to its own cluster label
+    assert(comps.count { case (id, (c, keep)) => keep == (id == c) } == comps.size)
+  }
+
   test("bm25: rare planted term dominates its query; 10 results per query, scores ordered") {
     val df = Extensions.bm25Search.fn(spark, sf0001).cache()
     val per = df.groupBy("query_id").count().collect().map(_.getLong(1)).toSet
