@@ -2053,6 +2053,48 @@ object Extensions {
             |SELECT doc_id, source, score, rank FROM r
             |WHERE rank <= $DomainCapPerSource ORDER BY doc_id""".stripMargin))
 
+  // =====================================================================
+  // Unigram LM cross-entropy — LM-based quality filtering (the CCNet/
+  // KenLM idea at unigram order): score each document by its average
+  // negative log-probability under the CORPUS's own unigram model;
+  // boilerplate floods score low, rare-token soup scores high. Two
+  // wordcount passes: the model (term → count, vocabulary-sized,
+  // broadcast) and the per-doc average. The 1-row token total rides the
+  // vocabulary-sized count frame (see PlanSpec allowlist). ppl is
+  // derived from the ROUNDED average so both engines exponentiate the
+  // same value.
+  // =====================================================================
+  val unigramLogprob: Q = Q("ext_unigram_logprob",
+    (spark, sfDir) => {
+      val p = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("term"))
+      val c = p.groupBy("term").agg(count(lit(1)).cast("double").as("c"))
+      val tot = p.agg(count(lit(1)).cast("double").as("tot"))
+      val model = broadcast(c.crossJoin(broadcast(tot)))
+      p.join(model, Seq("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("tot") / col("c"))), 4).as("avg_neg_logprob"))
+        .select(col("doc_id"), col("n_tokens"), col("avg_neg_logprob"),
+          round(exp(col("avg_neg_logprob")), 2).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, regexp_split_to_array(
+           |    regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks
+           |  FROM documents),
+           |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
+           |c AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM p GROUP BY term),
+           |t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM p),
+           |sc AS (
+           |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    round(avg(ln(t.tot / c.c)), 4) AS avg_neg_logprob
+           |  FROM p JOIN c ON c.term = p.term, t GROUP BY p.doc_id)
+           |SELECT doc_id, n_tokens, avg_neg_logprob,
+           |  round(exp(avg_neg_logprob), 2) AS ppl
+           |FROM sc ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -2063,5 +2105,6 @@ object Extensions {
     stratifiedSample, clusterWeightedSample, splitTrainTest, packSequences,
     corpusCurate, corpusCurateFull,
     repetitionScore, charEntropy, contaminationScore,
-    dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap)
+    dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap,
+    unigramLogprob)
 }

@@ -389,6 +389,9 @@ class ExtensionsSpec extends SparkSpec {
     val cc = graft.ops.Graph.connectedComponents(emptyEdges, nodes)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 2L)) // isolated nodes label themselves
+    val emptyEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    assert(Extensions.semanticPairsFrom(emptyEmb).count() == 0)
+    assert(Extensions.bm25From(emptyDocs).count() == 0)
     val emptyMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
     assert(graft.multimodal.Multimodal.decodeHeaders(emptyMedia).count() == 0)
     // null payload decodes to unknown, never throws
@@ -574,6 +577,24 @@ class ExtensionsSpec extends SparkSpec {
       .filter(col("rank") === 1 && col("doc_id").isin(withDup.toSeq: _*))
     assert(rank1.filter(col("term") =!= "dup").count() == 0,
       "rare term must out-score common terms wherever it appears")
+  }
+
+  test("unigram logprob: rare-token docs score above the all-common baseline") {
+    val df = Extensions.unigramLogprob.fn(spark, sf0001).cache()
+    assert(df.count() == 500)
+    // ppl must be exp(avg) of the rounded average (parity contract)
+    val bad = df.filter(abs(col("ppl") -
+      round(exp(col("avg_neg_logprob")), 2)) > 1e-9)
+    assert(bad.count() == 0)
+    // docs containing the rare marker 'dup' carry strictly higher
+    // cross-entropy than the corpus median (rarity = surprise)
+    val withDup = graft.model.Tables.documents(spark, sf0001)
+      .filter(col("text").contains(" dup ")).select("doc_id")
+    val med = df.stat.approxQuantile("avg_neg_logprob", Array(0.5), 0.0)(0)
+    val dupScores = df.join(withDup, Seq("doc_id"))
+    assume(dupScores.count() > 0)
+    assert(dupScores.filter(col("avg_neg_logprob") <= med).count() == 0)
+    df.unpersist()
   }
 
   test("domain cap keeps exactly N best-quality docs per source") {

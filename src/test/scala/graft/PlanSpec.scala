@@ -143,7 +143,8 @@ class PlanSpec extends SparkSpec {
       // any scale — each probe row scans a single build row; an equi-join
       // key would be constant-folded back to this shape anyway
       "ext_bm25_search",
-      "ext_tfidf_terms")
+      "ext_tfidf_terms",
+      "ext_unigram_logprob") // 1-row token total rides the vocab-sized count frame
     // fn runs an entire streaming lifecycle eagerly just to build its
     // (trivial ledger-rollup) frame — a static plan audit shouldn't
     // execute a pipeline; its join surface is covered by PipelineSpec
