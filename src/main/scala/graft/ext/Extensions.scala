@@ -1549,6 +1549,20 @@ object Extensions {
   // (normalized-fingerprint group min) ∧ train split, composed from the
   // operators above. All linear passes + one groupBy + one semi join.
   // =====================================================================
+  /** The ONE SQL definition of the base curation gates — `keepers`
+    * (exact-dedup representatives) and `cand` (lang ∧ train-split
+    * candidates with quality score) — shared by the three funnel
+    * oracles so they cannot drift. */
+  private def curateSqlCtes: String =
+    s"""keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents
+       |  GROUP BY substr(sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16)),
+       |cand AS (
+       |  SELECT doc_id, lang, ${qualitySql("text")} AS score
+       |  FROM documents
+       |  WHERE lang = 'en'
+       |    AND ${duckHash60("text")} % 100 < 90)""".stripMargin
+
   val corpusCurate: Q = Q("ext_corpus_curate",
     (spark, sfDir) => {
       val d = Tables.documents(spark, sfDir)
@@ -1564,14 +1578,7 @@ object Extensions {
         .select(col("doc_id"), col("lang"), col("score"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH keepers AS (
-            |  SELECT min(doc_id) AS doc_id FROM documents
-            |  GROUP BY substr(sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16)),
-            |cand AS (
-            |  SELECT doc_id, lang, ${qualitySql("text")} AS score
-            |  FROM documents
-            |  WHERE lang = 'en'
-            |    AND ${duckHash60("text")} % 100 < 90)
+    Some(s"""WITH $curateSqlCtes
             |SELECT c.doc_id, c.lang, c.score
             |FROM cand c
             |WHERE c.score >= 0.4
@@ -1595,20 +1602,18 @@ object Extensions {
         .orderBy("doc_id")
     },
     Some(s"""WITH $decontamSqlCtes,
-            |keepers AS (
-            |  SELECT min(doc_id) AS doc_id FROM documents
-            |  GROUP BY substr(sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16)),
-            |cand AS (
-            |  SELECT doc_id, lang, ${qualitySql("text")} AS score
-            |  FROM documents
-            |  WHERE lang = 'en'
-            |    AND ${duckHash60("text")} % 100 < 90)
+            |$curateSqlCtes
             |SELECT c.doc_id, c.lang, c.score
             |FROM cand c
             |WHERE c.score >= 0.4
             |  AND EXISTS (SELECT 1 FROM keepers k WHERE k.doc_id = c.doc_id)
             |  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = c.doc_id)
             |ORDER BY c.doc_id""".stripMargin))
+
+  // (ext_corpus_curate_semantic — the funnel composed with embedding
+  // near-dup — is defined AFTER the semantic blocking section below:
+  // its oracle string is built eagerly at object init and must not
+  // read the semantic tunables before their vals initialize.)
 
   // =====================================================================
   // Word-repetition quality rules (Gopher-style, word-level): duplicate
@@ -1766,10 +1771,13 @@ object Extensions {
   // ~constant) and the cap bounds the worst bucket. Unlike the ground
   // truth this runs on the FULL corpus: linear in rows, oracle-exact.
   // =====================================================================
-  val SemanticBits = 10
-  val SemanticTables = 2
-  val SemanticBucketCap = 64
-  val SemanticCosThreshold = 0.25
+  // `final val` = compile-time constants: any consumer declared EARLIER
+  // in this object (oracle strings build eagerly at init) still reads
+  // the real values, not zero-defaults from unfinished initialization
+  final val SemanticBits = 10
+  final val SemanticTables = 2
+  final val SemanticBucketCap = 64
+  final val SemanticCosThreshold = 0.25
 
   /** Low 24 bits of the first 8 bytes of sha256("p:j") — the integer
     * seed both engines turn into hyperplane component j of plane p via
@@ -1839,23 +1847,39 @@ object Extensions {
         s"CASE WHEN list_dot_product(v, ${planeSql(t * SemanticBits + b)}) >= 0 THEN '1' ELSE '0' END"
       }.mkString(", ") + ")"
     val tables = (0 until SemanticTables)
-      .map(t => s"SELECT vec_id, ${bucketSql(t)} AS bucket FROM e")
+      .map(t => s"SELECT vec_id, ${bucketSql(t)} AS bucket FROM se")
       .mkString("\n  UNION ALL\n  ")
-    s"""e AS (
+    // CTE names carry an s-prefix so this chain composes with the
+    // decontamination CTEs (which own `b`/`g`) in one WITH clause
+    s"""se AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings),
-       |b AS (
+       |sb AS (
        |  $tables),
-       |p AS (
+       |sp AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+       |  FROM sb a JOIN sb b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
        |spairs AS (
-       |  SELECT p.id_a, p.id_b,
+       |  SELECT sp.id_a, sp.id_b,
        |    round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cos
-       |  FROM p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b
+       |  FROM sp JOIN se ea ON ea.vec_id = sp.id_a JOIN se eb ON eb.vec_id = sp.id_b
        |  WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= $SemanticCosThreshold)""".stripMargin
   }
+
+  /** Recursive closure over the semantic pair graph (appends to
+    * [[semanticPairsSqlCtes]]) — yields `scomp` (vec_id, cluster_id).
+    * Shared by the cluster oracle and the composed funnel. */
+  private def semanticComponentsSqlCtes: String =
+    s"""$semanticPairsSqlCtes,
+       |ssym AS (SELECT id_a AS src, id_b AS dst FROM spairs
+       |         UNION ALL SELECT id_b, id_a FROM spairs),
+       |sreach(id, root) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT s.dst, r.root FROM sreach r JOIN ssym s ON s.src = r.id),
+       |scomp AS (SELECT id AS vec_id, min(root) AS cluster_id
+       |          FROM sreach GROUP BY id)""".stripMargin
 
   // =====================================================================
   // Semantic near-dup CLUSTERS — the same closure the minhash path gets
@@ -1874,17 +1898,9 @@ object Extensions {
           (col("id") === col("component")).as("keep"))
         .orderBy("vec_id")
     },
-    Some(s"""WITH RECURSIVE $semanticPairsSqlCtes,
-            |sym AS (SELECT id_a AS src, id_b AS dst FROM spairs
-            |        UNION ALL SELECT id_b, id_a FROM spairs),
-            |reach(id, root) AS (
-            |  SELECT vec_id, vec_id FROM embeddings
-            |  UNION
-            |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.id),
-            |comp AS (SELECT id AS vec_id, min(root) AS cluster_id
-            |         FROM reach GROUP BY id)
+    Some(s"""WITH RECURSIVE $semanticComponentsSqlCtes
             |SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
-            |FROM comp ORDER BY vec_id""".stripMargin))
+            |FROM scomp ORDER BY vec_id""".stripMargin))
 
   // =====================================================================
   // BM25 top-k retrieval — keyword search over the corpus, the lookup
@@ -2095,6 +2111,44 @@ object Extensions {
            |  round(exp(avg_neg_logprob), 2) AS ppl
            |FROM sc ORDER BY doc_id""".stripMargin))
 
+  // =====================================================================
+  // Curation ∧ SEMANTIC dedup — the funnel with every dedup family
+  // composed: exact (keepers), 5-gram contamination (hit), and
+  // embedding-level near-dup (drop every semantic-cluster member that
+  // is not its cluster's label). Documents without an embedding pass
+  // through (left-anti semantics). Spark side reuses the verified
+  // pieces; the oracle composes the three shared CTE chains in one
+  // WITH RECURSIVE. Declared after the semantic section: the oracle
+  // string builds eagerly at object init.
+  // =====================================================================
+  val corpusCurateSemantic: Q = Q("ext_corpus_curate_semantic",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val semDrop = graft.ops.Graph.connectedComponents(
+          semanticPairsFrom(emb).select("id_a", "id_b"),
+          emb.select(col("vec_id").as("id")))
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val contaminated = contaminationFlags(spark, sfDir)
+        .filter(col("contaminated")).select("doc_id")
+      corpusCurate.fn(spark, sfDir)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(semDrop, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $decontamSqlCtes,
+            |$semanticComponentsSqlCtes,
+            |sdrop AS (SELECT vec_id AS doc_id FROM scomp WHERE cluster_id <> vec_id),
+            |$curateSqlCtes
+            |SELECT c.doc_id, c.lang, c.score
+            |FROM cand c
+            |WHERE c.score >= 0.4
+            |  AND EXISTS (SELECT 1 FROM keepers k WHERE k.doc_id = c.doc_id)
+            |  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = c.doc_id)
+            |  AND NOT EXISTS (SELECT 1 FROM sdrop sd WHERE sd.doc_id = c.doc_id)
+            |ORDER BY c.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -2106,5 +2160,5 @@ object Extensions {
     corpusCurate, corpusCurateFull,
     repetitionScore, charEntropy, contaminationScore,
     dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap,
-    unigramLogprob)
+    unigramLogprob, corpusCurateSemantic)
 }

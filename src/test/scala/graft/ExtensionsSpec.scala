@@ -579,6 +579,18 @@ class ExtensionsSpec extends SparkSpec {
       "rare term must out-score common terms wherever it appears")
   }
 
+  test("curate_semantic = curate_full minus exactly the semantic non-keeps") {
+    val full = Extensions.corpusCurateFull.fn(spark, sf0001).select("doc_id")
+    val sem = Extensions.corpusCurateSemantic.fn(spark, sf0001).select("doc_id")
+    // subset, and the removed set is precisely keep==false cluster members
+    assert(sem.join(full, Seq("doc_id"), "left_anti").count() == 0)
+    val nonKeeps = Extensions.semanticClusters.fn(spark, sf0001)
+      .filter(!col("keep")).select(col("vec_id").as("doc_id"))
+    val removed = full.join(sem, Seq("doc_id"), "left_anti")
+    assert(removed.join(nonKeeps, Seq("doc_id"), "left_anti").count() == 0,
+      "every removed doc must be a semantic non-keep")
+  }
+
   test("unigram logprob: rare-token docs score above the all-common baseline") {
     val df = Extensions.unigramLogprob.fn(spark, sf0001).cache()
     assert(df.count() == 500)
