@@ -99,18 +99,18 @@ object Extensions {
 
   /** Docs the exact n-gram ground truth compares all-pairs: 128² / 2
     * ≈ 8k pairs regardless of corpus size. */
-  val NgramSampleDocs = 128
+  final val NgramSampleDocs = 128
 
   /** Per-label cap for the label-blocked exact cosine ground truth:
     * ≤ labels · 64² / 2 pairs regardless of corpus size. */
-  val EmbeddingSamplePerLabel = 64
+  final val EmbeddingSamplePerLabel = 64
 
   /** k shared by the exact top-k baseline, both ANN indexes, and the
     * recall denominator — ONE constant at the top of the object so no
     * consumer (or init order) can drift from it; a hard-coded `10.0`
     * denominator once lived inside the recall closure, correct only by
     * accident of lazy evaluation. */
-  val AnnK = 10
+  final val AnnK = 10
 
   /** Recall floors asserted by ext_ann_recall's `pass` column (and by
     * ExtensionsSpec). Measured recall@10 on the benchmark corpus:
@@ -118,8 +118,8 @@ object Extensions {
     * sf0.001/0.01/0.1 (was 0.52-0.59 with hamming-≤1); IVF nProbe=6/16
     * 0.66-0.73. Floors sit a wide margin below the measured minima so
     * they trip on real index regressions, not corpus jitter. */
-  val AnnLshRecallFloor = 0.7
-  val IvfRecallFloor = 0.60
+  final val AnnLshRecallFloor = 0.7
+  final val IvfRecallFloor = 0.60
 
   /** The `n` rows with the smallest (hash60(id), id) — one TakeOrdered
     * pass (O(corpus · log n), executor-side top-n merge, no driver
@@ -207,7 +207,7 @@ object Extensions {
     * ExtensionsSpec at sf0.01/sf0.1), so the cap never alters the
     * CORRECTNESS-checked output at test scale; it only bounds hot
     * buckets at 100 TB. */
-  val BandBucketCap = 128
+  final val BandBucketCap = 128
 
   /** SimHash's bands are only 6-7 bits wide (pigeonhole over a 32-bit
     * signature), so bucket sizes grow with corpus size even without
@@ -215,7 +215,7 @@ object Extensions {
     * at sf0.1. The cap sits above that (asserted in ExtensionsSpec) so
     * driver-run scales are byte-identical, while at 100 TB the hot
     * template-family buckets star-link instead of going quadratic. */
-  val SimhashBucketCap = 800
+  final val SimhashBucketCap = 800
 
   /** Candidate pairs (id_a < id_b, distinct) from a banded frame of
     * (keyCols…, doc_id). Buckets of ≤ `cap` members get the exact m²
@@ -1913,9 +1913,9 @@ object Extensions {
   // postings table would be written once and reused across query sets.
   // Scores round to 4dp before ranking (cross-engine float contract).
   // =====================================================================
-  val Bm25K1 = 1.2
-  val Bm25B = 0.75
-  val Bm25TopK = 10
+  final val Bm25K1 = 1.2
+  final val Bm25B = 0.75
+  final val Bm25TopK = 10
 
   /** Fixed benchmark query set (query_id, text) — terms drawn from the
     * corpus vocabulary incl. the rare planted marker `dup`. */
@@ -2001,7 +2001,7 @@ object Extensions {
   // posture); the document-frequency table is vocabulary-sized and
   // broadcast. Top-3 per doc by (tfidf desc, term asc).
   // =====================================================================
-  val TfidfTopK = 3
+  final val TfidfTopK = 3
 
   val tfidfTerms: Q = Q("ext_tfidf_terms",
     (spark, sfDir) => {
@@ -2047,7 +2047,7 @@ object Extensions {
   // partition, linear; at 100 TB this is the standard guard against a
   // crawl bucket dominating the mixture.
   // =====================================================================
-  val DomainCapPerSource = 10
+  final val DomainCapPerSource = 10
 
   val domainCap: Q = Q("ext_domain_cap",
     (spark, sfDir) => {
