@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [nFamilies] [copies] [bandBucketCap]
   *        runMain graft.ScaleProbe skew [spokes]
+  *        runMain graft.ScaleProbe semantic [nVecs]
+  *        runMain graft.ScaleProbe bm25 [nDocs]
   *
   * The `skew` mode measures the connected-components loop on a planted
   * MEGA-COMPONENT (one hub star of `spokes` edges + a background of
@@ -102,9 +104,14 @@ object ScaleProbe {
     val pairs = ext.Extensions.semanticPairsFrom(emb, bits = bits)
     val nPairs = pairs.count()
     val wall = (System.nanoTime() - t0) / 1e9
+    // hot-bucket evidence through the operator's OWN construction —
+    // the "Σ bucket², never corpus²" claim needs the max printed, not
+    // assumed (a pathological skew would otherwise be invisible here)
+    val maxBucket = ext.Extensions.semanticBuckets(emb, bits = bits)
+      .groupBy("bucket").count().agg(max("count")).head().getLong(0)
     val theory = nVecs * (nVecs - 1) / 2
-    println(f"SEMPROBE n=$nVecs%d bits=$bits%d pairs=$nPairs%d wall=$wall%.1fs " +
-      f"(all-pairs theory $theory%d -> ${theory / math.max(nPairs, 1)}%dx reduction)")
+    println(f"SEMPROBE n=$nVecs%d bits=$bits%d pairs=$nPairs%d maxbucket=$maxBucket%d " +
+      f"wall=$wall%.1fs (all-pairs theory $theory%d -> ${theory / math.max(nPairs, 1)}%dx reduction)")
     spark.stop()
   }
 

@@ -1784,12 +1784,32 @@ object Extensions {
     * the SAME float ops (k/0xFFFFFF·2−1), so signatures agree bit-wise.
     * (annTopK derives its planes identically; kept private there to
     * avoid coupling the approximate index to the oracle-checked op.) */
-  private def planeSeed(p: Int, j: Int): Long = {
+  private[graft] def planeSeed(p: Int, j: Int): Long = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val h = md.digest(s"$p:$j".getBytes("UTF-8"))
     java.nio.ByteBuffer.wrap(h.take(8)).getLong & 0xFFFFFFL
   }
   private val SemanticDim = 64
+
+  /** (vec_id, bucket) — one row per (vector, table): THE bucket
+    * construction of the semantic family, exposed package-private so
+    * the cap-headroom test and the scale probe measure the REAL
+    * buckets (a private re-implementation in the test would keep
+    * passing after a drift here while the operator diverged from its
+    * oracle). */
+  private[graft] def semanticBuckets(emb: DataFrame, bits: Int = SemanticBits,
+                                     nTables: Int = SemanticTables): DataFrame = {
+    def planeLit(p: Int): Column = array((0 until SemanticDim).map { j =>
+      lit(planeSeed(p, j).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0)
+    }: _*)
+    def bucketCol(t: Int): Column = concat(lit(s"$t:") +:
+      (0 until bits).map { b =>
+        when(dotD(col("v"), planeLit(t * bits + b)) >= 0, lit("1"))
+          .otherwise(lit("0"))
+      }: _*)
+    emb.withColumn("bucket",
+      explode(array((0 until nTables).map(bucketCol): _*)))
+  }
 
   /** Semantic near-dup candidate pairs from `emb` (vec_id, v:array<double>).
     * At the registered-query scale `bits`=[[SemanticBits]] is right for
@@ -1800,19 +1820,10 @@ object Extensions {
                         nTables: Int = SemanticTables,
                         cap: Int = SemanticBucketCap,
                         threshold: Double = SemanticCosThreshold): DataFrame = {
-    def planeLit(p: Int): Column = array((0 until SemanticDim).map { j =>
-      lit(planeSeed(p, j).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0)
-    }: _*)
-    def bucketCol(t: Int): Column = concat(lit(s"$t:") +:
-      (0 until bits).map { b =>
-        when(dotD(col("v"), planeLit(t * bits + b)) >= 0, lit("1"))
-          .otherwise(lit("0"))
-      }: _*)
     val e = emb.withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
     // each vector lands in ONE bucket per table; signatures are
     // computed once (cached) — the self-join reads them twice
-    val bucketed = cacheTracked(e.withColumn("bucket",
-      explode(array((0 until nTables).map(bucketCol): _*))))
+    val bucketed = cacheTracked(semanticBuckets(e, bits, nTables))
     val capW = Window.partitionBy(col("bucket"))
       .orderBy(Scalars.hash60(col("vec_id").cast("string")), col("vec_id"))
     val capped = bucketed.withColumn("__rn", row_number().over(capW))
@@ -1935,11 +1946,19 @@ object Extensions {
       .select(col("doc_id"),
         split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+    // tf is CACHED (tracked): its three consumers — df table, corpus
+    // stats, scoring join — would otherwise each re-tokenize the corpus
+    // (column pruning specializes each branch's scan, so exchange reuse
+    // cannot kick in; verified against the plan). One postings pass,
+    // shared via the in-memory relation; PlanSpec pins the cache node.
+    val tf = cacheTracked(
+      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl")))
+    // corpus stats DERIVED FROM tf (every doc has ≥1 token, so every
+    // doc appears) rather than a second corpus scan
+    val stats = tf.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
     // df only for query terms: broadcast-prune BEFORE the term groupBy
     val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
@@ -2008,9 +2027,15 @@ object Extensions {
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"),
           split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
-      val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      // cached for the same reason as bm25's tf: three consumers, and
+      // branch-specialized column pruning defeats exchange reuse
+      val tf = cacheTracked(
+        docs.select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf")))
+      // n_docs from the cached tf (every doc has ≥1 token), not a
+      // second corpus scan
+      val stats = tf.select("doc_id").distinct()
+        .agg(count(lit(1)).cast("double").as("n_docs"))
       val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term").asc)
@@ -2086,7 +2111,9 @@ object Extensions {
         .select(col("doc_id"),
           explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("term"))
       val c = p.groupBy("term").agg(count(lit(1)).cast("double").as("c"))
-      val tot = p.agg(count(lit(1)).cast("double").as("tot"))
+      // token total from the vocabulary-sized model frame (Σ counts),
+      // not a third corpus scan
+      val tot = c.agg(sum(col("c")).as("tot"))
       val model = broadcast(c.crossJoin(broadcast(tot)))
       p.join(model, Seq("term"))
         .groupBy("doc_id")

@@ -488,15 +488,23 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("semantic dedup finds planted identical vectors (blocking is not vacuous)") {
-    // identical vectors agree on every sign bit -> same bucket in BOTH
-    // tables -> the pair must surface exactly once with cos == 1
+  /** Writes the planted-twin embedding fixture (100 pseudo-random
+    * vectors + identical twins of ids 0-2 at +1000) under `dir` —
+    * ONE construction for every semantic test so the corpora cannot
+    * silently diverge. */
+  private def writePlantedTwins(dir: String): Unit = {
     val rnd = new scala.util.Random(11)
     val base = (0L until 100L).map(i => (i, Array.fill(64)(rnd.nextGaussian())))
     val twins = base.filter(_._1 < 3).map { case (i, v) => (i + 1000L, v.clone()) }
     (base ++ twins).map { case (i, v) => (i, v.toSeq, 0) }
       .toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet("target/tmp-sem/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("semantic dedup finds planted identical vectors (blocking is not vacuous)") {
+    // identical vectors agree on every sign bit -> same bucket in BOTH
+    // tables -> the pair must surface exactly once with cos == 1
+    writePlantedTwins("target/tmp-sem")
     val pairs = Extensions.dedupSemantic.fn(spark, "target/tmp-sem").collect()
     for (i <- 0L until 3L)
       assert(pairs.count(r => r.getLong(0) == i && r.getLong(1) == i + 1000L
@@ -504,43 +512,23 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("semantic dedup caps never bind at driver SFs (capping never alters correctness)") {
+    // bucket occupancy measured through the OPERATOR'S OWN construction
+    // (Extensions.semanticBuckets) — a private re-implementation here
+    // would keep passing after a drift in planeSeed/bucket format while
+    // the capped operator silently diverged from its uncapped oracle
     for (sf <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
-      def planeOk(): Long = {
-        val e = graft.model.Tables.embeddings(spark, sf)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        // recompute bucket occupancy exactly as the query does
-        import graft.expr.ColumnOps
-        val seeds = (0 until Extensions.SemanticTables * Extensions.SemanticBits)
-        val planes = seeds.map { p =>
-          array((0 until 64).map(j => lit({
-            val md = java.security.MessageDigest.getInstance("SHA-256")
-            val h = md.digest(s"$p:$j".getBytes("UTF-8"))
-            (java.nio.ByteBuffer.wrap(h.take(8)).getLong & 0xFFFFFFL).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0
-          })): _*)
-        }
-        val bucketCols = (0 until Extensions.SemanticTables).map { t =>
-          concat(lit(s"$t:") +: (0 until Extensions.SemanticBits).map { b =>
-            when(ColumnOps.dotProduct(col("v"), planes(t * Extensions.SemanticBits + b)) >= 0,
-              lit("1")).otherwise(lit("0"))
-          }: _*)
-        }
-        e.withColumn("bucket", explode(array(bucketCols: _*)))
-          .groupBy("bucket").count().agg(max("count")).head().getLong(0)
-      }
-      val maxBucket = planeOk()
+      val e = graft.model.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val maxBucket = Extensions.semanticBuckets(e)
+        .groupBy("bucket").count().agg(max("count")).head().getLong(0)
       assert(maxBucket < Extensions.SemanticBucketCap,
         s"$sf: max bucket $maxBucket reaches cap ${Extensions.SemanticBucketCap}")
     }
   }
 
   test("semantic clusters: planted twins share a component labeled by the min id") {
-    // reuses the tmp-sem fixture written by the planted-twin test above
-    val rnd = new scala.util.Random(11)
-    val base = (0L until 100L).map(i => (i, Array.fill(64)(rnd.nextGaussian())))
-    val twins = base.filter(_._1 < 3).map { case (i, v) => (i + 1000L, v.clone()) }
-    (base ++ twins).map { case (i, v) => (i, v.toSeq, 0) }
-      .toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet("target/tmp-semc/embeddings.parquet")
+    // own fixture dir (no test-order coupling), same shared construction
+    writePlantedTwins("target/tmp-semc")
     val comps = Extensions.semanticClusters.fn(spark, "target/tmp-semc")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     for (i <- 0L until 3L) {

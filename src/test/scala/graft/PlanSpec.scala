@@ -126,6 +126,10 @@ class PlanSpec extends SparkSpec {
     assert(bnlj == 1, s"exactly the 1-row stats join may be nested-loop (got $bnlj):\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"query-term and df joins must be broadcast equi-joins:\n$plan")
+    // the postings (tf) frame is cached: its three consumers must read
+    // the in-memory relation, not re-tokenize the corpus per branch
+    assert(plan.contains("InMemoryTableScan"),
+      s"tf must be served from cache (one postings pass):\n$plan")
   }
 
   test("registry-wide audit: no unintended cartesian / nested-loop joins") {
