@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe skew [spokes]
   *        runMain graft.ScaleProbe semantic [nVecs]
   *        runMain graft.ScaleProbe bm25 [nDocs]
+  *        runMain graft.ScaleProbe bloom [nTrainDocs]
   *
   * The `skew` mode measures the connected-components loop on a planted
   * MEGA-COMPONENT (one hub star of `spokes` edges + a background of
@@ -144,10 +145,92 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `bloom` mode: the decontamination Bloom prefilter at 100×-scale
+    * train corpora — measures what fraction of train grams survive the
+    * scan-side `might_contain` probe (clean grams that would otherwise
+    * be shuffled into the semi-join) and compares wall time against the
+    * plain semi-join path, so "the prefilter turns an all-grams
+    * exchange into a hits-only exchange" is a measurement. */
+  private def bloomProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.expr.ColumnOps
+    // 50-token docs over a 50k-token vocabulary: 5-grams are ~unique
+    // per doc, so contamination comes only from the planted copies.
+    // Tokens are ARITHMETIC (concat of a hash mod), not element_at of
+    // a vocab-array literal: a 50k-string Literal gets copied into
+    // every element_at node by tree transforms and Java-serialized
+    // per task — 32 concurrent task deserializations of 50 × 50k
+    // UTF8Strings OOMed an 8g heap before any data moved. The train
+    // frame is likewise not cached (hash-generated, one codegen
+    // projection to rebuild).
+    def text(seed: Int) = concat_ws(" ", (0 until 50).map { w =>
+      concat(lit("tok"),
+        pmod(hash(col("id"), lit(w), lit(seed)), lit(50000)).cast("string"),
+        lit("x"))
+    }: _*)
+    val train = spark.range(nDocs)
+      .select(col("id").as("doc_id"), text(0).as("text"))
+    // test split: 500 docs copied verbatim from train (the leak) + 500
+    // fresh docs that share no grams
+    val test = spark.range(500)
+      .select(col("id").as("doc_id"), text(0).as("text"))
+      .unionByName(spark.range(500)
+        .select((col("id") + 1000000000L).as("doc_id"), text(1).as("text")))
+      .cache()
+    test.count()
+    val grams = ColumnOps.wordGramSha60(col("text"), 5)
+    val trainG = train.select(col("doc_id"), explode(grams).as("g"))
+    val testG = test.select(explode(grams).as("g")).distinct().cache()
+    val nTrainG = trainG.count()
+    val bytes = testG.agg(ColumnOps.bloomFilterAgg(col("g"),
+      ext.Extensions.BloomExpectedItems, ext.Extensions.BloomNumBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pre = trainG.filter(ColumnOps.bloomMightContain(lit(bytes), col("g")))
+    var t0 = System.nanoTime()
+    val nPass = pre.count()
+    val tPre = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val bloomHits = pre.join(testG, Seq("g"), "left_semi")
+      .select("doc_id").distinct().count()
+    val tBloom = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val exactHits = trainG.join(testG, Seq("g"), "left_semi")
+      .select("doc_id").distinct().count()
+    val tExact = (System.nanoTime() - t0) / 1e9
+    // the 100 TB shape: the test-gram set has outgrown broadcast and
+    // the semi-join must SHUFFLE both sides — this is where the
+    // prefilter pays (a hits-only exchange vs an all-grams exchange)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    t0 = System.nanoTime()
+    val bloomShuf = pre.join(testG, Seq("g"), "left_semi")
+      .select("doc_id").distinct().count()
+    val tBloomShuf = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val exactShuf = trainG.join(testG, Seq("g"), "left_semi")
+      .select("doc_id").distinct().count()
+    val tExactShuf = (System.nanoTime() - t0) / 1e9
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    println(f"BLOOMPROBE n_docs=$nDocs%d train_grams=$nTrainG%d bloom_pass=$nPass%d " +
+      f"(${100.0 * nPass / nTrainG}%.3f%% survive) hits_bloom=$bloomHits%d hits_exact=$exactHits%d " +
+      f"wall{prefilter=$tPre%.1fs bloom_path=$tBloom%.1fs exact_path=$tExact%.1fs " +
+      f"bloom_shuffled=$tBloomShuf%.1fs exact_shuffled=$tExactShuf%.1fs}")
+    assert(bloomHits == exactHits && bloomShuf == exactHits && exactShuf == exactHits,
+      "bloom path diverged from exact path")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("semantic")) { semanticProbe(args); return }
     if (args.headOption.contains("bm25")) { bm25Probe(args); return }
+    if (args.headOption.contains("bloom")) { bloomProbe(args); return }
     val nFamilies = if (args.length > 0) args(0).toInt else 200
     val copies = if (args.length > 1) args(1).toInt else 1000
     val cap = if (args.length > 2) args(2).toInt

@@ -22,4 +22,24 @@ object ColumnOps {
     wrap(ShingleSha60(exprOf(c), n))
   def wordGramSha60(c: Column, n: Int): Column =
     wrap(WordGramSha60(exprOf(c), n))
+
+  /** Distributed Bloom-filter build over a LongType column (Spark's own
+    * `BloomFilterAggregate`, the runtime-filter machinery, driven
+    * explicitly): partial filters are built map-side and OR-merged in
+    * the reduce — the corpus never moves, only `numBits/8`-byte filter
+    * buffers do. Result is the serialized filter (BinaryType). */
+  def bloomFilterAgg(c: Column, expectedItems: Long, numBits: Long): Column =
+    wrap(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      exprOf(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits)
+    ).toAggregateExpression())
+
+  /** Membership probe against a serialized Bloom filter. Spark requires
+    * the filter side to be foldable — pass `lit(bytes)` of a collected
+    * filter (a model parameter, like IVF centroids). Codegen'd; false
+    * positives possible, false negatives never. */
+  def bloomMightContain(bloomBytes: Column, value: Column): Column =
+    wrap(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprOf(bloomBytes), exprOf(value)))
 }

@@ -2176,6 +2176,205 @@ object Extensions {
             |  AND NOT EXISTS (SELECT 1 FROM sdrop sd WHERE sd.doc_id = c.doc_id)
             |ORDER BY c.doc_id""".stripMargin))
 
+  // =====================================================================
+  // Chunk-level exact dedup — repeated-passage removal (the RefinedWeb/
+  // CCNet idea): split each doc into fixed 20-token chunks, sha-60 hash
+  // each chunk, count occurrences CORPUS-WIDE, and grade each doc by its
+  // duplicated-chunk fraction. Catches partial boilerplate overlap that
+  // whole-doc hashing (E4e) misses and that MinHash (E2a) only detects
+  // past its similarity threshold — at the cost of one wordcount-shape
+  // shuffle and one equi-join back, both on uniform 60-bit keys: linear
+  // at any corpus size, no pairwise stage anywhere.
+  // =====================================================================
+  final val ChunkTokens = 20
+  final val ChunkDupRatioMax = 0.5
+
+  val dedupChunk: Q = Q("ext_dedup_chunk",
+    (spark, sfDir) => {
+      val toks = split(edgeTrim(lower(col("text"))), "\\s+")
+      val chunks = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")), lit(ChunkTokens)),
+          i => Scalars.hash60(array_join(
+            slice(col("toks"), i, lit(ChunkTokens)), " ")))).as("h"))
+      val counts = chunks.groupBy("h").agg(count(lit(1)).as("cnt"))
+      chunks.join(counts, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+        .withColumn("dup_ratio",
+          round(col("dup_chunks").cast("double") / col("n_chunks"), 4))
+        .withColumn("keep", col("dup_ratio") <= ChunkDupRatioMax)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, regexp_split_to_array(
+            |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
+            |  FROM documents),
+            |c AS (
+            |  SELECT doc_id, unnest(
+            |    [${duckHash60(s"array_to_string(toks[i:i+${ChunkTokens - 1}], ' ')")}
+            |     for i in range(1, len(toks)+1, $ChunkTokens)]) AS h
+            |  FROM d),
+            |g AS (SELECT h, count(*) AS cnt FROM c GROUP BY h),
+            |s AS (
+            |  SELECT c.doc_id, count(*) AS n_chunks,
+            |    CAST(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+            |  FROM c JOIN g USING (h) GROUP BY c.doc_id)
+            |SELECT doc_id, n_chunks, dup_chunks,
+            |  round(CAST(dup_chunks AS DOUBLE) / n_chunks, 4) AS dup_ratio,
+            |  round(CAST(dup_chunks AS DOUBLE) / n_chunks, 4) <= $ChunkDupRatioMax AS keep
+            |FROM s ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // Decontamination via BLOOM RUNTIME FILTER — the 100 TB execution
+  // strategy for E10, oracle-gated. Same semantics as ext_decontaminate
+  // BY CONSTRUCTION: a distributed Bloom build over the distinct test
+  // grams (Spark's BloomFilterAggregate — partial filters built
+  // map-side, OR-merged; only filter buffers move), the serialized
+  // filter collected as a MODEL PARAMETER (1 MiB, like IVF centroids)
+  // and probed as a codegen'd scan-side predicate, then the exact
+  // semi-join confirms survivors — false positives die there, false
+  // negatives cannot exist. At 100 TB the prefilter drops ~all clean
+  // train grams BEFORE the shuffle the semi-join needs, turning an
+  // all-grams exchange into a hits-only exchange; the oracle (same SQL
+  // as E10) proves the fast path changes nothing.
+  // =====================================================================
+  final val BloomExpectedItems = 1000000L
+  final val BloomNumBits = 8388608L // 2^23 bits = 1 MiB filter
+
+  val decontaminateBloom: Q = Q("ext_decontaminate_bloom",
+    (spark, sfDir) => {
+      import graft.expr.ColumnOps
+      val bucket = pmod(Scalars.hash60(col("text")), lit(100L))
+      val grams = ColumnOps.wordGramSha60(edgeTrim(lower(col("text"))), 5)
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), bucket.as("bucket"), grams.as("grams"))
+      val trainG = base.filter(col("bucket") < 90)
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+      val testG = cacheTracked(base.filter(col("bucket") >= 95)
+        .select(explode(col("grams")).as("g")).distinct())
+      val bloomBytes = testG
+        .agg(ColumnOps.bloomFilterAgg(col("g"),
+          BloomExpectedItems, BloomNumBits).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      // empty test split -> no filter, nothing can be contaminated
+      val pre =
+        if (bloomBytes == null) trainG.filter(lit(false))
+        else trainG.filter(
+          ColumnOps.bloomMightContain(lit(bloomBytes), col("g")))
+      val hit = pre.join(testG, Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      base.filter(col("bucket") < 90).select("doc_id")
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    // the EXACT decontamination oracle, verbatim: the Bloom path must
+    // be output-identical to E10 or it is wrong
+    Some(s"""WITH $decontamSqlCtes
+            |SELECT b.doc_id, EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = b.doc_id) AS contaminated
+            |FROM b WHERE bucket < 90 ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // Bigram LM cross-entropy — E18 one order up: score each doc by the
+  // average −ln P(w_i | w_{i−1}) under the corpus's own bigram model
+  // (conditional MLE: c(prev,cur)/c(prev·), no smoothing needed —
+  // every scored bigram is in the model by construction). Repetitive
+  // boilerplate floods toward 0 bits; incoherent token soup scores
+  // high even when its UNIGRAMS are common — the signal E18 cannot
+  // see. Shapes: one explode, two wordcount aggs (map-side partials),
+  // two unhinted equi-joins back on bigram/context keys — AQE
+  // broadcasts the vocabulary-sized models at driver SFs and degrades
+  // to shuffled joins when the bigram vocabulary outgrows memory.
+  // =====================================================================
+  val bigramLogprob: Q = Q("ext_bigram_logprob",
+    (spark, sfDir) => {
+      val toks = split(edgeTrim(lower(col("text"))), "\\s+")
+      val bi = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+        .withColumn("prev", substring_index(col("bg"), " ", 1))
+      val c2 = bi.groupBy("bg").agg(count(lit(1)).cast("double").as("c2"))
+      val c1 = bi.groupBy("prev").agg(count(lit(1)).cast("double").as("c1"))
+      bi.join(c2, Seq("bg")).join(c1, Seq("prev"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("c1") / col("c2"))), 4).as("avg_neg_logprob"))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_neg_logprob"),
+          round(exp(col("avg_neg_logprob")), 2).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, regexp_split_to_array(
+           |    regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id,
+           |    unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg
+           |  FROM d WHERE len(toks) >= 2),
+           |q AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS prev FROM p),
+           |c2 AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c2 FROM q GROUP BY bg),
+           |c1 AS (SELECT prev, CAST(count(*) AS DOUBLE) AS c1 FROM q GROUP BY prev),
+           |sc AS (
+           |  SELECT q.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    round(avg(ln(c1 / c2)), 4) AS avg_neg_logprob
+           |  FROM q JOIN c2 USING (bg) JOIN c1 USING (prev) GROUP BY q.doc_id)
+           |SELECT doc_id, n_bigrams, avg_neg_logprob,
+           |  round(exp(avg_neg_logprob), 2) AS ppl
+           |FROM sc ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // Temperature-flattened mixture sampling — the mixture reweighting
+  // LLM pipelines apply to a multilingual corpus (α-sampling): keep
+  // rate r_l = (n_min / n_l)^(1−α) per language, i.e. r_l ∝ p_l^(α−1)
+  // in keep-rate form — α=1 preserves the natural mixture, α→0
+  // flattens it to uniform (E11's hard min-downsampling is exactly
+  // that limit); the smallest language always keeps 100%. Per-doc keep
+  // decided by content hash against the language's ROUNDED integer
+  // threshold — deterministic, reshuffle-stable, auditable (the rate
+  // rides along in the output). Cost: one #langs-row agg (global
+  // window over the tiny counts frame, no 1-row cross join) + one
+  // broadcast probe on the corpus scan.
+  // =====================================================================
+  final val TempAlpha = 0.5
+  final val TempResolution = 1000000L
+
+  val temperatureSample: Q = Q("ext_temperature_sample",
+    (spark, sfDir) => {
+      val rates = Tables.documents(spark, sfDir)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("n_min", min(col("n")).over(Window.partitionBy()))
+        .withColumn("rate", round(
+          pow(col("n_min").cast("double") / col("n"), 1 - TempAlpha), 6))
+        // threshold re-derived from the ROUNDED rate so the kept set is
+        // a pure function of the published rate, in both engines
+        .withColumn("thresh", round(col("rate") * TempResolution, 0).cast("long"))
+      Tables.documents(spark, sfDir)
+        .join(broadcast(rates.select("lang", "rate", "thresh")), Seq("lang"))
+        .filter(pmod(Scalars.hash60(col("text")), lit(TempResolution)) < col("thresh"))
+        .select(col("doc_id"), col("lang"), col("rate"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            |m AS (SELECT lang, n, min(n) OVER () AS n_min FROM c),
+            |r AS (SELECT lang,
+            |    round(pow(CAST(n_min AS DOUBLE) / n, ${1 - TempAlpha}), 6) AS rate
+            |  FROM m),
+            |t AS (SELECT lang, rate,
+            |    CAST(round(rate * $TempResolution, 0) AS BIGINT) AS thresh FROM r)
+            |SELECT d.doc_id, d.lang, t.rate
+            |FROM documents d JOIN t USING (lang)
+            |WHERE ${duckHash60("d.text")} % $TempResolution < t.thresh
+            |ORDER BY d.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -2187,5 +2386,6 @@ object Extensions {
     corpusCurate, corpusCurateFull,
     repetitionScore, charEntropy, contaminationScore,
     dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap,
-    unigramLogprob, corpusCurateSemantic)
+    unigramLogprob, corpusCurateSemantic,
+    dedupChunk, decontaminateBloom, bigramLogprob, temperatureSample)
 }

@@ -612,6 +612,69 @@ class ExtensionsSpec extends SparkSpec {
       .filter(col("kmin") < col("dmax")).count() == 0)
   }
 
+  test("chunk dedup: shared 20-token chunks are counted; unique docs keep") {
+    // docs 1 and 2 are identical (both chunks duplicated, keep=false);
+    // doc 3 is 40 unique tokens (2 chunks, none duplicated, keep=true)
+    val chunkA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val tailB = (1 to 20).map(i => s"b$i").mkString(" ")
+    val uniq = (1 to 40).map(i => s"u$i").mkString(" ")
+    Seq((1L, s"$chunkA $tailB"), (2L, s"$chunkA $tailB"), (3L, uniq))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/tmp-chunk/documents.parquet")
+    val got = Extensions.dedupChunk.fn(spark, "target/tmp-chunk").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0, false)))
+    assert(got(2L) == ((2L, 2L, 1.0, false)))
+    assert(got(3L) == ((2L, 0L, 0.0, true)))
+  }
+
+  test("bloom decontamination is output-identical to the exact path") {
+    val exact = Extensions.decontaminate.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bloom = Extensions.decontaminateBloom.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(bloom == exact)
+    // the corpus must exercise both outcomes or the identity is vacuous
+    assert(bloom.valuesIterator.exists(identity) &&
+      bloom.valuesIterator.exists(!_))
+  }
+
+  test("bigram LM: rare continuation of a common context scores high") {
+    // 'the cat' ×9, 'the dog' ×1: P(cat|the)=0.9, P(dog|the)=0.1 —
+    // the dog doc must score ln(10), cat docs ln(10/9), exactly
+    val docs = (1L to 9L).map(i => (i, "the cat")) :+ ((10L, "the dog"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/tmp-bigram/documents.parquet")
+    val got = Extensions.bigramLogprob.fn(spark, "target/tmp-bigram").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10L) == BigDecimal(math.log(10.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1L) == BigDecimal(math.log(10.0 / 9.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("temperature sampling: smallest language keeps all; bigger languages thin toward their rate") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val n = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = n.values.min
+    val kept = Extensions.temperatureSample.fn(spark, sf0001).collect()
+    val keptN = kept.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    // the argmin language is never thinned (rate exactly 1.0)
+    val minLang = n.minBy { case (l, c) => (c, l) }._1
+    assert(keptN(minLang) == nMin)
+    assert(kept.filter(_.getString(1) == minLang).forall(_.getDouble(2) == 1.0))
+    for ((l, c) <- n) {
+      val rate = math.pow(nMin.toDouble / c, 1 - Extensions.TempAlpha)
+      // hash-thresholding is a Bernoulli(rate) draw per doc: allow a
+      // wide deterministic tolerance, but the thinning must be real
+      assert(math.abs(keptN.getOrElse(l, 0).toDouble / c - rate) < 0.2,
+        s"$l: kept ${keptN.getOrElse(l, 0)}/$c vs rate $rate")
+      if (c > 2 * nMin) assert(keptN(l) < c, s"$l never thinned")
+    }
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")

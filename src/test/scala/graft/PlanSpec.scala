@@ -132,6 +132,14 @@ class PlanSpec extends SparkSpec {
       s"tf must be served from cache (one postings pass):\n$plan")
   }
 
+  test("bloom decontamination probes might_contain scan-side before the semi-join") {
+    val plan = physical(ext.Extensions.decontaminateBloom.fn(spark, sf0001))
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the train-gram scan:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"exact confirm semi-join missing (bloom alone admits false positives):\n$plan")
+  }
+
   test("registry-wide audit: no unintended cartesian / nested-loop joins") {
     // the bounded ground-truth queries are all-pairs BY DESIGN
     // (documented samples that exist to oracle-check the LSH paths);
