@@ -304,16 +304,28 @@ object Extensions {
 
   /** DuckDB CTE chain (docs→sh→sig→cand→est→pairs) shared by the
     * minhash and cluster oracles — ONE definition of the pair set. */
+  /** "some band fully agrees between aliases `a` and `b`" — the SQL
+    * twin of [[minhashBanded]]'s equi-join, factored so the self-join
+    * (dedup) and cross-set (incremental) oracles share one banding
+    * definition. */
+  private def minhashBandSql(a: String, b: String): String =
+    (0 until Bands).map { bi =>
+      (0 until RowsPerBand)
+        .map(r => s"$a.h${bi * RowsPerBand + r} = $b.h${bi * RowsPerBand + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+
+  /** Signature-agreement count between aliases — the est_jaccard
+    * numerator, shared like [[minhashBandSql]]. */
+  private def minhashMatchSumSql(sa: String, sb: String): String =
+    (0 until Perms)
+      .map(i => s"CASE WHEN $sa.h$i = $sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+
   private def minhashPairsSqlCtes: String = {
     val sigCols = (0 until Perms)
       .map(i => s"min(xor(bh, ${i * MixC})) AS h$i").mkString(",\n    ")
-    val bandConds = (0 until Bands).map { bi =>
-      (0 until RowsPerBand)
-        .map(r => s"a.h${bi * RowsPerBand + r} = b.h${bi * RowsPerBand + r}")
-        .mkString("(", " AND ", ")")
-    }.mkString(" OR ")
-    val matchSum = (0 until Perms)
-      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    val bandConds = minhashBandSql("a", "b")
+    val matchSum = minhashMatchSumSql("sa", "sb")
     s"""docs AS (SELECT doc_id, text FROM documents),
        |sh0 AS (SELECT doc_id, unnest(${duckShingles("text")}) AS s FROM docs),
        |sh AS (SELECT doc_id, ${duckHash60("s")} AS bh FROM sh0),
@@ -2375,6 +2387,101 @@ object Extensions {
             |WHERE ${duckHash60("d.text")} % $TempResolution < t.thresh
             |ORDER BY d.doc_id""".stripMargin))
 
+  // =====================================================================
+  // INCREMENTAL dedup — the daily-increment contract: a new batch is
+  // classified against the EXISTING corpus without the corpus ever
+  // self-joining (that run already happened). Split is by doc_id hash
+  // (a content split would put byte-twins on the same side and the
+  // exact branch could never fire). Three-way status per batch doc:
+  // exact_dup (content-hash semi-join against the corpus — the cheap
+  // gate first), near_dup (batch band rows PROBE the corpus's banded
+  // minhash index — a cross-set equi-join on (band, band-key), then
+  // signature-confirm est_jaccard ≥ 0.5), else new. At 100 TB the
+  // corpus-side index is the persisted artifact: build once, cap hot
+  // buckets (deterministic hash-ordered rank, headroom asserted in
+  // ExtensionsSpec), and every increment costs |batch| band probes —
+  // never a corpus self-join. Intra-BATCH duplicates are deliberately
+  // out of scope (that is the regular self-join op, E1/E2a).
+  // =====================================================================
+  final val IncrementalCorpusPct = 80
+  final val IncrementalBucketCap = 256
+
+  val dedupIncremental: Q = Q("ext_dedup_incremental",
+    (spark, sfDir) => {
+      val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      val corpus = base.filter(col("bucket") < IncrementalCorpusPct)
+        .select("doc_id", "text")
+      val batch = base.filter(col("bucket") >= IncrementalCorpusPct)
+        .select("doc_id", "text")
+      val exactDup = batch
+        .select(col("doc_id"), Scalars.hash60(col("text")).as("ch"))
+        .join(corpus.select(Scalars.hash60(col("text")).as("ch")).distinct(),
+          Seq("ch"), "left_semi")
+        .select("doc_id")
+      val sigC = cacheTracked(minhashSignatures(corpus))
+      val sigB = cacheTracked(minhashSignatures(batch))
+      // hot-bucket cap on the INDEX side only (deterministic salted
+      // rank, same discipline as every banding op here); batch rows
+      // are never dropped — a capped bucket can only cost candidate
+      // recall, never misclassify a doc the oracle calls new
+      val capW = Window.partitionBy(col("band"), col("bk"))
+        .orderBy(xxhash64(col("band"), col("bk"), col("doc_id")), col("doc_id"))
+      val bandC = minhashBanded(sigC)
+        .withColumn("__rn", row_number().over(capW))
+        .filter(col("__rn") <= IncrementalBucketCap).drop("__rn")
+        .select(col("band"), col("bk"), col("doc_id").as("cid"))
+      val bandB = minhashBanded(sigB)
+        .select(col("band"), col("bk"), col("doc_id").as("bid"))
+      val cand = bandB.join(bandC, Seq("band", "bk"))
+        .select("bid", "cid").distinct()
+      val sa = sigB.select(sigB.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
+      val sb = sigC.select(sigC.columns.map(c => col(c).as(s"b_$c")).toSeq: _*)
+      val matches = (0 until Perms)
+        .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val nearDup = cand.join(sa, col("bid") === col("a_doc_id"))
+        .join(sb, col("cid") === col("b_doc_id"))
+        .filter(round(matches / lit(Perms.toDouble), 4) >= 0.5)
+        .select(col("bid").as("doc_id")).distinct()
+      batch.select("doc_id")
+        .join(exactDup.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+        .join(nearDup.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("is_exact"), lit(false)), lit("exact_dup"))
+            .when(coalesce(col("is_near"), lit(false)), lit("near_dup"))
+            .otherwise(lit("new")).as("status"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $minhashPairsSqlCtes,
+            |bkt AS (SELECT doc_id,
+            |    ${duckHash60("cast(doc_id AS varchar)")} % 100 AS bucket,
+            |    ${duckHash60("text")} AS ch
+            |  FROM documents),
+            |csig AS (SELECT s.* FROM sig s JOIN bkt k USING (doc_id)
+            |         WHERE k.bucket < $IncrementalCorpusPct),
+            |bsig AS (SELECT s.* FROM sig s JOIN bkt k USING (doc_id)
+            |         WHERE k.bucket >= $IncrementalCorpusPct),
+            |xcand AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+            |  FROM bsig a JOIN csig b ON (${minhashBandSql("a", "b")})),
+            |xnear AS (SELECT DISTINCT c.bid FROM xcand c
+            |  JOIN sig sa ON sa.doc_id = c.bid
+            |  JOIN sig sb ON sb.doc_id = c.cid
+            |  WHERE round((${minhashMatchSumSql("sa", "sb")}) / ${Perms}.0, 4) >= 0.5),
+            |xexact AS (SELECT DISTINCT b.doc_id FROM bkt b
+            |  WHERE b.bucket >= $IncrementalCorpusPct AND EXISTS (
+            |    SELECT 1 FROM bkt c WHERE c.bucket < $IncrementalCorpusPct
+            |      AND c.ch = b.ch))
+            |SELECT b.doc_id,
+            |  CASE WHEN EXISTS (SELECT 1 FROM xexact e WHERE e.doc_id = b.doc_id)
+            |         THEN 'exact_dup'
+            |       WHEN EXISTS (SELECT 1 FROM xnear n WHERE n.bid = b.doc_id)
+            |         THEN 'near_dup'
+            |       ELSE 'new' END AS status
+            |FROM bkt b WHERE b.bucket >= $IncrementalCorpusPct
+            |ORDER BY b.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -2387,5 +2494,6 @@ object Extensions {
     repetitionScore, charEntropy, contaminationScore,
     dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap,
     unigramLogprob, corpusCurateSemantic,
-    dedupChunk, decontaminateBloom, bigramLogprob, temperatureSample)
+    dedupChunk, decontaminateBloom, bigramLogprob, temperatureSample,
+    dedupIncremental)
 }

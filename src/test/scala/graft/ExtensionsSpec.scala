@@ -675,6 +675,40 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup classifies a batch against the corpus three ways") {
+    // doc_id-hash split: 2,3 -> corpus; 1,15,16 -> batch (precomputed
+    // sha256 buckets 82/91/93 vs 2/52). Batch doc 1 is a byte-twin of
+    // corpus doc 2 (exact wins over the near-dup candidate it also
+    // is); 15 is corpus doc 3 with one token changed; 16 is fresh.
+    val a = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val bNear = ((1 to 39).map(i => s"beta$i") :+ "changed").mkString(" ")
+    val fresh = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    Seq((2L, a), (3L, b), (1L, a), (15L, bNear), (16L, fresh))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/tmp-incr/documents.parquet")
+    val got = Extensions.dedupIncremental.fn(spark, "target/tmp-incr").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "exact_dup", 15L -> "near_dup", 16L -> "new"))
+  }
+
+  test("incremental index hot-bucket cap never binds at driver SFs") {
+    // measured through the operator's own banding (minhashBanded over
+    // the corpus-side signatures) so a drift can't hide in the test
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val bucket = pmod(
+        graft.expr.Scalars.hash60(col("doc_id").cast("string")), lit(100L))
+      val corpus = graft.model.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+        .filter(col("bucket") < Extensions.IncrementalCorpusPct)
+        .select("doc_id", "text")
+      val maxBucket = Extensions.minhashBanded(Extensions.minhashSignatures(corpus))
+        .groupBy("band", "bk").count().agg(max("count")).head().getLong(0)
+      assert(maxBucket < Extensions.IncrementalBucketCap,
+        s"$sf: max index bucket $maxBucket reaches cap ${Extensions.IncrementalBucketCap}")
+    }
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
