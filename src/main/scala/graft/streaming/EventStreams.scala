@@ -125,6 +125,61 @@ object EventStreams {
       }
   }
 
+  // ---- streaming near-dup: the incremental-dedup contract unbounded ----
+
+  final case class BandArrival(bucket: String, doc_id: Long)
+  final case class NearDupHit(doc_id: Long, first_doc_id: Long, bucket: String)
+
+  /** First-wins band-bucket registry: per bucket, state holds the FIRST
+    * doc_id ever seen; every later arrival in the same bucket emits a
+    * candidate hit against it. Within a micro-batch arrivals are
+    * processed in doc_id order, so replays and batch boundaries cannot
+    * change who owns a bucket once the owner is in state. */
+  class BandFirstProcessor extends StatefulProcessor[String, BandArrival, NearDupHit] {
+    @transient private var first: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      first = getHandle.getValueState[Long]("first", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(bucket: String, rows: Iterator[BandArrival],
+                                 timers: TimerValues): Iterator[NearDupHit] = {
+      val arrivals = rows.toSeq.sortBy(_.doc_id)
+      val out = scala.collection.mutable.Buffer[NearDupHit]()
+      var f = if (first.exists()) first.get() else -1L
+      arrivals.foreach { a =>
+        if (f < 0) f = a.doc_id
+        else if (a.doc_id != f) out += NearDupHit(a.doc_id, f, bucket)
+      }
+      if (f >= 0) first.update(f)
+      out.iterator
+    }
+  }
+
+  /** Streaming near-dup CANDIDATES over a (doc_id, text) stream — the
+    * `ext_dedup_incremental` contract with the corpus index living in
+    * stream state instead of a table: minhash signatures are per-row
+    * reductions (map-only, streaming-safe — no shuffle before the
+    * keyed state), each band row keys the first-wins bucket registry,
+    * and a doc sharing any band bucket with an earlier doc emits a hit
+    * against that bucket's first arrival. Same LSH contract as the
+    * batch ops: candidates, to be est_jaccard-confirmed downstream
+    * (a doc can hit several buckets/owners — consumers dedup on
+    * (doc_id, first_doc_id)). State is one long per live bucket; a
+    * production deployment bounds the dedup horizon with a TTL
+    * (TTLConfig) exactly where this passes NONE. */
+  def streamingNearDupHits(docs: DataFrame)(implicit spark: SparkSession): Dataset[NearDupHit] = {
+    import spark.implicits._
+    val banded = graft.ext.Extensions.minhashBanded(
+      graft.ext.Extensions.minhashSignatures(docs))
+    banded.select(
+        concat(col("band").cast("string"), lit(":"),
+          col("bk").cast("string")).as("bucket"),
+        col("doc_id"))
+      .as[BandArrival]
+      .groupByKey(_.bucket)
+      .transformWithState(new BandFirstProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-stream inner join with an event-time range bound: each
     * right event matches left events of the same key that happened in
     * the trailing `windowBound` before it. Both sides carry watermarks,

@@ -98,6 +98,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: streaming near-dup hits flag later twins against the bucket owner") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+      val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
+      val textC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+      val ms = MemoryStream[(Long, String)]
+      val q = EventStreams.streamingNearDupHits(
+          ms.toDF().toDF("doc_id", "text"))
+        .writeStream.outputMode("update").format("memory").queryName("neardup_hits").start()
+      try {
+        // batch 1: doc 1 owns textA's buckets; doc 10 is a same-batch
+        // byte-twin (must flag against 1); doc 2 is unrelated
+        ms.addData((1L, textA), (10L, textA), (2L, textB))
+        q.processAllAvailable()
+        // batch 2: doc 3 is a later twin of textA (cross-batch state
+        // hit); doc 4 is fresh; doc 3 REPLAYED in batch 3 must not
+        // invent a new owner or a new pair
+        ms.addData((3L, textA), (4L, textC))
+        q.processAllAvailable()
+        ms.addData((3L, textA))
+        q.processAllAvailable()
+      } finally q.stop()
+      val pairs = spark.table("neardup_hits")
+        .select("doc_id", "first_doc_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((10L, 1L), (3L, 1L)), s"got $pairs")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sessionWindows: gap-based sessions (batch-mode execution of the same plan)") {
     // unified model: the streaming transform runs on a batch DF directly
     val out = EventStreams.sessionWindows(sample.toDF(), "5 minutes", "10 minutes")
