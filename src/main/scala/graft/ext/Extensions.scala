@@ -2240,6 +2240,71 @@ object Extensions {
             |FROM s ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
+  // Chunk dedup REWRITE — the C4/CCNet transform E20 only grades:
+  // globally keep the FIRST occurrence of every 20-token chunk (first =
+  // min (doc_id, position), encoded as one integer key so both engines
+  // compare identically) and reassemble each document from its kept
+  // chunks in order. Duplicated boilerplate vanishes from every doc
+  // but its first host; a fully-duplicated doc survives as an empty
+  // string (count columns make that auditable). Same linear wordcount
+  // shape as E20 plus one ordered per-doc reassembly agg.
+  // =====================================================================
+  /** Position packing for the global first-occurrence key: supports
+    * docs up to 2^20 chunks (~21M tokens at 20 tokens/chunk). */
+  final val ChunkPosEncode = 1L << 20
+
+  val dedupChunkRewrite: Q = Q("ext_dedup_chunk_rewrite",
+    (spark, sfDir) => {
+      val toks = split(edgeTrim(lower(col("text"))), "\\s+")
+      // cached: the owner agg and the keep-join both read it
+      val chunked = cacheTracked(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("toks")), lit(ChunkTokens)),
+          i => array_join(slice(col("toks"), i, lit(ChunkTokens)), " "))))
+        .toDF("doc_id", "posn", "chunk")
+        .withColumn("h", Scalars.hash60(col("chunk"))))
+      val owner = chunked.groupBy("h")
+        .agg(min(col("doc_id") * ChunkPosEncode + col("posn")).as("okey"))
+      chunked.join(owner, Seq("h"))
+        .withColumn("keep",
+          col("doc_id") * ChunkPosEncode + col("posn") === col("okey"))
+        .groupBy("doc_id")
+        .agg(
+          // nulls (dropped chunks) vanish in collect_list; struct sort
+          // restores document order (posn is unique per doc)
+          array_join(transform(array_sort(collect_list(
+            when(col("keep"), struct(col("posn"), col("chunk"))))),
+            x => x("chunk")), " ").as("clean_text"),
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, regexp_split_to_array(
+            |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
+            |  FROM documents),
+            |c AS (
+            |  SELECT doc_id, unnest(
+            |    [{'posn': (i-1)//$ChunkTokens,
+            |      'chunk': array_to_string(toks[i:i+${ChunkTokens - 1}], ' ')}
+            |     for i in range(1, len(toks)+1, $ChunkTokens)],
+            |    recursive := true)
+            |  FROM d),
+            |hh AS (SELECT doc_id, posn, chunk, ${duckHash60("chunk")} AS h FROM c),
+            |o AS (SELECT h, min(doc_id * $ChunkPosEncode + posn) AS okey
+            |      FROM hh GROUP BY h),
+            |k AS (SELECT t.doc_id, t.posn, t.chunk,
+            |        (t.doc_id * $ChunkPosEncode + t.posn = o.okey) AS keep
+            |      FROM hh t JOIN o USING (h))
+            |SELECT doc_id,
+            |  coalesce(string_agg(chunk, ' ' ORDER BY posn) FILTER (WHERE keep), '')
+            |    AS clean_text,
+            |  count(*) AS n_chunks,
+            |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
   // Decontamination via BLOOM RUNTIME FILTER — the 100 TB execution
   // strategy for E10, oracle-gated. Same semantics as ext_decontaminate
   // BY CONSTRUCTION: a distributed Bloom build over the distinct test
@@ -2494,6 +2559,6 @@ object Extensions {
     repetitionScore, charEntropy, contaminationScore,
     dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap,
     unigramLogprob, corpusCurateSemantic,
-    dedupChunk, decontaminateBloom, bigramLogprob, temperatureSample,
-    dedupIncremental)
+    dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
+    temperatureSample, dedupIncremental)
 }

@@ -629,6 +629,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, 0.0, true)))
   }
 
+  test("chunk rewrite keeps first occurrences and reassembles in order") {
+    val chunkA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val tailB = (1 to 20).map(i => s"b$i").mkString(" ")
+    val uniq = (1 to 40).map(i => s"u$i").mkString(" ")
+    Seq((1L, s"$chunkA $tailB"), (2L, s"$chunkA $tailB"), (3L, uniq))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/tmp-chunkrw/documents.parquet")
+    val got = Extensions.dedupChunkRewrite.fn(spark, "target/tmp-chunkrw").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 owns every chunk (min doc_id) and reassembles verbatim;
+    // its byte-twin doc 2 is rewritten to EMPTY; doc 3 untouched
+    assert(got(1L) == ((s"$chunkA $tailB", 2L, 2L)))
+    assert(got(2L) == (("", 2L, 0L)))
+    assert(got(3L) == ((uniq, 2L, 2L)))
+  }
+
   test("bloom decontamination is output-identical to the exact path") {
     val exact = Extensions.decontaminate.fn(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
