@@ -166,6 +166,48 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful(10))
   }
 
+  test("chunk rewrite conservation: every distinct chunk survives exactly once") {
+    // tiny vocab + fixed-length docs force heavy chunk duplication;
+    // the expected distinct-chunk count is recomputed independently in
+    // plain Scala (grouped(20), the operator's segmentation contract)
+    val gen = Gen.listOfN(8, Gen.listOfN(45, Gen.oneOf("a", "b", "c", "d")))
+    check(Prop.forAll(gen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      df.write.mode("overwrite").parquet("target/tmp-chunkprop/documents.parquet")
+      val rw = graft.ext.Extensions.dedupChunkRewrite
+        .fn(spark, "target/tmp-chunkprop").collect()
+      spark.sqlContext.clearCache()
+      val expectedDistinct = docs
+        .flatMap(_.grouped(graft.ext.Extensions.ChunkTokens).map(_.mkString(" ")))
+        .distinct.size
+      val totKept = rw.map(_.getLong(3)).sum
+      totKept == expectedDistinct &&
+        rw.forall(r => r.getLong(3) <= r.getLong(2)) && // kept <= chunks
+        rw.map(_.getLong(0)).toSet == docs.indices.map(_.toLong).toSet
+    }, minSuccessful(6))
+  }
+
+  test("bigram LM: scores are non-negative because a context is at least its bigram") {
+    // c(prev,cur) <= c(prev·) for every bigram by construction, so
+    // every per-doc average of ln(c1/c2) must be >= 0; and a doc of n
+    // tokens contributes exactly n-1 bigrams
+    val gen = Gen.listOfN(6, Gen.chooseNum(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z"))))
+    check(Prop.forAll(gen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      df.write.mode("overwrite").parquet("target/tmp-bgprop/documents.parquet")
+      val out = graft.ext.Extensions.bigramLogprob
+        .fn(spark, "target/tmp-bgprop").collect()
+      spark.sqlContext.clearCache()
+      out.forall(r => r.getDouble(2) >= 0.0) &&
+        out.forall(r => r.getLong(1) == docs(r.getLong(0).toInt).size - 1)
+    }, minSuccessful(6))
+  }
+
   private def minSuccessful(n: Int) =
     org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(n)
 
