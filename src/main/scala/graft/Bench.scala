@@ -32,8 +32,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+        // noop sink, not count(): count() lets the optimizer prune
+        // every projection and eliminate unique-key outer joins whose
+        // columns go unread — the instrument would then time a smaller
+        // query than the one users run. The noop DSv2 sink computes
+        // every output column of every row and discards them.
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case _: Throwable => false }
         // no cross-query or cross-rep cache leaks: every rep pays its
         // own cache build, min still strips host-steal noise
         finally spark.sqlContext.clearCache()

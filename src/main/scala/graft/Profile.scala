@@ -25,9 +25,11 @@ object Profile {
       else SparkEntry.queries.keys.toSeq
     for (name <- wanted; fn = SparkEntry.queries(name); r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // full materialization (see Bench): count() would let the
+      // optimizer time a smaller query than the one users run
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       spark.sqlContext.clearCache()
-      println(f"PROFILE $name rep$r rows=$n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"PROFILE $name rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }

@@ -22,6 +22,8 @@ object ColumnOps {
     wrap(ShingleSha60(exprOf(c), n))
   def wordGramSha60(c: Column, n: Int): Column =
     wrap(WordGramSha60(exprOf(c), n))
+  def polyKgramHash(c: Column): Column =
+    wrap(PolyKgramHash(exprOf(c)))
 
   /** Distributed Bloom-filter build over a LongType column (Spark's own
     * `BloomFilterAggregate`, the runtime-filter machinery, driven

@@ -287,16 +287,26 @@ object Extensions {
       val sig = cacheTracked(minhashSignatures(docs))
       val cand = bandCandidates(minhashBanded(sig), Seq("band", "bk"), cap)
       // estimate from full signatures for the surviving candidates only
-      val sa = sig.select(sig.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
-      val sb = sig.select(sig.columns.map(c => col(c).as(s"b_$c")).toSeq: _*)
-      val matches = (0 until Perms)
-        .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand.join(sa, col("id_a") === col("a_doc_id"))
-        .join(sb, col("id_b") === col("b_doc_id"))
-        .select(col("id_a"), col("id_b"),
-          round(matches / lit(Perms.toDouble), 4).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
+      sigConfirm(cand, "id_a", "id_b", sig, sig)
+  }
+
+  /** Confirm banded candidates against the FULL signatures: keep pairs
+    * whose estimated jaccard (fraction of agreeing perms, rounded like
+    * the oracle) clears 0.5 — the one Spark definition of the confirm
+    * step, shared by the self-join dedup and the incremental
+    * batch-vs-corpus probe (its SQL twin is [[minhashMatchSumSql]]). */
+  private def sigConfirm(cand: DataFrame, leftCol: String, rightCol: String,
+                         sigLeft: DataFrame, sigRight: DataFrame): DataFrame = {
+    val sa = sigLeft.select(sigLeft.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
+    val sb = sigRight.select(sigRight.columns.map(c => col(c).as(s"b_$c")).toSeq: _*)
+    val matches = (0 until Perms)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, col(leftCol) === col("a_doc_id"))
+      .join(sb, col(rightCol) === col("b_doc_id"))
+      .select(col(leftCol), col(rightCol),
+        round(matches / lit(Perms.toDouble), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
   }
 
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1224,10 +1234,12 @@ object Extensions {
   // =====================================================================
   val fingerprintWinnow: Q = Q("ext_fingerprint_winnow",
     (spark, sfDir) => {
-      val text = col("text")
-      val kgramHashes = transform(
-        sequence(lit(1), greatest(length(text) - 7, lit(1))),
-        i => (ascii(text.substr(i + lit(0), lit(1))) * lit(13163680L) + ascii(text.substr(i + lit(1), lit(1))) * lit(805498697L) + ascii(text.substr(i + lit(2), lit(1))) * lit(154885210L) + ascii(text.substr(i + lit(3), lit(1))) * lit(362470373L) + ascii(text.substr(i + lit(4), lit(1))) * lit(16974593L) + ascii(text.substr(i + lit(5), lit(1))) * lit(66049L) + ascii(text.substr(i + lit(6), lit(1))) * lit(257L) + ascii(text.substr(i + lit(7), lit(1))) * lit(1L)) % 1000000007L)
+      // PolyKgramHash = the composed ascii(substr)·257^j polynomial,
+      // bit-identical, but one codegen pass instead of 8 substr taps
+      // per position that each re-walk the string from byte 0 (the
+      // composed form measured 26.9 s for this query at sf0.1 under
+      // full materialization; the oracle still computes it composed)
+      val kgramHashes = graft.expr.ColumnOps.polyKgramHash(col("text"))
       val selected = array_distinct(transform(
         sequence(lit(1), greatest(size(col("kh")) - 3, lit(1))),
         i => array_min(slice(col("kh"), i, lit(4)))))
@@ -1377,7 +1389,16 @@ object Extensions {
   // =====================================================================
   /** (doc_id, contaminated) for every train-split doc — the shared
     * Spark core of ext_decontaminate and the full curation funnel. */
-  def contaminationFlags(spark: SparkSession, sfDir: String): DataFrame = {
+  def contaminationFlags(spark: SparkSession, sfDir: String): DataFrame =
+    contaminationFlagsWith(spark, sfDir)((trainG, _) => trainG)
+
+  /** [[contaminationFlags]] with a train-gram prefilter hook —
+    * `prefilter(trainG, testG)` returns the train grams to feed the
+    * exact semi-join. The Bloom variant lives HERE so its gram
+    * semantics cannot drift from the exact path (one tokenize/bucket/
+    * join body, the hook only inserts the probe). */
+  private[graft] def contaminationFlagsWith(spark: SparkSession, sfDir: String)(
+      prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
       val bucket = pmod(Scalars.hash60(col("text")), lit(100L))
       // WordGramSha60 tokenizes + hashes every 5-word gram in ONE pass
       // (codegen). The composed split/slice/concat_ws form it replaces
@@ -1402,7 +1423,7 @@ object Extensions {
       // grams — forcing it into memory would OOM the executors, while
       // the unhinted plan degrades to a shuffled semi-join on the
       // 60-bit gram hash (uniform key, no skew)
-      val hit = trainG.join(testG, Seq("g"), "left_semi")
+      val hit = prefilter(trainG, testG).join(testG, Seq("g"), "left_semi")
         .select("doc_id").distinct()
         .withColumn("contaminated", lit(true))
       base.filter(col("bucket") < 90).select("doc_id")
@@ -2264,11 +2285,19 @@ object Extensions {
           i => array_join(slice(col("toks"), i, lit(ChunkTokens)), " "))))
         .toDF("doc_id", "posn", "chunk")
         .withColumn("h", Scalars.hash60(col("chunk"))))
-      val owner = chunked.groupBy("h")
-        .agg(min(col("doc_id") * ChunkPosEncode + col("posn")).as("okey"))
+      // the packing guard lives INSIDE the key expression (a detached
+      // assert column would be pruned away): a doc overflowing the
+      // posn field would silently corrupt ownership across neighboring
+      // doc_ids — and both engines share the formula, so the oracle
+      // could never catch it. Fail fast instead.
+      val okey = when(col("posn") >= ChunkPosEncode,
+          raise_error(concat(
+            lit(s"ext_dedup_chunk_rewrite: doc exceeds $ChunkPosEncode chunks: doc_id="),
+            col("doc_id").cast("string"))))
+        .otherwise(col("doc_id") * ChunkPosEncode + col("posn"))
+      val owner = chunked.groupBy("h").agg(min(okey).as("okey"))
       chunked.join(owner, Seq("h"))
-        .withColumn("keep",
-          col("doc_id") * ChunkPosEncode + col("posn") === col("okey"))
+        .withColumn("keep", okey === col("okey"))
         .groupBy("doc_id")
         .agg(
           // nulls (dropped chunks) vanish in collect_list; struct sort
@@ -2322,34 +2351,21 @@ object Extensions {
   final val BloomNumBits = 8388608L // 2^23 bits = 1 MiB filter
 
   val decontaminateBloom: Q = Q("ext_decontaminate_bloom",
-    (spark, sfDir) => {
+    (spark, sfDir) => contaminationFlagsWith(spark, sfDir) { (trainG, testG) =>
       import graft.expr.ColumnOps
-      val bucket = pmod(Scalars.hash60(col("text")), lit(100L))
-      val grams = ColumnOps.wordGramSha60(edgeTrim(lower(col("text"))), 5)
-      val base = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), bucket.as("bucket"), grams.as("grams"))
-      val trainG = base.filter(col("bucket") < 90)
-        .select(col("doc_id"), explode(col("grams")).as("g"))
-      val testG = cacheTracked(base.filter(col("bucket") >= 95)
-        .select(explode(col("grams")).as("g")).distinct())
-      val bloomBytes = testG
+      // cache: the bloom build (an action, below) and the core's exact
+      // confirm join both read the test-gram set; CacheManager matches
+      // the core's identical plan to this cached frame
+      val cached = cacheTracked(testG)
+      val bloomBytes = cached
         .agg(ColumnOps.bloomFilterAgg(col("g"),
           BloomExpectedItems, BloomNumBits).as("bf"))
         .head().getAs[Array[Byte]](0)
       // empty test split -> no filter, nothing can be contaminated
-      val pre =
-        if (bloomBytes == null) trainG.filter(lit(false))
-        else trainG.filter(
-          ColumnOps.bloomMightContain(lit(bloomBytes), col("g")))
-      val hit = pre.join(testG, Seq("g"), "left_semi")
-        .select("doc_id").distinct()
-        .withColumn("contaminated", lit(true))
-      base.filter(col("bucket") < 90).select("doc_id")
-        .join(hit, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("contaminated"), lit(false)).as("contaminated"))
-        .orderBy("doc_id")
-    },
+      if (bloomBytes == null) trainG.filter(lit(false))
+      else trainG.filter(
+        ColumnOps.bloomMightContain(lit(bloomBytes), col("g")))
+    }.orderBy("doc_id"),
     // the EXACT decontamination oracle, verbatim: the Bloom path must
     // be output-identical to E10 or it is wrong
     Some(s"""WITH $decontamSqlCtes
@@ -2381,11 +2397,18 @@ object Extensions {
         .withColumn("prev", substring_index(col("bg"), " ", 1))
       val c2 = bi.groupBy("bg").agg(count(lit(1)).cast("double").as("c2"))
       val c1 = bi.groupBy("prev").agg(count(lit(1)).cast("double").as("c1"))
-      bi.join(c2, Seq("bg")).join(c1, Seq("prev"))
+      val scored = bi.join(c2, Seq("bg")).join(c1, Seq("prev"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(log(col("c1") / col("c2"))), 4).as("avg_neg_logprob"))
-        .select(col("doc_id"), col("n_bigrams"), col("avg_neg_logprob"),
+      // EVERY doc gets a row (the unigram twin's contract): sub-2-token
+      // docs score n_bigrams=0 with null logprob/ppl rather than
+      // silently vanishing from a funnel that joins on this output
+      Tables.documents(spark, sfDir).select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("avg_neg_logprob"),
           round(exp(col("avg_neg_logprob")), 2).as("ppl"))
         .orderBy("doc_id")
     },
@@ -2404,9 +2427,10 @@ object Extensions {
            |  SELECT q.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            |    round(avg(ln(c1 / c2)), 4) AS avg_neg_logprob
            |  FROM q JOIN c2 USING (bg) JOIN c1 USING (prev) GROUP BY q.doc_id)
-           |SELECT doc_id, n_bigrams, avg_neg_logprob,
-           |  round(exp(avg_neg_logprob), 2) AS ppl
-           |FROM sc ORDER BY doc_id""".stripMargin))
+           |SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  sc.avg_neg_logprob,
+           |  round(exp(sc.avg_neg_logprob), 2) AS ppl
+           |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin))
 
   // =====================================================================
   // Temperature-flattened mixture sampling — the mixture reweighting
@@ -2501,14 +2525,7 @@ object Extensions {
         .select(col("band"), col("bk"), col("doc_id").as("bid"))
       val cand = bandB.join(bandC, Seq("band", "bk"))
         .select("bid", "cid").distinct()
-      val sa = sigB.select(sigB.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
-      val sb = sigC.select(sigC.columns.map(c => col(c).as(s"b_$c")).toSeq: _*)
-      val matches = (0 until Perms)
-        .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      val nearDup = cand.join(sa, col("bid") === col("a_doc_id"))
-        .join(sb, col("cid") === col("b_doc_id"))
-        .filter(round(matches / lit(Perms.toDouble), 4) >= 0.5)
+      val nearDup = sigConfirm(cand, "bid", "cid", sigB, sigC)
         .select(col("bid").as("doc_id")).distinct()
       batch.select("doc_id")
         .join(exactDup.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")

@@ -145,12 +145,20 @@ object EventStreams {
                                  timers: TimerValues): Iterator[NearDupHit] = {
       val arrivals = rows.toSeq.sortBy(_.doc_id)
       val out = scala.collection.mutable.Buffer[NearDupHit]()
-      var f = if (first.exists()) first.get() else -1L
+      // ownership is tracked by state EXISTENCE, not a sentinel value —
+      // doc_ids are arbitrary longs (hashed/signed external ids are
+      // legitimately negative) and a magic -1 would silently re-assign
+      // a negative owner's bucket
+      var f: Option[Long] = if (first.exists()) Some(first.get()) else None
       arrivals.foreach { a =>
-        if (f < 0) f = a.doc_id
-        else if (a.doc_id != f) out += NearDupHit(a.doc_id, f, bucket)
+        f match {
+          case None => f = Some(a.doc_id)
+          case Some(owner) if a.doc_id != owner =>
+            out += NearDupHit(a.doc_id, owner, bucket)
+          case _ => ()
+        }
       }
-      if (f >= 0) first.update(f)
+      f.foreach(first.update)
       out.iterator
     }
   }

@@ -612,6 +612,27 @@ class ExtensionsSpec extends SparkSpec {
       .filter(col("kmin") < col("dmax")).count() == 0)
   }
 
+  test("PolyKgramHash equals the composed ascii(substr) polynomial, all edge shapes") {
+    // the rolling expression must reproduce the oracle's composed form
+    // bit-for-bit: normal text, exactly-8, shorter-than-8 (zero-padded
+    // single window), empty, and non-ASCII codepoints
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "exactly8", "short", "", "héllo wörld ünïcode £10")
+    val df = texts.toDF("text")
+    val composed = transform(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+      i => (0 to 7).map(j =>
+        ascii(col("text").substr(i + lit(j), lit(1))) *
+          lit(Seq(13163680L, 805498697L, 154885210L, 362470373L,
+            16974593L, 66049L, 257L, 1L)(j))).reduce(_ + _) % 1000000007L)
+    val rows = df.select(
+      graft.expr.ColumnOps.polyKgramHash(col("text")).as("fast"),
+      composed.as("slow")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"diverged on '$t'")
+    }
+  }
+
   test("chunk dedup: shared 20-token chunks are counted; unique docs keep") {
     // docs 1 and 2 are identical (both chunks duplicated, keep=false);
     // doc 3 is 40 unique tokens (2 chunks, none duplicated, keep=true)
