@@ -86,10 +86,18 @@ object SetAggQueries {
   // ---------- exact percentiles (linear interpolation both engines) ----
   val aggPercentile: Q = Q("agg_percentile",
     (spark, sfDir) =>
+      // ONE percentile agg with both quantiles: two separate calls each
+      // build their own per-group value buffer (the whole cost of exact
+      // percentile); the array form sorts once and reads both ranks.
+      // Exact percentile is the oracle contract here — at 100 TB the
+      // same query ships approx_percentile and the sketch-op precedent
+      // (agg_approx_distinct) covers the verification story.
       Tables.lineitem(spark, sfDir)
         .groupBy("l_returnflag")
-        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"))
+        .select(col("l_returnflag"),
+          round(col("ps").getItem(0), 4).as("p50"),
+          round(col("ps").getItem(1), 4).as("p95"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
            |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
