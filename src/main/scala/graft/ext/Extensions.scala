@@ -2222,15 +2222,23 @@ object Extensions {
   final val ChunkTokens = 20
   final val ChunkDupRatioMax = 0.5
 
+  /** (doc_id, posn, chunk, h) for every [[ChunkTokens]]-token chunk —
+    * ONE definition of chunk identity, shared by the E20 grade and the
+    * E20b rewrite so their segmentations cannot drift. */
+  private def chunkFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(edgeTrim(lower(col("text"))), "\\s+")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("toks")), lit(ChunkTokens)),
+        i => array_join(slice(col("toks"), i, lit(ChunkTokens)), " "))))
+      .toDF("doc_id", "posn", "chunk")
+      .withColumn("h", Scalars.hash60(col("chunk")))
+  }
+
   val dedupChunk: Q = Q("ext_dedup_chunk",
     (spark, sfDir) => {
-      val toks = split(edgeTrim(lower(col("text"))), "\\s+")
-      val chunks = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("toks")), lit(ChunkTokens)),
-          i => Scalars.hash60(array_join(
-            slice(col("toks"), i, lit(ChunkTokens)), " ")))).as("h"))
+      val chunks = chunkFrame(spark, sfDir).select("doc_id", "h")
       val counts = chunks.groupBy("h").agg(count(lit(1)).as("cnt"))
       chunks.join(counts, Seq("h"))
         .groupBy("doc_id")
@@ -2276,15 +2284,8 @@ object Extensions {
 
   val dedupChunkRewrite: Q = Q("ext_dedup_chunk_rewrite",
     (spark, sfDir) => {
-      val toks = split(edgeTrim(lower(col("text"))), "\\s+")
       // cached: the owner agg and the keep-join both read it
-      val chunked = cacheTracked(Tables.documents(spark, sfDir)
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(1), size(col("toks")), lit(ChunkTokens)),
-          i => array_join(slice(col("toks"), i, lit(ChunkTokens)), " "))))
-        .toDF("doc_id", "posn", "chunk")
-        .withColumn("h", Scalars.hash60(col("chunk"))))
+      val chunked = cacheTracked(chunkFrame(spark, sfDir))
       // the packing guard lives INSIDE the key expression (a detached
       // assert column would be pruned away): a doc overflowing the
       // posn field would silently corrupt ownership across neighboring
