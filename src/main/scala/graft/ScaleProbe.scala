@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe semantic [nVecs]
   *        runMain graft.ScaleProbe bm25 [nDocs]
   *        runMain graft.ScaleProbe bloom [nTrainDocs]
+  *        runMain graft.ScaleProbe winnow [nDocs]
   *
   * The `skew` mode measures the connected-components loop on a planted
   * MEGA-COMPONENT (one hub star of `spokes` edges + a background of
@@ -226,11 +227,46 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `winnow` mode: the rolling-hash fingerprint pass at 100×-scale
+    * corpora — two sizes in one run so linearity is a printed ratio,
+    * not an assumption (the composed form this replaced was quadratic
+    * per document and the bench hid it for four rounds). */
+  private def winnowProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 200000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // ~1000-char docs from arithmetic tokens (no array literals — see
+    // the bloom probe's serialization lesson)
+    def corpus(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 150).map { w =>
+        concat(lit("tok"), pmod(hash(col("id"), lit(w)), lit(50000)).cast("string"))
+      }: _*).as("text"))
+    def run(n: Long): Double = {
+      val t0 = System.nanoTime()
+      ext.Extensions.winnowFingerprints(corpus(n))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tHalf = run(nDocs / 2)
+    val tFull = run(nDocs)
+    println(f"WINNOWPROBE n_docs=$nDocs%d chars=${nDocs * 1000}%d " +
+      f"wall{half=$tHalf%.1fs full=$tFull%.1fs ratio=${tFull / tHalf}%.2f " +
+      f"(linear -> ~2.0, quadratic-per-doc would be flat-per-doc but was " +
+      f"26.9s at 5k docs)}")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("semantic")) { semanticProbe(args); return }
     if (args.headOption.contains("bm25")) { bm25Probe(args); return }
     if (args.headOption.contains("bloom")) { bloomProbe(args); return }
+    if (args.headOption.contains("winnow")) { winnowProbe(args); return }
     val nFamilies = if (args.length > 0) args(0).toInt else 200
     val copies = if (args.length > 1) args(1).toInt else 1000
     val cap = if (args.length > 2) args(2).toInt

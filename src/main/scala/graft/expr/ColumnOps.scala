@@ -24,6 +24,8 @@ object ColumnOps {
     wrap(WordGramSha60(exprOf(c), n))
   def polyKgramHash(c: Column): Column =
     wrap(PolyKgramHash(exprOf(c)))
+  def winnowSelect(c: Column): Column =
+    wrap(WinnowSelect(exprOf(c)))
 
   /** Distributed Bloom-filter build over a LongType column (Spark's own
     * `BloomFilterAggregate`, the runtime-filter machinery, driven

@@ -72,6 +72,67 @@ object PolyKgramUtil {
   }
 }
 
+/** `winnow_select(kh)` → ARRAY<BIGINT>: the distinct window-4 minima
+  * of a k-gram hash array — the MOSS winnowing selection — via a
+  * monotonic deque: O(n) total, zero per-position allocation.
+  *
+  * Set-equivalent to the composed
+  * `array_distinct(transform(sequence(1, greatest(size(kh)-3, 1)),
+  *   i -> array_min(slice(kh, i, 4))))` — same distinct VALUES (the
+  * consumers read size and min, both order-free); the composed form
+  * allocates a 4-element slice per position and re-scans it, which at
+  * 200k docs × ~1000 positions is pure GC pressure. */
+object WinnowSelectUtil {
+
+  private final val W = 4
+
+  def select(kh: ArrayData): ArrayData = {
+    val n = kh.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    // monotonic deque of indices; head = index of current window min
+    val deque = new Array[Int](n + 1)
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < n) {
+      val v = kh.getLong(i)
+      while (tail > head && kh.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - W) head += 1
+      // windows are [i-3, i] once i >= W-1; a short array (n < W)
+      // yields its single full-prefix min at i = n-1, matching the
+      // composed form's greatest(size-3, 1) = one window
+      if (i >= W - 1 || i == n - 1) seen.add(kh.getLong(deque(head)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class WinnowSelect(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"winnow_select expects ARRAY<BIGINT>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_select"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowSelectUtil.select(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.WinnowSelectUtil.select($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
 case class PolyKgramHash(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

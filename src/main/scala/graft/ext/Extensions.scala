@@ -1232,24 +1232,31 @@ object Extensions {
   // fingerprint scheme (local algorithms literature, PAPERS.md). Docs
   // sharing a min-fingerprint are near-dup cluster candidates.
   // =====================================================================
+  /** (doc_id, n_fp, min_fp) winnowing fingerprints over any
+    * (doc_id, text) frame — the query core, also driven at probe
+    * scale by `ScaleProbe winnow`. PolyKgramHash = the composed
+    * ascii(substr)·257^j polynomial, bit-identical, but one codegen
+    * pass instead of 8 substr taps per position that each re-walk the
+    * string from byte 0 (the composed form measured 26.9 s for this
+    * query at sf0.1 under full materialization; the oracle still
+    * computes it composed). */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val kgramHashes = graft.expr.ColumnOps.polyKgramHash(col("text"))
+    // WinnowSelect = the composed array_distinct/transform/slice
+    // window-min chain as one O(n) monotonic-deque pass (the composed
+    // form allocates a slice per position; consumers read size/min,
+    // both order-free, and the distinct sets are identical)
+    docs
+      .select(col("doc_id"), kgramHashes.as("kh"))
+      .select(col("doc_id"),
+        graft.expr.ColumnOps.winnowSelect(col("kh")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"),
+        array_min(col("fp")).as("min_fp"))
+  }
+
   val fingerprintWinnow: Q = Q("ext_fingerprint_winnow",
-    (spark, sfDir) => {
-      // PolyKgramHash = the composed ascii(substr)·257^j polynomial,
-      // bit-identical, but one codegen pass instead of 8 substr taps
-      // per position that each re-walk the string from byte 0 (the
-      // composed form measured 26.9 s for this query at sf0.1 under
-      // full materialization; the oracle still computes it composed)
-      val kgramHashes = graft.expr.ColumnOps.polyKgramHash(col("text"))
-      val selected = array_distinct(transform(
-        sequence(lit(1), greatest(size(col("kh")) - 3, lit(1))),
-        i => array_min(slice(col("kh"), i, lit(4)))))
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), kgramHashes.as("kh"))
-        .select(col("doc_id"), selected.as("fp"))
-        .select(col("doc_id"), size(col("fp")).as("n_fp"),
-          array_min(col("fp")).as("min_fp"))
-        .orderBy("doc_id")
-    },
+    (spark, sfDir) =>
+      winnowFingerprints(Tables.documents(spark, sfDir)).orderBy("doc_id"),
     Some("""WITH kh AS (
            |  SELECT doc_id,
            |    [(CAST(ascii(substr(text, i + 0, 1)) AS BIGINT) * 13163680 + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 805498697 + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 154885210 + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT) * 362470373 + CAST(ascii(substr(text, i + 4, 1)) AS BIGINT) * 16974593 + CAST(ascii(substr(text, i + 5, 1)) AS BIGINT) * 66049 + CAST(ascii(substr(text, i + 6, 1)) AS BIGINT) * 257 + CAST(ascii(substr(text, i + 7, 1)) AS BIGINT) * 1) % 1000000007

@@ -631,6 +631,18 @@ class ExtensionsSpec extends SparkSpec {
     rows.zip(texts).foreach { case (r, t) =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"diverged on '$t'")
     }
+    // WinnowSelect must equal the composed window-min/distinct chain
+    // (order included: both keep first-occurrence window order)
+    val composedSel = array_distinct(transform(
+      sequence(lit(1), greatest(size(col("kh")) - 3, lit(1))),
+      i => array_min(slice(col("kh"), i, lit(4)))))
+    val selRows = df
+      .select(graft.expr.ColumnOps.polyKgramHash(col("text")).as("kh"))
+      .select(graft.expr.ColumnOps.winnowSelect(col("kh")).as("fast"),
+        composedSel.as("slow")).collect()
+    selRows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"select diverged on '$t'")
+    }
   }
 
   test("chunk dedup: shared 20-token chunks are counted; unique docs keep") {
