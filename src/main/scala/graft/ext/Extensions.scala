@@ -2572,6 +2572,52 @@ object Extensions {
             |FROM bkt b WHERE b.bucket >= $IncrementalCorpusPct
             |ORDER BY b.doc_id""".stripMargin))
 
+  // =====================================================================
+  // Embedding scalar quantization — int8 compression of the embedding
+  // column (the storage-side half of similarity search at 100 TB: a
+  // float32→int8 corpus is 4× smaller and ANN rerank reads int8, full
+  // precision only for finalists). Per-dimension min/max train the
+  // quantizer (a 64-row broadcast model, one linear pass); q =
+  // floor((x−mn)/scale + 0.5) — floor(+0.5), not round(), because the
+  // engines' half-rounding modes differ and floor is unambiguous.
+  // Output audits reconstruction: per-vector MSE and max abs error
+  // (bounded by scale/2 per dimension, asserted in the spec).
+  // =====================================================================
+  val embeddingQuantize: Q = Q("ext_embedding_quantize",
+    (spark, sfDir) => {
+      val dims = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+        .toDF("vec_id", "pos", "x")
+      val stats = dims.groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      val q = dims.join(broadcast(stats), Seq("pos"))
+        .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+        .withColumn("qv", when(col("scale") === 0.0, lit(0.0))
+          .otherwise(least(
+            floor((col("x") - col("mn")) / col("scale") + 0.5), lit(255.0))))
+        .withColumn("deq", col("mn") + col("qv") * col("scale"))
+      q.groupBy("vec_id")
+        .agg(count(lit(1)).as("n_dims"),
+          round(avg(pow(col("x") - col("deq"), 2)), 8).as("mse"),
+          round(max(abs(col("x") - col("deq"))), 6).as("max_abs_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |d AS (SELECT vec_id, unnest(
+           |    [{'pos': i - 1, 'x': emb[i]} for i in range(1, len(emb)+1)],
+           |    recursive := true) FROM e),
+           |s AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM d GROUP BY pos),
+           |qq AS (SELECT d.vec_id, d.x, s.mn,
+           |        (s.mx - s.mn) / 255.0 AS scale,
+           |        CASE WHEN (s.mx - s.mn) / 255.0 = 0 THEN 0.0
+           |             ELSE least(floor((d.x - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5), 255.0)
+           |        END AS qv
+           |      FROM d JOIN s USING (pos)),
+           |r AS (SELECT vec_id, x, mn + qv * scale AS deq FROM qq)
+           |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+           |  round(avg(pow(x - deq, 2)), 8) AS mse,
+           |  round(max(abs(x - deq)), 6) AS max_abs_err
+           |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -2585,5 +2631,5 @@ object Extensions {
     dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap,
     unigramLogprob, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
-    temperatureSample, dedupIncremental)
+    temperatureSample, dedupIncremental, embeddingQuantize)
 }

@@ -703,6 +703,29 @@ class ExtensionsSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("embedding quantization: reconstruction error bounded by half a quantization step") {
+    // dims with known ranges: dim0 spans [0,2] (scale 2/255), dim1 is
+    // CONSTANT (scale 0 -> dequantizes to mn exactly), dim2 spans [0,1]
+    val vecs = Seq(
+      (1L, Seq(0.0, 7.0, 0.0), 0),
+      (2L, Seq(2.0, 7.0, 1.0), 0),
+      (3L, Seq(1.0, 7.0, 0.3), 0))
+    vecs.map { case (id, v, l) => (id, v.map(_.toFloat), l) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("target/tmp-quant/embeddings.parquet")
+    val got = Extensions.embeddingQuantize.fn(spark, "target/tmp-quant").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val maxStep = 2.0 / 255.0 / 2.0 // widest dim's half-step
+    for ((id, (nDims, mse, maxErr)) <- got) {
+      assert(nDims == 3L, s"vec $id")
+      assert(mse >= 0.0 && maxErr >= 0.0, s"vec $id")
+      // max_abs_err is published rounded to 6dp — allow that half-ulp
+      assert(maxErr <= maxStep + 5.1e-7, s"vec $id: $maxErr > $maxStep")
+    }
+    // range endpoints land exactly on grid points: vec 1 and 2 are exact
+    assert(got(1L)._3 == 0.0 && got(2L)._3 == 0.0)
+  }
+
   test("temperature sampling: smallest language keeps all; bigger languages thin toward their rate") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val n = docs.groupBy("lang").count().collect()
