@@ -726,6 +726,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(1L)._3 == 0.0 && got(2L)._3 == 0.0)
   }
 
+  test("int8 quantization preserves exact top-10 cosine neighbors (recall >= 0.9)") {
+    // independent pure-Scala re-computation of the quantizer + both
+    // searches: the op's claim is that ANN can rerank on int8 — that
+    // only holds if the dequantized neighborhoods match the float ones
+    val rows = graft.model.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+    val vecs = rows.map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val dim = vecs.head._2.length
+    val mn = Array.tabulate(dim)(j => vecs.values.map(_(j)).min)
+    val mx = Array.tabulate(dim)(j => vecs.values.map(_(j)).max)
+    val deq = vecs.map { case (id, v) =>
+      id -> Array.tabulate(dim) { j =>
+        val scale = (mx(j) - mn(j)) / 255.0
+        if (scale == 0.0) mn(j)
+        else mn(j) + math.min(math.floor((v(j) - mn(j)) / scale + 0.5), 255.0) * scale
+      }
+    }
+    def top10(m: Map[Long, Array[Double]], q: Long): Set[Long] = {
+      val qv = m(q)
+      def cos(a: Array[Double], b: Array[Double]) = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      m.keys.filter(_ != q).toSeq
+        .sortBy(id => (-cos(qv, m(id)), id)).take(10).toSet
+    }
+    val queries = vecs.keys.filter(_ % 47 == 0).toSeq
+    val recall = queries.map(q =>
+      (top10(vecs, q) intersect top10(deq, q)).size / 10.0).sum / queries.size
+    assert(recall >= 0.9, s"int8 recall@10 = $recall")
+  }
+
   test("temperature sampling: smallest language keeps all; bigger languages thin toward their rate") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val n = docs.groupBy("lang").count().collect()
