@@ -17,11 +17,26 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftFunctions {
 
+  /** Width args (shingle/gram n) must be integer literals: the width
+    * is a structural parameter of the expression, not a per-row
+    * value. */
+  private def intArg(e: Expression, fn: String): Int =
+    if (e.foldable) e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other =>
+        throw new IllegalArgumentException(s"$fn: width must be an integer literal, got $other")
+    } else throw new IllegalArgumentException(s"$fn: width must be a literal")
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "next_birthday" -> (es => NextBirthday(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "sha60" -> (es => Sha60(es(0))),
-    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))))
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "shingle_sha60" -> (es => ShingleSha60(es(0), intArg(es(1), "shingle_sha60"))),
+    "word_gram_sha60" -> (es => WordGramSha60(es(0), intArg(es(1), "word_gram_sha60"))),
+    "poly_kgram_hash" -> (es => PolyKgramHash(es(0))),
+    "winnow_select" -> (es => WinnowSelect(es(0))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>
