@@ -38,6 +38,27 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("rank/window/sample queries are run-to-run deterministic") {
+    // the queries whose output depends on an ORDER the engine could
+    // break ties in: top-k ranks, window frames, hash-threshold
+    // samples, cluster labels. Two executions must produce identical
+    // rows — a missing tiebreak column shows up here mechanically, not
+    // in a flaky driver hash three rounds later.
+    val rankSensitive = Seq("ext_topk_cosine", "ext_topk_ivf", "ext_ann_lsh",
+      "ext_bm25_search", "ext_tfidf_terms", "ext_domain_cap",
+      "ext_cluster_representative", "ext_temperature_sample",
+      "ext_quality_percentile_gate", "window_latest_event",
+      "window_sessionize", "ext_dedup_chunk_rewrite")
+    val diverged = rankSensitive.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      def runOnce() =
+        try fn(spark, sf0001).collect().map(_.toString).toSeq
+        finally spark.sqlContext.clearCache()
+      if (runOnce() != runOnce()) Some(name) else None
+    }
+    assert(diverged.isEmpty, s"nondeterministic output: $diverged")
+  }
+
   test("SURVEY.md §2 and the registry stay in sync, both directions") {
     val survey = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
