@@ -1240,7 +1240,9 @@ object Extensions {
     * string from byte 0 (the composed form measured 26.9 s for this
     * query at sf0.1 under full materialization; the oracle still
     * computes it composed). */
-  def winnowFingerprints(docs: DataFrame): DataFrame = {
+  /** (doc_id, fp array<long>) — the winnow fingerprint sets, shared by
+    * the per-doc stats query and the overlap-pair consumer. */
+  def winnowFp(docs: DataFrame): DataFrame = {
     val kgramHashes = graft.expr.ColumnOps.polyKgramHash(col("text"))
     // WinnowSelect = the composed array_distinct/transform/slice
     // window-min chain as one O(n) monotonic-deque pass (the composed
@@ -1250,25 +1252,33 @@ object Extensions {
       .select(col("doc_id"), kgramHashes.as("kh"))
       .select(col("doc_id"),
         graft.expr.ColumnOps.winnowSelect(col("kh")).as("fp"))
+  }
+
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    winnowFp(docs)
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
         array_min(col("fp")).as("min_fp"))
-  }
+
+  /** DuckDB CTE chain ending at `fp` (doc_id, fp list) — the composed
+    * winnow construction, shared by the stats and overlap oracles. */
+  private def winnowSqlCtes: String =
+    """kh AS (
+      |  SELECT doc_id,
+      |    [(CAST(ascii(substr(text, i + 0, 1)) AS BIGINT) * 13163680 + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 805498697 + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 154885210 + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT) * 362470373 + CAST(ascii(substr(text, i + 4, 1)) AS BIGINT) * 16974593 + CAST(ascii(substr(text, i + 5, 1)) AS BIGINT) * 66049 + CAST(ascii(substr(text, i + 6, 1)) AS BIGINT) * 257 + CAST(ascii(substr(text, i + 7, 1)) AS BIGINT) * 1) % 1000000007
+      |     for i in range(1, greatest(length(text) - 7, 1) + 1)] AS kh
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id,
+      |    list_distinct([list_min(kh[i:i+3])
+      |      for i in range(1, greatest(len(kh) - 3, 1) + 1)]) AS fp
+      |  FROM kh)""".stripMargin
 
   val fingerprintWinnow: Q = Q("ext_fingerprint_winnow",
     (spark, sfDir) =>
       winnowFingerprints(Tables.documents(spark, sfDir)).orderBy("doc_id"),
-    Some("""WITH kh AS (
-           |  SELECT doc_id,
-           |    [(CAST(ascii(substr(text, i + 0, 1)) AS BIGINT) * 13163680 + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 805498697 + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 154885210 + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT) * 362470373 + CAST(ascii(substr(text, i + 4, 1)) AS BIGINT) * 16974593 + CAST(ascii(substr(text, i + 5, 1)) AS BIGINT) * 66049 + CAST(ascii(substr(text, i + 6, 1)) AS BIGINT) * 257 + CAST(ascii(substr(text, i + 7, 1)) AS BIGINT) * 1) % 1000000007
-           |     for i in range(1, greatest(length(text) - 7, 1) + 1)] AS kh
-           |  FROM documents),
-           |fp AS (
-           |  SELECT doc_id,
-           |    list_distinct([list_min(kh[i:i+3])
-           |      for i in range(1, greatest(len(kh) - 3, 1) + 1)]) AS fp
-           |  FROM kh)
-           |SELECT doc_id, CAST(len(fp) AS INT) AS n_fp, list_min(fp) AS min_fp
-           |FROM fp ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH $winnowSqlCtes
+            |SELECT doc_id, CAST(len(fp) AS INT) AS n_fp, list_min(fp) AS min_fp
+            |FROM fp ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
   // PII redaction — the scrub pass a training-data pipeline runs before
@@ -2618,6 +2628,48 @@ object Extensions {
            |  round(max(abs(x - deq)), 6) AS max_abs_err
            |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin))
 
+  // =====================================================================
+  // Winnow-overlap pairs — what winnowing fingerprints are FOR (the
+  // MOSS contract): doc pairs sharing ≥ WinnowSharedMin selected
+  // fingerprints are plagiarism/boilerplate-overlap candidates. The
+  // df gate is the scale bound AND standard practice in one move:
+  // fingerprints in a single doc form no pair, fingerprints in more
+  // than WinnowDfMax docs are boilerplate (and would each contribute
+  // df² candidate pairs) — kept volume is ≤ WinnowDfMax · Σdf, linear.
+  // Unlike MinHash (similarity estimate) this counts EXACT shared
+  // content runs — it localizes what overlaps, not how much.
+  // =====================================================================
+  final val WinnowDfMax = 20
+  final val WinnowSharedMin = 5
+
+  val winnowOverlap: Q = Q("ext_winnow_overlap",
+    (spark, sfDir) => {
+      // cached: the df gate and the pair join both read the postings
+      val x = cacheTracked(winnowFp(Tables.documents(spark, sfDir))
+        .select(col("doc_id"), explode(col("fp")).as("f")))
+      val keep = x.groupBy("f").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").between(2, WinnowDfMax))
+        .select("f")
+      val k = x.join(keep, Seq("f"))
+      k.select(col("f"), col("doc_id").as("id_a"))
+        .join(k.select(col("f"), col("doc_id").as("id_b")), Seq("f"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= WinnowSharedMin)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH $winnowSqlCtes,
+            |x AS (SELECT doc_id, unnest(fp) AS f FROM fp),
+            |d AS (SELECT f, count(*) AS cnt FROM x GROUP BY f),
+            |k AS (SELECT x.doc_id, x.f FROM x JOIN d USING (f)
+            |      WHERE d.cnt BETWEEN 2 AND $WinnowDfMax)
+            |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            |FROM k a JOIN k b ON a.f = b.f AND a.doc_id < b.doc_id
+            |GROUP BY a.doc_id, b.doc_id
+            |HAVING count(*) >= $WinnowSharedMin
+            |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -2631,5 +2683,5 @@ object Extensions {
     dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap,
     unigramLogprob, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
-    temperatureSample, dedupIncremental, embeddingQuantize)
+    temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap)
 }

@@ -645,6 +645,22 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("winnow overlap pairs docs sharing a long run; boilerplate-only overlap is gated") {
+    // docs 1/2 share a 200-char run (many shared winnow fingerprints);
+    // doc 3 is unrelated. A fingerprint present in ALL docs would be
+    // df-gated only past WinnowDfMax — here df=2 passes the gate, so
+    // the planted pair must surface with shared >= WinnowSharedMin.
+    val run = (1 to 40).map(i => s"shared$i").mkString(" ")
+    Seq((1L, s"$run aa bb cc dd"), (2L, s"$run ee ff gg hh"),
+        (3L, (1 to 44).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/tmp-winnow/documents.parquet")
+    val pairs = Extensions.winnowOverlap.fn(spark, "target/tmp-winnow").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) >= Extensions.WinnowSharedMin)
+  }
+
   test("chunk dedup: shared 20-token chunks are counted; unique docs keep") {
     // docs 1 and 2 are identical (both chunks duplicated, keep=false);
     // doc 3 is 40 unique tokens (2 chunks, none duplicated, keep=true)
