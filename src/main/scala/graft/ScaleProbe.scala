@@ -252,12 +252,17 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // discarded warm-up: without it the half-size run absorbs all the
+    // JIT/codegen warm-up, deflating the ratio — a mildly superlinear
+    // regression could then still print ~2.0 and pass as linear
+    run(nDocs / 20)
     val tHalf = run(nDocs / 2)
     val tFull = run(nDocs)
     println(f"WINNOWPROBE n_docs=$nDocs%d chars=${nDocs * 1000}%d " +
-      f"wall{half=$tHalf%.1fs full=$tFull%.1fs ratio=${tFull / tHalf}%.2f " +
-      f"(linear -> ~2.0, quadratic-per-doc would be flat-per-doc but was " +
-      f"26.9s at 5k docs)}")
+      f"wall{half=$tHalf%.1fs full=$tFull%.1fs ratio=${tFull / tHalf}%.2f} " +
+      f"(doc-count scaling: ratio <= 2.0 = linear in corpus size with " +
+      f"fixed overhead; the PER-DOC quadratic this expression replaced " +
+      f"is evidenced at fixed corpus instead — 26.9s -> 0.5s at sf0.1)")
     spark.stop()
   }
 

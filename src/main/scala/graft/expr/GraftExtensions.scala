@@ -23,9 +23,12 @@ object GraftFunctions {
   private def intArg(e: Expression, fn: String): Int =
     if (e.foldable) e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      // no silent toInt truncation: a BIGINT width past Int range
+      // would wrap to an arbitrary small width and run "successfully"
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
       case other =>
-        throw new IllegalArgumentException(s"$fn: width must be an integer literal, got $other")
+        throw new IllegalArgumentException(
+          s"$fn: width must be an integer literal in Int range, got $other")
     } else throw new IllegalArgumentException(s"$fn: width must be a literal")
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(

@@ -115,8 +115,18 @@ object WinnowSelectUtil {
 
 case class WinnowSelect(child: Expression) extends UnaryExpression {
 
+  // containsNull = false REQUIRED: ArrayData.getLong would read a null
+  // slot as 0 and fabricate a fingerprint — reject at analysis instead.
+  // (PolyKgramHash output qualifies; a SQL caller passing a nullable
+  // array gets a type error, not a wrong answer.) Empty input yields
+  // an empty selection — a fingerprint of nothing is nothing; the
+  // composed array_min(slice(...)) form would yield [null] there, a
+  // shape this non-null output type cannot and should not carry.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) =>
+      TypeCheckResult.TypeCheckFailure(
+        "winnow_select expects ARRAY<BIGINT> with non-null elements")
     case dt => TypeCheckResult.TypeCheckFailure(s"winnow_select expects ARRAY<BIGINT>, got ${dt.sql}")
   }
 

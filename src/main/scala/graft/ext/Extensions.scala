@@ -1232,16 +1232,13 @@ object Extensions {
   // fingerprint scheme (local algorithms literature, PAPERS.md). Docs
   // sharing a min-fingerprint are near-dup cluster candidates.
   // =====================================================================
-  /** (doc_id, n_fp, min_fp) winnowing fingerprints over any
-    * (doc_id, text) frame — the query core, also driven at probe
-    * scale by `ScaleProbe winnow`. PolyKgramHash = the composed
-    * ascii(substr)·257^j polynomial, bit-identical, but one codegen
-    * pass instead of 8 substr taps per position that each re-walk the
-    * string from byte 0 (the composed form measured 26.9 s for this
-    * query at sf0.1 under full materialization; the oracle still
-    * computes it composed). */
-  /** (doc_id, fp array<long>) — the winnow fingerprint sets, shared by
-    * the per-doc stats query and the overlap-pair consumer. */
+  /** (doc_id, fp array<long>) — the winnow fingerprint sets, shared
+    * by the per-doc stats query and the overlap-pair consumer.
+    * PolyKgramHash = the composed ascii(substr)·257^j polynomial,
+    * bit-identical, but one codegen pass instead of 8 substr taps per
+    * position that each re-walk the string from byte 0 (the composed
+    * form measured 26.9 s for the stats query at sf0.1 under full
+    * materialization; the oracle still computes it composed). */
   def winnowFp(docs: DataFrame): DataFrame = {
     val kgramHashes = graft.expr.ColumnOps.polyKgramHash(col("text"))
     // WinnowSelect = the composed array_distinct/transform/slice
@@ -1254,6 +1251,9 @@ object Extensions {
         graft.expr.ColumnOps.winnowSelect(col("kh")).as("fp"))
   }
 
+  /** (doc_id, n_fp, min_fp) per-doc fingerprint stats — the
+    * registered query's shape, also driven at probe scale by
+    * `ScaleProbe winnow`. */
   def winnowFingerprints(docs: DataFrame): DataFrame =
     winnowFp(docs)
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
@@ -2595,9 +2595,10 @@ object Extensions {
   // =====================================================================
   val embeddingQuantize: Q = Q("ext_embedding_quantize",
     (spark, sfDir) => {
-      val dims = Tables.embeddings(spark, sfDir)
+      // cached: the stats agg and the quantize join both read it
+      val dims = cacheTracked(Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
-        .toDF("vec_id", "pos", "x")
+        .toDF("vec_id", "pos", "x"))
       val stats = dims.groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
       val q = dims.join(broadcast(stats), Seq("pos"))
         .withColumn("scale", (col("mx") - col("mn")) / 255.0)
