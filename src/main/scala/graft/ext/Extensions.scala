@@ -819,6 +819,17 @@ object Extensions {
     // nearest-seed quantizer instead of crashing
     var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(nCells)
       .collect().map(_.getSeq[Double](1).toArray)
+    // empty corpus: no seeds, nothing to search — return the (empty)
+    // top-k shape rather than crashing in training. A fresh tenant /
+    // empty date partition is a normal library input, not an error.
+    if (centroids.isEmpty) {
+      if (stride > 1) train.unpersist()
+      e.unpersist()
+      return e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("corpus_id"),
+          lit(0.0).as("cos"), lit(0).as("rank"))
+        .filter(lit(false))
+    }
     // spherical Lloyd iterations (re-normalized means; empty cells keep
     // their previous centroid)
     val dim = centroids.head.length
