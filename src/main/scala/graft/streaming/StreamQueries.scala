@@ -72,7 +72,24 @@ object StreamQueries {
       val q = StreamingSync.start(spark, stream, cfg, ctl,
         new LoopbackTransport, ckpt)
       try q.processAllAvailable() finally q.stop()
-      spark.read.parquet(s"$ctl/ledger")
+      // an EMPTY source table fires zero micro-batches, so foreachBatch
+      // never runs and no ledger exists — a normal input, not an error:
+      // roll up an empty ledger of the same schema instead of failing
+      // the read
+      val ledgerPath = new org.apache.hadoop.fs.Path(s"$ctl/ledger")
+      val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ledger =
+        if (fs.exists(ledgerPath)) spark.read.parquet(s"$ctl/ledger")
+        else {
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("job_type", StringType),
+              StructField("status", StringType),
+              StructField("read_count", LongType),
+              StructField("created_count", LongType),
+              StructField("error_count", LongType))))
+        }
+      ledger
         .groupBy("job_type", "status")
         .agg(count(lit(1)).as("n_batches"),
           sum("read_count").cast("long").as("rows_read"),

@@ -34,4 +34,26 @@ class EmptyCorpusSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("the FULL registry survives an all-empty dataset (every table zero rows)") {
+    // schema-preserving empty copies of every sf0.001 table (limit(0)
+    // keeps the exact parquet types, incl. events' TIMESTAMP(NANOS))
+    val allDir = "target/tmp-empty-all"
+    val src = new java.io.File(sf0001)
+    // events carries TIMESTAMP(NANOS), unreadable without the legacy
+    // flag; the empty copy then holds a plain INT64 ts, which
+    // Tables.events' LongType branch handles identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (f <- src.listFiles() if f.getName.endsWith(".parquet"))
+      spark.read.parquet(f.getPath).limit(0)
+        .write.mode("overwrite").parquet(s"$allDir/${f.getName}")
+    val failures = SparkEntry.registry.flatMap { q =>
+      try { q.fn(spark, allDir).collect(); None }
+      catch {
+        case e: Throwable =>
+          Some(s"${q.name}: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").take(120)}")
+      } finally spark.sqlContext.clearCache()
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
