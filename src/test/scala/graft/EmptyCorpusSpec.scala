@@ -56,4 +56,22 @@ class EmptyCorpusSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("the FULL registry survives a single-row dataset (n=1 edges: windows, averages, samples)") {
+    // limit(1) copies: rows may not join across tables — the contract
+    // here is crash-freedom on the n=1 degenerate shape, not output
+    val oneDir = "target/tmp-one-all"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (f <- new java.io.File(sf0001).listFiles() if f.getName.endsWith(".parquet"))
+      spark.read.parquet(f.getPath).limit(1)
+        .write.mode("overwrite").parquet(s"$oneDir/${f.getName}")
+    val failures = SparkEntry.registry.flatMap { q =>
+      try { q.fn(spark, oneDir).collect(); None }
+      catch {
+        case e: Throwable =>
+          Some(s"${q.name}: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").take(120)}")
+      } finally spark.sqlContext.clearCache()
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
