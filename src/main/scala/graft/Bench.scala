@@ -61,6 +61,12 @@ object Bench {
       val p = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, line + "\n")
+      // in-repo (non-gitignored) mirror: the driver's tail capture is
+      // smaller than the full per-query line, so the committed record
+      // of BENCH_r05 lost its map mid-JSON. The round-end auto-commit
+      // picks this file up, making the full per-query record durable.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_last_full.json"), line + "\n")
     } catch { case _: Exception => () } // artifact is best-effort
     println(line)
     spark.stop()

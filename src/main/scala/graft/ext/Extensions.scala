@@ -2524,6 +2524,19 @@ object Extensions {
   final val IncrementalCorpusPct = 80
   final val IncrementalBucketCap = 256
 
+  /** The corpus-side banded index with its hot-bucket cap applied —
+    * exposed package-private so CapBindSpec can force the cap to bind
+    * (cap=1 on a planted bucket) and assert the deterministic survivor
+    * per bucket; [[dedupIncremental]] consumes it at the default cap. */
+  private[graft] def cappedBandIndex(sig: DataFrame,
+                                     cap: Int = IncrementalBucketCap): DataFrame = {
+    val capW = Window.partitionBy(col("band"), col("bk"))
+      .orderBy(xxhash64(col("band"), col("bk"), col("doc_id")), col("doc_id"))
+    minhashBanded(sig)
+      .withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
   val dedupIncremental: Q = Q("ext_dedup_incremental",
     (spark, sfDir) => {
       val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
@@ -2544,11 +2557,7 @@ object Extensions {
       // rank, same discipline as every banding op here); batch rows
       // are never dropped — a capped bucket can only cost candidate
       // recall, never misclassify a doc the oracle calls new
-      val capW = Window.partitionBy(col("band"), col("bk"))
-        .orderBy(xxhash64(col("band"), col("bk"), col("doc_id")), col("doc_id"))
-      val bandC = minhashBanded(sigC)
-        .withColumn("__rn", row_number().over(capW))
-        .filter(col("__rn") <= IncrementalBucketCap).drop("__rn")
+      val bandC = cappedBandIndex(sigC)
         .select(col("band"), col("bk"), col("doc_id").as("cid"))
       val bandB = minhashBanded(sigB)
         .select(col("band"), col("bk"), col("doc_id").as("bid"))

@@ -267,7 +267,9 @@ object SyncJob {
               errorClass(col("error_txt")) === col("pe"), "left")
           .select(lit(started).as("ts"), lit(cfg.jobType).as("job_type"),
             col("natural_key"), lit(cfg.objectType).as("hubspot_object_type"),
-            coalesce(col("payload"), lit("{}")).as("payload"),
+            // reference truncates DLQ payloads at 90 000 chars (errors
+            // at 10 000, applied in newError above) — main.py:398-399
+            substring(coalesce(col("payload"), lit("{}")), 1, 90000).as("payload"),
             col("error_txt").as("error"),
             (coalesce(col("prior"), lit(0L)) + 1L).as("attempt"))
       }

@@ -42,11 +42,14 @@ class EmptyCorpusSpec extends SparkSpec {
     val src = new java.io.File(sf0001)
     // events carries TIMESTAMP(NANOS), unreadable without the legacy
     // flag; the empty copy then holds a plain INT64 ts, which
-    // Tables.events' LongType branch handles identically
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for (f <- src.listFiles() if f.getName.endsWith(".parquet"))
-      spark.read.parquet(f.getPath).limit(0)
-        .write.mode("overwrite").parquet(s"$allDir/${f.getName}")
+    // Tables.events' LongType branch handles identically. The session
+    // is shared across suites — restore the flag afterwards or every
+    // later suite reads TIMESTAMP(NANOS) parquet as INT64.
+    withNanosAsLong {
+      for (f <- src.listFiles() if f.getName.endsWith(".parquet"))
+        spark.read.parquet(f.getPath).limit(0)
+          .write.mode("overwrite").parquet(s"$allDir/${f.getName}")
+    }
     val failures = SparkEntry.registry.flatMap { q =>
       try { q.fn(spark, allDir).collect(); None }
       catch {
@@ -57,14 +60,26 @@ class EmptyCorpusSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  private def withNanosAsLong[A](body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("the FULL registry survives a single-row dataset (n=1 edges: windows, averages, samples)") {
     // limit(1) copies: rows may not join across tables — the contract
     // here is crash-freedom on the n=1 degenerate shape, not output
     val oneDir = "target/tmp-one-all"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for (f <- new java.io.File(sf0001).listFiles() if f.getName.endsWith(".parquet"))
-      spark.read.parquet(f.getPath).limit(1)
-        .write.mode("overwrite").parquet(s"$oneDir/${f.getName}")
+    withNanosAsLong {
+      for (f <- new java.io.File(sf0001).listFiles() if f.getName.endsWith(".parquet"))
+        spark.read.parquet(f.getPath).limit(1)
+          .write.mode("overwrite").parquet(s"$oneDir/${f.getName}")
+    }
     val failures = SparkEntry.registry.flatMap { q =>
       try { q.fn(spark, oneDir).collect(); None }
       catch {

@@ -617,7 +617,12 @@ class ExtensionsSpec extends SparkSpec {
     // bit-for-bit: normal text, exactly-8, shorter-than-8 (zero-padded
     // single window), empty, and non-ASCII codepoints
     val texts = Seq("the quick brown fox jumps over the lazy dog",
-      "exactly8", "short", "", "héllo wörld ünïcode £10")
+      "exactly8", "short", "", "héllo wörld ünïcode £10",
+      // astral-plane (surrogate-pair) codepoints: Spark substr/ascii,
+      // this expression's codePointAt walk, and DuckDB substr/ascii
+      // must all count the emoji as ONE character worth cp 0x1F600+
+      "a😀b🤖c emoji-rolling-window tail",
+      "😀🤖🚀")
     val df = texts.toDF("text")
     val composed = transform(
       sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),

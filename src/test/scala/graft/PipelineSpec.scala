@@ -97,6 +97,26 @@ class PipelineSpec extends SparkSpec {
     assert(dlq(0).getAs[String]("payload") == """{"k":"v"}""")
   }
 
+  test("DLQ truncation parity: payload capped at 90 000, error at 10 000 (main.py:398-399)") {
+    val dir = freshDir()
+    // a single failing record whose JSON payload and error body both
+    // exceed the reference's DLQ caps
+    val src = Seq(("FAIL-BIG", "2024-01-01 00:00:00", "x" * 120000))
+      .toDF("natural_key", "upd", "big")
+      .select(col("natural_key"), col("upd").cast("timestamp").as("updated_at"),
+        map(lit("k"), col("big")).as("props"))
+    val hugeErrTransport = new graft.sink.UpsertTransport {
+      override def send(objectType: String, batch: Seq[graft.sink.UpsertRecord]) =
+        batch.map(_ => graft.sink.TransportStatus(400, None, "e" * 20000))
+    }
+    val cfg = SyncJob.Config("patients", "contacts", nowMs = 1750000000000L)
+    SyncJob.run(spark, src, cfg, dir, hugeErrTransport)
+    val row = spark.read.parquet(s"$dir/dlq").collect()(0)
+    assert(row.getAs[String]("payload").length == 90000)
+    assert(row.getAs[String]("error").length == 10000)
+    assert(row.getAs[String]("error").startsWith("HTTP 400"))
+  }
+
   test("DLQ attempt is the cross-run counter — alert reachable after N nightly retries") {
     val dir = freshDir()
     val cfg = SyncJob.Config("patients", "contacts", nowMs = 1750000000000L)
