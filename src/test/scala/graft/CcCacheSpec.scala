@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Extensions
+import graft.model.Tables
+
+/** The shared component-label fixture (cc-cache): the five CC-family
+  * queries must read ONE persisted label frame per input instead of
+  * each re-running pair generation + iterative CC. */
+class CcCacheSpec extends SparkSpec {
+
+  test("minhash labels: fixture equals a live CC run and is served from disk") {
+    val live = graft.ops.Graph.connectedComponents(
+        Extensions.minhashPairs(spark, sf0001).select("id_a", "id_b"),
+        Tables.documents(spark, sf0001).select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Extensions.releaseCaches()
+
+    val fixture = Extensions.minhashComponentLabels(spark, sf0001)
+    assert(fixture.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == live)
+    // second call must be served from the persisted fixture: the
+    // executed plan is a parquet scan of target/cc-cache, no CC loop
+    val plan = Extensions.minhashComponentLabels(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cc-cache"), s"expected a cc-cache scan, got:\n$plan")
+    Extensions.releaseCaches()
+  }
+
+  test("all three minhash-family queries consume the shared fixture") {
+    Extensions.minhashComponentLabels(spark, sf0001).count() // ensure built
+    for (q <- Seq(Extensions.dedupClusters, Extensions.clusterRepresentative,
+                  Extensions.clusterWeightedSample)) {
+      val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(plan.contains("cc-cache"), s"${q.name} does not read the shared labels")
+      Extensions.releaseCaches()
+    }
+  }
+
+  test("both semantic-family queries consume the shared semantic fixture") {
+    Extensions.semanticComponentLabels(spark, sf0001).count()
+    for (q <- Seq(Extensions.semanticClusters, Extensions.corpusCurateSemantic)) {
+      val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(plan.contains("cc-cache"), s"${q.name} does not read the shared labels")
+      Extensions.releaseCaches()
+    }
+  }
+
+  test("data change orphans the fixture: a different source file builds a new key") {
+    import spark.implicits._
+    val dir = "target/tmp-cc-key"
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = "a planted sentence that is long enough to carry shingles and bands"
+    write(Seq(1L -> t, 2L -> t, 3L -> "something entirely different and unrelated here"))
+    val first = Extensions.minhashComponentLabels(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == Set((1L, 1L), (2L, 1L), (3L, 3L)))
+    Extensions.releaseCaches()
+    // rewrite with doc 2 now unique → labels MUST change (stale fixture
+    // would keep serving the old clustering)
+    Thread.sleep(1100) // parquet dir mtime granularity can be 1s
+    write(Seq(1L -> t, 2L -> "no longer a duplicate of number one at all",
+      3L -> "something entirely different and unrelated here"))
+    val second = Extensions.minhashComponentLabels(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(second == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    Extensions.releaseCaches()
+  }
+}
