@@ -1005,8 +1005,16 @@ object Extensions {
     if (sys.env.get("SPARK_GRAFT_FIXTURES").contains("live")) return live
     try {
       val src = new java.io.File(srcPath)
+      // normalize the two session-global counters out of the plan
+      // string: expression ids (#N) and higher-order-function lambda
+      // variable names (x_N) both increment per session, so leaving
+      // them in would mint a fresh key — and rebuild the fixture — on
+      // every call
       val planFp = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(planOf.replaceAll("#[0-9]+", "").getBytes("UTF-8"))
+        .digest(planOf.replaceAll("#[0-9]+", "")
+          // the variable renders as `lambda x_3L` in analyzed plans
+          // and `lambda 'x_3` in unresolved ones — strip both
+          .replaceAll("\\blambda '?x_[0-9]+", "lambda x_").getBytes("UTF-8"))
         .take(6).map(b => f"$b%02x").mkString
       val key = srcPath.replaceAll("[^A-Za-z0-9._-]", "_") +
         s"_${src.length()}_${src.lastModified()}_${keyExtra}_$planFp"

@@ -24,6 +24,14 @@ class CcCacheSpec extends SparkSpec {
     val plan = Extensions.minhashComponentLabels(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(plan.contains("cc-cache"), s"expected a cc-cache scan, got:\n$plan")
+    // ONE key per input: the fingerprint must be stable across calls —
+    // session-global counters in the plan string (expr ids, lambda
+    // variable names) once minted a fresh key per call, so every
+    // consumer silently re-ran CC into a new fixture dir
+    val mhDirs = new java.io.File("target/cc-cache").listFiles()
+      .filter(f => f.getName.contains("sf0.001_documents") && f.getName.contains("_mh_"))
+    assert(mhDirs.length == 1,
+      s"unstable fixture key: ${mhDirs.map(_.getName).mkString(", ")}")
     Extensions.releaseCaches()
   }
 
