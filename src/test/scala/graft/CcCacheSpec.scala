@@ -54,6 +54,20 @@ class CcCacheSpec extends SparkSpec {
     }
   }
 
+  test("unigram/bigram LM queries read the persisted model (lm-cache)") {
+    for (q <- Seq(Extensions.unigramLogprob, Extensions.bigramLogprob)) {
+      q.fn(spark, sf0001).count() // ensure the model fixture is built
+      val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(plan.contains("lm-cache"), s"${q.name} does not read the persisted LM")
+      Extensions.releaseCaches()
+    }
+    // ONE key per (input, model order) across repeated calls
+    val dirs = new java.io.File("target/lm-cache").listFiles()
+      .filter(_.getName.contains("sf0.001"))
+    assert(dirs.map(_.getName).count(_.contains("_uni_")) == 1)
+    assert(dirs.map(_.getName).count(_.contains("_bi_")) == 1)
+  }
+
   test("data change orphans the fixture: a different source file builds a new key") {
     import spark.implicits._
     val dir = "target/tmp-cc-key"
