@@ -46,7 +46,11 @@ object SyncJob {
       nowMs: Long,             // injected clock for determinism
       // streaming micro-batches are already deltas (the checkpoint owns
       // progress), so StreamingSync disables the ledger-watermark filter
-      useWatermark: Boolean = true)
+      useWatermark: Boolean = true,
+      // proactive sink rate cap, PER PARTITION TASK (0 = unlimited):
+      // set to global_api_budget / max_concurrent_sink_tasks so a wide
+      // cluster cannot stampede the target API (see RetryingUpserter)
+      maxRequestsPerSec: Double = 0.0)
 
   /** Latest successful watermark (A1). Falls back to None = full scan. */
   def readHighWatermark(ledger: DataFrame, jobType: String): Option[java.sql.Timestamp] = {
@@ -196,7 +200,8 @@ object SyncJob {
         substring(to_json(col("props")), 1, 90000).as("payload"))
       .as[(String, Option[String], Map[String, String], String)]
       .mapPartitions { it =>
-        val upserter = new RetryingUpserter(transport)
+        val upserter = new RetryingUpserter(transport,
+          maxRequestsPerSec = cfg.maxRequestsPerSec)
         it.grouped(batchSize).flatMap { chunk =>
           val recs = chunk.map { case (k, id, props, _) => UpsertRecord(k, id, props) }
           // upsertBatch results are order-aligned with its input; keep

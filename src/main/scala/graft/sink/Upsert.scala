@@ -46,12 +46,39 @@ object RetryPolicy {
 }
 
 /** Wraps a transport with per-batch retry + exponential backoff.
-  * Retries only the records whose status was retryable. */
+  * Retries only the records whose status was retryable.
+  *
+  * `maxRequestsPerSec` > 0 adds PROACTIVE rate limiting: a
+  * capacity-one token bucket enforcing a minimum gap of 1/rate between
+  * transport sends (retries included — they are requests too). The
+  * reference's per-row sequential loop (main.py:670-672) was
+  * implicitly rate-limited by its own latency; a batched sink on a
+  * wide cluster has no such brake — at 1000 concurrent sink tasks,
+  * reactive 429 retries alone would stampede the target API and turn
+  * every batch into its own backoff storm. The cap is PER UPSERTER
+  * (= per partition task): configure it as
+  * global_api_budget / max_concurrent_sink_tasks. The clock is
+  * injectable so specs assert pacing without real sleeps. */
 final class RetryingUpserter(
     transport: UpsertTransport,
-    sleeper: Long => Unit = Thread.sleep) extends Serializable {
+    sleeper: Long => Unit = Thread.sleep,
+    maxRequestsPerSec: Double = 0.0,
+    nanoTime: () => Long = System.nanoTime) extends Serializable {
 
   import RetryPolicy._
+
+  private val minGapNanos: Long =
+    if (maxRequestsPerSec > 0) (1e9 / maxRequestsPerSec).toLong else 0L
+  private var nextSendAt = Long.MinValue
+
+  /** Block until a send is allowed, then reserve the next slot. */
+  private def pace(): Unit = if (minGapNanos > 0) {
+    val now = nanoTime()
+    if (now < nextSendAt) sleeper((nextSendAt - now + 999999L) / 1000000L)
+    // reserve from the LATER of now/slot so idle periods don't bank an
+    // unbounded burst (capacity-one bucket, not an unbounded one)
+    nextSendAt = math.max(now, nextSendAt) + minGapNanos
+  }
 
   def upsertBatch(objectType: String, batch: Seq[UpsertRecord]): Seq[UpsertResult] = {
     val results = new Array[UpsertResult](batch.size)
@@ -59,6 +86,7 @@ final class RetryingUpserter(
     var attempt = 1
     while (pending.nonEmpty && attempt <= MaxRetries) {
       if (attempt > 1) sleeper((backoffSec(attempt - 1) * 1000).toLong)
+      pace()
       val statuses = transport.send(objectType, pending.map(_._1))
       val next = Seq.newBuilder[(UpsertRecord, Int)]
       pending.zip(statuses).foreach { case ((rec, idx), st) =>

@@ -75,6 +75,52 @@ object Sources {
     df.select(aligned ++ extras: _*)
   }
 
+  /** Generic JDBC warehouse read — the reference's one true source is a
+    * warehouse SQL query (BigQuery, main.py:534-549: `SELECT * FROM t
+    * [WHERE updated >= @wm]`, all rows pulled to the client). This is
+    * that source class re-expressed for Spark:
+    *
+    *  - the WHERE clause is NOT baked into a query string — it's a
+    *    DataFrame `.filter`, and Spark's JDBC relation compiles it back
+    *    to SQL on the database side (PushedFilters in the scan), so the
+    *    warehouse ships only matching rows, same as the reference's
+    *    parameterized query;
+    *  - `partitionCol`/bounds split the read into `numPartitions`
+    *    range-disjoint queries executed by separate tasks — the
+    *    reference's single-client `job.result()` materialization
+    *    (main.py:544) is the one-reader bottleneck this removes; at
+    *    100 TB the table arrives through N connections in parallel;
+    *  - `fetchSize` keeps each connection streaming (driver-dependent
+    *    default can be row-at-a-time or whole-result).
+    *
+    * Bounds are caller-supplied, not auto-discovered: a min/max probe
+    * query on a 100 TB table is a full scan on some warehouses; callers
+    * that want auto-bounds run their own cheap stats query first. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionCol: Option[String] = None,
+           lowerBound: Long = 0L, upperBound: Long = 0L,
+           numPartitions: Int = 1,
+           fetchSize: Int = 10000,
+           props: java.util.Properties = new java.util.Properties()): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("fetchsize", fetchSize.toString)
+    val partitioned = partitionCol match {
+      case Some(c) =>
+        require(upperBound > lowerBound, "partitioned jdbc read needs bounds")
+        reader.option("partitionColumn", c)
+          .option("lowerBound", lowerBound.toString)
+          .option("upperBound", upperBound.toString)
+          .option("numPartitions", numPartitions.toString)
+      case None => reader
+    }
+    props.stringPropertyNames().forEach { k =>
+      partitioned.option(k, props.getProperty(k)); ()
+    }
+    partitioned.load()
+  }
+
   /** Hive-style partitioned parquet layout — the 100 TB contract for any
     * time-series table: queries that filter on the partition columns
     * prune whole directories (PartitionFilters in the scan) instead of

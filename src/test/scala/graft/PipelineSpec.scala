@@ -228,6 +228,35 @@ class PipelineSpec extends SparkSpec {
     assert(byKey("OK").outcome == "created" && byKey("OK").attempts == 1)
   }
 
+  test("rate limit: token bucket paces sends at 1/rate, retries count, idle banks no burst") {
+    var clock = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def sleep(ms: Long): Unit = { sleeps += ms; clock += ms * 1000000L }
+    StubLog.reset()
+    val up = new RetryingUpserter(new StubTransport, sleeper = sleep,
+      maxRequestsPerSec = 2.0, nanoTime = () => clock) // min gap 500 ms
+    up.upsertBatch("contacts", Seq(UpsertRecord("A", None, Map())))
+    assert(sleeps.isEmpty) // first send is free
+    up.upsertBatch("contacts", Seq(UpsertRecord("B", None, Map())))
+    up.upsertBatch("contacts", Seq(UpsertRecord("C", None, Map())))
+    assert(sleeps.toSeq == Seq(500L, 500L), s"got $sleeps")
+    // a RETRY key 429s twice: its 3 sends interleave pacing with the
+    // backoff sleeps (500+1000 ms), and pacing only tops up to the gap
+    sleeps.clear()
+    up.upsertBatch("contacts", Seq(UpsertRecord("RETRY-R", None, Map())))
+    // send1: pace 500 (gap since C); send2: backoff 500 covers the gap,
+    // no pace sleep; send3: backoff 1000 covers the gap, no pace sleep
+    assert(sleeps.toSeq == Seq(500L, 500L, 1000L), s"got $sleeps")
+    // idle periods do not bank a burst: after a long quiet stretch two
+    // back-to-back sends still pace
+    sleeps.clear()
+    clock += 60L * 1000000000L
+    up.upsertBatch("contacts", Seq(UpsertRecord("D", None, Map())))
+    up.upsertBatch("contacts", Seq(UpsertRecord("E", None, Map())))
+    assert(sleeps.toSeq == Seq(500L), s"got $sleeps")
+    StubLog.reset()
+  }
+
   test("backoff schedule matches min(30, 0.5·2^(n-1)) (main.py:441)") {
     assert(RetryPolicy.backoffSec(1) == 0.5)
     assert(RetryPolicy.backoffSec(2) == 1.0)

@@ -82,6 +82,47 @@ class SourcesSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("jdbc: warehouse read pushes filters to the database and reads in parallel") {
+    // embedded Derby stands in for the warehouse (the reference's
+    // BigQuery read, main.py:534-549) — same JDBC path a real database
+    // would use, no network needed
+    val url = "jdbc:derby:memory:graftsrc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE TABLE patients (id BIGINT, name VARCHAR(40), updated_ms BIGINT)")
+      val ins = conn.prepareStatement("INSERT INTO patients VALUES (?, ?, ?)")
+      for (i <- 1 to 100) {
+        ins.setLong(1, i.toLong); ins.setString(2, s"p$i")
+        ins.setLong(3, 1000L * i); ins.addBatch()
+      }
+      ins.executeBatch()
+
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      // the reference's delta read: WHERE updated >= watermark — here a
+      // DataFrame filter that must reach the database, not the executor
+      val delta = Sources.jdbc(spark, url, "patients",
+          partitionCol = Some("id"), lowerBound = 1L, upperBound = 101L,
+          numPartitions = 4, props = props)
+        .filter(col("updated_ms") >= 60000L)
+        .select("id", "name")
+      assert(delta.count() == 41)
+      assert(delta.rdd.getNumPartitions == 4) // range-split parallel read
+      val plan = delta.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters:") &&
+        plan.contains("GreaterThanOrEqual(UPDATED_MS,60000)"), plan)
+      // column pruning reaches the database too: the generated SQL
+      // selects only the projected + filter columns, never SELECT *
+      assert(plan.contains("ReadSchema:") && !plan.toLowerCase.contains("select *"))
+    } finally {
+      conn.close()
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftsrc;drop=true")
+      catch { case _: java.sql.SQLException => () } // drop "fails" with 08006 on success
+    }
+  }
+
   test("orc round-trip preserves the table") {
     val dir = Files.createTempDirectory("graft-orc-").toString
     val src = model.Tables.customer(spark, sf0001)
