@@ -37,8 +37,11 @@ object PipelineDemo {
     val rois = SyncJob.run(spark, Pipelines.roisSource(spark, sfDir),
       SyncJob.Config("rois", "p_rois", nowMs = 1754000200000L), ctl, t)
     println(s"rois: $rois")
+    // run-scoped: only keys that failed in the rois run (the latest)
+    // alert — over-threshold history alone stays quiet (main.py:716-727)
     val alerts = Pipelines.postAlerts(spark.read.parquet(s"$ctl/dlq"), 5,
-      m => println(s"ALERT: $m"))
+      m => println(s"ALERT: $m"),
+      firedAt = Some(new java.sql.Timestamp(1754000200000L)))
     println(s"alerts=$alerts ctl=$ctl")
 
     // continuous mode: the same lifecycle per micro-batch over a file

@@ -95,8 +95,9 @@ object Pipelines {
   /** S11: alert sink — collects the (small) over-threshold aggregate and
     * posts one line per key. Pluggable poster so tests capture instead
     * of egressing; production wires `webhookPoster`. */
-  def postAlerts(dlq: DataFrame, threshold: Int, post: String => Unit): Int = {
-    val rows = SyncJob.alerts(dlq, threshold).collect()
+  def postAlerts(dlq: DataFrame, threshold: Int, post: String => Unit,
+                 firedAt: Option[java.sql.Timestamp] = None): Int = {
+    val rows = SyncJob.alerts(dlq, threshold, firedAt).collect()
     rows.foreach { r =>
       post(s"[reverse-etl] ${r.getAs[String]("job_type")} key=${r.getAs[String]("natural_key")} " +
         s"error=${r.getAs[String]("error")} attempts=${r.getAs[Long]("attempts")}")

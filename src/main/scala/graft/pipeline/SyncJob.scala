@@ -339,9 +339,33 @@ object SyncJob {
   /** A2/A3: per-(job,key,error-class) attempt maxima at-or-over the
     * alert threshold — the caller posts these to its alert sink (S11).
     * Returns a SMALL DataFrame (collect-safe by construction). */
-  def alerts(dlq: DataFrame, threshold: Int): DataFrame =
-    dlq.groupBy(col("job_type"), col("natural_key"),
+  /** With `firedAt`, alerting is RUN-SCOPED, matching the reference: it
+    * alerts at the moment a failure THIS run pushes the cross-run
+    * counter to ≥ threshold (main.py:716-727) — keys already over
+    * threshold that did NOT fail again this run stay quiet instead of
+    * re-alerting every nightly run forever. `firedAt` is the run's DLQ
+    * append timestamp (`ts` of this run's rows); None keeps the
+    * whole-history view (the audit/backfill shape). */
+  def alerts(dlq: DataFrame, threshold: Int,
+             firedAt: Option[java.sql.Timestamp] = None): DataFrame = {
+    val over = dlq.groupBy(col("job_type"), col("natural_key"),
         errorClass(col("error")).as("error"))
       .agg(coalesce(max(col("attempt")), lit(0L)).as("attempts"))
       .filter(col("attempts") >= threshold)
+    firedAt match {
+      case None => over
+      case Some(ts) =>
+        // this-run key set is small (rows appended in one run) → the
+        // semi-join broadcasts it; history is never re-shuffled wide
+        val thisRun = dlq.filter(col("ts") === lit(ts))
+          .select(col("job_type").as("fjob"), col("natural_key").as("fkey"),
+            errorClass(col("error")).as("ferr"))
+          .distinct()
+        over.join(broadcast(thisRun),
+          over("job_type") === col("fjob") &&
+            over("natural_key") <=> col("fkey") &&
+            over("error") === col("ferr"),
+          "left_semi")
+    }
+  }
 }

@@ -320,6 +320,29 @@ class PipelineSpec extends SparkSpec {
     assert(n == 1 && posted.head.contains("k1") && posted.head.contains("attempts=5"))
   }
 
+  test("run-scoped alerts: only keys that failed THIS run re-alert (main.py:716-727)") {
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    val dlq = Seq(
+      // k_old crossed the threshold in a PRIOR run and did not fail again
+      ("patients", "k_old", "HTTP 500", 5L, t1),
+      // k_new crosses the threshold with a failure in THIS run (t2)
+      ("patients", "k_new", "HTTP 500", 4L, t1),
+      ("patients", "k_new", "HTTP 500", 5L, t2),
+      // under threshold this run → silent either way
+      ("patients", "k_low", "HTTP 400", 2L, t2))
+      .toDF("job_type", "natural_key", "error", "attempt", "ts")
+    val posted = mutable.Buffer[String]()
+    val n = Pipelines.postAlerts(dlq, 5, posted += _, firedAt = Some(t2))
+    assert(n == 1 && posted.head.contains("k_new"), posted)
+    // history view (no firedAt) still reports every over-threshold key
+    assert(Pipelines.postAlerts(dlq, 5, _ => ()) == 2)
+    // a null-key (ambiguous) row this run must not crash the semi-join
+    val withNull = dlq.union(Seq(("patients", null: String, "ambiguous: no natural key", 1L, t2))
+      .toDF("job_type", "natural_key", "error", "attempt", "ts"))
+    assert(Pipelines.postAlerts(withNull, 5, _ => (), firedAt = Some(t2)) == 1)
+  }
+
   test("patients/rois sources satisfy the SyncJob contract on testdata") {
     for (src <- Seq(Pipelines.patientsSource(spark, sf0001),
                     Pipelines.roisSource(spark, sf0001))) {
