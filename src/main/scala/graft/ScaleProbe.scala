@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe bm25 [nDocs]
   *        runMain graft.ScaleProbe bloom [nTrainDocs]
   *        runMain graft.ScaleProbe winnow [nDocs]
+  *        runMain graft.ScaleProbe pagerank [nNodes]
   *
   * The `skew` mode measures the connected-components loop on a planted
   * MEGA-COMPONENT (one hub star of `spokes` edges + a background of
@@ -266,7 +267,48 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** PageRank at graph sizes the sf testdata never reaches: an
+    * arithmetically-generated graph (no driver-side literals) of
+    * `nNodes` with ~4 out-edges each — a ring (guaranteed connectivity),
+    * 3 hash-derived edges (random-graph bulk), and a 1%-of-nodes hub
+    * star (the in-degree skew a real domain graph has). Bidirected,
+    * PrIters=3. Reports wall at half and full size (ratio ≤ ~2 = linear
+    * in edge count) and the rank-mass conservation check Σpr = n. */
+  def pagerankProbe(args: Array[String]): Unit = {
+    val nNodes = if (args.length > 1) args(1).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(n: Long): (Double, Double, Long) = {
+      val ids = spark.range(n)
+      val hashed = ids.select(col("id").as("src"), explode(array(
+        (0 until 3).map(k =>
+          pmod(hash(col("id"), lit(k)).cast("long"), lit(n))): _*)).as("dst"))
+      val ring = ids.select(col("id").as("src"), pmod(col("id") + 1, lit(n)).as("dst"))
+      val hub = ids.filter(pmod(col("id"), lit(100)) === 0)
+        .select(col("id").as("src"), lit(0L).as("dst"))
+      val e = hashed.unionByName(ring).unionByName(hub)
+      val bi = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+      val t0 = System.nanoTime()
+      val row = ext.Extensions.pageRank(bi, ext.Extensions.PrIters)
+        .agg(sum("pr"), count(lit(1))).head()
+      ((System.nanoTime() - t0) / 1e9, row.getDouble(0), row.getLong(1))
+    }
+    val (tHalf, _, _) = run(nNodes / 2)
+    val (tFull, mass, nOut) = run(nNodes)
+    println(f"PRPROBE n_nodes=$nNodes%d edges~${nNodes * 8}%d " +
+      f"wall{half=$tHalf%.1fs full=$tFull%.1fs ratio=${tFull / tHalf}%.2f} " +
+      f"mass=$mass%.3f vs n=$nOut%d (bidirected: conserved exactly)")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("semantic")) { semanticProbe(args); return }
     if (args.headOption.contains("bm25")) { bm25Probe(args); return }

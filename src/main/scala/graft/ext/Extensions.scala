@@ -2775,6 +2775,106 @@ object Extensions {
             |HAVING count(*) >= $WinnowSharedMin
             |ORDER BY id_a, id_b""".stripMargin))
 
+  // =====================================================================
+  // Graph centrality (PageRank) over the entity-transaction graph —
+  // the link-analysis leg of corpus curation: authority/centrality
+  // scores weight sources the way web-derived pretraining sets weight
+  // domains by link structure. The graph here is the supplier↔customer
+  // transaction graph (bidirected, so authority flows both ways and the
+  // bipartite shape doesn't trivially converge); on a real corpus the
+  // same operator runs over the hyperlink or citation graph.
+  //
+  // Scale posture: each of the fixed PrIters iterations is one
+  // equi-join (edges ⨝ ranks, shuffled on src) + one groupBy(dst) sum
+  // with map-side partials — the textbook distributed PageRank shape.
+  // No driver-side state; ranks stay a DataFrame end to end. For
+  // hundreds of iterations at 100 TB, checkpoint every ~10 rounds like
+  // ops.Graph.connectedComponents does; at 3 iterations lineage is
+  // fine. Oracle: the identical computation unrolled as 3 CTE layers.
+  // =====================================================================
+  final val PrIters = 3
+  final val PrDamping = "0.85" // string: the SAME literal lands in both engines
+  final val PrBase = "0.15"    // 1 − damping, written out (1.0−0.85 ≠ 0.15 in binary)
+
+  /** Fixed-iteration PageRank over `edges(src, dst)`. Every node must
+    * appear as a src (bidirect the graph first if needed) so outdeg is
+    * total and no rank mass silently drains through dangling nodes.
+    *
+    * Shape per iteration: ONE equi-join (ranks probe the degree-carrying
+    * edge list) + ONE groupBy(dst) sum — the out-degree is joined onto
+    * the edge rows once up front and the result cached pre-partitioned
+    * on src, so iterations never re-shuffle the edge list (the big side
+    * at 100 TB); only the node-sized rank frame moves. The rank-probe
+    * join is unhinted: AQE broadcasts the node-sized side at bench SF
+    * and shuffles it at scale. */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    val degEdges = cacheTracked(
+      e.join(outdeg, Seq("src")).repartition(col("src")))
+    val nodes = cacheTracked(degEdges.select(col("src").as("id")).distinct())
+    var pr = nodes.withColumn("pr", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = degEdges
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("outdeg")).as("s"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(PrBase.toDouble) + lit(PrDamping.toDouble) *
+            coalesce(col("s"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+
+  val pagerank: Q = Q("ext_pagerank",
+    (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+      // integer node keys (supplier k → 2k, customer k → 2k+1): long
+      // shuffle/sort keys through the iterations, decoded to a readable
+      // (node_type, entity_key) only at output
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("a"), (col("o_custkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      pageRank(edges, PrIters)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, lit("s")).otherwise(lit("c"))
+            .as("node_type"),
+          shiftright(col("id"), 1).as("entity_key"),
+          round(col("pr"), 6).as("pagerank"))
+        .orderBy("node_type", "entity_key")
+    },
+    Some {
+      // identical computation unrolled: pr0 = 1, prK from prK-1
+      val iterCtes = (1 to PrIters).map { k =>
+        s"""pr$k AS (
+           |  SELECT n.id, $PrBase + $PrDamping * coalesce(c.s, 0.0) AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.pr / o.outdeg) AS s
+           |    FROM edges e JOIN outdeg o ON e.src = o.src
+           |                 JOIN pr${k - 1} p ON p.id = e.src
+           |    GROUP BY e.dst) c ON n.id = c.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |outdeg AS (SELECT src, cast(count(*) AS DOUBLE) AS outdeg
+         |           FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |pr0 AS (SELECT id, 1.0 AS pr FROM nodes),
+         |$iterCtes
+         |SELECT CASE WHEN id % 2 = 0 THEN 's' ELSE 'c' END AS node_type,
+         |       id >> 1 AS entity_key, round(pr, 6) AS pagerank
+         |FROM pr$PrIters ORDER BY node_type, entity_key""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -2788,5 +2888,6 @@ object Extensions {
     dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap,
     unigramLogprob, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
-    temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap)
+    temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap,
+    pagerank)
 }

@@ -19,6 +19,11 @@ class EmptyCorpusSpec extends SparkSpec {
     Seq.empty[(Long, Seq[Float], Int)]
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // ext_pagerank's graph comes from the transaction tables
+    Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
   }
 
   test("every ext query survives an empty corpus") {

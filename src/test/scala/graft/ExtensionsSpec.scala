@@ -836,6 +836,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("pageRank: centrality ordering and mass conservation on a planted path graph") {
+    import spark.implicits._
+    // bidirected path a—b—c: b is the center, a and c symmetric
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val pr = Extensions.pageRank(edges, 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("b") > pr("a") && pr("b") > pr("c"))
+    assert(math.abs(pr("a") - pr("c")) < 1e-12) // symmetry is exact
+    // bidirected graph has no dangling nodes → total mass stays n
+    assert(math.abs(pr.values.sum - 3.0) < 1e-9)
+    // hand-computed fixed point check at iteration 1 from pr0 = 1:
+    // a gets 0.15 + 0.85 * (pr_b/outdeg_b) = 0.15 + 0.85 * 0.5 = 0.575
+    val one = Extensions.pageRank(edges, 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(one("a") - 0.575) < 1e-12 &&
+      math.abs(one("b") - (0.15 + 0.85 * 2.0)) < 1e-12)
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
