@@ -2875,6 +2875,97 @@ object Extensions {
          |FROM pr$PrIters ORDER BY node_type, entity_key""".stripMargin
     })
 
+  // =====================================================================
+  // Weighted sampling without replacement (Efraimidis–Spirakis): draw a
+  // K-doc sample where longer/higher-weight documents are
+  // proportionally more likely, deterministically — key = u^(1/w) with
+  // u a content-hash uniform, take the K largest keys. One linear scan
+  // + a distributed top-K (TakeOrdered, no global sort materialized);
+  // re-running on re-ingested data selects the same sample, which is
+  // what makes the draw auditable. The ranking key is rounded to 10
+  // decimals with doc_id tiebreak so JVM-vs-DuckDB pow() 1-ulp
+  // differences cannot flip the selection order.
+  // =====================================================================
+  final val WsK = 500
+  /** 2^60 as an exact double literal — hash60's range, used as the
+    * uniform divisor in BOTH engines. */
+  private final val WsDiv = "1152921504606846976.0"
+
+  val weightedSample: Q = Q("ext_weighted_sample",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"),
+          ((Scalars.hash60(col("text")) + 1).cast("double") / lit(WsDiv.toDouble)).as("u"),
+          (col("n_chars") + 1).cast("double").as("w"))
+      docs
+        .withColumn("key", round(pow(col("u"), lit(1.0) / col("w")), 10))
+        .orderBy(col("key").desc, col("doc_id").asc)
+        .limit(WsK)
+        .select(col("doc_id"), col("n_chars"), round(col("key"), 6).as("sample_key"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH keyed AS (
+            |  SELECT doc_id, n_chars,
+            |    round(pow((${duckHash60("text")} + 1) / $WsDiv,
+            |              1.0 / (n_chars + 1)), 10) AS key
+            |  FROM documents),
+            |top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id ASC LIMIT $WsK)
+            |SELECT doc_id, n_chars, round(key, 6) AS sample_key
+            |FROM top ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // Per-source language-model divergence: KL(p_source ‖ p_corpus) over
+  // unigram distributions — how atypical each source's language is
+  // relative to the whole corpus. The domain-filtering companion to
+  // ext_domain_cap: high-KL sources are jargon/spam/format outliers a
+  // curation pass reviews first. Wordcount shapes end to end: one
+  // tokenize pass, (source, token) counts with map-side partials, a
+  // vocabulary-sized corpus term table joined unhinted (AQE broadcasts
+  // it at bench SF, shuffles at 100 TB), per-source totals via window
+  // over the (small) per-source aggregate. Every source token exists in
+  // the corpus distribution by construction, so q > 0 and the sum is
+  // total.
+  // =====================================================================
+  val domainKl: Q = Q("ext_domain_kl",
+    (spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("source"),
+          explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val st = toks.groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+        .withColumn("n_s", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      val ct = toks.groupBy("token").agg(count(lit(1)).as("n_t"))
+        .withColumn("n", sum(col("n_t")).over(Window.partitionBy()))
+      st.join(ct, Seq("token"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          sum((col("cnt") / col("n_s")) *
+            log((col("cnt") / col("n_s")) / (col("n_t") / col("n")))).as("kl"))
+        .select(col("source"), col("n_tokens"), round(col("kl"), 6).as("kl_nats"))
+        .orderBy("source")
+    },
+    // sums cast to BIGINT: DuckDB sum(bigint) is HUGEINT, which breaks
+    // both the type-strict schema compare and the division semantics
+    Some("""WITH toks AS (
+           |  SELECT source,
+           |    unnest(regexp_split_to_array(
+           |      regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
+           |  FROM documents),
+           |ft AS (SELECT source, token FROM toks WHERE length(token) > 0),
+           |st AS (
+           |  SELECT source, token, count(*) AS cnt,
+           |    cast(sum(count(*)) OVER (PARTITION BY source) AS BIGINT) AS n_s
+           |  FROM ft GROUP BY source, token),
+           |ct AS (
+           |  SELECT token, count(*) AS n_t,
+           |    cast(sum(count(*)) OVER () AS BIGINT) AS n
+           |  FROM ft GROUP BY token)
+           |SELECT st.source, max(st.n_s) AS n_tokens,
+           |  round(sum((st.cnt / st.n_s) *
+           |    ln((st.cnt / st.n_s) / (ct.n_t / ct.n))), 6) AS kl_nats
+           |FROM st JOIN ct ON ct.token = st.token
+           |GROUP BY st.source ORDER BY st.source""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -2889,5 +2980,5 @@ object Extensions {
     unigramLogprob, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap,
-    pagerank)
+    pagerank, weightedSample, domainKl)
 }
