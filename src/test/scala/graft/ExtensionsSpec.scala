@@ -855,6 +855,34 @@ class ExtensionsSpec extends SparkSpec {
       math.abs(one("b") - (0.15 + 0.85 * 2.0)) < 1e-12)
   }
 
+  test("weighted sample: selection is length-biased and deterministic") {
+    // sf0.1: the only SF where n_docs (5000) exceeds K (500) so the
+    // top-K cut actually selects; smaller SFs return the whole corpus
+    val sf01 = "/root/testdata/sf0.1"
+    val out1 = Extensions.weightedSample.fn(spark, sf01).collect()
+    val out2 = Extensions.weightedSample.fn(spark, sf01).collect()
+    assert(out1.length == Extensions.WsK)
+    assert(out1.map(_.getLong(0)).toSeq == out2.map(_.getLong(0)).toSeq) // re-run identical
+    // E-S with w = n_chars+1: the sampled mean length must exceed the
+    // corpus mean (that is the point of weighting)
+    val corpusMean = model.Tables.documents(spark, sf01)
+      .agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = out1.map(_.getLong(1).toDouble).sum / out1.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("domain KL: non-negative for every source, zero only if source == corpus") {
+    val kl = Extensions.domainKl.fn(spark, sf0001).collect()
+    assert(kl.nonEmpty)
+    // Gibbs' inequality: KL >= 0 always; > 0 here because no synthetic
+    // source exactly matches the corpus mixture
+    kl.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, s"negative KL for ${r.getString(0)}")
+    }
+    assert(kl.exists(_.getDouble(2) > 0.0))
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
