@@ -2966,6 +2966,77 @@ object Extensions {
            |FROM st JOIN ct ON ct.token = st.token
            |GROUP BY st.source ORDER BY st.source""".stripMargin))
 
+  // =====================================================================
+  // HITS hubs/authorities — the complement of ext_pagerank on the SAME
+  // transaction graph kept DIRECTED (supplier → customer): bipartite
+  // directed graphs are HITS's textbook case (hub side and authority
+  // side are distinct node sets), exactly where PageRank needed
+  // bidirection to avoid degenerate convergence. Power iteration with
+  // L1 normalization each half-step; per half-step one equi-join + one
+  // groupBy sum + a 1-row normalization broadcast — same scale shape
+  // as PageRank. Normalization divisors are order-dependent float sums,
+  // identical between engines only to ~1e-15 relative; the round-6
+  // output absorbs that, and scores are compared, never ranked-and-cut.
+  // =====================================================================
+  final val HitsIters = 2
+
+  val hits: Q = Q("ext_hits",
+    (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+      val edges = cacheTracked(
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+          .distinct())
+      val hubs0 = edges.select(col("s")).distinct().withColumn("hub", lit(1.0))
+      def l1(df: DataFrame, scoreCol: String): DataFrame =
+        df.withColumn(scoreCol,
+          col(scoreCol) / sum(col(scoreCol)).over(Window.partitionBy()))
+      var hubs = hubs0
+      var auths: DataFrame = null
+      for (_ <- 1 to HitsIters) {
+        auths = l1(
+          edges.join(hubs, Seq("s"))
+            .groupBy(col("c")).agg(sum(col("hub")).as("auth")), "auth")
+        hubs = l1(
+          edges.join(auths, Seq("c"))
+            .groupBy(col("s")).agg(sum(col("auth")).as("hub")), "hub")
+      }
+      hubs.select(lit("s").as("node_type"), col("s").as("entity_key"),
+          round(col("hub"), 6).as("score"))
+        .unionByName(
+          auths.select(lit("c").as("node_type"), col("c").as("entity_key"),
+            round(col("auth"), 6).as("score")))
+        .orderBy("node_type", "entity_key")
+    },
+    Some {
+      // half-steps unrolled: raw sums then L1 normalization, authK from
+      // hubK-1, hubK from authK
+      val iterCtes = (1 to HitsIters).map { k =>
+        s"""auth${k}r AS (
+           |  SELECT c, sum(hub) AS a
+           |  FROM edges e JOIN hub${k - 1} h ON h.s = e.s GROUP BY c),
+           |auth$k AS (SELECT c, a / (SELECT sum(a) FROM auth${k}r) AS auth
+           |           FROM auth${k}r),
+           |hub${k}r AS (
+           |  SELECT s, sum(auth) AS hh
+           |  FROM edges e JOIN auth$k a ON a.c = e.c GROUP BY s),
+           |hub$k AS (SELECT s, hh / (SELECT sum(hh) FROM hub${k}r) AS hub
+           |          FROM hub${k}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |hub0 AS (SELECT DISTINCT s, 1.0 AS hub FROM edges),
+         |$iterCtes
+         |SELECT 's' AS node_type, s AS entity_key, round(hub, 6) AS score
+         |FROM hub$HitsIters
+         |UNION ALL
+         |SELECT 'c' AS node_type, c AS entity_key, round(auth, 6) AS score
+         |FROM auth$HitsIters
+         |ORDER BY node_type, entity_key""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
@@ -2980,5 +3051,5 @@ object Extensions {
     unigramLogprob, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap,
-    pagerank, weightedSample, domainKl)
+    pagerank, weightedSample, domainKl, hits)
 }
