@@ -277,8 +277,43 @@ object SetAggQueries {
            |FROM orders o
            |ORDER BY o_orderkey""".stripMargin))
 
+  // ---------- retention cohorts (the classic warehouse rollup) --------
+  // Cohort = a user's first active day; retention = distinct users per
+  // (cohort_day, day-offset) for the first week. Linear shapes end to
+  // end: one distinct over (user, day), a per-user min, an unhinted
+  // self-join (AQE broadcasts the user-sized cohort table at bench SF,
+  // shuffles it at scale), one count-distinct rollup. Day arithmetic is
+  // floor(epoch_ms / 86 400 000) in BOTH engines — integer-exact in
+  // double for any realistic epoch.
+  val aggRetentionCohorts: Q = Q("agg_retention_cohorts",
+    (spark, sfDir) => {
+      val activity = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(86400000.0)).cast("long").as("day"))
+        .distinct()
+      val cohorts = activity.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      activity.join(cohorts, Seq("user_id"))
+        .withColumn("offset_days", col("day") - col("cohort_day"))
+        .filter(col("offset_days") <= 7)
+        .groupBy("cohort_day", "offset_days")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    },
+    Some("""WITH activity AS (
+           |  SELECT DISTINCT user_id,
+           |    cast(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+           |  FROM events),
+           |cohorts AS (
+           |  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id)
+           |SELECT c.cohort_day, a.day - c.cohort_day AS offset_days,
+           |  count(DISTINCT a.user_id) AS n_users
+           |FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+           |WHERE a.day - c.cohort_day <= 7
+           |GROUP BY c.cohort_day, offset_days
+           |ORDER BY cohort_day, offset_days""".stripMargin))
+
   val all: Seq[Q] = Seq(joinAsof, joinInterval, aggDistinct, aggRollup,
     setopExcept, setopIntersect, aggPercentile, aggApproxDistinct,
     aggPricingSummary, aggCube, aggPivot, aggStringConcat,
-    joinExistsSubquery, joinScalarSubquery)
+    joinExistsSubquery, joinScalarSubquery, aggRetentionCohorts)
 }
