@@ -883,6 +883,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(kl.exists(_.getDouble(2) > 0.0))
   }
 
+  test("hits: L1-normalized sides, broader hub dominates on the real graph") {
+    val out = Extensions.hits.fn(spark, sf0001).collect()
+    val (hubs, auths) = out.partition(_.getString(0) == "s")
+    assert(hubs.nonEmpty && auths.nonEmpty)
+    // each side is L1-normalized (sums computed on round-6 outputs, so
+    // tolerance covers accumulated per-row rounding)
+    assert(math.abs(hubs.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    assert(math.abs(auths.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    // the supplier with the most distinct customers must out-hub the
+    // one with the fewest (degree dominates after 2 iterations on a
+    // near-regular bipartite graph)
+    import spark.implicits._
+    val li = model.Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey")
+    val ord = model.Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
+    val deg = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey", $"o_custkey").distinct()
+      .groupBy("l_suppkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hubScore = hubs.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val maxDeg = deg.maxBy(_._2)._1
+    val minDeg = deg.minBy(_._2)._1
+    assert(hubScore(maxDeg) > hubScore(minDeg),
+      s"hub(${maxDeg})=${hubScore(maxDeg)} not above hub(${minDeg})=${hubScore(minDeg)}")
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
