@@ -1019,8 +1019,21 @@ object Extensions {
           // distinguishes plans
           .replaceAll("\\blambda '?([a-z]+)_[0-9]+", "lambda $1_").getBytes("UTF-8"))
         .take(6).map(b => f"$b%02x").mkString
+      // fingerprint the DATA, not the directory inode: a directory's
+      // own length() is unspecified (essentially constant) and mtime
+      // has 1s filesystem granularity, so a regeneration inside the
+      // same tick would silently serve stale fixtures. Key on an
+      // aggregate over the parquet part-files inside instead —
+      // count + total bytes + max part mtime
+      val parts: Array[java.io.File] =
+        if (src.isDirectory)
+          Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        else Array(src)
+      val dataFp = s"${parts.length}_${parts.map(_.length()).sum}_" +
+        parts.map(_.lastModified()).foldLeft(0L)(math.max)
       val key = srcPath.replaceAll("[^A-Za-z0-9._-]", "_") +
-        s"_${src.length()}_${src.lastModified()}_${keyExtra}_$planFp"
+        s"_${dataFp}_${keyExtra}_$planFp"
       val dir = java.nio.file.Paths.get(s"target/$family/$key")
       if (!java.nio.file.Files.exists(dir)) {
         val tmp = java.nio.file.Paths.get(
@@ -2796,9 +2809,11 @@ object Extensions {
   final val PrDamping = "0.85" // string: the SAME literal lands in both engines
   final val PrBase = "0.15"    // 1 − damping, written out (1.0−0.85 ≠ 0.15 in binary)
 
-  /** Fixed-iteration PageRank over `edges(src, dst)`. Every node must
-    * appear as a src (bidirect the graph first if needed) so outdeg is
-    * total and no rank mass silently drains through dangling nodes.
+  /** Fixed-iteration PageRank over `edges(src, dst)`. Nodes are derived
+    * from src ∪ dst, so sink-only nodes (no outgoing edges) are kept in
+    * the output and receive their rank mass; they contribute nothing
+    * back (the simplified-PageRank dangling treatment). On a bidirected
+    * graph src ∪ dst = src and rank mass is conserved exactly.
     *
     * Shape per iteration: ONE equi-join (ranks probe the degree-carrying
     * edge list) + ONE groupBy(dst) sum — the out-degree is joined onto
@@ -2812,7 +2827,12 @@ object Extensions {
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
     val degEdges = cacheTracked(
       e.join(outdeg, Seq("src")).repartition(col("src")))
-    val nodes = cacheTracked(degEdges.select(col("src").as("id")).distinct())
+    // src ∪ dst read from the CACHED degree-edge frame (it carries every
+    // edge row, so its src/dst sets equal the input's) — deriving from
+    // the raw input would re-run the upstream edge construction twice
+    val nodes = cacheTracked(
+      degEdges.select(col("src").as("id"))
+        .unionByName(degEdges.select(col("dst").as("id"))).distinct())
     var pr = nodes.withColumn("pr", lit(1.0))
     for (_ <- 1 to iters) {
       val contrib = degEdges
@@ -2921,8 +2941,9 @@ object Extensions {
   // curation pass reviews first. Wordcount shapes end to end: one
   // tokenize pass, (source, token) counts with map-side partials, a
   // vocabulary-sized corpus term table joined unhinted (AQE broadcasts
-  // it at bench SF, shuffles at 100 TB), per-source totals via window
-  // over the (small) per-source aggregate. Every source token exists in
+  // it at bench SF, shuffles at 100 TB), per-source totals re-aggregated
+  // to #sources rows and broadcast-joined back, corpus total a 1-row
+  // scalar agg broadcast onto the vocab frame. Every source token exists in
   // the corpus distribution by construction, so q > 0 and the sum is
   // total.
   // =====================================================================
@@ -2932,10 +2953,18 @@ object Extensions {
         .select(col("source"),
           explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
-      val st = toks.groupBy("source", "token").agg(count(lit(1)).as("cnt"))
-        .withColumn("n_s", sum(col("cnt")).over(Window.partitionBy(col("source"))))
-      val ct = toks.groupBy("token").agg(count(lit(1)).as("n_t"))
-        .withColumn("n", sum(col("n_t")).over(Window.partitionBy()))
+      val stRaw = toks.groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      // per-source totals: groupBy + broadcast join-back, NOT a window
+      // over the (source, token) frame — a window would hand one task
+      // the entire vocabulary of the largest source (skew-prone at
+      // scale); the re-aggregate is #sources rows, trivially broadcast
+      val srcTot = stRaw.groupBy("source").agg(sum(col("cnt")).as("n_s"))
+      val st = stRaw.join(broadcast(srcTot), Seq("source"))
+      // corpus total: 1-row scalar agg broadcast onto the vocab frame —
+      // an unpartitioned window here would shuffle the vocabulary-sized
+      // frame into a single partition (PlanSpec rejects that class)
+      val ctRaw = toks.groupBy("token").agg(count(lit(1)).as("n_t"))
+      val ct = ctRaw.crossJoin(broadcast(ctRaw.agg(sum(col("n_t")).as("n"))))
       st.join(ct, Seq("token"))
         .groupBy(col("source"))
         .agg(max(col("n_s")).as("n_tokens"),
@@ -2989,9 +3018,19 @@ object Extensions {
           .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
           .distinct())
       val hubs0 = edges.select(col("s")).distinct().withColumn("hub", lit(1.0))
-      def l1(df: DataFrame, scoreCol: String): DataFrame =
-        df.withColumn(scoreCol,
-          col(scoreCol) / sum(col(scoreCol)).over(Window.partitionBy()))
+      // L1 normalization as a 1-row scalar agg broadcast cross-joined
+      // onto the node-score frame — NOT an unpartitioned window, which
+      // would shuffle the entire frame into one partition per half-step
+      // (4× per run; PlanSpec rejects that class registry-wide). The
+      // raw frame is cached first: the total and the join both read it,
+      // and without the cache each half-step would DOUBLE the recursive
+      // plan (2^(2·iters) recomputation of the whole iteration chain)
+      def l1(df: DataFrame, scoreCol: String): DataFrame = {
+        val raw = cacheTracked(df)
+        raw.crossJoin(broadcast(raw.agg(sum(col(scoreCol)).as("_l1"))))
+          .withColumn(scoreCol, col(scoreCol) / col("_l1"))
+          .drop("_l1")
+      }
       var hubs = hubs0
       var auths: DataFrame = null
       for (_ <- 1 to HitsIters) {

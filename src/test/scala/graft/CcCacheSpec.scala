@@ -28,8 +28,11 @@ class CcCacheSpec extends SparkSpec {
     // session-global counters in the plan string (expr ids, lambda
     // variable names) once minted a fresh key per call, so every
     // consumer silently re-ran CC into a new fixture dir
+    // exclude .tmp_ dirs: an orphaned tmp from a crashed prior run also
+    // contains "_mh_" and would make this count exceed 1 spuriously
     val mhDirs = new java.io.File("target/cc-cache").listFiles()
-      .filter(f => f.getName.contains("sf0.001_documents") && f.getName.contains("_mh_"))
+      .filter(f => f.getName.contains("sf0.001_documents") && f.getName.contains("_mh_")
+        && !f.getName.startsWith(".tmp_"))
     assert(mhDirs.length == 1,
       s"unstable fixture key: ${mhDirs.map(_.getName).mkString(", ")}")
     Extensions.releaseCaches()
@@ -63,7 +66,7 @@ class CcCacheSpec extends SparkSpec {
     }
     // ONE key per (input, model order) across repeated calls
     val dirs = new java.io.File("target/lm-cache").listFiles()
-      .filter(_.getName.contains("sf0.001"))
+      .filter(f => f.getName.contains("sf0.001") && !f.getName.startsWith(".tmp_"))
     assert(dirs.map(_.getName).count(_.contains("_uni_")) == 1)
     assert(dirs.map(_.getName).count(_.contains("_bi_")) == 1)
   }
@@ -82,8 +85,9 @@ class CcCacheSpec extends SparkSpec {
     assert(first == Set((1L, 1L), (2L, 1L), (3L, 3L)))
     Extensions.releaseCaches()
     // rewrite with doc 2 now unique → labels MUST change (stale fixture
-    // would keep serving the old clustering)
-    Thread.sleep(1100) // parquet dir mtime granularity can be 1s
+    // would keep serving the old clustering). No mtime-tick sleep: the
+    // fixture key aggregates the part-files' byte lengths, so a
+    // same-second rewrite with different content still flips the key
     write(Seq(1L -> t, 2L -> "no longer a duplicate of number one at all",
       3L -> "something entirely different and unrelated here"))
     val second = Extensions.minhashComponentLabels(spark, dir).collect()

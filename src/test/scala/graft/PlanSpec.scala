@@ -156,7 +156,9 @@ class PlanSpec extends SparkSpec {
       // key would be constant-folded back to this shape anyway
       "ext_bm25_search",
       "ext_tfidf_terms",
-      "ext_unigram_logprob") // 1-row token total rides the vocab-sized count frame
+      "ext_unigram_logprob", // 1-row token total rides the vocab-sized count frame
+      "ext_domain_kl",       // 1-row corpus-total broadcast onto the vocab frame
+      "ext_hits")            // 1-row L1-normalization broadcast, 4× per run
     // fn runs an entire streaming lifecycle eagerly just to build its
     // (trivial ledger-rollup) frame — a static plan audit shouldn't
     // execute a pipeline; its join surface is covered by PipelineSpec
@@ -170,6 +172,31 @@ class PlanSpec extends SparkSpec {
         else None
       }
     assert(offenders.isEmpty, s"unintended cross-product plans: $offenders")
+  }
+
+  test("registry-wide audit: no unpartitioned windows (single-partition bottleneck)") {
+    // a Window with an empty partitionSpec shuffles its ENTIRE input
+    // frame into one partition — a serial bottleneck at 100 TB. The
+    // only frames where that is acceptable are provably tiny aggregates
+    // (the ≤5-row per-language count tables); everything else must use
+    // the 1-row scalar-agg + broadcast pattern or a groupBy join-back.
+    // This gate exists because the class reappeared once (ext_hits /
+    // ext_domain_kl, round 6) after being eliminated elsewhere.
+    val tinyFrameWindows = Set(
+      "ext_stratified_sample",  // min over the ≤5-row lang-count agg
+      "ext_temperature_sample") // same ≤5-row lang-count frame
+    val eagerLifecycles = Set("stream_sync_microbatch")
+    val offenders = SparkEntry.registry
+      .filterNot(q => tinyFrameWindows(q.name) || eagerLifecycles(q.name))
+      .flatMap { q =>
+        val unpart = q.fn(spark, sf0001).queryExecution.optimizedPlan
+          .collectWithSubqueries {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+          }
+        if (unpart.nonEmpty) Some(q.name) else None
+      }
+    assert(offenders.isEmpty, s"unpartitioned-window plans: $offenders")
   }
 
   test("fixture filters fold into scans, not post-filters (optimizer visibility)") {
