@@ -1038,7 +1038,12 @@ object Extensions {
       if (!java.nio.file.Files.exists(dir)) {
         val tmp = java.nio.file.Paths.get(
           s"target/$family/.tmp_${key}_${java.util.UUID.randomUUID()}")
+        val t0 = System.nanoTime()
         live.write.mode("overwrite").parquet(tmp.toString)
+        // one line per cold build so bench readers can attribute the
+        // one-time cost a warm-fixture per-query row doesn't show
+        System.err.println(s"""{"event":"fixture_build","family":"$family",""" +
+          s""""src":"$srcPath","fixture_build_ms":${(System.nanoTime() - t0) / 1000000}}""")
         try java.nio.file.Files.move(tmp, dir,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch { // lost a benign race: another writer already published it
@@ -2847,6 +2852,70 @@ object Extensions {
     pr
   }
 
+  /** Convergence-mode PageRank: same per-iteration shape as
+    * [[pageRank]] (one equi-join + one groupBy-sum against the cached
+    * degree-carrying edge list), but iterating until the L1 delta
+    * between successive rank vectors drops below `tol` instead of a
+    * fixed count — how real centrality runs. Lineage is truncated every
+    * iteration (localCheckpoint; the delta join references old and new
+    * vectors, so the plan would otherwise grow without bound), with
+    * every `checkpointEvery`-th truncation done via
+    * `ops.Graph.checkpointer` — reliable when `checkpointDir` is set
+    * (pass one on any dynamic-allocation cluster). The delta itself is
+    * a 1-row scalar per iteration — the only thing the driver ever sees.
+    *
+    * THROWS on hitting `maxIters` unconverged, like
+    * `ops.Graph.connectedComponents`: partial centrality silently
+    * reweighting a corpus is worse than a loud failure.
+    *
+    * @return (ranks(id, pr), iterations actually run) */
+  def pageRankConverged(edges: DataFrame, tol: Double, maxIters: Int = 100,
+      checkpointEvery: Int = 10,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    require(tol > 0 && maxIters > 0 && checkpointEvery > 0)
+    val ck = graft.ops.Graph.checkpointer(edges.sparkSession, checkpointDir)
+    val e = edges.select(col("src"), col("dst"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    val degEdges = cacheTracked(
+      e.join(outdeg, Seq("src")).repartition(col("src")))
+    val nodes = cacheTracked(
+      degEdges.select(col("src").as("id"))
+        .unionByName(degEdges.select(col("dst").as("id"))).distinct())
+    var pr = nodes.withColumn("pr", lit(1.0))
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIters && delta >= tol) {
+      val contrib = degEdges
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("outdeg")).as("s"))
+      val stepped = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(PrBase.toDouble) + lit(PrDamping.toDouble) *
+            coalesce(col("s"), lit(0.0))).as("pr"))
+      iter += 1
+      // truncate lineage EVERY iteration (the delta join references both
+      // old and new vectors, so the plan would otherwise grow without
+      // bound); every checkpointEvery-th truncation is the reliable kind
+      val next =
+        if (iter % checkpointEvery == 0) ck(stepped) else stepped.localCheckpoint()
+      delta = next.select(col("id"), col("pr").as("pr_new"))
+        .join(pr.select(col("id"), col("pr").as("pr_old")), Seq("id"))
+        .agg(sum(abs(col("pr_new") - col("pr_old"))))
+        .first() match {
+          case r if r.isNullAt(0) => 0.0 // empty graph: nothing to move
+          case r => r.getDouble(0)
+        }
+      pr = next
+    }
+    if (delta >= tol)
+      throw new IllegalStateException(
+        s"pageRankConverged: L1 delta $delta still >= tol $tol after " +
+          s"$maxIters iterations — partial centrality would silently " +
+          "misweight consumers; raise maxIters or tol")
+    (pr, iter)
+  }
+
   val pagerank: Q = Q("ext_pagerank",
     (spark, sfDir) => {
       val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
@@ -3075,6 +3144,65 @@ object Extensions {
          |FROM auth$HitsIters
          |ORDER BY node_type, entity_key""".stripMargin
     })
+
+  /** Convergence-mode HITS over directed bipartite `edges(s, c)`: power
+    * iteration with L1 normalization each half-step (the same cached
+    * half-step frame + 1-row broadcast shape as the registered
+    * [[hits]] query), run until the L1 delta between successive hub
+    * vectors drops below `tol`. Initial hub scores are L1-normalized so
+    * the delta is comparable across iterations from the start. Lineage
+    * is truncated every `checkpointEvery` iterations via
+    * `ops.Graph.checkpointer`; THROWS on hitting `maxIters`
+    * unconverged, like `ops.Graph.connectedComponents`.
+    *
+    * @return (hubs(s, hub), auths(c, auth), iterations actually run) */
+  def hitsConverged(edges: DataFrame, tol: Double, maxIters: Int = 50,
+      checkpointEvery: Int = 10,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame, Int) = {
+    require(tol > 0 && maxIters > 0 && checkpointEvery > 0)
+    val ck = graft.ops.Graph.checkpointer(edges.sparkSession, checkpointDir)
+    val e = cacheTracked(edges.select(col("s"), col("c")))
+    def l1(df: DataFrame, scoreCol: String): DataFrame = {
+      val raw = cacheTracked(df)
+      raw.crossJoin(broadcast(raw.agg(sum(col(scoreCol)).as("_l1"))))
+        .withColumn(scoreCol, col(scoreCol) / col("_l1"))
+        .drop("_l1")
+    }
+    var hubs = l1(e.select(col("s")).distinct().withColumn("hub", lit(1.0)), "hub")
+    var auths: DataFrame = e.select(col("c")).distinct().withColumn("auth", lit(0.0))
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIters && delta >= tol) {
+      auths = l1(
+        e.join(hubs, Seq("s"))
+          .groupBy(col("c")).agg(sum(col("hub")).as("auth")), "auth")
+      val stepped = l1(
+        e.join(auths, Seq("c"))
+          .groupBy(col("s")).agg(sum(col("auth")).as("hub")), "hub")
+      iter += 1
+      // truncate lineage EVERY iteration — each l1() references its
+      // input twice (total + join), so the logical plan would DOUBLE
+      // per half-step and OOM the analyzer long before data size
+      // matters; every checkpointEvery-th truncation is the reliable kind
+      val next =
+        if (iter % checkpointEvery == 0) ck(stepped) else stepped.localCheckpoint()
+      // the hub node set is static (every s has >= 1 edge), so an
+      // inner join pairs old and new completely
+      delta = next.select(col("s"), col("hub").as("h_new"))
+        .join(hubs.select(col("s"), col("hub").as("h_old")), Seq("s"))
+        .agg(sum(abs(col("h_new") - col("h_old"))))
+        .first() match {
+          case r if r.isNullAt(0) => 0.0 // empty graph: nothing to move
+          case r => r.getDouble(0)
+        }
+      hubs = next
+    }
+    if (delta >= tol)
+      throw new IllegalStateException(
+        s"hitsConverged: L1 delta $delta still >= tol $tol after " +
+          s"$maxIters iterations; raise maxIters or tol")
+    (hubs, auths, iter)
+  }
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
