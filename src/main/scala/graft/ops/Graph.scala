@@ -91,10 +91,15 @@ object Graph {
     *        `spark.cleaner.referenceTracking.cleanCheckpoints=true` to
     *        let the context GC them. Use a per-job subdirectory.
     * @return (id, component) — component = min id reachable */
-  def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          maxIter: Int = 50, roundsPerCheck: Int = 2,
-                          checkpointDir: Option[String] = None): DataFrame = {
-    val ck: DataFrame => DataFrame = checkpointDir match {
+  /** Lineage-truncation strategy shared by the iterative graph
+    * algorithms (CC here, convergence-mode PageRank/HITS in
+    * `ext.Extensions`): reliable `.checkpoint()` into `checkpointDir`
+    * when given, executor-local `.localCheckpoint()` otherwise. See the
+    * `connectedComponents` scaladoc for the retention and
+    * dynamic-allocation caveats. */
+  private[graft] def checkpointer(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
       case Some(dir) =>
         // CAVEAT: the checkpoint dir is SparkContext-GLOBAL state —
         // setting it here is a session-wide side effect. Two concurrent
@@ -105,7 +110,7 @@ object Graph {
         // was not derived from this dir, so repeated calls with the
         // same dir don't churn a fresh UUID subdir into existence and
         // don't clobber a concurrent same-dir caller's setting.
-        val sc = edges.sparkSession.sparkContext
+        val sc = spark.sparkContext
         val hPath = new org.apache.hadoop.fs.Path(dir)
         val qualified = hPath.getFileSystem(sc.hadoopConfiguration)
           .makeQualified(hPath).toString
@@ -117,6 +122,11 @@ object Graph {
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 50, roundsPerCheck: Int = 2,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ck = checkpointer(edges.sparkSession, checkpointDir)
     // materialize the EDGES once, then derive the symmetric set from the
     // checkpoint: the union's two branches would otherwise each re-run
     // the whole upstream pair-generation pipeline (2× there), and every

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Extensions
+
+/** Convergence-mode PageRank / HITS against driver-side reference
+  * power iterations on small planted graphs — the distributed loop
+  * must land on the same fixpoint the dense computation reaches, to
+  * well below the convergence tolerance. */
+class GraphConvergenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted digraph: a 3-cycle feeding a pure sink (4) and fed by a
+  // pure source (5) — exercises dangling handling (4 never appears as
+  // src) and asymmetric in-degree
+  private val planted = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 1L))
+
+  /** Driver-side simplified PageRank — identical semantics to
+    * Extensions.pageRankConverged (sinks receive mass, contribute
+    * nothing back), run to a much tighter tolerance. */
+  private def refPageRank(edges: Seq[(Long, Long)], tol: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    var pr = nodes.map(_ -> 1.0).toMap
+    var delta = Double.MaxValue
+    while (delta >= tol) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for ((s, d) <- edges) contrib(d) += pr(s) / out(s)
+      val next = nodes.map(n =>
+        n -> (Extensions.PrBase.toDouble + Extensions.PrDamping.toDouble * contrib(n))).toMap
+      delta = nodes.map(n => math.abs(next(n) - pr(n))).sum
+      pr = next
+    }
+    pr
+  }
+
+  /** Driver-side HITS with L1 normalization each half-step, L1-normalized
+    * initial hubs — mirrors Extensions.hitsConverged exactly. */
+  private def refHits(edges: Seq[(Long, Long)],
+      tol: Double): (Map[Long, Double], Map[Long, Double]) = {
+    val hubNodes = edges.map(_._1).distinct
+    def l1(m: Map[Long, Double]): Map[Long, Double] = {
+      val t = m.values.sum; m.map { case (k, v) => k -> v / t }
+    }
+    var hubs = l1(hubNodes.map(_ -> 1.0).toMap)
+    var auths = Map.empty[Long, Double]
+    var delta = Double.MaxValue
+    while (delta >= tol) {
+      val a = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for ((s, c) <- edges) a(c) += hubs(s)
+      auths = l1(a.toMap)
+      val h = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for ((s, c) <- edges) h(s) += auths(c)
+      val next = l1(h.toMap)
+      delta = hubNodes.map(n => math.abs(next(n) - hubs(n))).sum
+      hubs = next
+    }
+    (hubs, auths)
+  }
+
+  test("pageRankConverged matches the dense reference fixpoint, sinks included") {
+    val edges = planted.toDF("src", "dst")
+    val (ranks, iters) = Extensions.pageRankConverged(edges, tol = 1e-9, maxIters = 200)
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(planted, tol = 1e-13)
+    assert(got.keySet == want.keySet, "node set must be src ∪ dst (sink 4 kept)")
+    for ((n, w) <- want)
+      assert(math.abs(got(n) - w) < 1e-6, s"node $n: got ${got(n)}, want $w")
+    assert(iters > 1 && iters <= 200)
+    // the sink receives mass (above base) and the cycle outranks it
+    assert(got(4L) > Extensions.PrBase.toDouble)
+    assert(got(1L) > got(4L))
+    Extensions.releaseCaches()
+  }
+
+  test("pageRankConverged on a cycle: uniform ranks, immediate convergence") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val (ranks, iters) = Extensions.pageRankConverged(cycle.toDF("src", "dst"), tol = 1e-9)
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pr=1 is the exact fixpoint of base + damping * 1, reached at once
+    for ((n, v) <- got) assert(math.abs(v - 1.0) < 1e-12, s"node $n: $v")
+    assert(iters == 1, s"cycle should converge in one iteration, took $iters")
+    Extensions.releaseCaches()
+  }
+
+  test("pageRankConverged throws rather than returning unconverged ranks") {
+    val edges = planted.toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Extensions.pageRankConverged(edges, tol = 1e-12, maxIters = 1)
+    }
+    Extensions.releaseCaches()
+  }
+
+  test("pageRankConverged reliable-checkpoint path reaches the same fixpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("pr-ck").toString
+    val edges = planted.toDF("src", "dst")
+    // checkpointEvery=2 forces several reliable truncations mid-loop
+    val (ranks, _) = Extensions.pageRankConverged(edges, tol = 1e-9,
+      maxIters = 200, checkpointEvery = 2, checkpointDir = Some(dir))
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(planted, tol = 1e-13)
+    for ((n, w) <- want) assert(math.abs(got(n) - w) < 1e-6)
+    Extensions.releaseCaches()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("hitsConverged matches the dense reference hubs and authorities") {
+    // bipartite with shared and exclusive authorities: hubs 1,2 share
+    // authority 11, hub 3 only reaches 12 — asymmetric enough that the
+    // fixpoint is not the uniform vector
+    val biEdges = Seq((1L, 11L), (2L, 11L), (2L, 12L), (3L, 12L), (1L, 13L))
+    val (hubs, auths, iters) = Extensions.hitsConverged(
+      biEdges.toDF("s", "c"), tol = 1e-9, maxIters = 200)
+    val gotH = hubs.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gotA = auths.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (wantH, wantA) = refHits(biEdges, tol = 1e-13)
+    for ((n, w) <- wantH)
+      assert(math.abs(gotH(n) - w) < 1e-6, s"hub $n: got ${gotH(n)}, want $w")
+    for ((n, w) <- wantA)
+      assert(math.abs(gotA(n) - w) < 1e-6, s"auth $n: got ${gotA(n)}, want $w")
+    assert(iters > 1 && iters <= 200)
+    // L1 invariants survive convergence
+    assert(math.abs(gotH.values.sum - 1.0) < 1e-9)
+    assert(math.abs(gotA.values.sum - 1.0) < 1e-9)
+    Extensions.releaseCaches()
+  }
+
+  test("hitsConverged throws rather than returning unconverged scores") {
+    val biEdges = Seq((1L, 11L), (2L, 11L), (2L, 12L), (3L, 12L), (1L, 13L))
+    intercept[IllegalStateException] {
+      Extensions.hitsConverged(biEdges.toDF("s", "c"), tol = 1e-12, maxIters = 1)
+    }
+    Extensions.releaseCaches()
+  }
+}
