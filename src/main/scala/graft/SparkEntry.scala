@@ -19,6 +19,8 @@ object SparkEntry {
   val rowsOnlyJustification: Map[String, String] = Map(
     "agg_approx_distinct" ->
       "HLL sketch estimates are engine-specific by construction; <5% error vs the exact count is asserted in SetAggSpec",
+    "agg_approx_percentile" ->
+      "quantile-summary sketch cut points are engine-specific by construction; value error vs the exact agg_percentile is asserted in SetAggSpec",
     "ext_ann_lsh" ->
       "approximate index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
     "ext_topk_ivf" ->

@@ -117,6 +117,30 @@ object SetAggQueries {
         .orderBy("l_returnflag"),
     None)
 
+  // ---------- sketch: approximate percentile ----------
+  // The 100 TB companion to agg_percentile: exact percentile buffers
+  // every group value; approx_percentile keeps a bounded
+  // quantile-summary sketch per group (mergeable, map-side partial), so
+  // memory is O(accuracy), not O(rows). No oracle: the sketch cut
+  // points are engine-specific by design; SetAggSpec asserts the
+  // result against the exact agg_percentile within a value-error bound
+  // (driver records the weaker rows-only check), mirroring the
+  // agg_approx_distinct verification story.
+  final val ApproxPctAccuracy = 1000
+  val aggApproxPercentile: Q = Q("agg_approx_percentile",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.95D), " +
+            s"$ApproxPctAccuracy)").as("ps"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(col("ps").getItem(0), 4).as("p50_approx"),
+          round(col("ps").getItem(1), 4).as("p95_approx"),
+          col("n"))
+        .orderBy("l_returnflag"),
+    None)
+
   // ---------- interval containment join (AsOf.intervalJoin) ----------
   // events against per-user validity windows; equi-key bounds the pair
   // set, the range predicate filters inside the join (no cartesian).
@@ -314,6 +338,7 @@ object SetAggQueries {
 
   val all: Seq[Q] = Seq(joinAsof, joinInterval, aggDistinct, aggRollup,
     setopExcept, setopIntersect, aggPercentile, aggApproxDistinct,
+    aggApproxPercentile,
     aggPricingSummary, aggCube, aggPivot, aggStringConcat,
     joinExistsSubquery, joinScalarSubquery, aggRetentionCohorts)
 }

@@ -18,6 +18,23 @@ class SetAggSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile stays within a value-error bound vs exact percentile") {
+    // the sketch guarantees a RANK error <= 1/accuracy; on lineitem's
+    // smooth price distribution that translates to a small value error,
+    // gated here at 5% like the HLL bound (sf0.001 groups are ~2k rows,
+    // so accuracy=1000 keeps the rank error within ~2 positions)
+    val approx = ops.SetAggQueries.aggApproxPercentile.fn(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = ops.SetAggQueries.aggPercentile.fn(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (e50, e95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"flag $k p50: approx $a50 vs exact $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.05, s"flag $k p95: approx $a95 vs exact $e95")
+    }
+  }
+
   test("rollup emits per-group, subtotal, and grand-total grains") {
     val df = ops.SetAggQueries.aggRollup.fn(spark, sf0001)
     assert(df.filter(col("l_returnflag").isNull && col("l_linestatus").isNull).count() == 1)
