@@ -91,7 +91,15 @@ object Sources {
     *    (main.py:544) is the one-reader bottleneck this removes; at
     *    100 TB the table arrives through N connections in parallel;
     *  - `fetchSize` keeps each connection streaming (driver-dependent
-    *    default can be row-at-a-time or whole-result).
+    *    default can be row-at-a-time or whole-result);
+    *  - `sessionInitStatement` runs once per connection before the first
+    *    read — warehouse session knobs (search_path, time zone, query
+    *    tags, result-cache off) without a custom driver;
+    *  - `quoteTable = true` quotes each dot-separated part of `table`
+    *    with the URL's JDBC dialect quoting rules, for reserved-word or
+    *    case-sensitive warehouse identifiers (pass `partitionCol`
+    *    pre-quoted if it needs the same treatment — it lands in
+    *    generated WHERE clauses verbatim).
     *
     * Bounds are caller-supplied, not auto-discovered: a min/max probe
     * query on a 100 TB table is a full scan on some warehouses; callers
@@ -101,11 +109,20 @@ object Sources {
            lowerBound: Long = 0L, upperBound: Long = 0L,
            numPartitions: Int = 1,
            fetchSize: Int = 10000,
+           sessionInitStatement: Option[String] = None,
+           quoteTable: Boolean = false,
            props: java.util.Properties = new java.util.Properties()): DataFrame = {
-    val reader = spark.read.format("jdbc")
+    val tableRef =
+      if (quoteTable) {
+        val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+        table.split("\\.").map(dialect.quoteIdentifier).mkString(".")
+      } else table
+    val base = spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", table)
+      .option("dbtable", tableRef)
       .option("fetchsize", fetchSize.toString)
+    val reader = sessionInitStatement
+      .fold(base)(s => base.option("sessionInitStatement", s))
     val partitioned = partitionCol match {
       case Some(c) =>
         require(upperBound > lowerBound, "partitioned jdbc read needs bounds")

@@ -123,6 +123,48 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("jdbc: sessionInitStatement runs per connection; quoteTable handles reserved names") {
+    val url = "jdbc:derby:memory:graftdialect;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // "Order" is a reserved word AND mixed-case: unreadable without
+      // dialect quoting
+      st.execute("""CREATE TABLE "Order" (id BIGINT, label VARCHAR(10))""")
+      st.execute("""INSERT INTO "Order" VALUES (1, 'a'), (2, 'b')""")
+      st.execute("CREATE TABLE init_log (hit INT)")
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+      // unquoted read of a reserved/mixed-case name must fail at the db
+      intercept[Exception] {
+        Sources.jdbc(spark, url, "Order", props = props).count()
+      }
+      // quoted read resolves it via the URL's dialect quoting rules,
+      // and the session-init statement fires before the read on each
+      // connection (observable as rows in the side table)
+      val df = Sources.jdbc(spark, url, "Order",
+        sessionInitStatement = Some("INSERT INTO init_log VALUES (1)"),
+        quoteTable = true, props = props)
+      assert(df.count() == 2)
+      val rs = conn.createStatement().executeQuery("SELECT count(*) FROM init_log")
+      rs.next()
+      assert(rs.getInt(1) >= 1, "sessionInitStatement never reached the connection")
+
+      // fetchsize is plumbed to the real Statement: Derby rejects a
+      // negative fetch size at read time, proving the option is honored
+      // end to end rather than silently dropped
+      intercept[Exception] {
+        Sources.jdbc(spark, url, "Order", fetchSize = -7,
+          quoteTable = true, props = props).count()
+      }
+    } finally {
+      conn.close()
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftdialect;drop=true")
+      catch { case _: java.sql.SQLException => () } // drop "fails" with 08006 on success
+    }
+  }
+
   test("orc round-trip preserves the table") {
     val dir = Files.createTempDirectory("graft-orc-").toString
     val src = model.Tables.customer(spark, sf0001)
