@@ -31,6 +31,9 @@ object ScaleProbe {
 
   private def skewProbe(args: Array[String]): Unit = {
     val spokes = if (args.length > 1) args(1).toLong else 2000000L
+    // arg 3: hotDegree override — pass Long.MaxValue-ish (e.g. 9e18) to
+    // force the cold-only path for an A/B against the hot/cold split
+    val hotDegree = if (args.length > 2) args(2).toLong else 500000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,9 +46,31 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // (stageId, duration) pairs + stage callsites so a skew regression
+    // names the offending stage instead of just moving the percentiles
+    val stageTask = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskInfo != null) taskMs.add(t.taskInfo.duration)
+        if (t.taskInfo != null) {
+          taskMs.add(t.taskInfo.duration)
+          stageTask.add((t.stageId, t.taskInfo.duration))
+        }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageName.putIfAbsent(s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n'))
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // the job description set by Graph.connectedComponents names the
+        // phase; AQE stage callsites alone are indistinguishable
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        // putIfAbsent: a job's stageIds include inherited (possibly
+        // skipped) upstream stages — the first claiming job is the one
+        // that actually runs a stage
+        desc.foreach(d => j.stageIds.foreach(sid =>
+          stageName.putIfAbsent(sid.toInt, d)))
+      }
     })
     // hub 0 star: spokes edges all touching node 0 (one mega-component)
     val star = spark.range(1, spokes + 1)
@@ -59,7 +84,8 @@ object ScaleProbe {
     val nodes = edges.select(col("id_a").as("id"))
       .unionByName(edges.select(col("id_b").as("id"))).distinct()
     val t0 = System.nanoTime()
-    val comps = ops.Graph.connectedComponents(edges, nodes).cache()
+    val comps = ops.Graph.connectedComponents(edges, nodes,
+      hotDegree = hotDegree).cache()
     val nComp = comps.select("component").distinct().count()
     val mega = comps.filter(col("component") === 0L).count()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -74,6 +100,15 @@ object ScaleProbe {
     val max = if (times.nonEmpty) times.last else 0L
     println(f"SKEWPROBE spokes=$spokes%d components=$nComp%d mega=$mega%d wall=$wall%.1fs " +
       f"tasks=${times.length}%d task_ms{median=$med%d p99=$p99%d max=$max%d}")
+    // top stages by slowest task: where the skew actually lives
+    val byStage = stageTask.toArray(new Array[(Int, Long)](0)).groupBy(_._1)
+    byStage.toSeq.map { case (sid, ts) =>
+      val d = ts.map(_._2).sorted
+      (sid, d.length, d(d.length / 2), d.last)
+    }.sortBy(-_._4).take(8).foreach { case (sid, n, smed, smax) =>
+      println(f"SKEWSTAGE id=$sid%d tasks=$n%d median_ms=$smed%d max_ms=$smax%d " +
+        s"name=${stageName.getOrDefault(sid, "?")}")
+    }
     assert(mega == spokes + 1, s"mega-component fragmented: $mega of ${spokes + 1}")
     assert(nComp == 1001, s"expected 1 mega + 1000 chains, got $nComp")
     spark.stop()

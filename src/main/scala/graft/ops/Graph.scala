@@ -123,17 +123,40 @@ object Graph {
       case None => df => df.localCheckpoint()
     }
 
+  /** Runs `body` with a Spark-UI job description — the iterative loop
+    * otherwise surfaces as indistinguishable AQE callsites, which makes
+    * skew triage on a real cluster (and in ScaleProbe) guesswork. */
+  private def described[T](spark: org.apache.spark.sql.SparkSession,
+      desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft.cc: $desc")
+    try body finally sc.setJobDescription(prev)
+  }
+
+  /** @param hotDegree join keys whose symmetric-edge degree reaches this
+    *        are delivered by broadcast instead of shuffle (see the
+    *        hot/cold decomposition below). The hot-key count is bounded
+    *        by |sym|/hotDegree, so at 10¹² edges the default keeps the
+    *        broadcast under ~4M rows; graphs with no such key skip the
+    *        split entirely (one cheap census, plans unchanged). */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 50, roundsPerCheck: Int = 2,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          hotDegree: Long = 500000L): DataFrame = {
+    val spark = edges.sparkSession
     val ck = checkpointer(edges.sparkSession, checkpointDir)
     // materialize the EDGES once, then derive the symmetric set from the
     // checkpoint: the union's two branches would otherwise each re-run
     // the whole upstream pair-generation pipeline (2× there), and every
     // iteration joins against sym (N× more without materialization)
-    val edgesCk = ck(contractLocal(edges.select(col("id_a"), col("id_b"))))
-    val sym = ck(edgesCk.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edgesCk.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val edgesCk = described(spark, "local contraction") {
+      ck(contractLocal(edges.select(col("id_a"), col("id_b"))))
+    }
+    val sym = described(spark, "symmetrize") {
+      ck(edgesCk.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(edgesCk.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    }
     // only edge-touched nodes can ever change label; isolated nodes are
     // their own components and rejoin at the end — the loop then works
     // on the (usually much smaller) connected subgraph. No checkpoint:
@@ -141,9 +164,47 @@ object Graph {
     val touched = sym.select(col("src").as("id")).distinct()
     var labels = touched.select(col("id"), col("id").as("component"))
 
+    // ---- skew-resilient label delivery (hot/cold key decomposition) ----
+    // The loop's two joins deliver label(x) to every row keyed by x; a
+    // planted mega-component (one boilerplate family at 100 TB) makes a
+    // single key carry a constant fraction of the edge list, and a
+    // 20M-spoke star probe shows the whole first round serializing on it
+    // (task p99 ≈ 18× median even under AQE skew-join — the shuffle of
+    // the hot partition still lands on one reducer lineage). Since the
+    // build side holds exactly ONE row per key, salting would replicate
+    // the node-sized label frame S×; instead, deliver hot keys by
+    // broadcast: the hot SET is provably tiny (≤ |sym|/hotDegree keys),
+    // so labels⋉hot is a bounded broadcast no matter how hot the key.
+    // dst frequencies in sym are STATIC — detect once, split sym once.
+    val hotKeys = described(spark, "hot-key census") {
+      ck(sym.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= hotDegree).select(col("dst")))
+    }
+    val hasHot = described(spark, "hot-key census") { !hotKeys.isEmpty }
+    // LAZY split — a broadcast semi/anti-join over the checkpointed sym,
+    // re-evaluated per iteration. Materializing the two halves would
+    // double the pinned block-storage footprint (measured: the 20M-spoke
+    // probe OOMs execution memory under the extra cached frames); one
+    // additional in-memory scan of sym per round is far cheaper.
+    val symHot = sym.join(broadcast(hotKeys), Seq("dst"), "left_semi")
+    val symCold =
+      if (!hasHot) sym
+      else sym.join(broadcast(hotKeys), Seq("dst"), "left_anti")
+
     def propagate(cur: DataFrame, withFlag: Boolean): DataFrame = {
-      val neighborMin = sym
-        .join(cur.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
+      val curDst = cur.select(col("id").as("dst"), col("component").as("nc"))
+      // hot dsts: the label rows for hot keys are ≤ |hotKeys| — deliver
+      // them broadcast so no shuffle partition owns the mega-key's rows
+      val joined =
+        if (!hasHot) sym.join(curDst, Seq("dst"))
+        else symCold.join(curDst, Seq("dst"))
+          .unionByName(symHot.join(
+            broadcast(curDst.join(broadcast(hotKeys), Seq("dst"), "left_semi")),
+            Seq("dst")))
+      // the hot-key AGG side is already safe: min() is algebraic, so
+      // map-side partial aggregation caps any src's shuffle rows at one
+      // per map task
+      val neighborMin = joined
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nmin"))
       val stepped = cur.join(neighborMin, Seq("id"), "left")
@@ -154,10 +215,29 @@ object Graph {
       // converges in O(log d) rounds instead of O(d) (measured: 16 → 5
       // rounds on the sf0.1 near-dup graph). Component ids are always
       // touched-node ids, so the self-join key always resolves.
+      // Label frequencies are NOT static (the mega-component's label
+      // floods c1 as it propagates), so the hot set is re-censused per
+      // round with a partial-agg-safe count — one extra node-frame agg,
+      // bounded like neighborMin's.
       val jump = stepped.select(col("id").as("jid"), col("c1").as("jc"))
-      val jumped = stepped.join(jump, col("c1") === col("jid"), "left")
-        .select(col("id"), col("old"),
-          least(col("c1"), coalesce(col("jc"), col("c1"))).as("component"))
+      val jumped =
+        if (!hasHot) {
+          stepped.join(jump, col("c1") === col("jid"), "left")
+            .select(col("id"), col("old"),
+              least(col("c1"), coalesce(col("jc"), col("c1"))).as("component"))
+        } else {
+          val hotLab = stepped.groupBy(col("c1")).agg(count(lit(1)).as("n"))
+            .filter(col("n") >= hotDegree).select(col("c1").as("hc"))
+          val jumpHot = broadcast(jump.join(broadcast(hotLab),
+            col("jid") === col("hc"), "left_semi"))
+          val hotSide = stepped.join(broadcast(hotLab), col("c1") === col("hc"), "left_semi")
+            .join(jumpHot, col("c1") === col("jid"), "left")
+          val coldSide = stepped.join(broadcast(hotLab), col("c1") === col("hc"), "left_anti")
+            .join(jump, col("c1") === col("jid"), "left")
+          hotSide.unionByName(coldSide)
+            .select(col("id"), col("old"),
+              least(col("c1"), coalesce(col("jc"), col("c1"))).as("component"))
+        }
       if (withFlag)
         jumped.select(col("id"), col("component"),
           (col("component") < col("old")).as("changed"))
@@ -170,8 +250,12 @@ object Graph {
     while (!converged && iter < maxIter) {
       var cur = labels
       for (r <- 1 until roundsPerCheck) cur = propagate(cur, withFlag = false)
-      val next = ck(propagate(cur, withFlag = true))
-      converged = next.filter(col("changed")).isEmpty
+      val next = described(spark, s"propagate round ${iter + 1}") {
+        ck(propagate(cur, withFlag = true))
+      }
+      converged = described(spark, s"convergence check ${iter + 1}") {
+        next.filter(col("changed")).isEmpty
+      }
       labels = next.select(col("id"), col("component"))
       iter += 1
     }

@@ -97,6 +97,14 @@ class ScaleSpec extends SparkSpec {
       .groupBy("component").count().collect()
     assert(chainComps.length == 10) // 1000 ids in runs of 100
     assert(chainComps.forall(_.getLong(1) == 100L))
+    // hot/cold decomposition equivalence: force the hub (degree 20k)
+    // over the hot threshold so the broadcast delivery path actually
+    // runs, and require bit-identical labels vs the default plan. At
+    // the default 500k threshold this graph takes the cold-only path,
+    // so without this run the hot branch would ship untested.
+    val hot = ops.Graph.connectedComponents(edges, nodes, hotDegree = 100L)
+    assert(hot.unionByName(comps).distinct().count() == comps.count(),
+      "hot-path labels differ from the default path")
     comps.unpersist()
   }
 
