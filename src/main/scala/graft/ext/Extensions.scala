@@ -2299,6 +2299,136 @@ object Extensions {
            |FROM sc ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
+  // Perplexity terciles — CCNet's bucketing step (Wenzek et al. 2020,
+  // public): after LM-scoring every document, split EACH LANGUAGE into
+  // head/middle/tail terciles of its OWN perplexity distribution and
+  // keep/weight buckets downstream. The per-language partition matters:
+  // a single global cut would label entire low-resource languages
+  // "tail" because their thinner LM support inflates cross-entropy.
+  // Composes the fixture-backed unigram scorer (model trained once per
+  // input, [[unigramLogprob]]) with one lang-partitioned ntile window —
+  // linear, and the window key is `lang` (bounded fan-in per task; the
+  // biggest language bounds the task, same posture as E4c'/E17).
+  // Tercile order is fully deterministic: rounded score then doc_id.
+  // =====================================================================
+  val perplexityBuckets: Q = Q("ext_perplexity_buckets",
+    (spark, sfDir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_neg_logprob").asc, col("doc_id").asc)
+      unigramLogprob.fn(spark, sfDir)
+        .select(col("doc_id"), col("avg_neg_logprob"))
+        .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .withColumn("tercile", ntile(3).over(w))
+        .withColumn("bucket",
+          when(col("tercile") === 1, lit("head"))
+            .when(col("tercile") === 2, lit("middle"))
+            .otherwise(lit("tail")))
+        .select("doc_id", "lang", "avg_neg_logprob", "tercile", "bucket")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, regexp_split_to_array(
+           |    regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks
+           |  FROM documents),
+           |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
+           |c AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM p GROUP BY term),
+           |t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM p),
+           |sc AS (
+           |  SELECT p.doc_id, round(avg(ln(t.tot / c.c)), 4) AS avg_neg_logprob
+           |  FROM p JOIN c ON c.term = p.term, t GROUP BY p.doc_id),
+           |b AS (
+           |  SELECT sc.doc_id, doc.lang, sc.avg_neg_logprob,
+           |    ntile(3) OVER (PARTITION BY doc.lang
+           |      ORDER BY sc.avg_neg_logprob ASC, sc.doc_id ASC) AS tercile
+           |  FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id)
+           |SELECT doc_id, lang, avg_neg_logprob, tercile,
+           |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+           |    ELSE 'tail' END AS bucket
+           |FROM b ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // Hashed-n-gram importance resampling — the DSIR recipe (Xie et al.
+  // 2023, public): re-weight a raw corpus toward a TARGET distribution
+  // using bag-of-hashed-n-gram language models. Features are unigram
+  // hashes folded into B=4096 buckets (the paper's hashing trick; it
+  // uses unigrams+bigrams — order is a knob, bucket folding is the
+  // load-bearing idea); the target here is the English slice of the
+  // corpus — the paper's canonical setup, a small formal target domain
+  // vs the raw multilingual crawl. Per-doc log importance weight =
+  // avg_occurrences [ln p̂_target(feat) − ln p̂_raw(feat)] with add-one
+  // smoothing over the B buckets; the K highest-weight docs win. (The
+  // paper sums the per-feature log ratios; the per-token average is the
+  // same quantity with the length confound removed — a raw sum ranks
+  // SHORT documents of any language above long on-target ones, since
+  // every ratio term is ≤ 0 when the target is a corpus subset.)
+  // Scale shape: two wordcount-style aggs over the token stream (map-
+  // side partials; the model frame is ≤B rows, broadcast with its 1-row
+  // totals), one broadcast re-join for scoring, distributed TakeOrdered
+  // for the cut — no global sort, no quadratic step. Weight is rounded
+  // (4 dp) with doc_id tiebreak BEFORE the cut in both engines, so
+  // ln()/float-sum ulp divergence cannot flip selection (the
+  // ext_weighted_sample precedent).
+  // =====================================================================
+  final val DsirBuckets = 4096
+  final val DsirK = 100
+
+  val importanceResample: Q = Q("ext_importance_resample",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val feats = docs
+        .select(col("doc_id"),
+          explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("term"))
+        .select(col("doc_id"),
+          pmod(Scalars.hash60(col("term")), lit(DsirBuckets.toLong)).as("feat"))
+      val raw = feats.groupBy("feat").agg(count(lit(1)).cast("double").as("cr"))
+      val targetIds = docs.filter(col("lang") === "en").select("doc_id")
+      val tgt = feats.join(targetIds, Seq("doc_id"))
+        .groupBy("feat").agg(count(lit(1)).cast("double").as("ct"))
+      // every corpus feature appears in raw, so raw←tgt left-join covers
+      // the full support; totals ride the ≤B-row model frame as a 1-row
+      // broadcast (PlanSpec-allowlisted pattern), never a corpus rescan
+      val m0 = raw.join(tgt, Seq("feat"), "left")
+        .select(col("feat"), col("cr"), coalesce(col("ct"), lit(0.0)).as("ct"))
+      val tots = m0.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+      val model = broadcast(m0.crossJoin(broadcast(tots))
+        .select(col("feat"),
+          (log((col("ct") + 1.0) / (col("tt") + DsirBuckets)) -
+            log((col("cr") + 1.0) / (col("tr") + DsirBuckets))).as("lr")))
+      feats.join(model, Seq("feat"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), round(avg(col("lr")), 4).as("log_weight"))
+        .orderBy(col("log_weight").desc, col("doc_id").asc)
+        .limit(DsirK)
+        .select("doc_id", "n_tokens", "log_weight")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, regexp_split_to_array(
+            |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
+            |  FROM documents),
+            |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            |f AS (SELECT doc_id, ${duckHash60("term")} % $DsirBuckets AS feat FROM p),
+            |raw AS (SELECT feat, CAST(count(*) AS DOUBLE) AS cr FROM f GROUP BY feat),
+            |tids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+            |tgt AS (SELECT feat, CAST(count(*) AS DOUBLE) AS ct
+            |        FROM f JOIN tids USING (doc_id) GROUP BY feat),
+            |m0 AS (SELECT raw.feat, raw.cr, coalesce(tgt.ct, 0.0) AS ct
+            |       FROM raw LEFT JOIN tgt ON tgt.feat = raw.feat),
+            |t AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM m0),
+            |m AS (SELECT feat,
+            |        ln((ct + 1.0) / (tt + $DsirBuckets)) -
+            |        ln((cr + 1.0) / (tr + $DsirBuckets)) AS lr
+            |      FROM m0, t),
+            |sc AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            |         round(avg(m.lr), 4) AS log_weight
+            |       FROM f JOIN m ON m.feat = f.feat GROUP BY f.doc_id),
+            |top AS (SELECT * FROM sc
+            |        ORDER BY log_weight DESC, doc_id ASC LIMIT $DsirK)
+            |SELECT doc_id, n_tokens, log_weight FROM top
+            |ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
   // Curation ∧ SEMANTIC dedup — the funnel with every dedup family
   // composed: exact (keepers), 5-gram contamination (hit), and
   // embedding-level near-dup (drop every semantic-cluster member that
@@ -3215,7 +3345,7 @@ object Extensions {
     corpusCurate, corpusCurateFull,
     repetitionScore, charEntropy, contaminationScore,
     dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap,
-    unigramLogprob, corpusCurateSemantic,
+    unigramLogprob, perplexityBuckets, importanceResample, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits)

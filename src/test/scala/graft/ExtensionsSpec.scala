@@ -883,6 +883,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(kl.exists(_.getDouble(2) > 0.0))
   }
 
+  test("perplexity buckets: per-language terciles are balanced and score-ordered") {
+    val df = Extensions.perplexityBuckets.fn(spark, sf0001).cache()
+    assert(df.count() == 500)
+    // within each language, tercile sizes differ by at most 1 (ntile
+    // contract) and score ranges are ordered: max(head) <= min(tail)
+    val sizes = df.groupBy("lang", "tercile").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+      .collect()
+    sizes.foreach(r => assert(r.getLong(1) <= 1L,
+      s"${r.getString(0)}: tercile sizes differ by ${r.getLong(1)}"))
+    val ranges = df.groupBy("lang").agg(
+      max(when(col("tercile") === 1, col("avg_neg_logprob"))).as("headMax"),
+      min(when(col("tercile") === 3, col("avg_neg_logprob"))).as("tailMin"))
+      .collect()
+    ranges.foreach(r => assert(r.getDouble(1) <= r.getDouble(2),
+      s"${r.getString(0)}: head max ${r.getDouble(1)} > tail min ${r.getDouble(2)}"))
+    // label column is a pure rename of the tercile
+    assert(df.filter(
+      (col("tercile") === 1 && col("bucket") =!= "head") ||
+      (col("tercile") === 2 && col("bucket") =!= "middle") ||
+      (col("tercile") === 3 && col("bucket") =!= "tail")).count() == 0)
+    df.unpersist()
+  }
+
+  test("importance resample: deterministic and enriched toward the target language") {
+    val out1 = Extensions.importanceResample.fn(spark, sf0001).collect()
+    val out2 = Extensions.importanceResample.fn(spark, sf0001).collect()
+    assert(out1.length == Extensions.DsirK)
+    assert(out1.map(_.getLong(0)).toSeq == out2.map(_.getLong(0)).toSeq)
+    // the whole point of importance weighting: the selected slice is
+    // ENRICHED in the target (en) language vs the corpus mixture
+    // (54% vs 38.6% measured at sf0.001 — assert the direction with
+    // margin, not the exact value)
+    val docs = model.Tables.documents(spark, sf0001)
+    val corpusEn = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    import spark.implicits._
+    val sel = out1.map(_.getLong(0)).toSeq.toDF("doc_id")
+    val selEn = docs.join(sel, Seq("doc_id"))
+      .filter(col("lang") === "en").count().toDouble / out1.length
+    assert(selEn > corpusEn + 0.05,
+      f"selected en share $selEn%.2f not enriched over corpus $corpusEn%.2f")
+  }
+
   test("hits: L1-normalized sides, broader hub dominates on the real graph") {
     val out = Extensions.hits.fn(spark, sf0001).collect()
     val (hubs, auths) = out.partition(_.getString(0) == "s")

@@ -157,6 +157,8 @@ class PlanSpec extends SparkSpec {
       "ext_bm25_search",
       "ext_tfidf_terms",
       "ext_unigram_logprob", // 1-row token total rides the vocab-sized count frame
+      "ext_perplexity_buckets", // composes ext_unigram_logprob (same 1-row total)
+      "ext_importance_resample", // 1-row tr/tt totals ride the ≤4096-row feature model
       "ext_domain_kl",       // 1-row corpus-total broadcast onto the vocab frame
       "ext_hits")            // 1-row L1-normalization broadcast, 4× per run
     // fn runs an entire streaming lifecycle eagerly just to build its
