@@ -25,6 +25,8 @@ object SparkEntry {
       "approximate index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
     "ext_topk_ivf" ->
       "approximate index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
+    "ext_topk_pq" ->
+      "approximate (product-quantized) index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
     "ext_ann_recall" ->
       "self-checking metric: the output carries its own pass column asserting the registered recall floors",
     "stream_sync_microbatch" ->

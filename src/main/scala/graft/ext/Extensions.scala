@@ -120,6 +120,7 @@ object Extensions {
     * they trip on real index regressions, not corpus jitter. */
   final val AnnLshRecallFloor = 0.7
   final val IvfRecallFloor = 0.60
+  final val PqRecallFloor = 0.70
 
   /** The `n` rows with the smallest (hash60(id), id) — one TakeOrdered
     * pass (O(corpus · log n), executor-side top-n merge, no driver
@@ -953,6 +954,172 @@ object Extensions {
     None)
 
   // =====================================================================
+  // E3f: PQ (product-quantization) ANN — the CODE-COMPRESSED scale path
+  // (the FAISS IndexPQ shape; Jégou et al. 2011, public): split each
+  // vector into M subspaces, learn a K-codeword codebook per subspace
+  // (deterministic Lloyd on a bounded sample, like E3c's coarse
+  // quantizer), store each corpus vector as M small codes — 64 f64
+  // dims become 8 bytes, a 64× scan-size cut, which is what makes a
+  // 100 TB corpus scannable per query. Search is ADC (asymmetric
+  // distance computation): the QUERY precomputes an M×K lookup table
+  // of sub-dot-products, the corpus scan reads only codes and sums M
+  // table entries per vector, then the top `rerank` candidates are
+  // re-scored exactly from the full vectors (a semi-join fetch — at
+  // scale the full vectors live cold, only top-R are touched). The ADC
+  // fold is a fixed-order `aggregate`, so scores are deterministic;
+  // ranking cuts on rounded scores with corpus_id tiebreak.
+  // =====================================================================
+  // Operating point from a recall sweep (kw × rerank, sf0.001/0.01/0.1):
+  // recall@10 is rerank-bound on these unclustered synthetic vectors —
+  // kw=16/rr=50 gave 0.44-0.60, kw=32/rr=200 gives 0.83-0.955. rerank
+  // is an absolute per-query fetch count (constant at any corpus size),
+  // which is the PQ contract: ADC narrows the corpus to R candidates,
+  // exactness comes from the rerank.
+  final val PqM = 8         // subspaces (64-dim → 8 dims each)
+  final val PqK = 32        // codewords per subspace (5-bit codes)
+  final val PqRerank = 200  // exact-rerank candidate depth per query
+
+  def pqTopK(emb: DataFrame, isQuery: Column => Column, k: Int = AnnK,
+             m: Int = PqM, kw: Int = PqK, rerank: Int = PqRerank,
+             iters: Int = 2, trainPerCell: Int = 100,
+             codebookSrc: Option[String] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
+    val e = emb.select(col("vec_id"), nv.as("nv"))
+    // 1-based slice of subspace mi
+    def subCol(mi: Int, ds: Int): Column = slice(col("nv"), mi * ds + 1, ds)
+    def subDot(mi: Int, ds: Int, cwd: Array[Double]): Column =
+      dotD(subCol(mi, ds), array(cwd.map(lit).toSeq: _*))
+    // first index achieving the max sub-dot — deterministic tiebreak,
+    // same construction as the IVF cell assignment
+    def cellOfSub(mi: Int, ds: Int, cb: Array[Array[Double]]): Column = {
+      val sa = array(cb.map(cwd => subDot(mi, ds, cwd)).toSeq: _*)
+      (array_position(sa, array_max(sa)) - 1).cast("int")
+    }
+
+    /** Train all M codebooks in one exploded pass per Lloyd iteration:
+      * the sample is bounded (~kw·trainPerCell rows), so sample×M
+      * exploded rows stay trivially small while keeping one job per
+      * iteration instead of M. Means are plain (non-renormalized)
+      * k-means means — PQ codewords approximate sub-vectors, they are
+      * not unit vectors — rounded 1e-9 so shuffle-order float jitter
+      * cannot flip a near-tied code assignment between runs. */
+    def trainCodebooks(): Array[Array[Array[Double]]] = {
+      val ep = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val stride = ivfTrainStride(ep.count(), kw, trainPerCell)
+        val train =
+          if (stride > 1)
+            ep.filter(pmod(Scalars.hash60(col("vec_id").cast("string")),
+              lit(stride)) === 0)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else ep
+        try {
+          // seeds: sub-slices of the kw lowest-id vectors (guaranteed
+          // non-empty whenever the corpus is; empty corpus → empty model)
+          val seeds = ep.orderBy("vec_id").limit(kw)
+            .collect().map(_.getSeq[Double](1).toArray)
+          if (seeds.isEmpty) return Array.empty
+          val dim = seeds.head.length
+          require(dim % m == 0, s"embedding dim $dim not divisible by PQ m=$m")
+          val ds = dim / m
+          var cbs: Array[Array[Array[Double]]] =
+            Array.tabulate(m)(mi => seeds.map(_.slice(mi * ds, mi * ds + ds)))
+          for (_ <- 0 until iters) {
+            val structs = (0 until m).map(mi => struct(
+              lit(mi).as("m"), cellOfSub(mi, ds, cbs(mi)).as("cell"),
+              subCol(mi, ds).as("sub")))
+            val aggs = count(lit(1)).as("n") +:
+              (0 until ds).map(d => sum(col("sub")(d)).as(s"s$d"))
+            val means = train
+              .select(explode(array(structs: _*)).as("x"))
+              .select(col("x.m"), col("x.cell"), col("x.sub"))
+              .groupBy("m", "cell").agg(aggs.head, aggs.tail: _*)
+              .collect()
+            val next = cbs.map(_.map(_.clone()))
+            means.foreach { r =>
+              val (mi, cell, n) = (r.getInt(0), r.getInt(1), r.getLong(2).toDouble)
+              val v = new Array[Double](ds)
+              var d = 0
+              while (d < ds) { v(d) = math.rint(r.getDouble(3 + d) / n * 1e9) / 1e9; d += 1 }
+              next(mi)(cell) = v
+            }
+            cbs = next
+          }
+          cbs
+        } finally if (stride > 1) train.unpersist()
+      } finally ep.unpersist()
+    }
+
+    // the codebook is a MODEL (m×kw×ds doubles) — persisted per input
+    // fingerprint like the IVF centroids, so repeated searches and the
+    // recall metric skip the training actions
+    val cbs: Array[Array[Array[Double]]] = codebookSrc match {
+      case Some(src) =>
+        import spark.implicits._
+        parquetFixture(spark, "pq-codebook", src,
+          s"m${m}_k${kw}_i${iters}_t${trainPerCell}_pq1",
+          e.queryExecution.logical.toString, {
+            trainCodebooks().zipWithIndex.flatMap { case (cb, mi) =>
+              cb.zipWithIndex.map { case (cwd, cell) => (mi, cell, cwd.toSeq) }
+            }.toSeq.toDF("m", "cell", "c")
+          })
+          .orderBy("m", "cell").collect()
+          .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+      case None => trainCodebooks()
+    }
+    if (cbs.isEmpty)
+      return e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("corpus_id"),
+          lit(0.0).as("cos"), lit(0).as("rank"))
+        .filter(lit(false))
+    val ds = cbs(0)(0).length
+
+    // corpus ENCODE scan: codes only — the frame the ADC join reads is
+    // M ints per vector, never the vectors themselves
+    val codes = e.select(col("vec_id").as("corpus_id"),
+      array((0 until m).map(mi => cellOfSub(mi, ds, cbs(mi))): _*).as("code"))
+    // query side: the M×K LUT of sub-dot-products, flattened row-major
+    val lut = array((0 until m).flatMap(mi =>
+      cbs(mi).map(cwd => subDot(mi, ds, cwd))): _*)
+    val queries = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"), lut.as("lut"))
+    // ADC: fixed-order fold over subspaces — Σ_mi lut[mi·K + code[mi]]
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, mi) => acc +
+        element_at(col("lut"), mi * kw + element_at(col("code"), mi + 1) + 1))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("corpus_id").asc)
+    val candidates = codes.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("qv"), col("corpus_id"),
+        round(adc, 6).as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= rerank)
+    // exact rerank: fetch full vectors for the top-R candidates only
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    candidates
+      .join(e.select(col("vec_id").as("corpus_id"), col("nv").as("cv")),
+        Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(dotD(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  val topkPq: Q = Q("ext_topk_pq",
+    (spark, sfDir) =>
+      pqTopK(
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        id => id % 47 === 0,
+        codebookSrc = Some(s"$sfDir/embeddings.parquet")),
+    None)
+
+  // =====================================================================
   // ANN index quality as a REGISTERED query: recall@10 of the sign-LSH
   // and IVF indexes against the exact top-k baseline, Spark-computed
   // and deterministic (both indexes are sha-derived / deterministic
@@ -1087,6 +1254,7 @@ object Extensions {
       }
       recallOf(annLsh.fn(spark, sfDir), "ann_lsh", AnnLshRecallFloor)
         .unionByName(recallOf(topkIvf.fn(spark, sfDir), "ivf", IvfRecallFloor))
+        .unionByName(recallOf(topkPq.fn(spark, sfDir), "pq", PqRecallFloor))
         .orderBy("method")
     },
     None)
@@ -3336,7 +3504,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
-    dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, annRecall,
+    dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, topkPq, annRecall,
     textStats,
     langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,
     fingerprintWinnow,

@@ -230,10 +230,10 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("ann_recall: both indexes clear their registered recall floors") {
+  test("ann_recall: all indexes clear their registered recall floors") {
     val rows = Extensions.annRecall.fn(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
-    assert(rows.keySet == Set("ann_lsh", "ivf"))
+    assert(rows.keySet == Set("ann_lsh", "ivf", "pq"))
     // n_queries must equal the EXACT baseline's query count — a query
     // with zero approx candidates counts as recall 0, never drops out
     val nExact = Extensions.topkCosine.fn(spark, sf0001)
@@ -243,6 +243,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(ns == Set(nExact))
     assert(rows("ann_lsh")._2, s"ann_lsh recall ${rows("ann_lsh")._1} below floor")
     assert(rows("ivf")._2, s"ivf recall ${rows("ivf")._1} below floor")
+    assert(rows("pq")._2, s"pq recall ${rows("pq")._1} below floor")
+  }
+
+  test("pqTopK finds planted near-duplicates (codes + rerank have real recall)") {
+    // a planted twin quantizes to the same M codes as its query, so it
+    // survives the ADC cut and the exact rerank puts it at rank 1
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (0L until 200L).map(i => (i, vec()))
+    val planted = base.filter(_._1 % 50 == 0).map { case (i, v) =>
+      (i + 10000L, v.map(_ + 1e-4 * rnd.nextGaussian()))
+    }
+    val emb = spark.createDataFrame(base ++ planted).toDF("vec_id", "v")
+    val out = Extensions.pqTopK(emb, id => id % 50 === 0 && id < 1000, k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 50L, 100L, 150L))
+    out.foreach { case (q, c) => assert(c == q + 10000L, s"query $q matched $c") }
+  }
+
+  test("topk_pq on real data returns well-formed rankings") {
+    val approx = Extensions.topkPq.fn(spark, sf0001)
+    assert(approx.count() > 0)
+    assert(approx.filter(col("query_id") === col("corpus_id")).count() == 0)
+    val ranks = approx.groupBy("query_id").agg(min("rank"), max("rank"), count(lit(1)))
+      .collect()
+    ranks.foreach(r => assert(r.getInt(1) == 1 && r.getInt(2) == r.getLong(3).toInt))
   }
 
   test("annExactBaseline fixture round-trips identically to the live exact search") {

@@ -149,6 +149,7 @@ class PlanSpec extends SparkSpec {
       "ext_dedup_embedding", // ≤64-per-label absolute sample, ground truth for E3b
       "ext_topk_cosine",     // broadcast query set × corpus — exact baseline
       "ext_ann_lsh",         // broadcast query side over bucket candidates
+      "ext_topk_pq",         // broadcast query LUTs × corpus CODE scan (ADC)
       "ext_ann_recall",      // composes topk_cosine + ann_lsh above
       // 1-ROW broadcast corpus stats (count/avgdl): a BroadcastNestedLoop
       // join whose build side is provably one row IS the right plan at
