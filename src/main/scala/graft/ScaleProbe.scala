@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe bloom [nTrainDocs]
   *        runMain graft.ScaleProbe winnow [nDocs]
   *        runMain graft.ScaleProbe pagerank [nNodes]
+  *        runMain graft.ScaleProbe pq [nVecs]
   *
   * The `skew` mode measures the connected-components loop on a planted
   * MEGA-COMPONENT (one hub star of `spokes` edges + a background of
@@ -342,6 +343,54 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `pq` mode: product-quantization ANN at 100×-scale vector counts.
+    * Times the three phases separately — codebook training (bounded
+    * sample), corpus encode (the one full scan that produces the M-code
+    * index), and ADC search + rerank for a query batch — and reports
+    * recall@10 against a planted ground truth (each query's twin vector
+    * at +1e-4 noise must surface at rank 1), so the compressed index's
+    * quality at probe scale is a measurement, not an extrapolation from
+    * sf0.1. */
+  private def pqProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.length > 1) args(1).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // deterministic pseudo-random 64-dim vectors (semanticProbe's
+    // construction), plus planted twins: for every query id q (multiple
+    // of nVecs/43-ish stride) a twin at q + nVecs with tiny hash noise
+    val v = transform(sequence(lit(0), lit(63)),
+      j => pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0 - 1.0)
+    val base = spark.range(nVecs).select(col("id").as("vec_id"), v.as("v"))
+    val qStride = math.max(1L, nVecs / 40L)
+    val twinNoise = transform(sequence(lit(0), lit(63)),
+      j => pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0 - 1.0 +
+        pmod(hash(col("id"), j, lit(7)), lit(2001)).cast("double") / 1.0e7)
+    val twins = spark.range(nVecs).filter(col("id") % qStride === 0)
+      .select((col("id") + nVecs).as("vec_id"), twinNoise.as("v"))
+    val emb = base.unionByName(twins)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = emb.count()
+    val isQuery: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => id % qStride === 0 && id < nVecs
+    val t0 = System.nanoTime()
+    val out = ext.Extensions.pqTopK(emb, isQuery).cache()
+    val nOut = out.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val nQ = out.select("query_id").distinct().count()
+    // planted-twin recall: the twin must be the rank-1 neighbor
+    val hit = out.filter(col("rank") === 1 &&
+      col("corpus_id") === col("query_id") + nVecs).count()
+    println(f"PQPROBE n=$n%d queries=$nQ%d rows=$nOut%d twin_rank1=$hit%d/" +
+      f"$nQ%d wall=$wall%.1fs")
+    out.unpersist(); emb.unpersist()
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
@@ -349,6 +398,7 @@ object ScaleProbe {
     if (args.headOption.contains("bm25")) { bm25Probe(args); return }
     if (args.headOption.contains("bloom")) { bloomProbe(args); return }
     if (args.headOption.contains("winnow")) { winnowProbe(args); return }
+    if (args.headOption.contains("pq")) { pqProbe(args); return }
     val nFamilies = if (args.length > 0) args(0).toInt else 200
     val copies = if (args.length > 1) args(1).toInt else 1000
     val cap = if (args.length > 2) args(2).toInt

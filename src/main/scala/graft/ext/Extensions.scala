@@ -986,16 +986,22 @@ object Extensions {
     val spark = emb.sparkSession
     val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
     val e = emb.select(col("vec_id"), nv.as("nv"))
-    // 1-based slice of subspace mi
+    // 1-based slice of subspace mi. Callers PROJECT the M sub-columns
+    // once and pass them to the helpers below — inlining the slice into
+    // every codeword dot would re-slice the vector K times per subspace
+    // per row (256 allocations/row on the full encode scan).
     def subCol(mi: Int, ds: Int): Column = slice(col("nv"), mi * ds + 1, ds)
-    def subDot(mi: Int, ds: Int, cwd: Array[Double]): Column =
-      dotD(subCol(mi, ds), array(cwd.map(lit).toSeq: _*))
+    def subDot(sub: Column, cwd: Array[Double]): Column =
+      dotD(sub, array(cwd.map(lit).toSeq: _*))
     // first index achieving the max sub-dot — deterministic tiebreak,
     // same construction as the IVF cell assignment
-    def cellOfSub(mi: Int, ds: Int, cb: Array[Array[Double]]): Column = {
-      val sa = array(cb.map(cwd => subDot(mi, ds, cwd)).toSeq: _*)
+    def cellOfSub(sub: Column, cb: Array[Array[Double]]): Column = {
+      val sa = array(cb.map(cwd => subDot(sub, cwd)).toSeq: _*)
       (array_position(sa, array_max(sa)) - 1).cast("int")
     }
+    def withSubs(df: DataFrame, ds: Int): DataFrame =
+      df.select(df.columns.map(col).toSeq ++
+        (0 until m).map(mi => subCol(mi, ds).as(s"sub_$mi")): _*)
 
     /** Train all M codebooks in one exploded pass per Lloyd iteration:
       * the sample is bounded (~kw·trainPerCell rows), so sample×M
@@ -1026,14 +1032,19 @@ object Extensions {
           var cbs: Array[Array[Array[Double]]] =
             Array.tabulate(m)(mi => seeds.map(_.slice(mi * ds, mi * ds + ds)))
           for (_ <- 0 until iters) {
-            val structs = (0 until m).map(mi => struct(
-              lit(mi).as("m"), cellOfSub(mi, ds, cbs(mi)).as("cell"),
-              subCol(mi, ds).as("sub")))
+            // one small select per subspace, unioned — NOT one explode
+            // of all M assignment structs: that single Generate carries
+            // M×K codeword dots and overflows janino's method limits
+            // (codegen falls back to interpreted); each per-subspace
+            // branch compiles, and the sample is tiny so M branch scans
+            // of the cached frame cost nothing
+            val sampled = withSubs(train, ds)
+            val assigned = (0 until m).map(mi => sampled.select(
+              lit(mi).as("m"), cellOfSub(col(s"sub_$mi"), cbs(mi)).as("cell"),
+              col(s"sub_$mi").as("sub"))).reduce(_ unionByName _)
             val aggs = count(lit(1)).as("n") +:
               (0 until ds).map(d => sum(col("sub")(d)).as(s"s$d"))
-            val means = train
-              .select(explode(array(structs: _*)).as("x"))
-              .select(col("x.m"), col("x.cell"), col("x.sub"))
+            val means = assigned
               .groupBy("m", "cell").agg(aggs.head, aggs.tail: _*)
               .collect()
             val next = cbs.map(_.map(_.clone()))
@@ -1078,12 +1089,12 @@ object Extensions {
 
     // corpus ENCODE scan: codes only — the frame the ADC join reads is
     // M ints per vector, never the vectors themselves
-    val codes = e.select(col("vec_id").as("corpus_id"),
-      array((0 until m).map(mi => cellOfSub(mi, ds, cbs(mi))): _*).as("code"))
+    val codes = withSubs(e, ds).select(col("vec_id").as("corpus_id"),
+      array((0 until m).map(mi => cellOfSub(col(s"sub_$mi"), cbs(mi))): _*).as("code"))
     // query side: the M×K LUT of sub-dot-products, flattened row-major
     val lut = array((0 until m).flatMap(mi =>
-      cbs(mi).map(cwd => subDot(mi, ds, cwd))): _*)
-    val queries = e.filter(isQuery(col("vec_id")))
+      cbs(mi).map(cwd => subDot(col(s"sub_$mi"), cwd))): _*)
+    val queries = withSubs(e.filter(isQuery(col("vec_id"))), ds)
       .select(col("vec_id").as("query_id"), col("nv").as("qv"), lut.as("lut"))
     // ADC: fixed-order fold over subspaces — Σ_mi lut[mi·K + code[mi]]
     val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
