@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
   * column pruning apply (SURVEY.md §4): callers `.select`/`.filter` on the
   * returned DataFrame and the parquet reader prunes row groups + columns.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS); Spark's vectorized
-  * reader cannot produce nanosecond timestamps, so we read it as a long
-  * (legacy nanosAsLong) and truncate to microseconds — matching what any
-  * engine with µs timestamps (including DuckDB's `epoch_ms`) observes
-  * after millisecond truncation.
+  * `events.ts` arrives in one of two physical shapes depending on the
+  * testdata generation: parquet TIMESTAMP(NANOS) (read as a long via
+  * legacy nanosAsLong and truncated to µs — Spark's vectorized reader
+  * cannot produce ns timestamps) or TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Both are normalized
+  * to TimestampType (µs, UTC session zone) here so every consumer —
+  * `unix_millis`, window ranges, watermarks — sees ONE type; the NTZ→LTZ
+  * cast is instant-preserving because every graft session pins
+  * `spark.sql.session.timeZone=UTC`, matching DuckDB's naive reading.
   */
 object Tables {
 
@@ -59,6 +63,16 @@ object Tables {
           .map(wm => df.filter(col("ts") >= wm * 1000L)).getOrElse(df)
         // ns since epoch -> µs since epoch (floor; epoch is positive here)
         filtered.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // filter on the RAW NTZ column so the predicate pushes into the
+        // parquet scan (a post-cast filter would not), then normalize.
+        // The literal folds to an NTZ constant before pushdown; with a
+        // UTC session the NTZ→LTZ cast re-labels, never re-bases, µs.
+        val filtered = watermarkMicros
+          .map(wm => df.filter(
+            col("ts") >= timestamp_micros(lit(wm)).cast(TimestampNTZType)))
+          .getOrElse(df)
+        filtered.withColumn("ts", col("ts").cast(TimestampType))
       case _ =>
         watermarkMicros
           .map(wm => df.filter(col("ts") >= timestamp_micros(lit(wm)))).getOrElse(df)
