@@ -3513,6 +3513,262 @@ object Extensions {
     (hubs, auths, iter)
   }
 
+  // =====================================================================
+  // Zipf-law fit — corpus-health diagnostic: natural-language token
+  // frequencies follow freq ∝ rank^s with s ≈ −1 (Zipf 1949, public);
+  // a synthetic, deduplicated-to-death, or template-flooded corpus
+  // bends away from the line. OLS fit of ln(count) on ln(rank) over
+  // the TOP-K vocabulary only — the head is where the law holds and,
+  // at 100 TB, a billion-term vocabulary must not feed a regression:
+  // the top-K cut is a distributed TakeOrdered (no global sort), the
+  // rank window then runs on a provably ≤K-row frame (PlanSpec
+  // allowlist). regr_* aggregates are engine-portable; outputs round
+  // to 6dp before compare.
+  // =====================================================================
+  final val ZipfTopK = 1000
+
+  val zipfFit: Q = Q("ext_zipf_fit",
+    (spark, sfDir) => {
+      val tc = Tables.documents(spark, sfDir)
+        .select(explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("term"))
+        .groupBy("term").agg(count(lit(1)).cast("double").as("cnt"))
+      val top = tc.orderBy(col("cnt").desc, col("term").asc).limit(ZipfTopK)
+      // unpartitioned window is safe HERE only because limit() bounds
+      // the frame to ≤ ZipfTopK rows — allowlisted in PlanSpec
+      val w = Window.orderBy(col("cnt").desc, col("term").asc)
+      top.withColumn("rank", row_number().over(w).cast("double"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(expr("regr_slope(ln(cnt), ln(rank))"), 6).as("slope"),
+          round(expr("regr_intercept(ln(cnt), ln(rank))"), 6).as("intercept"),
+          round(expr("regr_r2(ln(cnt), ln(rank))"), 6).as("r2"))
+    },
+    Some(s"""WITH p AS (SELECT unnest(regexp_split_to_array(
+            |             regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS term
+            |           FROM documents),
+            |tc AS (SELECT term, CAST(count(*) AS DOUBLE) AS cnt FROM p GROUP BY term),
+            |top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term ASC LIMIT $ZipfTopK),
+            |r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS DOUBLE) AS rank FROM top)
+            |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+            |  round(regr_slope(ln(cnt), ln(rank)), 6) AS slope,
+            |  round(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept,
+            |  round(regr_r2(ln(cnt), ln(rank)), 6) AS r2
+            |FROM r""".stripMargin))
+
+  // =====================================================================
+  // Quality-classifier distillation — the fastText-classifier step of
+  // the GPT-3/CCNet-style pipelines (public: Brown et al. 2020 §A,
+  // Joulin et al. 2016), shaped for weak supervision: take the cheap
+  // heuristic quality gate (E4c's score, the "curated reference side")
+  // as a weak label, train a multinomial Naive Bayes over unigrams
+  // with add-one smoothing, and emit each document's NB log-odds — a
+  // SMOOTH quality score that generalizes beyond the heuristic's hard
+  // thresholds and is the score a 100 TB run would histogram/cut on.
+  // Train and score are two wordcount aggs + one vocabulary-sized
+  // broadcast model join — the exact shape of ext_unigram_logprob; the
+  // 1-row totals/priors ride broadcast cross-joins (PlanSpec
+  // allowlist). log_odds rounds to 4dp BEFORE the sign cut so both
+  // engines threshold the same value.
+  // =====================================================================
+  val qualityClassifier: Q = Q("ext_quality_classifier",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"),
+          (qualityExpr(col("text")) >= 0.6).cast("long").as("y"))
+      val p = docs.select(col("doc_id"), col("y"),
+        explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("term"))
+      val tf = p.groupBy("doc_id", "y", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val cls = p.groupBy("term").agg(
+        sum(when(col("y") === 1, 1.0).otherwise(0.0)).as("c_pos"),
+        sum(when(col("y") === 0, 1.0).otherwise(0.0)).as("c_neg"))
+      val tot = cls.agg(sum(col("c_pos")).as("tot_pos"),
+        sum(col("c_neg")).as("tot_neg"),
+        count(lit(1)).cast("double").as("v"))
+      val pri = docs.agg(sum(col("y")).cast("double").as("n_pos"),
+        sum(lit(1L) - col("y")).cast("double").as("n_neg"))
+      // per-term log-likelihood ratio: the MODEL (vocabulary-sized,
+      // broadcast); 1-row smoothing totals ride the vocab frame
+      val model = broadcast(cls.crossJoin(broadcast(tot))
+        .select(col("term"),
+          (log((col("c_pos") + 1.0) / (col("tot_pos") + col("v"))) -
+            log((col("c_neg") + 1.0) / (col("tot_neg") + col("v")))).as("llr")))
+      val logOdds = round(col("s") + log(col("n_pos") / col("n_neg")), 4)
+      tf.join(model, Seq("term"))
+        .groupBy("doc_id", "y")
+        .agg(sum(col("tf") * col("llr")).as("s"))
+        .crossJoin(broadcast(pri)) // 1-row class priors — PlanSpec allowlist
+        .select(col("doc_id"), col("y").as("weak_label"),
+          logOdds.as("log_odds"),
+          (logOdds >= 0).cast("long").as("nb_label"))
+        .withColumn("agrees", (col("nb_label") === col("weak_label")).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, text,
+            |    CASE WHEN ${qualitySql("text")} >= 0.6 THEN 1 ELSE 0 END AS y
+            |  FROM documents),
+            |p AS (SELECT doc_id, y, unnest(regexp_split_to_array(
+            |        regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS term FROM d),
+            |tf AS (SELECT doc_id, y, term, CAST(count(*) AS DOUBLE) AS tf
+            |       FROM p GROUP BY doc_id, y, term),
+            |cls AS (SELECT term,
+            |          sum(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END) AS c_pos,
+            |          sum(CASE WHEN y = 0 THEN 1.0 ELSE 0.0 END) AS c_neg
+            |        FROM p GROUP BY term),
+            |tot AS (SELECT sum(c_pos) AS tot_pos, sum(c_neg) AS tot_neg,
+            |               CAST(count(*) AS DOUBLE) AS v FROM cls),
+            |pri AS (SELECT CAST(sum(y) AS DOUBLE) AS n_pos,
+            |               CAST(sum(1 - y) AS DOUBLE) AS n_neg FROM d),
+            |m AS (SELECT term, ln((c_pos + 1.0) / (tot_pos + v))
+            |                 - ln((c_neg + 1.0) / (tot_neg + v)) AS llr
+            |      FROM cls, tot),
+            |sc AS (SELECT tf.doc_id, tf.y, sum(tf.tf * m.llr) AS s
+            |       FROM tf JOIN m ON m.term = tf.term GROUP BY tf.doc_id, tf.y)
+            |SELECT doc_id, CAST(y AS BIGINT) AS weak_label,
+            |  round(s + ln(n_pos / n_neg), 4) AS log_odds,
+            |  CAST(CASE WHEN round(s + ln(n_pos / n_neg), 4) >= 0
+            |       THEN 1 ELSE 0 END AS BIGINT) AS nb_label,
+            |  CAST(CASE WHEN (CASE WHEN round(s + ln(n_pos / n_neg), 4) >= 0
+            |                  THEN 1 ELSE 0 END) = y
+            |       THEN 1 ELSE 0 END AS BIGINT) AS agrees
+            |FROM sc, pri ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // Hybrid retrieval via Reciprocal Rank Fusion — the standard two-
+  // tower retrieval stack (public: Cormack/Clarke/Buettcher RRF, SIGIR
+  // 2009): a lexical BM25 ranking and a dense cosine ranking are fused
+  // per query by Σ 1/(60 + rank), which rewards agreement without ever
+  // comparing raw scores across scoring scales. Queries are the
+  // "more-like-this" contract: documents that carry an embedding
+  // (doc_id = vec_id, a deterministic 1-in-97 slice) retrieve their
+  // own neighbors on both towers, self excluded. Scale shape: the
+  // sparse tower is ONE postings pass + query-term-pruned equi-joins
+  // (bm25 posture); the dense tower is the broadcast-query exact scan
+  // (topk_cosine posture; swap in the IVF/PQ index when the corpus
+  // outgrows it); fusion joins two query-sized ranked lists. Ranks are
+  // integers and 1/(60+r) is the same double in both engines, so the
+  // fused score is exactly reproducible; rounding is belt-and-braces.
+  // =====================================================================
+  final val HybridPerSide = 20
+  final val HybridTopK = 10
+  final val RrfK = 60
+
+  val hybridSearch: Q = Q("ext_hybrid_search",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+      val q = Tables.documents(spark, sfDir)
+        .join(emb, col("doc_id") === col("vec_id"))
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      // ----- dense tower: broadcast query set × corpus scan -----
+      val dw = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      val dense = emb
+        .select(col("vec_id").as("doc_id"), col("v").as("cv"), col("nrm").as("cn"))
+        .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+          col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+        .withColumn("r_dense", row_number().over(dw))
+        .filter(col("r_dense") <= HybridPerSide)
+        .select("query_id", "doc_id", "r_dense")
+      // ----- sparse tower: BM25 with the query doc's DISTINCT terms -----
+      val qterms = q.select(col("query_id"),
+        explode(array_distinct(split(edgeTrim(lower(col("qtext"))), "\\s+"))).as("term"))
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
+      val tf = cacheTracked(
+        docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+            explode(col("toks")).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl")))
+      val stats = tf.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val contrib =
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+      val sw = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val sparse = tf.join(broadcast(qterms), Seq("term"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(broadcast(dfq), Seq("term"))
+        .crossJoin(broadcast(stats)) // 1-row corpus stats — PlanSpec allowlist
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum(contrib), 4).as("score"))
+        .withColumn("r_sparse", row_number().over(sw))
+        .filter(col("r_sparse") <= HybridPerSide)
+        .select("query_id", "doc_id", "r_sparse")
+      // ----- RRF fusion over the union of both top lists -----
+      val fw = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfK) + col("r_sparse")), lit(0.0)),
+            6).as("rrf"))
+        .withColumn("rank", row_number().over(fw))
+        .filter(col("rank") <= HybridTopK)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH q AS (
+            |  SELECT d.doc_id AS query_id, d.text AS qtext,
+            |         e.embedding::DOUBLE[] AS qv,
+            |         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS qn
+            |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            |  WHERE d.doc_id % 97 = 0),
+            |c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v,
+            |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            |      FROM embeddings),
+            |dsc AS (SELECT q.query_id, c.doc_id,
+            |          round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS cos
+            |        FROM q JOIN c ON c.doc_id <> q.query_id),
+            |dr AS (SELECT query_id, doc_id,
+            |         row_number() OVER (PARTITION BY query_id
+            |           ORDER BY cos DESC, doc_id ASC) AS r_dense FROM dsc),
+            |dtop AS (SELECT query_id, doc_id, r_dense FROM dr WHERE r_dense <= $HybridPerSide),
+            |qt AS (SELECT query_id, unnest(list_distinct(regexp_split_to_array(
+            |         regexp_replace(lower(qtext), '^\\s+|\\s+$$', '', 'g'), '\\s+'))) AS term FROM q),
+            |dtk AS (SELECT doc_id, regexp_split_to_array(
+            |          regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks FROM documents),
+            |dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM dtk),
+            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dd),
+            |p AS (SELECT doc_id, unnest(toks) AS term FROM dtk),
+            |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM p GROUP BY doc_id, term),
+            |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+            |        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+            |ssc AS (SELECT qt.query_id, tf.doc_id,
+            |          round(sum(
+            |            ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+            |            (tf.tf * ($Bm25K1 + 1.0)) /
+            |            (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dd.dl / st.avgdl))), 4) AS score
+            |        FROM qt JOIN tf ON tf.term = qt.term
+            |          JOIN dfq ON dfq.term = qt.term
+            |          JOIN dd ON dd.doc_id = tf.doc_id, st
+            |        WHERE tf.doc_id <> qt.query_id
+            |        GROUP BY qt.query_id, tf.doc_id),
+            |sr AS (SELECT query_id, doc_id,
+            |         row_number() OVER (PARTITION BY query_id
+            |           ORDER BY score DESC, doc_id ASC) AS r_sparse FROM ssc),
+            |stop AS (SELECT query_id, doc_id, r_sparse FROM sr WHERE r_sparse <= $HybridPerSide),
+            |fused AS (
+            |  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+            |         coalesce(d.doc_id, s.doc_id) AS doc_id,
+            |         round(coalesce(1.0 / ($RrfK + d.r_dense), 0.0) +
+            |               coalesce(1.0 / ($RrfK + s.r_sparse), 0.0), 6) AS rrf
+            |  FROM dtop d FULL JOIN stop s
+            |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+            |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |         ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
+            |SELECT query_id, doc_id, rrf, rank FROM rr
+            |WHERE rank <= $HybridTopK ORDER BY query_id, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, topkPq, annRecall,
@@ -3527,5 +3783,6 @@ object Extensions {
     unigramLogprob, perplexityBuckets, importanceResample, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap,
-    pagerank, weightedSample, domainKl, hits)
+    pagerank, weightedSample, domainKl, hits,
+    zipfFit, qualityClassifier, hybridSearch)
 }

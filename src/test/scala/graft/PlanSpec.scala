@@ -161,7 +161,9 @@ class PlanSpec extends SparkSpec {
       "ext_perplexity_buckets", // composes ext_unigram_logprob (same 1-row total)
       "ext_importance_resample", // 1-row tr/tt totals ride the ≤4096-row feature model
       "ext_domain_kl",       // 1-row corpus-total broadcast onto the vocab frame
-      "ext_hits")            // 1-row L1-normalization broadcast, 4× per run
+      "ext_hits",            // 1-row L1-normalization broadcast, 4× per run
+      "ext_quality_classifier", // 1-row smoothing totals + class priors
+      "ext_hybrid_search")   // broadcast query slice × corpus (dense tower) + 1-row bm25 stats
     // fn runs an entire streaming lifecycle eagerly just to build its
     // (trivial ledger-rollup) frame — a static plan audit shouldn't
     // execute a pipeline; its join surface is covered by PipelineSpec
@@ -187,7 +189,8 @@ class PlanSpec extends SparkSpec {
     // ext_domain_kl, round 6) after being eliminated elsewhere.
     val tinyFrameWindows = Set(
       "ext_stratified_sample",  // min over the ≤5-row lang-count agg
-      "ext_temperature_sample") // same ≤5-row lang-count frame
+      "ext_temperature_sample", // same ≤5-row lang-count frame
+      "ext_zipf_fit")           // rank over the ≤ZipfTopK-row post-LIMIT frame
     val eagerLifecycles = Set("stream_sync_microbatch")
     val offenders = SparkEntry.registry
       .filterNot(q => tinyFrameWindows(q.name) || eagerLifecycles(q.name))

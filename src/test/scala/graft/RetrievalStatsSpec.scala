@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Extensions
+
+/** Round-7 additions: Zipf fit (E25), NB quality-classifier
+  * distillation (E26), hybrid RRF retrieval (E27). The DuckDB hash
+  * compare is the primary gate; these tests pin the semantic
+  * invariants a hash can't explain when it breaks. */
+class RetrievalStatsSpec extends SparkSpec {
+
+  test("zipf fit: one row, negative slope, r2 in [0,1], n_terms capped") {
+    val r = Extensions.zipfFit.fn(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) > 0 && row.getLong(0) <= Extensions.ZipfTopK)
+    assert(row.getDouble(1) < 0.0, "frequency must fall with rank")
+    val r2 = row.getDouble(3)
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
+  test("zipf fit: planted zipfian corpus recovers its exponent") {
+    // freq(term_i) = round(1000 / i) for i in 1..50 → slope ≈ -1
+    import spark.implicits._
+    val docs = (1 to 50).flatMap { i =>
+      Seq.fill(math.max(1000 / i, 1))(s"w$i")
+    }.zipWithIndex.map { case (w, j) => (j.toLong, w) }.toDF("doc_id", "text")
+    val tc = docs
+      .select(explode(split(Extensions.edgeTrim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term").asc)
+    val slope = tc.withColumn("rank", row_number().over(w).cast("double"))
+      .agg(expr("regr_slope(ln(cnt), ln(rank))")).first().getDouble(0)
+    assert(math.abs(slope - (-1.0)) < 0.05, s"slope $slope should be ~ -1")
+  }
+
+  test("NB classifier: one row per doc; labels binary; log-odds sign defines nb_label") {
+    val df = Extensions.qualityClassifier.fn(spark, sf0001)
+    val rows = df.collect()
+    val nDocs = graft.model.Tables.documents(spark, sf0001).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (weak, lo, nb, agrees) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(weak == 0L || weak == 1L)
+      assert(nb == (if (lo >= 0) 1L else 0L))
+      assert(agrees == (if (nb == weak) 1L else 0L))
+    }
+    // the distilled model must beat coin-flip agreement with its own
+    // training signal by a wide margin — if this drops near 0.5 the
+    // model join or the smoothing is broken, even if hashes "pass"
+    val agree = rows.count(_.getLong(4) == 1L).toDouble / rows.length
+    assert(agree > 0.55, s"NB agreement with weak label only $agree")
+  }
+
+  test("hybrid RRF: rank-1 fused score requires presence in a top list; bounds hold") {
+    val rows = Extensions.hybridSearch.fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.length <= Extensions.HybridTopK)
+      // ranks are 1..k dense and rrf is non-increasing in rank
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rs.length))
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse)
+      // max possible fused score is 2/(RrfK+1); min positive is 1/(RrfK+PerSide)
+      assert(scores.head <= 2.0 / (Extensions.RrfK + 1) + 1e-9)
+      assert(scores.last >= 1.0 / (Extensions.RrfK + Extensions.HybridPerSide) - 1e-9)
+    }
+    // a doc ranked #1 by BOTH towers must fuse to exactly 2/(RrfK+1)
+    // somewhere unless towers disagree everywhere — just assert the
+    // self-exclusion contract instead: a query never retrieves itself
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+}
