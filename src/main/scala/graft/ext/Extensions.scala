@@ -3396,15 +3396,20 @@ object Extensions {
           .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
           .distinct())
       val hubs0 = edges.select(col("s")).distinct().withColumn("hub", lit(1.0))
-      // L1 normalization as a 1-row scalar agg broadcast cross-joined
-      // onto the node-score frame — NOT an unpartitioned window, which
-      // would shuffle the entire frame into one partition per half-step
-      // (4× per run; PlanSpec rejects that class registry-wide). The
-      // raw frame is cached first: the total and the join both read it,
-      // and without the cache each half-step would DOUBLE the recursive
-      // plan (2^(2·iters) recomputation of the whole iteration chain)
+      // RAW power iteration, ONE L1 normalization per vector at the
+      // END. Normalization is scalar division, which commutes through
+      // the linear recurrence: end-normalizing (A·Aᵀ)^K·1 is the per-
+      // half-step-normalized HITS vector exactly. Dropping the interior
+      // normalizations removes 3 broadcast barriers and every interior
+      // cache (the lineage is now a linear chain — nothing is consumed
+      // twice until the final frames), and makes the scores MORE
+      // deterministic, not less: from hub0 = 1.0 every interior value
+      // is integer-valued and doubles carry integers exactly to 2^53,
+      // so both engines reach bit-identical numerators/denominators
+      // and the single final division is bit-identical too — per-step
+      // division would instead accumulate order-dependent float noise.
       def l1(df: DataFrame, scoreCol: String): DataFrame = {
-        val raw = cacheTracked(df)
+        val raw = cacheTracked(df) // total + join both read it
         raw.crossJoin(broadcast(raw.agg(sum(col(scoreCol)).as("_l1"))))
           .withColumn(scoreCol, col(scoreCol) / col("_l1"))
           .drop("_l1")
@@ -3412,44 +3417,45 @@ object Extensions {
       var hubs = hubs0
       var auths: DataFrame = null
       for (_ <- 1 to HitsIters) {
-        auths = l1(
-          edges.join(hubs, Seq("s"))
-            .groupBy(col("c")).agg(sum(col("hub")).as("auth")), "auth")
-        hubs = l1(
-          edges.join(auths, Seq("c"))
-            .groupBy(col("s")).agg(sum(col("auth")).as("hub")), "hub")
+        auths = edges.join(hubs, Seq("s"))
+          .groupBy(col("c")).agg(sum(col("hub")).as("auth"))
+        hubs = edges.join(auths, Seq("c"))
+          .groupBy(col("s")).agg(sum(col("auth")).as("hub"))
       }
-      hubs.select(lit("s").as("node_type"), col("s").as("entity_key"),
+      l1(hubs, "hub")
+        .select(lit("s").as("node_type"), col("s").as("entity_key"),
           round(col("hub"), 6).as("score"))
         .unionByName(
-          auths.select(lit("c").as("node_type"), col("c").as("entity_key"),
-            round(col("auth"), 6).as("score")))
+          l1(auths, "auth")
+            .select(lit("c").as("node_type"), col("c").as("entity_key"),
+              round(col("auth"), 6).as("score")))
         .orderBy("node_type", "entity_key")
     },
     Some {
-      // half-steps unrolled: raw sums then L1 normalization, authK from
-      // hubK-1, hubK from authK
+      // RAW half-steps unrolled (authK from hubK-1, hubK from authK);
+      // ONE L1 normalization per vector at the end — the same
+      // end-normalization identity the Spark side documents, so both
+      // engines divide bit-identical integer-valued raw scores by
+      // bit-identical totals
       val iterCtes = (1 to HitsIters).map { k =>
-        s"""auth${k}r AS (
-           |  SELECT c, sum(hub) AS a
+        s"""auth$k AS (
+           |  SELECT c, sum(hub) AS auth
            |  FROM edges e JOIN hub${k - 1} h ON h.s = e.s GROUP BY c),
-           |auth$k AS (SELECT c, a / (SELECT sum(a) FROM auth${k}r) AS auth
-           |           FROM auth${k}r),
-           |hub${k}r AS (
-           |  SELECT s, sum(auth) AS hh
-           |  FROM edges e JOIN auth$k a ON a.c = e.c GROUP BY s),
-           |hub$k AS (SELECT s, hh / (SELECT sum(hh) FROM hub${k}r) AS hub
-           |          FROM hub${k}r)""".stripMargin
+           |hub$k AS (
+           |  SELECT s, sum(auth) AS hub
+           |  FROM edges e JOIN auth$k a ON a.c = e.c GROUP BY s)""".stripMargin
       }.mkString(",\n")
       s"""WITH edges AS (
          |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |hub0 AS (SELECT DISTINCT s, 1.0 AS hub FROM edges),
          |$iterCtes
-         |SELECT 's' AS node_type, s AS entity_key, round(hub, 6) AS score
+         |SELECT 's' AS node_type, s AS entity_key,
+         |  round(hub / (SELECT sum(hub) FROM hub$HitsIters), 6) AS score
          |FROM hub$HitsIters
          |UNION ALL
-         |SELECT 'c' AS node_type, c AS entity_key, round(auth, 6) AS score
+         |SELECT 'c' AS node_type, c AS entity_key,
+         |  round(auth / (SELECT sum(auth) FROM auth$HitsIters), 6) AS score
          |FROM auth$HitsIters
          |ORDER BY node_type, entity_key""".stripMargin
     })
@@ -3769,6 +3775,138 @@ object Extensions {
             |SELECT query_id, doc_id, rrf, rank FROM rr
             |WHERE rank <= $HybridTopK ORDER BY query_id, rank""".stripMargin))
 
+  // =====================================================================
+  // Embedding-space label-consistency audit — leave-one-out kNN over
+  // the labeled embedding table: for each query vector (the same
+  // deterministic 1-in-47 slice as the exact ANN baseline), take its
+  // 10 nearest corpus neighbors by cosine and report the majority
+  // neighbor label, its vote count, and the purity (votes for the
+  // query's OWN label). The standard cheap audit of "do my labels live
+  // in my metric?": purity near the class prior means the labeling and
+  // the embedding disagree — on this corpus they mostly do (purity
+  // ≈ prior), and the audit SAYS so, which is its job. Same broadcast-
+  // query × corpus-scan shape as ext_topk_cosine (swap in the IVF/PQ
+  // index at scale); majority pick is deterministic (votes desc, label
+  // asc) over rounded cosines.
+  // =====================================================================
+  val knnLabelAudit: Q = Q("ext_knn_label_audit",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") % 47 === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val nw = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val nn = e.select(col("vec_id"), col("label").as("n_label"),
+          col("v").as("cv"), col("nrm").as("cn"))
+        .join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("true_label"), col("n_label"), col("vec_id"),
+          round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+        .withColumn("r", row_number().over(nw))
+        .filter(col("r") <= AnnK)
+      val vw = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("n_label").asc)
+      nn.groupBy("query_id", "true_label", "n_label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(vw))
+        .withColumn("purity",
+          round(sum(when(col("n_label") === col("true_label"), col("votes"))
+            .otherwise(0L)).over(Window.partitionBy(col("query_id")))
+            .cast("double") / AnnK, 2))
+        .filter(col("vr") === 1)
+        .select(col("query_id"), col("true_label"),
+          col("n_label").as("pred_label"), col("votes"),
+          (col("n_label") === col("true_label")).cast("long").as("correct"),
+          col("purity"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+            |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            |           FROM embeddings),
+            |q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv, nrm AS qn
+            |      FROM e WHERE vec_id % 47 = 0),
+            |sc AS (SELECT q.query_id, q.true_label, e.label AS n_label, e.vec_id,
+            |         round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cos
+            |       FROM q JOIN e ON e.vec_id <> q.query_id),
+            |nn AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |         ORDER BY cos DESC, vec_id ASC) AS r FROM sc),
+            |votes AS (SELECT query_id, true_label, n_label,
+            |            CAST(count(*) AS BIGINT) AS votes
+            |          FROM nn WHERE r <= $AnnK GROUP BY query_id, true_label, n_label),
+            |pur AS (SELECT query_id,
+            |          round(CAST(sum(CASE WHEN n_label = true_label THEN votes ELSE 0 END) AS DOUBLE) / $AnnK, 2) AS purity
+            |        FROM votes GROUP BY query_id),
+            |win AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |          ORDER BY votes DESC, n_label ASC) AS vr FROM votes)
+            |SELECT w.query_id, w.true_label, w.n_label AS pred_label, w.votes,
+            |  CAST(CASE WHEN w.n_label = w.true_label THEN 1 ELSE 0 END AS BIGINT) AS correct,
+            |  p.purity
+            |FROM win w JOIN pur p ON p.query_id = w.query_id
+            |WHERE w.vr = 1 ORDER BY w.query_id""".stripMargin))
+
+  // =====================================================================
+  // Per-label centroid diagnostics — the cluster-quality summary every
+  // embedding-space curation step (SemDeDup cluster pruning, diversity
+  // sampling, IVF cell sizing) reads before trusting a partition of the
+  // space: per label, the member count, centroid L2 norm (≈0 ⇒ members
+  // cancel — no coherent direction), and the mean/min member cosine to
+  // the centroid. Shape: ONE posexplode pass (rows = vectors × dim —
+  // linear, the same volume any elementwise columnar op pays), two
+  // bounded aggs (labels × dim, then labels), and a (label, dim)
+  // equi-join back for member-to-centroid dots — no all-pairs anywhere;
+  // the labels×dim centroid frame is broadcast-sized at any corpus
+  // scale.
+  // =====================================================================
+  val clusterCentroids: Q = Q("ext_cluster_centroids",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+      val x = e.select(col("vec_id"), col("label"), col("nrm"),
+        posexplode(col("v")).as(Seq("pos", "val")))
+      val cent = x.groupBy("label", "pos").agg(avg(col("val")).as("cv"))
+      val cnorm = cent.groupBy("label")
+        .agg(sqrt(sum(col("cv") * col("cv"))).as("cnorm"))
+      val dots = x.join(broadcast(cent), Seq("label", "pos"))
+        .groupBy("vec_id", "label", "nrm")
+        .agg(sum(col("val") * col("cv")).as("dot"))
+      dots.join(broadcast(cnorm), Seq("label"))
+        .select(col("label"),
+          round(col("dot") / (col("nrm") * col("cnorm")), 6).as("cos"),
+          col("cnorm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_members"),
+          round(first(col("cnorm")), 6).as("centroid_norm"),
+          round(avg(col("cos")), 4).as("avg_cos"),
+          // min over ALREADY-6dp-rounded cosines, re-rounded no further:
+          // the min is an exact 6dp grid point, and ~1% of grid points
+          // sit exactly on a coarser half-boundary where re-rounding
+          // would amplify 1e-15 engine noise into a hash mismatch
+          // (observed: -0.130150 → -0.1301 vs -0.1302 at 4dp)
+          min(col("cos")).as("min_cos"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           |           FROM embeddings),
+           |x AS (SELECT vec_id, label, nrm, t.pos - 1 AS pos, v[t.pos] AS val
+           |      FROM e, unnest(generate_series(1, len(v))) AS t(pos)),
+           |c AS (SELECT label, pos, avg(val) AS cv FROM x GROUP BY label, pos),
+           |cn AS (SELECT label, sqrt(sum(cv * cv)) AS cnorm FROM c GROUP BY label),
+           |d AS (SELECT x.vec_id, x.label, x.nrm, sum(x.val * c.cv) AS dot
+           |      FROM x JOIN c ON c.label = x.label AND c.pos = x.pos
+           |      GROUP BY x.vec_id, x.label, x.nrm),
+           |m AS (SELECT d.label, round(d.dot / (d.nrm * cn.cnorm), 6) AS cos
+           |      FROM d JOIN cn ON cn.label = d.label)
+           |SELECT m.label, CAST(count(*) AS BIGINT) AS n_members,
+           |  round(any_value(cn.cnorm), 6) AS centroid_norm,
+           |  round(avg(m.cos), 4) AS avg_cos, min(m.cos) AS min_cos
+           |FROM m JOIN cn ON cn.label = m.label GROUP BY m.label ORDER BY m.label""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, topkPq, annRecall,
@@ -3784,5 +3922,5 @@ object Extensions {
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits,
-    zipfFit, qualityClassifier, hybridSearch)
+    zipfFit, qualityClassifier, hybridSearch, knnLabelAudit, clusterCentroids)
 }

@@ -161,9 +161,10 @@ class PlanSpec extends SparkSpec {
       "ext_perplexity_buckets", // composes ext_unigram_logprob (same 1-row total)
       "ext_importance_resample", // 1-row tr/tt totals ride the ≤4096-row feature model
       "ext_domain_kl",       // 1-row corpus-total broadcast onto the vocab frame
-      "ext_hits",            // 1-row L1-normalization broadcast, 4× per run
+      "ext_hits",            // 1-row L1-normalization broadcast, 2× per run (end-normalize)
       "ext_quality_classifier", // 1-row smoothing totals + class priors
-      "ext_hybrid_search")   // broadcast query slice × corpus (dense tower) + 1-row bm25 stats
+      "ext_hybrid_search",   // broadcast query slice × corpus (dense tower) + 1-row bm25 stats
+      "ext_knn_label_audit") // broadcast query slice × corpus — topk_cosine shape
     // fn runs an entire streaming lifecycle eagerly just to build its
     // (trivial ledger-rollup) frame — a static plan audit shouldn't
     // execute a pipeline; its join surface is covered by PipelineSpec

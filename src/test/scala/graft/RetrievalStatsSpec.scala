@@ -74,4 +74,39 @@ class RetrievalStatsSpec extends SparkSpec {
     // self-exclusion contract instead: a query never retrieves itself
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
+
+  test("kNN label audit: votes bounded by k, purity consistent with correct") {
+    val rows = Extensions.knnLabelAudit.fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (votes, correct, purity) =
+        (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(votes >= 1 && votes <= Extensions.AnnK)
+      assert(purity >= 0.0 && purity <= 1.0)
+      // if the majority label IS the true label, purity must cover the
+      // winning vote share; if not, the true label got at most `votes`
+      if (correct == 1L) assert(purity >= votes.toDouble / Extensions.AnnK - 1e-9)
+      else assert(purity <= votes.toDouble / Extensions.AnnK + 1e-9)
+    }
+  }
+
+  test("cluster centroids: every label covered; cosines bounded; planted coherent cluster") {
+    import spark.implicits._
+    val rows = Extensions.clusterCentroids.fn(spark, sf0001).collect()
+    val nLabels = graft.model.Tables.embeddings(spark, sf0001)
+      .select("label").distinct().count()
+    assert(rows.length == nLabels)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9, "min_cos <= avg_cos")
+    }
+    // identical members ⇒ centroid == member ⇒ all cosines exactly 1
+    val planted = Seq.tabulate(4)(i =>
+      (i.toLong, Array.fill(8)(0.5f), 7)).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("centroid-planted").toString
+    planted.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Extensions.clusterCentroids.fn(spark, dir).collect()
+    assert(out.length == 1 && out(0).getDouble(3) == 1.0 && out(0).getDouble(4) == 1.0)
+  }
 }
