@@ -3907,6 +3907,46 @@ object Extensions {
            |  round(avg(m.cos), 4) AS avg_cos, min(m.cos) AS min_cos
            |FROM m JOIN cn ON cn.label = m.label GROUP BY m.label ORDER BY m.label""".stripMargin))
 
+  // =====================================================================
+  // BPE merge statistics — the first iteration of byte-pair-encoding
+  // tokenizer training (Sennrich et al. 2016, public): corpus-wide
+  // frequencies of adjacent character pairs inside tokens; the argmax
+  // pair is BPE's first merge, and the head of this table is what a
+  // tokenizer-data audit reads. Scale shape: pair generation runs over
+  // the VOCABULARY weighted by token counts — one wordcount shuffle
+  // over the corpus, then all substring work on the vocab-sized frame
+  // (millions of rows at 100 TB, never corpus-sized); the top-20 cut
+  // is one distributed TakeOrdered. Integer counts — exact in both
+  // engines, no rounding needed.
+  // =====================================================================
+  final val BpeTopPairs = 20
+
+  val bpePairStats: Q = Q("ext_bpe_pair_stats",
+    (spark, sfDir) => {
+      val tf = Tables.documents(spark, sfDir)
+        .select(explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // length >= 2 filter first: Spark's sequence(1, 0) DESCENDS
+      // ([1,0]) instead of producing the empty list DuckDB's range
+      // gives, so an unguarded single-char token would diverge
+      tf.filter(length(col("tok")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(BpeTopPairs)
+    },
+    Some(s"""WITH p AS (SELECT unnest(regexp_split_to_array(
+            |             regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
+            |           FROM documents),
+            |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY tok),
+            |pairs AS (SELECT unnest([substr(tok, i, 2) for i in range(1, length(tok))]) AS pair, cnt
+            |          FROM tf),
+            |pc AS (SELECT pair, sum(cnt) AS n FROM pairs GROUP BY pair)
+            |SELECT pair, CAST(n AS BIGINT) AS n FROM pc
+            |ORDER BY n DESC, pair ASC LIMIT $BpeTopPairs""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, topkPq, annRecall,
@@ -3922,5 +3962,6 @@ object Extensions {
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits,
-    zipfFit, qualityClassifier, hybridSearch, knnLabelAudit, clusterCentroids)
+    zipfFit, qualityClassifier, hybridSearch, knnLabelAudit, clusterCentroids,
+    bpePairStats)
 }

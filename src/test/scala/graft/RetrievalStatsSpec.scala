@@ -109,4 +109,15 @@ class RetrievalStatsSpec extends SparkSpec {
     val out = Extensions.clusterCentroids.fn(spark, dir).collect()
     assert(out.length == 1 && out(0).getDouble(3) == 1.0 && out(0).getDouble(4) == 1.0)
   }
+
+  test("BPE pair stats: planted corpus counts weighted pairs; single-char tokens ignored") {
+    import spark.implicits._
+    // "ab" ×3 docs + "abc" ×1 + "x" (no pairs): ab = 3+1 = 4, bc = 1
+    val docs = Seq((0L, "ab ab x"), (1L, "ab abc")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe-planted").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Extensions.bpePairStats.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 4L, "bc" -> 1L), s"got $got")
+  }
 }
