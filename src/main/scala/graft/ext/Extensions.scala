@@ -3860,36 +3860,40 @@ object Extensions {
   // the labels×dim centroid frame is broadcast-sized at any corpus
   // scale.
   // =====================================================================
+  /** The centroid-diagnostics computation over `emb(vec_id, label, v)`
+    * — shared by the registered query and the 2M-vector scale probe. */
+  def centroidStatsFrom(emb: DataFrame): DataFrame = {
+    val e = emb.withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    val x = e.select(col("vec_id"), col("label"), col("nrm"),
+      posexplode(col("v")).as(Seq("pos", "val")))
+    val cent = x.groupBy("label", "pos").agg(avg(col("val")).as("cv"))
+    val cnorm = cent.groupBy("label")
+      .agg(sqrt(sum(col("cv") * col("cv"))).as("cnorm"))
+    val dots = x.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label", "nrm")
+      .agg(sum(col("val") * col("cv")).as("dot"))
+    dots.join(broadcast(cnorm), Seq("label"))
+      .select(col("label"),
+        round(col("dot") / (col("nrm") * col("cnorm")), 6).as("cos"),
+        col("cnorm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"),
+        round(first(col("cnorm")), 6).as("centroid_norm"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        // min over ALREADY-6dp-rounded cosines, re-rounded no further:
+        // the min is an exact 6dp grid point, and ~1% of grid points
+        // sit exactly on a coarser half-boundary where re-rounding
+        // would amplify 1e-15 engine noise into a hash mismatch
+        // (observed: -0.130150 → -0.1301 vs -0.1302 at 4dp)
+        min(col("cos")).as("min_cos"))
+      .orderBy("label")
+  }
+
   val clusterCentroids: Q = Q("ext_cluster_centroids",
-    (spark, sfDir) => {
-      val e = Tables.embeddings(spark, sfDir)
+    (spark, sfDir) => centroidStatsFrom(
+      Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-      val x = e.select(col("vec_id"), col("label"), col("nrm"),
-        posexplode(col("v")).as(Seq("pos", "val")))
-      val cent = x.groupBy("label", "pos").agg(avg(col("val")).as("cv"))
-      val cnorm = cent.groupBy("label")
-        .agg(sqrt(sum(col("cv") * col("cv"))).as("cnorm"))
-      val dots = x.join(broadcast(cent), Seq("label", "pos"))
-        .groupBy("vec_id", "label", "nrm")
-        .agg(sum(col("val") * col("cv")).as("dot"))
-      dots.join(broadcast(cnorm), Seq("label"))
-        .select(col("label"),
-          round(col("dot") / (col("nrm") * col("cnorm")), 6).as("cos"),
-          col("cnorm"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n_members"),
-          round(first(col("cnorm")), 6).as("centroid_norm"),
-          round(avg(col("cos")), 4).as("avg_cos"),
-          // min over ALREADY-6dp-rounded cosines, re-rounded no further:
-          // the min is an exact 6dp grid point, and ~1% of grid points
-          // sit exactly on a coarser half-boundary where re-rounding
-          // would amplify 1e-15 engine noise into a hash mismatch
-          // (observed: -0.130150 → -0.1301 vs -0.1302 at 4dp)
-          min(col("cos")).as("min_cos"))
-        .orderBy("label")
-    },
+          col("embedding").cast("array<double>").as("v"))),
     Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
            |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
            |           FROM embeddings),
