@@ -375,10 +375,13 @@ object ScaleProbe {
     val emb = base.unionByName(twins)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
-    val isQuery: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      id => id % qStride === 0 && id < nVecs
+    // the query set is FIXED-COUNT by construction (~40 ids at any
+    // nVecs — qStride scales with the corpus), matching pqTopK's
+    // O(1)-query-broadcast contract
+    val queryIds = base.filter(col("vec_id") % qStride === 0)
+      .select("vec_id")
     val t0 = System.nanoTime()
-    val out = ext.Extensions.pqTopK(emb, isQuery).cache()
+    val out = ext.Extensions.pqTopK(emb, queryIds).cache()
     val nOut = out.count()
     val wall = (System.nanoTime() - t0) / 1e9
     val nQ = out.select("query_id").distinct().count()

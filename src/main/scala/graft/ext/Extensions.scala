@@ -113,14 +113,33 @@ object Extensions {
   final val AnnK = 10
 
   /** Recall floors asserted by ext_ann_recall's `pass` column (and by
-    * ExtensionsSpec). Measured recall@10 on the benchmark corpus:
-    * sign-LSH with hamming-≤2 multiprobe 0.88/0.89/0.92 at
-    * sf0.001/0.01/0.1 (was 0.52-0.59 with hamming-≤1); IVF nProbe=6/16
-    * 0.66-0.73. Floors sit a wide margin below the measured minima so
-    * they trip on real index regressions, not corpus jitter. */
+    * ExtensionsSpec). Measured recall@10 on the benchmark corpus with
+    * the fixed [[AnnQueryCount]]-query workload: sign-LSH with
+    * hamming-≤2 multiprobe 0.87/0.92 at sf0.001-0.1; IVF nProbe=6/16
+    * 0.63-0.68; PQ kw=32/rr=200 0.80-0.97. Floors sit a wide margin
+    * below the measured minima so they trip on real index regressions,
+    * not corpus jitter. */
   final val AnnLshRecallFloor = 0.7
   final val IvfRecallFloor = 0.60
   final val PqRecallFloor = 0.70
+
+  /** SF-INVARIANT similarity-search query workload: exactly this many
+    * query vectors, chosen by [[annQueryIds]]. The query side of every
+    * search query is BROADCAST (and PQ builds an M×K LUT per query), so
+    * its cardinality must be a constant of the operator — a
+    * `vec_id % k` slice is a FRACTION of the corpus, and a broadcast
+    * that grows linearly with the data is a driver/executor OOM at
+    * 100×. ScaleSpec asserts this count is identical across SFs. */
+  final val AnnQueryCount = 16
+
+  /** The fixed ANN query-id set over `emb(vec_id, ...)`: the
+    * [[AnnQueryCount]] rows with the smallest (hash60(vec_id), vec_id)
+    * — one TakeOrdered pass over the corpus (executor-side top-n
+    * merge), O(1) result at any corpus size, deterministic for any id
+    * distribution, and expressible verbatim in the DuckDB oracles
+    * (ORDER BY sha-prefix LIMIT n). */
+  def annQueryIds(emb: DataFrame): DataFrame =
+    hashOrderedSample(emb.select("vec_id"), "vec_id", AnnQueryCount)
 
   /** The `n` rows with the smallest (hash60(id), id) — one TakeOrdered
     * pass (O(corpus · log n), executor-side top-n merge, no driver
@@ -643,14 +662,16 @@ object Extensions {
   // =====================================================================
   // E3: brute-force top-k cosine similarity search (the exact baseline;
   // the LSH-bucketed ANN variant is ext_ann_lsh below).
-  // Query set is broadcast; corpus streams — at 100 TB this is one scan.
+  // Query set is the FIXED-COUNT hash-ordered sample ([[annQueryIds]]) —
+  // O(1) broadcast at any SF; corpus streams — at 100 TB this is one
+  // scan against a constant-size query side.
   // =====================================================================
   val topkCosine: Q = Q("ext_topk_cosine",
     (spark, sfDir) => {
       val e = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-      val q = e.filter(col("vec_id") % 47 === 0)
+      val q = hashOrderedSample(e, "vec_id", AnnQueryCount)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("corpus_id"), col("v").as("cv"), col("nrm").as("cn"))
       val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
@@ -666,7 +687,9 @@ object Extensions {
            |  SELECT vec_id, embedding::DOUBLE[] AS v,
            |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
            |  FROM embeddings),
-           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id % 47 = 0),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+           |      ORDER BY ${duckHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+           |      LIMIT $AnnQueryCount),
            |scored AS (
            |  SELECT q.query_id, e.vec_id AS corpus_id,
            |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cos
@@ -689,11 +712,16 @@ object Extensions {
     * lose. Planes are sha256-derived, so the index is deterministic.
     *
     * @param emb        (vec_id long, v array<double>)
-    * @param isQuery    predicate over vec_id choosing the query set
+    * @param queryIds   the query set as a `vec_id` frame. MUST be
+    *                   O(1)-sized (a fixed count like [[annQueryIds]],
+    *                   never a corpus fraction): it is broadcast into
+    *                   the candidate join, so its size is the scale
+    *                   contract of the whole search.
     */
-  def annTopK(emb: DataFrame, isQuery: Column => Column, k: Int = AnnK,
+  def annTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
               nTables: Int = 3, bitsPerTable: Int = 6,
               bucketCap: Int = 256): DataFrame = {
+    val qids = broadcast(queryIds.select("vec_id"))
     val dim = 64
     // deterministic pseudo-random hyperplanes, driver-side (tiny)
     def w(p: Int, j: Int): Double = {
@@ -724,7 +752,7 @@ object Extensions {
     // bit strings — without the two-step split every probe expression
     // would re-embed its own copy of the hyperplane dot products and
     // the codegen'd scoring would dominate the query side.
-    val qbits = e.filter(isQuery(col("vec_id")))
+    val qbits = e.join(qids, Seq("vec_id"))
       .select(col("vec_id") +:
         (0 until nTables).map(t => concat(bitCols(t): _*).as(s"bs_$t")): _*)
     def flipAt(b: Column, i: Int): Column =
@@ -765,7 +793,7 @@ object Extensions {
       .select(col("query_id"), col("corpus_id")).distinct()
     // query vectors ONLY — broadcasting the unfiltered corpus here
     // would ship every embedding to every executor (and the driver)
-    val qv = e.filter(isQuery(col("vec_id")))
+    val qv = e.join(qids, Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val cv = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
@@ -780,11 +808,11 @@ object Extensions {
   }
 
   val annLsh: Q = Q("ext_ann_lsh",
-    (spark, sfDir) =>
-      annTopK(
-        Tables.embeddings(spark, sfDir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-        id => id % 47 === 0),
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      annTopK(emb, annQueryIds(emb))
+    },
     None)
 
   // =====================================================================
@@ -802,11 +830,13 @@ object Extensions {
   def ivfTrainStride(n: Long, nCells: Int, trainPerCell: Int): Long =
     math.max(1L, n / (trainPerCell.toLong * nCells))
 
-  def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int = AnnK,
+  def ivfTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
               nCells: Int = 16, nProbe: Int = 6, iters: Int = 2,
               trainPerCell: Int = 100,
               centroidSrc: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
+    // O(1)-sized by contract (see annTopK) — broadcast per-cell below
+    val qids = broadcast(queryIds.select("vec_id"))
     // unit-normalize once: cosine over normalized vectors = dot product
     val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
     val e = emb.select(col("vec_id"), nv.as("nv"))
@@ -929,7 +959,7 @@ object Extensions {
     val probeStructs = array(scores(centroids).zipWithIndex.map { case (s, i) =>
       struct((-s).as("negs"), lit(i).as("cell"))
     }: _*)
-    val queries = e.filter(isQuery(col("vec_id")))
+    val queries = e.join(qids, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("nv").as("qv"),
         explode(slice(array_sort(probeStructs), 1, nProbe)).as("p"))
       .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
@@ -945,12 +975,12 @@ object Extensions {
   }
 
   val topkIvf: Q = Q("ext_topk_ivf",
-    (spark, sfDir) =>
-      ivfTopK(
-        Tables.embeddings(spark, sfDir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-        id => id % 47 === 0,
-        centroidSrc = Some(s"$sfDir/embeddings.parquet")),
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      ivfTopK(emb, annQueryIds(emb),
+        centroidSrc = Some(s"$sfDir/embeddings.parquet"))
+    },
     None)
 
   // =====================================================================
@@ -979,11 +1009,15 @@ object Extensions {
   final val PqK = 32        // codewords per subspace (5-bit codes)
   final val PqRerank = 200  // exact-rerank candidate depth per query
 
-  def pqTopK(emb: DataFrame, isQuery: Column => Column, k: Int = AnnK,
+  def pqTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
              m: Int = PqM, kw: Int = PqK, rerank: Int = PqRerank,
              iters: Int = 2, trainPerCell: Int = 100,
              codebookSrc: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
+    // O(1)-sized by contract (see annTopK): each query row carries an
+    // M×K ADC LUT, so a corpus-proportional query set would broadcast
+    // corpus × M×K doubles — the exact OOM this signature forbids
+    val qids = broadcast(queryIds.select("vec_id"))
     val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
     val e = emb.select(col("vec_id"), nv.as("nv"))
     // 1-based slice of subspace mi. Callers PROJECT the M sub-columns
@@ -1094,7 +1128,7 @@ object Extensions {
     // query side: the M×K LUT of sub-dot-products, flattened row-major
     val lut = array((0 until m).flatMap(mi =>
       cbs(mi).map(cwd => subDot(col(s"sub_$mi"), cwd))): _*)
-    val queries = withSubs(e.filter(isQuery(col("vec_id"))), ds)
+    val queries = withSubs(e.join(qids, Seq("vec_id")), ds)
       .select(col("vec_id").as("query_id"), col("nv").as("qv"), lut.as("lut"))
     // ADC: fixed-order fold over subspaces — Σ_mi lut[mi·K + code[mi]]
     val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
@@ -1122,12 +1156,12 @@ object Extensions {
   }
 
   val topkPq: Q = Q("ext_topk_pq",
-    (spark, sfDir) =>
-      pqTopK(
-        Tables.embeddings(spark, sfDir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-        id => id % 47 === 0,
-        codebookSrc = Some(s"$sfDir/embeddings.parquet")),
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      pqTopK(emb, annQueryIds(emb),
+        codebookSrc = Some(s"$sfDir/embeddings.parquet"))
+    },
     None)
 
   // =====================================================================
@@ -1210,7 +1244,13 @@ object Extensions {
         else Array(src)
       val dataFp = s"${parts.length}_${parts.map(_.length()).sum}_" +
         parts.map(_.lastModified()).foldLeft(0L)(math.max)
-      val key = srcPath.replaceAll("[^A-Za-z0-9._-]", "_") +
+      // "fx" prefix: an absolute srcPath sanitizes to a LEADING
+      // UNDERSCORE, and Spark's file index treats `_*` / `.*` paths as
+      // hidden — the read of such a fixture dir warns "All paths were
+      // ignored", throws, and the catch silently serves the live
+      // recompute forever (the fixture builds but NEVER serves). The
+      // prefix keeps every fixture dir visible to the reader.
+      val key = "fx" + srcPath.replaceAll("[^A-Za-z0-9._-]", "_") +
         s"_${dataFp}_${keyExtra}_$planFp"
       val dir = java.nio.file.Paths.get(s"target/$family/$key")
       if (!java.nio.file.Files.exists(dir)) {
@@ -3645,7 +3685,9 @@ object Extensions {
   // per query by Σ 1/(60 + rank), which rewards agreement without ever
   // comparing raw scores across scoring scales. Queries are the
   // "more-like-this" contract: documents that carry an embedding
-  // (doc_id = vec_id, a deterministic 1-in-97 slice) retrieve their
+  // (doc_id = vec_id; a FIXED-COUNT hash-ordered sample, so the
+  // broadcast query side — which carries full query text — is O(1) at
+  // any corpus size) retrieve their
   // own neighbors on both towers, self excluded. Scale shape: the
   // sparse tower is ONE postings pass + query-term-pruned equi-joins
   // (bm25 posture); the dense tower is the broadcast-query exact scan
@@ -3658,14 +3700,19 @@ object Extensions {
   final val HybridTopK = 10
   final val RrfK = 60
 
+  /** SF-invariant hybrid-retrieval query workload (see [[AnnQueryCount]]
+    * for why a corpus-fraction slice is forbidden here). */
+  final val HybridQueryCount = 8
+
   val hybridSearch: Q = Q("ext_hybrid_search",
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-      val q = Tables.documents(spark, sfDir)
-        .join(emb, col("doc_id") === col("vec_id"))
-        .filter(col("doc_id") % 97 === 0)
+      val q = hashOrderedSample(
+          Tables.documents(spark, sfDir)
+            .join(emb, col("doc_id") === col("vec_id")),
+          "doc_id", HybridQueryCount)
         .select(col("doc_id").as("query_id"), col("text").as("qtext"),
           col("v").as("qv"), col("nrm").as("qn"))
       // ----- dense tower: broadcast query set × corpus scan -----
@@ -3728,7 +3775,8 @@ object Extensions {
             |         e.embedding::DOUBLE[] AS qv,
             |         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS qn
             |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-            |  WHERE d.doc_id % 97 = 0),
+            |  ORDER BY ${duckHash60("CAST(d.doc_id AS VARCHAR)")}, d.doc_id
+            |  LIMIT $HybridQueryCount),
             |c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v,
             |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
             |      FROM embeddings),
@@ -3778,7 +3826,8 @@ object Extensions {
   // =====================================================================
   // Embedding-space label-consistency audit — leave-one-out kNN over
   // the labeled embedding table: for each query vector (the same
-  // deterministic 1-in-47 slice as the exact ANN baseline), take its
+  // fixed-count hash-ordered query set as the exact ANN baseline —
+  // O(1) broadcast at any SF), take its
   // 10 nearest corpus neighbors by cosine and report the majority
   // neighbor label, its vote count, and the purity (votes for the
   // query's OWN label). The standard cheap audit of "do my labels live
@@ -3795,7 +3844,7 @@ object Extensions {
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-      val q = e.filter(col("vec_id") % 47 === 0)
+      val q = hashOrderedSample(e, "vec_id", AnnQueryCount)
         .select(col("vec_id").as("query_id"), col("label").as("true_label"),
           col("v").as("qv"), col("nrm").as("qn"))
       val nw = Window.partitionBy(col("query_id"))
@@ -3827,7 +3876,8 @@ object Extensions {
             |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
             |           FROM embeddings),
             |q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv, nrm AS qn
-            |      FROM e WHERE vec_id % 47 = 0),
+            |      FROM e ORDER BY ${duckHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+            |      LIMIT $AnnQueryCount),
             |sc AS (SELECT q.query_id, q.true_label, e.label AS n_label, e.vec_id,
             |         round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cos
             |       FROM q JOIN e ON e.vec_id <> q.query_id),

@@ -51,7 +51,8 @@ class ExtensionsSpec extends SparkSpec {
       (i + 10000L, v.map(_ + 1e-4 * rnd.nextGaussian()))
     }
     val emb = spark.createDataFrame((base ++ planted)).toDF("vec_id", "v")
-    val out = Extensions.annTopK(emb, id => id % 50 === 0 && id < 1000, k = 3)
+    val out = Extensions.annTopK(emb,
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000).select("vec_id"), k = 3)
       .filter(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // every query's top-1 must be its planted twin
@@ -111,7 +112,8 @@ class ExtensionsSpec extends SparkSpec {
       (i + 10000L, v.map(_ + 1e-4 * rnd.nextGaussian()))
     }
     val emb = spark.createDataFrame(base ++ planted).toDF("vec_id", "v")
-    val out = Extensions.ivfTopK(emb, id => id % 50 === 0 && id < 1000, k = 3)
+    val out = Extensions.ivfTopK(emb,
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000).select("vec_id"), k = 3)
       .filter(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keySet == Set(0L, 50L, 100L, 150L))
@@ -206,7 +208,8 @@ class ExtensionsSpec extends SparkSpec {
     // correct top-k answer (cos == 1).
     val v = Array.tabulate(64)(j => math.sin(j + 1.0))
     val emb = (0L until 600L).map(i => (i, v)).toDF("vec_id", "v")
-    val out = Extensions.annTopK(emb, id => id === 0L, k = 5, bucketCap = 20)
+    val out = Extensions.annTopK(emb,
+        emb.filter(col("vec_id") === 0L).select("vec_id"), k = 5, bucketCap = 20)
     val rows = out.collect()
     assert(rows.length == 5)
     assert(rows.forall(r => r.getDouble(2) == 1.0))
@@ -256,7 +259,8 @@ class ExtensionsSpec extends SparkSpec {
       (i + 10000L, v.map(_ + 1e-4 * rnd.nextGaussian()))
     }
     val emb = spark.createDataFrame(base ++ planted).toDF("vec_id", "v")
-    val out = Extensions.pqTopK(emb, id => id % 50 === 0 && id < 1000, k = 3)
+    val out = Extensions.pqTopK(emb,
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000).select("vec_id"), k = 3)
       .filter(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keySet == Set(0L, 50L, 100L, 150L))
@@ -270,6 +274,26 @@ class ExtensionsSpec extends SparkSpec {
     val ranks = approx.groupBy("query_id").agg(min("rank"), max("rank"), count(lit(1)))
       .collect()
     ranks.foreach(r => assert(r.getInt(1) == 1 && r.getInt(2) == r.getLong(3).toInt))
+  }
+
+  test("parquetFixture actually SERVES the persisted frame (no silent live fallback)") {
+    // regression: absolute srcPaths used to sanitize to a LEADING
+    // underscore, which Spark's file index treats as hidden — the
+    // fixture read failed and the catch served the live recompute on
+    // every call. Round-trip equality can't catch that (fallback ==
+    // live); serving a DIFFERENT live frame under the same key can.
+    val src = java.nio.file.Files.createTempFile("fx-src", ".parquet")
+    java.nio.file.Files.writeString(src, "fingerprint-me")
+    val first = Seq((1L, "a")).toDF("id", "v")
+    val second = Seq((2L, "b")).toDF("id", "v")
+    val plan = "fixture-serve-test-plan-v1"
+    val got1 = Extensions.parquetFixture(spark, "fx-serve-test",
+      src.toString, "k1", plan, first)
+    assert(got1.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val got2 = Extensions.parquetFixture(spark, "fx-serve-test",
+      src.toString, "k1", plan, second)
+    assert(got2.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "fixture did not serve: reader fell back to the live frame")
   }
 
   test("annExactBaseline fixture round-trips identically to the live exact search") {
@@ -314,7 +338,8 @@ class ExtensionsSpec extends SparkSpec {
     }
     val emb = spark.createDataFrame(base ++ planted).toDF("vec_id", "v")
     assert(Extensions.ivfTrainStride(204, 16, 2) > 1L)
-    val out = Extensions.ivfTopK(emb, id => id % 50 === 0 && id < 1000,
+    val out = Extensions.ivfTopK(emb,
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000).select("vec_id"),
         k = 3, trainPerCell = 2)
       .filter(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -75,6 +75,35 @@ class ScaleSpec extends SparkSpec {
       s"cap not binding at sf0.1: ${bound.toSeq}")
   }
 
+  test("similarity-search query workloads are a FIXED COUNT, invariant across SFs") {
+    import graft.ext.Extensions
+    // the query side of every search query is broadcast (and PQ builds
+    // an M×K LUT per query): a corpus-fraction slice (the old
+    // `vec_id % 47`) grows the broadcast linearly with the data — a
+    // driver/executor OOM at 100×. The workload must saturate at
+    // exactly AnnQueryCount / HybridQueryCount at every SF.
+    val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val annCounts = sfs.map { sf =>
+      Extensions.annQueryIds(model.Tables.embeddings(spark, sf)).count()
+    }
+    assert(annCounts.toSet == Set(Extensions.AnnQueryCount.toLong),
+      s"ANN query workload not SF-invariant: $annCounts")
+    // the registered queries must agree with the helper: distinct
+    // query_ids in each output == the fixed count at both SFs
+    sfs.foreach { sf =>
+      val nq = Extensions.topkCosine.fn(spark, sf)
+        .select("query_id").distinct().count()
+      assert(nq == Extensions.AnnQueryCount.toLong,
+        s"$sf: ext_topk_cosine ran $nq queries, want ${Extensions.AnnQueryCount}")
+    }
+    val hybridCounts = sfs.map { sf =>
+      Extensions.hybridSearch.fn(spark, sf)
+        .select("query_id").distinct().count()
+    }
+    assert(hybridCounts.toSet == Set(Extensions.HybridQueryCount.toLong),
+      s"hybrid query workload not SF-invariant: $hybridCounts")
+  }
+
   test("connectedComponents handles a planted mega-component (hot join key) correctly") {
     // one hub star (maximally hot key in the sym self-join + neighbor
     // aggregation — the boilerplate-family skew shape) alongside small
