@@ -3448,6 +3448,13 @@ object Extensions {
       // so both engines reach bit-identical numerators/denominators
       // and the single final division is bit-identical too — per-step
       // division would instead accumulate order-dependent float noise.
+      // SCALE BOUND on that exactness claim: raw power-iteration sums
+      // grow multiplicatively with degree (~(d_avg)^(2·iters)), so at
+      // corpus sizes where totals exceed 2^53 the integer-exactness
+      // argument lapses and summation-order noise returns; the 6dp
+      // round AFTER the one division is the cross-engine guard that
+      // remains at that scale (divergence needs ~1e-7 relative noise
+      // on a normalized score — far above double-sum jitter).
       def l1(df: DataFrame, scoreCol: String): DataFrame = {
         val raw = cacheTracked(df) // total + join both read it
         raw.crossJoin(broadcast(raw.agg(sum(col(scoreCol)).as("_l1"))))
@@ -3638,7 +3645,13 @@ object Extensions {
         .select(col("term"),
           (log((col("c_pos") + 1.0) / (col("tot_pos") + col("v"))) -
             log((col("c_neg") + 1.0) / (col("tot_neg") + col("v")))).as("llr")))
-      val logOdds = round(col("s") + log(col("n_pos") / col("n_neg")), 4)
+      // add-one-smoothed prior: if a future data roll puts every doc in
+      // one class, ln(n_pos/n_neg) is ±Infinity and the sign cut
+      // compares non-finite values across engines (opaque hash fail);
+      // the +1 clamp keeps the prior finite on any input, in lockstep
+      // with the oracle
+      val logOdds = round(
+        col("s") + log((col("n_pos") + 1.0) / (col("n_neg") + 1.0)), 4)
       tf.join(model, Seq("term"))
         .groupBy("doc_id", "y")
         .agg(sum(col("tf") * col("llr")).as("s"))
@@ -3670,10 +3683,10 @@ object Extensions {
             |sc AS (SELECT tf.doc_id, tf.y, sum(tf.tf * m.llr) AS s
             |       FROM tf JOIN m ON m.term = tf.term GROUP BY tf.doc_id, tf.y)
             |SELECT doc_id, CAST(y AS BIGINT) AS weak_label,
-            |  round(s + ln(n_pos / n_neg), 4) AS log_odds,
-            |  CAST(CASE WHEN round(s + ln(n_pos / n_neg), 4) >= 0
+            |  round(s + ln((n_pos + 1.0) / (n_neg + 1.0)), 4) AS log_odds,
+            |  CAST(CASE WHEN round(s + ln((n_pos + 1.0) / (n_neg + 1.0)), 4) >= 0
             |       THEN 1 ELSE 0 END AS BIGINT) AS nb_label,
-            |  CAST(CASE WHEN (CASE WHEN round(s + ln(n_pos / n_neg), 4) >= 0
+            |  CAST(CASE WHEN (CASE WHEN round(s + ln((n_pos + 1.0) / (n_neg + 1.0)), 4) >= 0
             |                  THEN 1 ELSE 0 END) = y
             |       THEN 1 ELSE 0 END AS BIGINT) AS agrees
             |FROM sc, pri ORDER BY doc_id""".stripMargin))

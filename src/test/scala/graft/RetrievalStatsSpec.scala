@@ -54,6 +54,26 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(agree > 0.55, s"NB agreement with weak label only $agree")
   }
 
+  test("NB classifier: single-class corpus stays finite (smoothed prior)") {
+    // every doc below the 0.6 weak-label threshold: n_pos = 0, and an
+    // unsmoothed ln(n_pos/n_neg) prior would be -Infinity — the sign
+    // cut then compares non-finite values across engines and the hash
+    // gate fails opaquely. The add-one-smoothed prior must keep every
+    // log_odds finite on any class balance.
+    import spark.implicits._
+    val docs = (1L to 20L)
+      .map(i => (i, s"zz zz zz zz zz zz zz zz zz$i"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("target/tmp-nb1cls/documents.parquet")
+    val rows = Extensions.qualityClassifier.fn(spark, "target/tmp-nb1cls").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getLong(1) == 0L), "fixture must be single-class")
+    rows.foreach { r =>
+      val lo = r.getDouble(2)
+      assert(!lo.isNaN && !lo.isInfinite, s"non-finite log_odds $lo")
+    }
+  }
+
   test("hybrid RRF: rank-1 fused score requires presence in a top list; bounds hold") {
     val rows = Extensions.hybridSearch.fn(spark, sf0001).collect()
     assert(rows.nonEmpty)
