@@ -29,6 +29,8 @@ object SparkEntry {
       "approximate (product-quantized) index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
     "ext_ann_recall" ->
       "self-checking metric: the output carries its own pass column asserting the registered recall floors",
+    "ext_hybrid_search_pq" ->
+      "self-checking metric over an approximate (PQ-tower) index: the output carries its own pass column asserting the fusion-overlap floor vs the exact hybrid",
     "stream_sync_microbatch" ->
       "streaming foreachBatch lifecycle has no DuckDB analog; semantics are covered by StreamingSyncSpec and PipelineSpec")
 

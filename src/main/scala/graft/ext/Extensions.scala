@@ -3717,71 +3717,95 @@ object Extensions {
     * for why a corpus-fraction slice is forbidden here). */
   final val HybridQueryCount = 8
 
+  /** Normalized embedding frame (vec_id, v, nrm) for the hybrid towers. */
+  private def hybridEmb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+
+  /** The fixed hybrid query set (query_id, qtext, qv, qn): the
+    * [[HybridQueryCount]] docs carrying an embedding, hash-ordered —
+    * O(1) broadcast at any SF. */
+  def hybridQueries(spark: SparkSession, sfDir: String): DataFrame =
+    hashOrderedSample(
+      Tables.documents(spark, sfDir)
+        .join(hybridEmb(spark, sfDir), col("doc_id") === col("vec_id")),
+      "doc_id", HybridQueryCount)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"),
+        col("v").as("qv"), col("nrm").as("qn"))
+
+  /** Exact dense tower: broadcast query set × one corpus scan,
+    * top-[[HybridPerSide]] per query → (query_id, doc_id, r_dense). */
+  def hybridDenseExact(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    emb
+      .select(col("vec_id").as("doc_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+      .withColumn("r_dense", row_number().over(dw))
+      .filter(col("r_dense") <= HybridPerSide)
+      .select("query_id", "doc_id", "r_dense")
+  }
+
+  /** Sparse tower: BM25 with the query doc's DISTINCT terms — one
+    * postings pass, query-term-pruned df, 1-row stats broadcast →
+    * (query_id, doc_id, r_sparse). */
+  def hybridSparseTop(spark: SparkSession, sfDir: String, q: DataFrame): DataFrame = {
+    val qterms = q.select(col("query_id"),
+      explode(array_distinct(split(edgeTrim(lower(col("qtext"))), "\\s+"))).as("term"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
+    val tf = cacheTracked(
+      docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+          explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl")))
+    val stats = tf.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * (Bm25K1 + 1.0)) /
+        (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats)) // 1-row corpus stats — PlanSpec allowlist
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(contrib), 4).as("score"))
+      .withColumn("r_sparse", row_number().over(sw))
+      .filter(col("r_sparse") <= HybridPerSide)
+      .select("query_id", "doc_id", "r_sparse")
+  }
+
+  /** RRF fusion of two (query_id, doc_id, r_*) top lists →
+    * top-[[HybridTopK]] fused ranking. */
+  def hybridFuse(dense: DataFrame, sparse: DataFrame): DataFrame = {
+    val fw = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("r_sparse")), lit(0.0)),
+          6).as("rrf"))
+      .withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= HybridTopK)
+      .orderBy("query_id", "rank")
+  }
+
   val hybridSearch: Q = Q("ext_hybrid_search",
     (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-      val q = hashOrderedSample(
-          Tables.documents(spark, sfDir)
-            .join(emb, col("doc_id") === col("vec_id")),
-          "doc_id", HybridQueryCount)
-        .select(col("doc_id").as("query_id"), col("text").as("qtext"),
-          col("v").as("qv"), col("nrm").as("qn"))
-      // ----- dense tower: broadcast query set × corpus scan -----
-      val dw = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("doc_id").asc)
-      val dense = emb
-        .select(col("vec_id").as("doc_id"), col("v").as("cv"), col("nrm").as("cn"))
-        .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
-          col("query_id") =!= col("doc_id"))
-        .select(col("query_id"), col("doc_id"),
-          round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
-        .withColumn("r_dense", row_number().over(dw))
-        .filter(col("r_dense") <= HybridPerSide)
-        .select("query_id", "doc_id", "r_dense")
-      // ----- sparse tower: BM25 with the query doc's DISTINCT terms -----
-      val qterms = q.select(col("query_id"),
-        explode(array_distinct(split(edgeTrim(lower(col("qtext"))), "\\s+"))).as("term"))
-      val docs = Tables.documents(spark, sfDir)
-        .select(col("doc_id"),
-          split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
-      val tf = cacheTracked(
-        docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-            explode(col("toks")).as("term"))
-          .groupBy("doc_id", "term")
-          .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl")))
-      val stats = tf.groupBy("doc_id").agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-      val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
-        .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      val contrib =
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (Bm25K1 + 1.0)) /
-          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
-      val sw = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-      val sparse = tf.join(broadcast(qterms), Seq("term"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .join(broadcast(dfq), Seq("term"))
-        .crossJoin(broadcast(stats)) // 1-row corpus stats — PlanSpec allowlist
-        .groupBy("query_id", "doc_id")
-        .agg(round(sum(contrib), 4).as("score"))
-        .withColumn("r_sparse", row_number().over(sw))
-        .filter(col("r_sparse") <= HybridPerSide)
-        .select("query_id", "doc_id", "r_sparse")
-      // ----- RRF fusion over the union of both top lists -----
-      val fw = Window.partitionBy(col("query_id"))
-        .orderBy(col("rrf").desc, col("doc_id").asc)
-      dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
-        .select(col("query_id"), col("doc_id"),
-          round(
-            coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(RrfK) + col("r_sparse")), lit(0.0)),
-            6).as("rrf"))
-        .withColumn("rank", row_number().over(fw))
-        .filter(col("rank") <= HybridTopK)
-        .orderBy("query_id", "rank")
+      val emb = hybridEmb(spark, sfDir)
+      val q = hybridQueries(spark, sfDir)
+      hybridFuse(hybridDenseExact(emb, q), hybridSparseTop(spark, sfDir, q))
     },
     Some(s"""WITH q AS (
             |  SELECT d.doc_id AS query_id, d.text AS qtext,
@@ -3835,6 +3859,63 @@ object Extensions {
             |         ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
             |SELECT query_id, doc_id, rrf, rank FROM rr
             |WHERE rank <= $HybridTopK ORDER BY query_id, rank""".stripMargin))
+
+  // =====================================================================
+  // INDEXED hybrid retrieval — the 100 TB composition: the dense tower
+  // is the PQ/ADC index search (ext_topk_pq's machinery, shared frozen
+  // codebook fixture) instead of the brute-force exact scan, fused with
+  // the same BM25 sparse tower by the same RRF. The registered query is
+  // the ext_ann_recall pattern: it runs BOTH hybrids and reports the
+  // mean per-query overlap@k of the indexed fusion against the exact
+  // fusion, with a pass column carrying the floor — an index-quality
+  // regression shows up in CORRECTNESS/BENCH trend lines per round.
+  // =====================================================================
+  /** Floor for the PQ-tower fusion's overlap@10 vs the exact-tower
+    * fusion. Measured 1.0/1.0/0.9125 at sf0.001/0.01/0.1 (the sparse
+    * tower is identical, and PQ recall@20 over a 200-deep rerank
+    * recovers nearly all of the exact dense list); the floor sits far
+    * below so it trips on real index regressions, not corpus jitter. */
+  final val HybridPqOverlapFloor = 0.6
+
+  /** The indexed hybrid ranking itself (query_id, doc_id, rrf, rank) —
+    * the library's production retrieval path at scale. */
+  def hybridSearchPqRanking(spark: SparkSession, sfDir: String,
+                            sparse0: Option[DataFrame] = None): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = hybridQueries(spark, sfDir)
+    val densePq = pqTopK(emb, q.select(col("query_id").as("vec_id")),
+        k = HybridPerSide, codebookSrc = Some(s"$sfDir/embeddings.parquet"))
+      .select(col("query_id"), col("corpus_id").as("doc_id"),
+        col("rank").as("r_dense"))
+    hybridFuse(densePq, sparse0.getOrElse(hybridSparseTop(spark, sfDir, q)))
+  }
+
+  val hybridSearchPq: Q = Q("ext_hybrid_search_pq",
+    (spark, sfDir) => {
+      val q = hybridQueries(spark, sfDir)
+      // ONE sparse tower feeds both fusions (cached): the towers differ
+      // only on the dense side, so recomputing BM25 per fusion would
+      // double the postings work the comparison doesn't need
+      val sparse = cacheTracked(hybridSparseTop(spark, sfDir, q))
+      val exact = hybridFuse(hybridDenseExact(hybridEmb(spark, sfDir), q), sparse)
+        .select(col("query_id"), col("doc_id"))
+      val pq = hybridSearchPqRanking(spark, sfDir, Some(sparse))
+        .select(col("query_id"), col("doc_id"))
+      // overlap driven from the EXACT side: a query whose indexed
+      // fusion returned nothing counts as overlap 0, never drops out
+      val exactN = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val hits = pq.join(exact, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("nhit"))
+      exactN.join(hits, Seq("query_id"), "left")
+        .select((coalesce(col("nhit"), lit(0L)) / col("n_exact")).as("overlap"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("overlap")), 4).as("overlap_at_10"))
+        .select(lit("hybrid_pq").as("method"), col("n_queries"),
+          col("overlap_at_10"),
+          (col("overlap_at_10") >= HybridPqOverlapFloor).as("pass"))
+    },
+    None)
 
   // =====================================================================
   // Embedding-space label-consistency audit — leave-one-out kNN over
@@ -4029,6 +4110,6 @@ object Extensions {
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits,
-    zipfFit, qualityClassifier, hybridSearch, knnLabelAudit, clusterCentroids,
-    bpePairStats)
+    zipfFit, qualityClassifier, hybridSearch, hybridSearchPq, knnLabelAudit,
+    clusterCentroids, bpePairStats)
 }

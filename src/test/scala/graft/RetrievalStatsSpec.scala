@@ -74,6 +74,29 @@ class RetrievalStatsSpec extends SparkSpec {
     }
   }
 
+  test("indexed hybrid (PQ dense tower): overlap floor clears; metric well-formed") {
+    val rows = Extensions.hybridSearchPq.fn(spark, sf0001).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(0) == "hybrid_pq")
+    // denominator is the fixed query workload — a query whose indexed
+    // fusion returned nothing counts as overlap 0, never drops out
+    assert(r.getLong(1) == Extensions.HybridQueryCount.toLong)
+    info(s"hybrid_pq overlap_at_10 = ${r.getDouble(2)}")
+    assert(r.getBoolean(3),
+      s"overlap ${r.getDouble(2)} below floor ${Extensions.HybridPqOverlapFloor}")
+    // the indexed ranking itself is well-formed: dense ranks 1..k per
+    // query, no self-retrieval
+    val ranking = Extensions.hybridSearchPqRanking(spark, sf0001)
+    assert(ranking.filter(col("query_id") === col("doc_id")).count() == 0)
+    val byQ = ranking.collect().groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length <= Extensions.HybridTopK)
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("hybrid RRF: rank-1 fused score requires presence in a top list; bounds hold") {
     val rows = Extensions.hybridSearch.fn(spark, sf0001).collect()
     assert(rows.nonEmpty)
