@@ -394,7 +394,48 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `pqinc` mode: incremental PQ maintenance at 100×-scale vector
+    * counts — proves the daily-increment contract: codebook training
+    * reads a BOUNDED sample, and encoding a new batch is O(batch),
+    * never a corpus rescan. Reports train / full-corpus-encode /
+    * batch-encode walls; the batch:corpus encode ratio should track
+    * the batch:corpus SIZE ratio (1:100), not 1:1. */
+  private def pqIncProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.length > 1) args(1).toLong else 2000000L
+    val nBatch = math.max(1L, nVecs / 100L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val v = transform(sequence(lit(0), lit(63)),
+      j => pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0 - 1.0)
+    val corpus = spark.range(nVecs).select(col("id").as("vec_id"), v.as("v"))
+    val batch = spark.range(nVecs, nVecs + nBatch)
+      .select(col("id").as("vec_id"), v.as("v"))
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (cbs, tTrain) = timed(ext.Extensions.pqCodebooks(corpus))
+    val (_, tCorpus) = timed(
+      ext.Extensions.pqEncodeWithError(corpus, cbs)
+        .agg(count(lit(1)), avg(col("qerr"))).collect())
+    val ((bn, berr), tBatch) = timed {
+      val r = ext.Extensions.pqEncodeWithError(batch, cbs)
+        .agg(count(lit(1)), avg(col("qerr"))).collect()(0)
+      (r.getLong(0), r.getDouble(1))
+    }
+    println(f"PQINCPROBE n=$nVecs%d batch=$bn%d wall{train=$tTrain%.1fs " +
+      f"corpus_encode=$tCorpus%.1fs batch_encode=$tBatch%.1fs " +
+      f"ratio=${tBatch / tCorpus}%.3f} batch_mean_qerr=$berr%.4f " +
+      f"(contract: ratio tracks size ratio ${nBatch.toDouble / nVecs}%.3f, not 1.0)")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pqinc")) { pqIncProbe(args); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("semantic")) { semanticProbe(args); return }

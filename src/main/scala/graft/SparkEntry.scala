@@ -31,6 +31,8 @@ object SparkEntry {
       "self-checking metric: the output carries its own pass column asserting the registered recall floors",
     "ext_hybrid_search_pq" ->
       "self-checking metric over an approximate (PQ-tower) index: the output carries its own pass column asserting the fusion-overlap floor vs the exact hybrid",
+    "ext_pq_incremental" ->
+      "frozen-codebook model maintenance has no SQL analog (the codebook is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test and the O(batch) encode by ScaleProbe pqinc",
     "stream_sync_microbatch" ->
       "streaming foreachBatch lifecycle has no DuckDB analog; semantics are covered by StreamingSyncSpec and PipelineSpec")
 

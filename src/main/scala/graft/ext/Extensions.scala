@@ -1009,41 +1009,47 @@ object Extensions {
   final val PqK = 32        // codewords per subspace (5-bit codes)
   final val PqRerank = 200  // exact-rerank candidate depth per query
 
-  def pqTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
-             m: Int = PqM, kw: Int = PqK, rerank: Int = PqRerank,
-             iters: Int = 2, trainPerCell: Int = 100,
-             codebookSrc: Option[String] = None): DataFrame = {
-    val spark = emb.sparkSession
-    // O(1)-sized by contract (see annTopK): each query row carries an
-    // M×K ADC LUT, so a corpus-proportional query set would broadcast
-    // corpus × M×K doubles — the exact OOM this signature forbids
-    val qids = broadcast(queryIds.select("vec_id"))
+  /** Normalized (vec_id, nv) frame shared by PQ training / encode /
+    * search — cosine over unit vectors = dot product. */
+  private def pqNormalize(emb: DataFrame): DataFrame = {
     val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
-    val e = emb.select(col("vec_id"), nv.as("nv"))
-    // 1-based slice of subspace mi. Callers PROJECT the M sub-columns
-    // once and pass them to the helpers below — inlining the slice into
-    // every codeword dot would re-slice the vector K times per subspace
-    // per row (256 allocations/row on the full encode scan).
-    def subCol(mi: Int, ds: Int): Column = slice(col("nv"), mi * ds + 1, ds)
-    def subDot(sub: Column, cwd: Array[Double]): Column =
-      dotD(sub, array(cwd.map(lit).toSeq: _*))
-    // first index achieving the max sub-dot — deterministic tiebreak,
-    // same construction as the IVF cell assignment
-    def cellOfSub(sub: Column, cb: Array[Array[Double]]): Column = {
-      val sa = array(cb.map(cwd => subDot(sub, cwd)).toSeq: _*)
-      (array_position(sa, array_max(sa)) - 1).cast("int")
-    }
-    def withSubs(df: DataFrame, ds: Int): DataFrame =
-      df.select(df.columns.map(col).toSeq ++
-        (0 until m).map(mi => subCol(mi, ds).as(s"sub_$mi")): _*)
+    emb.select(col("vec_id"), nv.as("nv"))
+  }
+  private def pqSubDot(sub: Column, cwd: Array[Double]): Column =
+    dotD(sub, array(cwd.map(lit).toSeq: _*))
+  // first index achieving the max sub-dot — deterministic tiebreak,
+  // same construction as the IVF cell assignment
+  private def pqCellOfSub(sub: Column, cb: Array[Array[Double]]): Column = {
+    val sa = array(cb.map(cwd => pqSubDot(sub, cwd)).toSeq: _*)
+    (array_position(sa, array_max(sa)) - 1).cast("int")
+  }
+  // 1-based slice of subspace mi, PROJECTED once per caller — inlining
+  // the slice into every codeword dot would re-slice the vector K
+  // times per subspace per row (256 allocations/row on the encode scan)
+  private def pqWithSubs(df: DataFrame, m: Int, ds: Int): DataFrame =
+    df.select(df.columns.map(col).toSeq ++
+      (0 until m).map(mi => slice(col("nv"), mi * ds + 1, ds).as(s"sub_$mi")): _*)
 
-    /** Train all M codebooks in one exploded pass per Lloyd iteration:
-      * the sample is bounded (~kw·trainPerCell rows), so sample×M
-      * exploded rows stay trivially small while keeping one job per
-      * iteration instead of M. Means are plain (non-renormalized)
-      * k-means means — PQ codewords approximate sub-vectors, they are
-      * not unit vectors — rounded 1e-9 so shuffle-order float jitter
-      * cannot flip a near-tied code assignment between runs. */
+  /** Train-or-load the PQ codebook MODEL (m×kw×ds doubles) for `emb` —
+    * extracted from [[pqTopK]] so incremental index maintenance
+    * ([[pqIncremental]]) can encode NEW batches against a FROZEN
+    * codebook without retraining. Training: deterministic Lloyd on a
+    * bounded hash sample (~kw·trainPerCell vectors); all M codebooks
+    * per iteration in one job (M per-subspace selects, unioned — one
+    * Generate of all M assignment structs would overflow janino's
+    * method limits and silently fall back to interpreted). Means are
+    * plain k-means means rounded 1e-9 so shuffle-order float jitter
+    * cannot flip a near-tied code assignment between runs. With
+    * `codebookSrc` the model persists per input fingerprint (keyTag
+    * distinguishes independently-trained variants of the same source,
+    * e.g. the 90%-corpus codebook of the incremental contract). */
+  def pqCodebooks(emb: DataFrame, m: Int = PqM, kw: Int = PqK,
+                  iters: Int = 2, trainPerCell: Int = 100,
+                  codebookSrc: Option[String] = None,
+                  keyTag: String = "pq1"): Array[Array[Array[Double]]] = {
+    val spark = emb.sparkSession
+    val e = pqNormalize(emb)
+
     def trainCodebooks(): Array[Array[Array[Double]]] = {
       val ep = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -1066,15 +1072,9 @@ object Extensions {
           var cbs: Array[Array[Array[Double]]] =
             Array.tabulate(m)(mi => seeds.map(_.slice(mi * ds, mi * ds + ds)))
           for (_ <- 0 until iters) {
-            // one small select per subspace, unioned — NOT one explode
-            // of all M assignment structs: that single Generate carries
-            // M×K codeword dots and overflows janino's method limits
-            // (codegen falls back to interpreted); each per-subspace
-            // branch compiles, and the sample is tiny so M branch scans
-            // of the cached frame cost nothing
-            val sampled = withSubs(train, ds)
+            val sampled = pqWithSubs(train, m, ds)
             val assigned = (0 until m).map(mi => sampled.select(
-              lit(mi).as("m"), cellOfSub(col(s"sub_$mi"), cbs(mi)).as("cell"),
+              lit(mi).as("m"), pqCellOfSub(col(s"sub_$mi"), cbs(mi)).as("cell"),
               col(s"sub_$mi").as("sub"))).reduce(_ unionByName _)
             val aggs = count(lit(1)).as("n") +:
               (0 until ds).map(d => sum(col("sub")(d)).as(s"s$d"))
@@ -1096,14 +1096,11 @@ object Extensions {
       } finally ep.unpersist()
     }
 
-    // the codebook is a MODEL (m×kw×ds doubles) — persisted per input
-    // fingerprint like the IVF centroids, so repeated searches and the
-    // recall metric skip the training actions
-    val cbs: Array[Array[Array[Double]]] = codebookSrc match {
+    codebookSrc match {
       case Some(src) =>
         import spark.implicits._
         parquetFixture(spark, "pq-codebook", src,
-          s"m${m}_k${kw}_i${iters}_t${trainPerCell}_pq1",
+          s"m${m}_k${kw}_i${iters}_t${trainPerCell}_$keyTag",
           e.queryExecution.logical.toString, {
             trainCodebooks().zipWithIndex.flatMap { case (cb, mi) =>
               cb.zipWithIndex.map { case (cwd, cell) => (mi, cell, cwd.toSeq) }
@@ -1114,6 +1111,27 @@ object Extensions {
           .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
       case None => trainCodebooks()
     }
+  }
+
+  def pqTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
+             m: Int = PqM, kw: Int = PqK, rerank: Int = PqRerank,
+             iters: Int = 2, trainPerCell: Int = 100,
+             codebookSrc: Option[String] = None): DataFrame = {
+    // O(1)-sized by contract (see annTopK): each query row carries an
+    // M×K ADC LUT, so a corpus-proportional query set would broadcast
+    // corpus × M×K doubles — the exact OOM this signature forbids
+    val qids = broadcast(queryIds.select("vec_id"))
+    val e = pqNormalize(emb)
+    def subDot(sub: Column, cwd: Array[Double]): Column = pqSubDot(sub, cwd)
+    def cellOfSub(sub: Column, cb: Array[Array[Double]]): Column =
+      pqCellOfSub(sub, cb)
+    def withSubs(df: DataFrame, ds: Int): DataFrame = pqWithSubs(df, m, ds)
+
+    // the codebook is a MODEL (m×kw×ds doubles) — persisted per input
+    // fingerprint like the IVF centroids, so repeated searches and the
+    // recall metric skip the training actions
+    val cbs: Array[Array[Array[Double]]] =
+      pqCodebooks(emb, m, kw, iters, trainPerCell, codebookSrc)
     if (cbs.isEmpty)
       return e.select(col("vec_id").as("query_id"),
           col("vec_id").as("corpus_id"),
@@ -1161,6 +1179,98 @@ object Extensions {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       pqTopK(emb, annQueryIds(emb),
         codebookSrc = Some(s"$sfDir/embeddings.parquet"))
+    },
+    None)
+
+  // =====================================================================
+  // Incremental vector-index maintenance — ext_dedup_incremental's
+  // daily-increment contract applied to the PQ index: the codebook is
+  // trained ONCE on the standing corpus (a frozen MODEL, fixture-
+  // persisted) and each new batch is encoded against it in one
+  // O(batch) map-only scan — at 100 TB you never retrain, and never
+  // rescan the corpus, per arrival (ScaleProbe `pqinc` measures the
+  // batch/corpus encode ratio at 2M vectors). The query reports each
+  // set's mean quantization error and the batch's DRIFT ratio vs the
+  // training-time distortion, with a retrain trigger: drift ≥
+  // PqDriftRetrain means the arrival distribution has left the
+  // codebook's regime and a retrain is due.
+  // =====================================================================
+  final val PqDriftRetrain = 1.5
+
+  /** Encode vectors against a FROZEN codebook, carrying per-vector
+    * quantization error: (vec_id, code array<int>, qerr double) with
+    * qerr = Σ_mi ‖sub_mi − codeword(code_mi)‖² — the reconstruction
+    * error of the assignment the index itself uses. One map-only scan
+    * of `emb`; the M per-subspace dot arrays are projected ONCE so
+    * argmax and error share the same evaluation. */
+  def pqEncodeWithError(emb: DataFrame,
+                        cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val e = pqWithSubs(pqNormalize(emb), m, ds)
+    // ONE projection, pqTopK's codes shape: per subspace the K-dot
+    // array is a single shared Column INSTANCE referenced by argmax,
+    // max, and the error term — whole-stage codegen's subexpression
+    // elimination evaluates it once per row. Materializing sa as an
+    // intermediate projected column instead does NOT help: Catalyst
+    // collapses the projections and re-inlines the array into every
+    // reference, re-slicing and re-normalizing the vector per dot
+    // (measured 8× slower on the 2M-vector probe).
+    val perSub = (0 until m).map { mi =>
+      val sa = array(cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd)).toSeq: _*)
+      val cell = (array_position(sa, array_max(sa)) - 1).cast("int")
+      // ‖sub − cw‖² = ‖sub‖² − 2·dot(sub, cw) + ‖cw‖²; the dot at the
+      // chosen cell IS the array max, ‖cw‖² is a model constant
+      val cwNorm2 = array(cbs(mi).map(cwd => lit(cwd.map(x => x * x).sum)).toSeq: _*)
+      val err = dotD(col(s"sub_$mi"), col(s"sub_$mi")) -
+        lit(2.0) * array_max(sa) + element_at(cwNorm2, cell + 1)
+      (cell, err)
+    }
+    e.select(col("vec_id"),
+      array(perSub.map(_._1): _*).as("code"),
+      perSub.map(_._2).reduce(_ + _).as("qerr"))
+  }
+
+  val pqIncremental: Q = Q("ext_pq_incremental",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // deterministic 90/10 standing-corpus / new-batch split on the
+      // sha-derived id hash — ext_dedup_incremental's split shape
+      val bucket = pmod(Scalars.hash60(col("vec_id").cast("string")), lit(100L))
+      val corpus = emb.filter(bucket < 90)
+      val batch = emb.filter(bucket >= 90)
+      // FROZEN model: trained on the standing corpus only (keyTag keeps
+      // this fixture distinct from the full-corpus search codebook)
+      val cbs = pqCodebooks(corpus,
+        codebookSrc = Some(s"$sfDir/embeddings.parquet"), keyTag = "pqinc90")
+      if (cbs.isEmpty)
+        // empty corpus: no model, nothing to maintain — empty output
+        // of the right shape (a fresh tenant is an input, not an error)
+        emb.select(lit("x").as("set"), lit(0L).as("n_vecs"),
+            lit(0.0).as("mean_qerr"), lit(0.0).as("drift_vs_train"),
+            lit(false).as("retrain"))
+          .filter(lit(false))
+      else {
+        def meanErr(set: String, df: DataFrame): DataFrame =
+          pqEncodeWithError(df, cbs)
+            .agg(count(lit(1)).as("n_vecs"), avg(col("qerr")).as("me"))
+            .select(lit(set).as("set"), col("n_vecs"), col("me"))
+        val t = meanErr("train", corpus)
+        val b = meanErr("batch", batch)
+        // drift = batch/train mean error — two 1-row frames, broadcast
+        val drift = when(col("t_me") > 0, col("me") / col("t_me"))
+          .otherwise(lit(0.0))
+        b.crossJoin(broadcast(t.select(col("me").as("t_me"))))
+          .select(col("set"), col("n_vecs"),
+            round(col("me"), 6).as("mean_qerr"),
+            round(drift, 4).as("drift_vs_train"),
+            (drift >= PqDriftRetrain).as("retrain"))
+          .unionByName(t.select(col("set"), col("n_vecs"),
+            round(col("me"), 6).as("mean_qerr"),
+            lit(1.0).as("drift_vs_train"), lit(false).as("retrain")))
+          .orderBy("set")
+      }
     },
     None)
 
@@ -4111,5 +4221,5 @@ object Extensions {
     temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits,
     zipfFit, qualityClassifier, hybridSearch, hybridSearchPq, knnLabelAudit,
-    clusterCentroids, bpePairStats)
+    clusterCentroids, bpePairStats, pqIncremental)
 }

@@ -296,6 +296,62 @@ class ExtensionsSpec extends SparkSpec {
       "fixture did not serve: reader fell back to the live frame")
   }
 
+  test("pq incremental maintenance: in-distribution batch low drift; shifted batch trips retrain") {
+    // corpus with CLUSTER STRUCTURE (32 templates + small noise): the
+    // frozen codebook fits it tightly, and an in-distribution batch
+    // (same templates, fresh noise) reconstructs about as well
+    // (drift ≈ 1). A batch from a DIFFERENT distribution (unclustered
+    // Gaussians — a new embedding model, the real-world retrain
+    // trigger) must trip the drift threshold.
+    val rnd = new scala.util.Random(17)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val templates = Array.fill(32)(vec())
+    def templated(i: Long): Array[Double] =
+      templates((i % 32).toInt).map(_ + 0.02 * rnd.nextGaussian())
+    val corpus = (0L until 400L).map(i => (i, templated(i)))
+    val inDist = (10000L until 10050L).map(i => (i, templated(i)))
+    val shifted = (20000L until 20050L).map(i => (i, vec()))
+    val corpusDf = spark.createDataFrame(corpus).toDF("vec_id", "v")
+    val cbs = Extensions.pqCodebooks(corpusDf)
+    assert(cbs.length == Extensions.PqM)
+    def meanErr(rows: Seq[(Long, Array[Double])]): Double =
+      Extensions.pqEncodeWithError(
+          spark.createDataFrame(rows).toDF("vec_id", "v"), cbs)
+        .agg(avg(col("qerr"))).head().getDouble(0)
+    val trainErr = meanErr(corpus)
+    assert(trainErr > 0, "quantization error must be positive on random vectors")
+    val inDrift = meanErr(inDist) / trainErr
+    val shiftDrift = meanErr(shifted) / trainErr
+    info(f"in-distribution drift $inDrift%.3f, shifted drift $shiftDrift%.3f")
+    assert(inDrift < Extensions.PqDriftRetrain,
+      s"in-distribution batch must not trip retrain (drift $inDrift)")
+    assert(shiftDrift >= Extensions.PqDriftRetrain,
+      s"shifted batch must trip retrain (drift $shiftDrift)")
+    // every encoded row carries M codes in range
+    val enc = Extensions.pqEncodeWithError(corpusDf, cbs).collect()
+    assert(enc.length == corpus.length)
+    enc.foreach { r =>
+      val code = r.getSeq[Int](1)
+      assert(code.length == Extensions.PqM)
+      assert(code.forall(c => c >= 0 && c < Extensions.PqK))
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("ext_pq_incremental on real data: two rows, sane drift, corpus split covers all") {
+    val rows = Extensions.pqIncremental.fn(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("batch", "train"))
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == graft.model.Tables.embeddings(spark, sf0001).count())
+    val batch = rows(0); val train = rows(1)
+    assert(train.getDouble(3) == 1.0 && !train.getBoolean(4))
+    // same generator on both sides of the hash split: the batch must
+    // NOT look out-of-distribution to the corpus-trained codebook
+    assert(!batch.getBoolean(4),
+      s"in-distribution batch tripped retrain (drift ${batch.getDouble(3)})")
+    assert(batch.getDouble(3) > 0)
+  }
+
   test("annExactBaseline fixture round-trips identically to the live exact search") {
     val live = Extensions.topkCosine.fn(spark, sf0001).select("query_id", "corpus_id")
     val fx1 = Extensions.annExactBaseline(spark, sf0001) // writes on first miss

@@ -164,6 +164,8 @@ class PlanSpec extends SparkSpec {
       "ext_hits",            // 1-row L1-normalization broadcast, 2× per run (end-normalize)
       "ext_quality_classifier", // 1-row smoothing totals + class priors
       "ext_hybrid_search",   // broadcast query slice × corpus (dense tower) + 1-row bm25 stats
+      "ext_hybrid_search_pq", // composes ext_hybrid_search + ext_topk_pq shapes above
+      "ext_pq_incremental",  // 1-row train-distortion broadcast onto the 1-row batch agg
       "ext_knn_label_audit") // broadcast query slice × corpus — topk_cosine shape
     // fn runs an entire streaming lifecycle eagerly just to build its
     // (trivial ledger-rollup) frame — a static plan audit shouldn't
