@@ -79,6 +79,142 @@ class CapBindSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("HybridPerSide binds: both towers cap at exactly PerSide when candidates exceed it") {
+    // 40 corpus vectors all relevant to the query on both towers:
+    // dense (every cosine defined) and sparse (every doc shares the
+    // query's token). Each tower must keep EXACTLY HybridPerSide rows
+    // per query; dense survivors recomputed independently.
+    val ps = Extensions.HybridPerSide
+    val rnd = new scala.util.Random(23)
+    val vecs = (1L to 40L).map(i => i -> Array.fill(64)(rnd.nextGaussian())).toMap
+    val emb = vecs.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("v"), col("v"), _ * _),
+        lit(0.0), _ + _)))
+    val qid = 1L
+    val q = emb.filter(col("vec_id") === qid)
+      .select(col("vec_id").as("query_id"), lit("shared token text").as("qtext"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val dense = Extensions.hybridDenseExact(emb, q).collect()
+    assert(dense.length == ps, s"dense tower must cap at $ps, got ${dense.length}")
+    assert(dense.map(_.getInt(2)).sorted.toSeq == (1 to ps))
+    // survivors = top-PerSide by (round(cos,6) desc, doc_id asc), self excluded
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = vecs.keys.filter(_ != qid).toSeq
+      .sortBy(id => (-cos(vecs(qid), vecs(id)), id)).take(ps).toSet
+    assert(dense.map(_.getLong(1)).toSet == expect,
+      "dense survivors must be the exact top-PerSide by (cos desc, id asc)")
+    // sparse: every doc contains the query token -> 39 candidates > cap
+    val docs = (1L to 40L).map(i => (i, s"shared filler$i token"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("target/tmp-hybcap/documents.parquet")
+    val sparse = Extensions.hybridSparseTop(spark, "target/tmp-hybcap", q).collect()
+    assert(sparse.length == ps, s"sparse tower must cap at $ps, got ${sparse.length}")
+    assert(sparse.map(_.getInt(2)).sorted.toSeq == (1 to ps))
+    assert(!sparse.map(_.getLong(1)).contains(qid), "self must be excluded")
+    Extensions.releaseCaches()
+  }
+
+  test("PQ rerank depth binds: the exact rerank only sees the ADC-top-R pool") {
+    // 60 vectors, rerank=5 << corpus: the final top-k must equal the
+    // independent recompute (ADC-top-5 pool by the frozen codebook,
+    // then exact-cosine ordering INSIDE the pool) — and that pool must
+    // genuinely alter the result vs an unbounded rerank for at least
+    // one query, or the cap isn't binding.
+    val rr = 5
+    val rnd = new scala.util.Random(29)
+    val vecs = (1L to 60L).map(i => i -> Array.fill(64)(rnd.nextGaussian())).toMap
+    val emb = vecs.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val queries = Seq(3L, 17L)
+    val qdf = queries.toDF("vec_id")
+    val cbs = Extensions.pqCodebooks(emb)
+    val m = cbs.length; val ds = cbs(0)(0).length
+    def nvOf(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // codes per the frozen model: argmax sub-dot, FIRST index on ties
+    val codes = vecs.map { case (id, v) =>
+      val nv = nvOf(v)
+      id -> Array.tabulate(m) { mi =>
+        val sub = nv.slice(mi * ds, mi * ds + ds)
+        val dots = cbs(mi).map(cw => dot(sub, cw))
+        dots.indexOf(dots.max)
+      }
+    }
+    def expectTopK(q: Long, pool: Int, k: Int): Seq[Long] = {
+      val qnv = nvOf(vecs(q))
+      val lut = Array.tabulate(m)(mi => {
+        val sub = qnv.slice(mi * ds, mi * ds + ds)
+        cbs(mi).map(cw => dot(sub, cw))
+      })
+      val adcPool = vecs.keys.filter(_ != q).toSeq
+        .sortBy(id => (-r6((0 until m).map(mi => lut(mi)(codes(id)(mi))).sum), id))
+        .take(pool)
+      adcPool.sortBy(id => (-r6(dot(qnv, nvOf(vecs(id)))), id)).take(k)
+    }
+    val got = Extensions.pqTopK(emb, qdf, k = rr, rerank = rr)
+      .orderBy("query_id", "rank").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      }
+    queries.foreach { q =>
+      assert(got(q) == expectTopK(q, rr, rr),
+        s"query $q: rerank pool not the ADC-top-$rr set")
+    }
+    // the cap must BIND: an unbounded pool gives a different answer
+    // for at least one query on this seed
+    val unbounded = queries.map(q => expectTopK(q, vecs.size, rr))
+    assert(queries.zip(unbounded).exists { case (q, u) => got(q) != u },
+      "rerank cap did not alter any result: not binding on this corpus")
+  }
+
+  test("kNN K binds: exactly AnnK tied neighbors are voted, lowest ids win") {
+    // all 30 vectors IDENTICAL: every neighbor ties at cos 1.0, so the
+    // audit's window must keep exactly AnnK rows per query by the
+    // documented (cos desc, vec_id asc) order — the K lowest ids
+    // excluding self. Votes recomputed independently per query.
+    val k = Extensions.AnnK
+    val n = 30
+    val v = Array.tabulate(64)(j => math.cos(j + 1.0)).toSeq
+    val emb = (1L to n.toLong).map(i => (i, if (i <= 15) "a" else "b", v))
+      .toDF("vec_id", "label", "embedding")
+    emb.write.mode("overwrite").parquet("target/tmp-knncap/embeddings.parquet")
+    val got = Extensions.knnLabelAudit.fn(spark, "target/tmp-knncap").collect()
+    assert(got.length == Extensions.AnnQueryCount,
+      s"audit must cover the fixed query workload, got ${got.length}")
+    // independent recompute: query set = AnnQueryCount hash-smallest ids
+    val qids = Extensions.annQueryIds(
+      graft.model.Tables.embeddings(spark, "target/tmp-knncap"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(0)).toSet == qids)
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val neighbors = (1L to n.toLong).filter(_ != q).sorted.take(k)
+      val va = neighbors.count(_ <= 15); val vb = k - va
+      val (expLabel, expVotes) =
+        if (va > vb) ("a", va) else if (vb > va) ("b", vb) else ("a", va)
+      assert(r.getString(2) == expLabel && r.getLong(3) == expVotes.toLong,
+        s"query $q: got (${r.getString(2)}, ${r.getLong(3)}), want ($expLabel, $expVotes)")
+      val expPurity = BigDecimal(
+        (if (r.getString(1) == "a") va else vb).toDouble / k)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == expPurity, s"query $q purity")
+    }
+    Extensions.releaseCaches()
+  }
+
   test("incremental index cap=1 keeps exactly the xxhash-min doc per bucket") {
     val txt = "incremental corpus planted duplicate text shared by every corpus document"
     val corpus = Seq(7L, 8L, 9L).map(id => (id, txt)).toDF("doc_id", "text")
