@@ -434,7 +434,66 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `skewsweep` mode: the CC hot/cold decomposition A/B across
+    * simulated cluster parallelism. local[32] at 32 shuffle partitions
+    * hides the straggler (one hot task ≈ one core's fair share); at
+    * 128/512 partitions — the parallelism a real cluster runs — the
+    * cold-only path's hot key still lands in ONE task while every
+    * other task shrinks, so the straggler ratio (max/median task time)
+    * grows with parallelism. The hot/cold split must keep that ratio
+    * bounded at every width. Same star+chains graph as `skew`. */
+  private def skewSweep(args: Array[String]): Unit = {
+    val spokes = if (args.length > 1) args(1).toLong else 2000000L
+    val parts = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
+                else Seq(32, 128, 512)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskMs.add(t.taskInfo.duration)
+    })
+    val star = spark.range(1, spokes + 1)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val base = 1000000000L
+    val chains = spark.range(0, 100000)
+      .filter(col("id") % 100 =!= 99)
+      .select((col("id") + base).as("id_a"), (col("id") + base + 1).as("id_b"))
+    val edges = star.unionByName(chains)
+    val nodes = edges.select(col("id_a").as("id"))
+      .unionByName(edges.select(col("id_b").as("id"))).distinct()
+    for (p <- parts; mode <- Seq("cold_only", "hot_cold")) {
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      taskMs.clear()
+      val hotDegree = if (mode == "cold_only") Long.MaxValue else 500000L
+      val t0 = System.nanoTime()
+      val comps = ops.Graph.connectedComponents(edges, nodes,
+        hotDegree = hotDegree).cache()
+      val mega = comps.filter(col("component") === 0L).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      assert(mega == spokes + 1, s"mega-component fragmented at p=$p $mode")
+      comps.unpersist()
+      // drain the listener bus so the LAST (slowest) tasks are counted
+      Iterator.continually { Thread.sleep(500); taskMs.size }
+        .take(20).sliding(2).find(w => w.head == w.last)
+      val times = taskMs.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
+      val med = if (times.nonEmpty) math.max(times(times.length / 2), 1L) else 1L
+      val max = if (times.nonEmpty) times.last else 0L
+      println(f"SKEWSWEEP parts=$p%d mode=$mode%s wall=$wall%.1fs " +
+        f"tasks=${times.length}%d task_ms{median=$med%d max=$max%d " +
+        f"straggler=${max.toDouble / med}%.1f}")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skewsweep")) { skewSweep(args); return }
     if (args.headOption.contains("pqinc")) { pqIncProbe(args); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
