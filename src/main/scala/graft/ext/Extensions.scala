@@ -830,45 +830,40 @@ object Extensions {
   def ivfTrainStride(n: Long, nCells: Int, trainPerCell: Int): Long =
     math.max(1L, n / (trainPerCell.toLong * nCells))
 
-  def ivfTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
-              nCells: Int = 16, nProbe: Int = 6, iters: Int = 2,
-              trainPerCell: Int = 100,
-              centroidSrc: Option[String] = None): DataFrame = {
+  /** Train-or-load the IVF coarse quantizer (nCells×dim unit centroids)
+    * for `emb` — extracted from [[ivfTopK]] so incremental maintenance
+    * ([[ivfIncremental]]) can assign new batches against FROZEN
+    * centroids without retraining. The eager training phase: count +
+    * seed scan + Lloyd means over a BOUNDED deterministic hash sample
+    * (~trainPerCell·nCells vectors — centroids are statistics of the
+    * distribution, a sample trains them to the same quality; at small
+    * n the stride degenerates to 1 and training is bit-identical to
+    * the full-corpus form). The normalized corpus is persisted
+    * MEMORY_AND_DISK for the training actions only and released at
+    * the end. Seeds: the nCells lowest-id vectors of the FULL corpus
+    * (one TakeOrdered scan) — guaranteed non-empty whenever the corpus
+    * is; an empty corpus returns the empty model. Means are
+    * re-normalized (spherical Lloyd; empty cells keep their previous
+    * centroid) and rounded 1e-9 so shuffle-order float jitter cannot
+    * flip a near-tied cell assignment between runs. With `centroidSrc`
+    * the model persists per input fingerprint ([[parquetFixture]];
+    * keyTag distinguishes independently-trained variants of the same
+    * source, e.g. the 90%-corpus centroids of the incremental
+    * contract). */
+  def ivfCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
+                   trainPerCell: Int = 100,
+                   centroidSrc: Option[String] = None,
+                   keyTag: String = "ivf1"): Array[Array[Double]] = {
     val spark = emb.sparkSession
-    // O(1)-sized by contract (see annTopK) — broadcast per-cell below
-    val qids = broadcast(queryIds.select("vec_id"))
-    // unit-normalize once: cosine over normalized vectors = dot product
-    val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
-    val e = emb.select(col("vec_id"), nv.as("nv"))
-
-    def scores(cs: Array[Array[Double]]): Seq[Column] =
-      cs.toSeq.map(c => dotD(col("nv"), array(c.map(lit).toSeq: _*)))
-    // first index achieving the max — deterministic tie-break. One
-    // scores array + array_position keeps each centroid dot product a
-    // single expression node; the previous greatest + when-chain form
-    // duplicated every dot and made codegen the dominant cost.
+    val e = pqNormalize(emb)
     def cellOf(cs: Array[Array[Double]]): Column = {
-      val sa = array(scores(cs): _*)
+      val sa = array(cs.toSeq.map(c =>
+        dotD(col("nv"), array(c.map(lit).toSeq: _*))): _*)
       (array_position(sa, array_max(sa)) - 1).cast("int")
     }
-
-    /** The eager training phase: count + seed scan + Lloyd means. The
-      * normalized corpus is persisted MEMORY_AND_DISK (never
-      * MEMORY_ONLY: at 100 TB eviction under memory pressure would
-      * silently re-run the normalize scan per training action) and
-      * released as soon as training ends — the search plan below
-      * re-reads the source in two map-only linear scans, which beats
-      * pinning the whole normalized corpus in executor storage. */
     def trainCentroids(): Array[Array[Double]] = {
       val ep = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // Train the quantizer on a deterministic sample (~trainPerCell
-        // vectors per cell): each Lloyd iteration was a FULL corpus
-        // pass, which at 100 TB made training cost iters× the search
-        // itself. Centroids are statistics of the distribution, not of
-        // individual vectors — a bounded sample trains them to the same
-        // quality. At small n the stride degenerates to 1 and training
-        // is bit-identical to the full-corpus form.
         val stride = ivfTrainStride(ep.count(), nCells, trainPerCell)
         // sample on a HASH of vec_id, not vec_id % stride: arbitrary
         // caller id spaces (all-odd ids, strided ids) would make a
@@ -881,25 +876,15 @@ object Extensions {
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else ep
         try {
-          // deterministic seed: the nCells lowest-id vectors of the FULL
-          // corpus (one TakeOrdered scan) — seeding from the sample
-          // could under-fill if a pathological sample is smaller than
-          // nCells, and with seeds guaranteed, an empty sample degrades
-          // to a nearest-seed quantizer instead of crashing. An empty
-          // CORPUS yields no seeds: return the empty model, handled by
-          // the caller.
           var centroids: Array[Array[Double]] = ep.orderBy("vec_id").limit(nCells)
             .collect().map(_.getSeq[Double](1).toArray)
           if (centroids.isEmpty) return Array.empty
-          // spherical Lloyd iterations (re-normalized means; empty
-          // cells keep their previous centroid)
           val dim = centroids.head.length
           for (_ <- 0 until iters) {
             // per-dimension sum aggregates (not posexplode→groupBy):
             // map-side partial aggregation reduces each partition to
             // nCells×dim doubles before the shuffle, so the exchange
-            // carries kilobytes regardless of corpus size — the explode
-            // form shuffled one row per (vector, dimension)
+            // carries kilobytes regardless of corpus size
             val aggs = count(lit(1)).as("n") +:
               (0 until dim).map(d => sum(col("nv")(d)).as(s"s$d"))
             val means = train.withColumn("cell", cellOf(centroids))
@@ -910,10 +895,6 @@ object Extensions {
               val cell = r.getInt(0)
               val n = r.getLong(1).toDouble
               val m = new Array[Double](dim)
-              // round to 1e-9: distributed sum merges double partials in
-              // shuffle-arrival order (~1e-15 jitter), which could flip
-              // a near-tied cell assignment between runs — rounding
-              // makes the quantizer a pure function of the data
               var d = 0
               while (d < dim) { m(d) = math.rint(r.getDouble(2 + d) / n * 1e9) / 1e9; d += 1 }
               val norm = math.sqrt(m.map(x => x * x).sum)
@@ -925,18 +906,11 @@ object Extensions {
         } finally if (stride > 1) train.unpersist()
       } finally ep.unpersist()
     }
-
-    // The trained quantizer is a MODEL (nCells×dim doubles): when the
-    // caller names the source file, persist it per input fingerprint
-    // ([[parquetFixture]]) so repeated searches — and the recall metric,
-    // which re-runs the index — skip the eager training actions
-    // entirely. The plan fingerprint covers the input projection; the
-    // key carries the training hyper-parameters and an algorithm tag.
-    val centroids: Array[Array[Double]] = centroidSrc match {
+    centroidSrc match {
       case Some(src) =>
         import spark.implicits._
         parquetFixture(spark, "ivf-centroids", src,
-          s"c${nCells}_i${iters}_t${trainPerCell}_ivf1",
+          s"c${nCells}_i${iters}_t${trainPerCell}_$keyTag",
           e.queryExecution.logical.toString, {
             trainCentroids().zipWithIndex
               .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "c")
@@ -944,6 +918,33 @@ object Extensions {
           .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
       case None => trainCentroids()
     }
+  }
+
+  def ivfTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
+              nCells: Int = 16, nProbe: Int = 6, iters: Int = 2,
+              trainPerCell: Int = 100,
+              centroidSrc: Option[String] = None): DataFrame = {
+    // O(1)-sized by contract (see annTopK) — broadcast per-cell below
+    val qids = broadcast(queryIds.select("vec_id"))
+    // unit-normalize once: cosine over normalized vectors = dot product
+    val e = pqNormalize(emb)
+
+    def scores(cs: Array[Array[Double]]): Seq[Column] =
+      cs.toSeq.map(c => dotD(col("nv"), array(c.map(lit).toSeq: _*)))
+    // first index achieving the max — deterministic tie-break. One
+    // scores array + array_position keeps each centroid dot product a
+    // single expression node; the previous greatest + when-chain form
+    // duplicated every dot and made codegen the dominant cost.
+    def cellOf(cs: Array[Array[Double]]): Column = {
+      val sa = array(scores(cs): _*)
+      (array_position(sa, array_max(sa)) - 1).cast("int")
+    }
+
+    // The trained quantizer is a MODEL (nCells×dim doubles) — see
+    // [[ivfCentroids]] (extracted so incremental maintenance can
+    // assign new batches against FROZEN centroids without retraining)
+    val centroids: Array[Array[Double]] =
+      ivfCentroids(emb, nCells, iters, trainPerCell, centroidSrc)
     // empty corpus: no seeds, nothing to search — return the (empty)
     // top-k shape rather than crashing in training. A fresh tenant /
     // empty date partition is a normal library input, not an error.
@@ -1231,6 +1232,22 @@ object Extensions {
       perSub.map(_._2).reduce(_ + _).as("qerr"))
   }
 
+  /** Assign vectors to FROZEN IVF centroids, carrying per-vector
+    * quantization error: (vec_id, cell, qerr) with qerr = ‖nv − c‖² =
+    * 2 − 2·dot(nv, c) (both unit vectors — spherical Lloyd
+    * re-normalizes means). Same single-projection shared-Column shape
+    * as [[pqEncodeWithError]] (codegen CSE evaluates the centroid-dot
+    * array once per row); one map-only scan of `emb`. */
+  def ivfEncodeWithError(emb: DataFrame,
+                         cs: Array[Array[Double]]): DataFrame = {
+    val e = pqNormalize(emb)
+    val sa = array(cs.toSeq.map(c =>
+      dotD(col("nv"), array(c.map(lit).toSeq: _*))): _*)
+    val cell = (array_position(sa, array_max(sa)) - 1).cast("int")
+    e.select(col("vec_id"), cell.as("cell"),
+      (lit(2.0) - lit(2.0) * array_max(sa)).as("qerr"))
+  }
+
   val pqIncremental: Q = Q("ext_pq_incremental",
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
@@ -1259,6 +1276,48 @@ object Extensions {
         val t = meanErr("train", corpus)
         val b = meanErr("batch", batch)
         // drift = batch/train mean error — two 1-row frames, broadcast
+        val drift = when(col("t_me") > 0, col("me") / col("t_me"))
+          .otherwise(lit(0.0))
+        b.crossJoin(broadcast(t.select(col("me").as("t_me"))))
+          .select(col("set"), col("n_vecs"),
+            round(col("me"), 6).as("mean_qerr"),
+            round(drift, 4).as("drift_vs_train"),
+            (drift >= PqDriftRetrain).as("retrain"))
+          .unionByName(t.select(col("set"), col("n_vecs"),
+            round(col("me"), 6).as("mean_qerr"),
+            lit(1.0).as("drift_vs_train"), lit(false).as("retrain")))
+          .orderBy("set")
+      }
+    },
+    None)
+
+  /** The same daily-increment contract for the IVF coarse quantizer:
+    * new batches are ASSIGNED to frozen centroids (one O(batch) scan —
+    * ivfTopK's corpus-side cell assignment, never a retrain) and the
+    * spherical quantization error ‖nv − c‖² drifts when the arrival
+    * distribution leaves the trained cell structure. Output shape and
+    * threshold shared with [[pqIncremental]]. */
+  val ivfIncremental: Q = Q("ext_ivf_incremental",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val bucket = pmod(Scalars.hash60(col("vec_id").cast("string")), lit(100L))
+      val corpus = emb.filter(bucket < 90)
+      val batch = emb.filter(bucket >= 90)
+      val cs = ivfCentroids(corpus,
+        centroidSrc = Some(s"$sfDir/embeddings.parquet"), keyTag = "ivfinc90")
+      if (cs.isEmpty)
+        emb.select(lit("x").as("set"), lit(0L).as("n_vecs"),
+            lit(0.0).as("mean_qerr"), lit(0.0).as("drift_vs_train"),
+            lit(false).as("retrain"))
+          .filter(lit(false))
+      else {
+        def meanErr(set: String, df: DataFrame): DataFrame =
+          ivfEncodeWithError(df, cs)
+            .agg(count(lit(1)).as("n_vecs"), avg(col("qerr")).as("me"))
+            .select(lit(set).as("set"), col("n_vecs"), col("me"))
+        val t = meanErr("train", corpus)
+        val b = meanErr("batch", batch)
         val drift = when(col("t_me") > 0, col("me") / col("t_me"))
           .otherwise(lit(0.0))
         b.crossJoin(broadcast(t.select(col("me").as("t_me"))))
@@ -3990,10 +4049,11 @@ object Extensions {
   /** The indexed hybrid ranking itself (query_id, doc_id, rrf, rank) —
     * the library's production retrieval path at scale. */
   def hybridSearchPqRanking(spark: SparkSession, sfDir: String,
-                            sparse0: Option[DataFrame] = None): DataFrame = {
+                            sparse0: Option[DataFrame] = None,
+                            q0: Option[DataFrame] = None): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val q = hybridQueries(spark, sfDir)
+    val q = q0.getOrElse(hybridQueries(spark, sfDir))
     val densePq = pqTopK(emb, q.select(col("query_id").as("vec_id")),
         k = HybridPerSide, codebookSrc = Some(s"$sfDir/embeddings.parquet"))
       .select(col("query_id"), col("corpus_id").as("doc_id"),
@@ -4003,14 +4063,17 @@ object Extensions {
 
   val hybridSearchPq: Q = Q("ext_hybrid_search_pq",
     (spark, sfDir) => {
-      val q = hybridQueries(spark, sfDir)
+      // cached (tracked): the fixed query set feeds both towers of both
+      // fusions — without it each consumer re-runs the corpus
+      // TakeOrdered that defines the workload
+      val q = cacheTracked(hybridQueries(spark, sfDir))
       // ONE sparse tower feeds both fusions (cached): the towers differ
       // only on the dense side, so recomputing BM25 per fusion would
       // double the postings work the comparison doesn't need
       val sparse = cacheTracked(hybridSparseTop(spark, sfDir, q))
       val exact = hybridFuse(hybridDenseExact(hybridEmb(spark, sfDir), q), sparse)
         .select(col("query_id"), col("doc_id"))
-      val pq = hybridSearchPqRanking(spark, sfDir, Some(sparse))
+      val pq = hybridSearchPqRanking(spark, sfDir, Some(sparse), Some(q))
         .select(col("query_id"), col("doc_id"))
       // overlap driven from the EXACT side: a query whose indexed
       // fusion returned nothing counts as overlap 0, never drops out
@@ -4221,5 +4284,5 @@ object Extensions {
     temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits,
     zipfFit, qualityClassifier, hybridSearch, hybridSearchPq, knnLabelAudit,
-    clusterCentroids, bpePairStats, pqIncremental)
+    clusterCentroids, bpePairStats, pqIncremental, ivfIncremental)
 }

@@ -338,6 +338,52 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("ivf incremental maintenance: frozen centroids; planted drift trips retrain") {
+    // same construction as the PQ drift test: clusterable corpus (the
+    // centroids fit it tightly), in-distribution batch ≈ train error,
+    // unclustered batch far out of the cell structure
+    val rnd = new scala.util.Random(19)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val templates = Array.fill(16)(vec())
+    def templated(i: Long): Array[Double] =
+      templates((i % 16).toInt).map(_ + 0.02 * rnd.nextGaussian())
+    val corpus = (0L until 400L).map(i => (i, templated(i)))
+    val inDist = (10000L until 10050L).map(i => (i, templated(i)))
+    val shifted = (20000L until 20050L).map(i => (i, vec()))
+    val corpusDf = spark.createDataFrame(corpus).toDF("vec_id", "v")
+    val cs = Extensions.ivfCentroids(corpusDf)
+    assert(cs.nonEmpty)
+    // spherical Lloyd re-normalizes: every centroid is unit (the 2−2dot
+    // error formula depends on it)
+    cs.foreach(c => assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-6))
+    def meanErr(rows: Seq[(Long, Array[Double])]): Double =
+      Extensions.ivfEncodeWithError(
+          spark.createDataFrame(rows).toDF("vec_id", "v"), cs)
+        .agg(avg(col("qerr"))).head().getDouble(0)
+    val trainErr = meanErr(corpus)
+    val inDrift = meanErr(inDist) / trainErr
+    val shiftDrift = meanErr(shifted) / trainErr
+    info(f"ivf in-distribution drift $inDrift%.3f, shifted drift $shiftDrift%.3f")
+    assert(inDrift < Extensions.PqDriftRetrain)
+    assert(shiftDrift >= Extensions.PqDriftRetrain)
+    // cells in range, errors non-negative
+    val enc = Extensions.ivfEncodeWithError(corpusDf, cs).collect()
+    enc.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < cs.length)
+      assert(r.getDouble(2) >= -1e-9)
+    }
+  }
+
+  test("ext_ivf_incremental on real data: two rows, sane drift, split covers all") {
+    val rows = Extensions.ivfIncremental.fn(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("batch", "train"))
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.model.Tables.embeddings(spark, sf0001).count())
+    assert(rows(1).getDouble(3) == 1.0 && !rows(1).getBoolean(4))
+    assert(!rows(0).getBoolean(4),
+      s"in-distribution batch tripped retrain (drift ${rows(0).getDouble(3)})")
+  }
+
   test("ext_pq_incremental on real data: two rows, sane drift, corpus split covers all") {
     val rows = Extensions.pqIncremental.fn(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("batch", "train"))

@@ -166,6 +166,7 @@ class PlanSpec extends SparkSpec {
       "ext_hybrid_search",   // broadcast query slice × corpus (dense tower) + 1-row bm25 stats
       "ext_hybrid_search_pq", // composes ext_hybrid_search + ext_topk_pq shapes above
       "ext_pq_incremental",  // 1-row train-distortion broadcast onto the 1-row batch agg
+      "ext_ivf_incremental", // same 1-row drift broadcast shape as ext_pq_incremental
       "ext_knn_label_audit") // broadcast query slice × corpus — topk_cosine shape
     // fn runs an entire streaming lifecycle eagerly just to build its
     // (trivial ledger-rollup) frame — a static plan audit shouldn't
