@@ -954,8 +954,19 @@ object Extensions {
           lit(0.0).as("cos"), lit(0).as("rank"))
         .filter(lit(false))
 
-    val corpus = e.withColumn("cell", cellOf(centroids))
+    // the cell assignment IS the inverted file: persisted per
+    // (data, centroids) when the source is named — the probe join then
+    // reads the stored (cell, vector) table instead of re-assigning
+    // the whole corpus per search; retrained centroids orphan it via
+    // the plan fingerprint (centroid literals are in the plan)
+    val corpus0 = e.withColumn("cell", cellOf(centroids))
       .select(col("vec_id").as("corpus_id"), col("cell"), col("nv").as("cv"))
+    val corpus = centroidSrc match {
+      case Some(src) => parquetFixture(emb.sparkSession, "ivf-cells", src,
+        s"c${nCells}_i${iters}_t${trainPerCell}_cells1",
+        corpus0.queryExecution.logical.toString, corpus0)
+      case None => corpus0
+    }
     // query side: nProbe nearest cells via sorted (negScore, cell) structs
     val probeStructs = array(scores(centroids).zipWithIndex.map { case (s, i) =>
       struct((-s).as("negs"), lit(i).as("cell"))
@@ -1142,8 +1153,19 @@ object Extensions {
 
     // corpus ENCODE scan: codes only — the frame the ADC join reads is
     // M ints per vector, never the vectors themselves
-    val codes = withSubs(e, ds).select(col("vec_id").as("corpus_id"),
+    val codes0 = withSubs(e, ds).select(col("vec_id").as("corpus_id"),
       array((0 until m).map(mi => cellOfSub(col(s"sub_$mi"), cbs(mi))): _*).as("code"))
+    // the code table IS the index: persisted per (data, codebook) when
+    // the source is named — at 100 TB every search reads the stored
+    // M-byte codes instead of re-encoding the raw-vector corpus (the
+    // 64× scan cut PQ exists for). The plan fingerprint embeds the
+    // codeword literals, so a retrained codebook orphans stale codes.
+    val codes = codebookSrc match {
+      case Some(src) => parquetFixture(emb.sparkSession, "pq-codes", src,
+        s"m${m}_k${kw}_i${iters}_t${trainPerCell}_codes1",
+        codes0.queryExecution.logical.toString, codes0)
+      case None => codes0
+    }
     // query side: the M×K LUT of sub-dot-products, flattened row-major
     val lut = array((0 until m).flatMap(mi =>
       cbs(mi).map(cwd => subDot(col(s"sub_$mi"), cwd))): _*)
