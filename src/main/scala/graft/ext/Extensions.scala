@@ -2498,27 +2498,48 @@ object Extensions {
     1L -> "table scan fast", 2L -> "customer join merge",
     3L -> "dup window stream", 4L -> "vector data batch")
 
-  /** BM25 top-k over `docsRaw` (doc_id, text) for a literal query set.
-    * One postings pass; everything query-sized is broadcast. */
-  def bm25From(docsRaw: DataFrame, queries: Seq[(Long, String)] = Bm25Queries,
-               k: Int = Bm25TopK): DataFrame = {
-    val spark = docsRaw.sparkSession
-    import spark.implicits._
-    val qterms = queries.toDF("query_id", "qtext")
-      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+  /** The per-(doc, term) postings frame (doc_id, term, tf, dl) — the
+    * single tokenize + wordcount pass behind every lexical retrieval
+    * query. */
+  private def postingsOf(docsRaw: DataFrame): DataFrame = {
     val docs = docsRaw
       .select(col("doc_id"),
         split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
+    docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+  }
+
+  /** The MATERIALIZED inverted-postings table for the documents at
+    * `sfDir` — the stored index every lexical retrieval query
+    * (ext_bm25_search, ext_tfidf_terms, both hybrid sparse towers)
+    * reads instead of re-tokenizing the corpus per query. At 100 TB
+    * the postings table is written once per corpus build and reused
+    * across every query set — the inverted-index contract; a changed
+    * corpus or tokenization orphans it via the fixture key. */
+  def bm25Postings(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf0 = postingsOf(Tables.documents(spark, sfDir))
+    parquetFixture(spark, "bm25-postings", s"$sfDir/documents.parquet",
+      "tok1", tf0.queryExecution.logical.toString, tf0)
+  }
+
+  /** BM25 top-k over `docsRaw` (doc_id, text) for a literal query set.
+    * One postings pass; everything query-sized is broadcast.
+    * `postings0` lets callers supply the materialized table. */
+  def bm25From(docsRaw: DataFrame, queries: Seq[(Long, String)] = Bm25Queries,
+               k: Int = Bm25TopK,
+               postings0: Option[DataFrame] = None): DataFrame = {
+    val spark = docsRaw.sparkSession
+    import spark.implicits._
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
     // tf is CACHED (tracked): its three consumers — df table, corpus
     // stats, scoring join — would otherwise each re-tokenize the corpus
     // (column pruning specializes each branch's scan, so exchange reuse
     // cannot kick in; verified against the plan). One postings pass,
     // shared via the in-memory relation; PlanSpec pins the cache node.
-    val tf = cacheTracked(
-      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl")))
+    val tf = cacheTracked(postings0.getOrElse(postingsOf(docsRaw)))
     // corpus stats DERIVED FROM tf (every doc has ≥1 token, so every
     // doc appears) rather than a second corpus scan
     val stats = tf.groupBy("doc_id").agg(max(col("dl")).as("dl"))
@@ -2543,7 +2564,9 @@ object Extensions {
 
   val bm25Search: Q = Q("ext_bm25_search",
     (spark, sfDir) =>
-      bm25From(Tables.documents(spark, sfDir)).orderBy("query_id", "rank"),
+      bm25From(Tables.documents(spark, sfDir),
+        postings0 = Some(bm25Postings(spark, sfDir)))
+        .orderBy("query_id", "rank"),
     Some {
       val values = Bm25Queries
         .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
@@ -2588,14 +2611,11 @@ object Extensions {
 
   val tfidfTerms: Q = Q("ext_tfidf_terms",
     (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir)
-        .select(col("doc_id"),
-          split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
       // cached for the same reason as bm25's tf: three consumers, and
-      // branch-specialized column pruning defeats exchange reuse
+      // branch-specialized column pruning defeats exchange reuse; the
+      // frame itself is the materialized postings table (dl unused)
       val tf = cacheTracked(
-        docs.select(col("doc_id"), explode(col("toks")).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf")))
+        bm25Postings(spark, sfDir).select("doc_id", "term", "tf"))
       // n_docs from the cached tf (every doc has ≥1 token), not a
       // second corpus scan
       val stats = tf.select("doc_id").distinct()
@@ -3947,14 +3967,9 @@ object Extensions {
   def hybridSparseTop(spark: SparkSession, sfDir: String, q: DataFrame): DataFrame = {
     val qterms = q.select(col("query_id"),
       explode(array_distinct(split(edgeTrim(lower(col("qtext"))), "\\s+"))).as("term"))
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))
-    val tf = cacheTracked(
-      docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-          explode(col("toks")).as("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl")))
+    // the MATERIALIZED postings table (see bm25Postings) — the sparse
+    // tower reads the stored index, never re-tokenizes the corpus
+    val tf = cacheTracked(bm25Postings(spark, sfDir))
     val stats = tf.groupBy("doc_id").agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
