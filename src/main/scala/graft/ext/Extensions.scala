@@ -720,7 +720,8 @@ object Extensions {
     */
   def annTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
               nTables: Int = 3, bitsPerTable: Int = 6,
-              bucketCap: Int = 256): DataFrame = {
+              bucketCap: Int = 256,
+              indexSrc: Option[String] = None): DataFrame = {
     val qids = broadcast(queryIds.select("vec_id"))
     val dim = 64
     // deterministic pseudo-random hyperplanes, driver-side (tiny)
@@ -785,8 +786,19 @@ object Extensions {
     val cw = Window.partitionBy(col("c_bucket"))
       .orderBy(Scalars.hash60(concat_ws(":", col("c_bucket"),
         col("corpus_id").cast("string"))), col("corpus_id"))
-    val cCapped = c.withColumn("rn", row_number().over(cw))
+    val cCapped0 = c.withColumn("rn", row_number().over(cw))
       .filter(col("rn") <= bucketCap).drop("rn")
+    // the capped bucket table IS the LSH index: persisted per (data,
+    // planes/cap params) when the source is named — searches then read
+    // the stored (corpus_id, bucket) table instead of re-hashing the
+    // corpus per query batch (same stored-index contract as pq-codes /
+    // ivf-cells; the plane literals are in the plan fingerprint)
+    val cCapped = indexSrc match {
+      case Some(src) => parquetFixture(emb.sparkSession, "lsh-buckets", src,
+        s"t${nTables}_b${bitsPerTable}_c${bucketCap}_lsh1",
+        cCapped0.queryExecution.logical.toString, cCapped0)
+      case None => cCapped0
+    }
     // candidates share any table's bucket -> equi-join, never quadratic
     val cand = cCapped.join(broadcast(q),
         col("bucket") === col("c_bucket") && col("query_id") =!= col("corpus_id"))
@@ -811,7 +823,8 @@ object Extensions {
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      annTopK(emb, annQueryIds(emb))
+      annTopK(emb, annQueryIds(emb),
+        indexSrc = Some(s"$sfDir/embeddings.parquet"))
     },
     None)
 
