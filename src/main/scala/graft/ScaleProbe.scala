@@ -30,6 +30,24 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** The planted skew graph shared by the `skew` and `skewsweep`
+    * probes: one hub-0 star of `spokes` edges (the maximally hot join
+    * key) + 1000 background chains of 100 nodes. */
+  private def starChainGraph(spark: SparkSession,
+                             spokes: Long): (org.apache.spark.sql.DataFrame,
+                                             org.apache.spark.sql.DataFrame) = {
+    val star = spark.range(1, spokes + 1)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val base = 1000000000L
+    val chains = spark.range(0, 100000)
+      .filter(col("id") % 100 =!= 99) // don't bridge adjacent chains
+      .select((col("id") + base).as("id_a"), (col("id") + base + 1).as("id_b"))
+    val edges = star.unionByName(chains)
+    val nodes = edges.select(col("id_a").as("id"))
+      .unionByName(edges.select(col("id_b").as("id"))).distinct()
+    (edges, nodes)
+  }
+
   private def skewProbe(args: Array[String]): Unit = {
     val spokes = if (args.length > 1) args(1).toLong else 2000000L
     // arg 3: hotDegree override — pass Long.MaxValue-ish (e.g. 9e18) to
@@ -73,17 +91,7 @@ object ScaleProbe {
           stageName.putIfAbsent(sid.toInt, d)))
       }
     })
-    // hub 0 star: spokes edges all touching node 0 (one mega-component)
-    val star = spark.range(1, spokes + 1)
-      .select(lit(0L).as("id_a"), col("id").as("id_b"))
-    // background: 1000 chains of 100 nodes each, ids offset far away
-    val base = 1000000000L
-    val chains = spark.range(0, 100000)
-      .filter(col("id") % 100 =!= 99) // don't bridge adjacent chains
-      .select((col("id") + base).as("id_a"), (col("id") + base + 1).as("id_b"))
-    val edges = star.unionByName(chains)
-    val nodes = edges.select(col("id_a").as("id"))
-      .unionByName(edges.select(col("id_b").as("id"))).distinct()
+    val (edges, nodes) = starChainGraph(spark, spokes)
     val t0 = System.nanoTime()
     val comps = ops.Graph.connectedComponents(edges, nodes,
       hotDegree = hotDegree).cache()
@@ -459,15 +467,7 @@ object ScaleProbe {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskInfo != null) taskMs.add(t.taskInfo.duration)
     })
-    val star = spark.range(1, spokes + 1)
-      .select(lit(0L).as("id_a"), col("id").as("id_b"))
-    val base = 1000000000L
-    val chains = spark.range(0, 100000)
-      .filter(col("id") % 100 =!= 99)
-      .select((col("id") + base).as("id_a"), (col("id") + base + 1).as("id_b"))
-    val edges = star.unionByName(chains)
-    val nodes = edges.select(col("id_a").as("id"))
-      .unionByName(edges.select(col("id_b").as("id"))).distinct()
+    val (edges, nodes) = starChainGraph(spark, spokes)
     for (p <- parts; mode <- Seq("cold_only", "hot_cold")) {
       spark.conf.set("spark.sql.shuffle.partitions", p)
       taskMs.clear()
@@ -479,9 +479,15 @@ object ScaleProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       assert(mega == spokes + 1, s"mega-component fragmented at p=$p $mode")
       comps.unpersist()
-      // drain the listener bus so the LAST (slowest) tasks are counted
-      Iterator.continually { Thread.sleep(500); taskMs.size }
-        .take(20).sliding(2).find(w => w.head == w.last)
+      // drain the listener bus so the LAST (slowest) tasks are counted;
+      // a bus that never stabilizes means the printed straggler ratio
+      // UNDERCOUNTS the slowest tasks — say so instead of silently
+      // truncating the very evidence the sweep measures
+      val stable = Iterator.continually { Thread.sleep(500); taskMs.size }
+        .take(20).sliding(2).exists(w => w.head == w.last)
+      if (!stable)
+        System.err.println(s"SKEWSWEEP WARNING p=$p $mode: listener bus " +
+          "still draining after 10s — task stats may omit the slowest tasks")
       val times = taskMs.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
       val med = if (times.nonEmpty) math.max(times(times.length / 2), 1L) else 1L
       val max = if (times.nonEmpty) times.last else 0L

@@ -869,11 +869,8 @@ object Extensions {
                    keyTag: String = "ivf1"): Array[Array[Double]] = {
     val spark = emb.sparkSession
     val e = pqNormalize(emb)
-    def cellOf(cs: Array[Array[Double]]): Column = {
-      val sa = array(cs.toSeq.map(c =>
-        dotD(col("nv"), array(c.map(lit).toSeq: _*))): _*)
-      (array_position(sa, array_max(sa)) - 1).cast("int")
-    }
+    def cellOf(cs: Array[Array[Double]]): Column =
+      argmaxCell(col("nv"), cs)
     def trainCentroids(): Array[Array[Double]] = {
       val ep = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -944,14 +941,12 @@ object Extensions {
 
     def scores(cs: Array[Array[Double]]): Seq[Column] =
       cs.toSeq.map(c => dotD(col("nv"), array(c.map(lit).toSeq: _*)))
-    // first index achieving the max — deterministic tie-break. One
-    // scores array + array_position keeps each centroid dot product a
-    // single expression node; the previous greatest + when-chain form
-    // duplicated every dot and made codegen the dominant cost.
-    def cellOf(cs: Array[Array[Double]]): Column = {
-      val sa = array(scores(cs): _*)
-      (array_position(sa, array_max(sa)) - 1).cast("int")
-    }
+    // the shared argmax assignment ([[argmaxCell]]): one scores array +
+    // array_position keeps each centroid dot a single expression node
+    // (a greatest + when-chain form duplicated every dot and made
+    // codegen the dominant cost)
+    def cellOf(cs: Array[Array[Double]]): Column =
+      argmaxCell(col("nv"), cs)
 
     // The trained quantizer is a MODEL (nCells×dim doubles) — see
     // [[ivfCentroids]] (extracted so incremental maintenance can
@@ -1042,10 +1037,13 @@ object Extensions {
   }
   private def pqSubDot(sub: Column, cwd: Array[Double]): Column =
     dotD(sub, array(cwd.map(lit).toSeq: _*))
-  // first index achieving the max sub-dot — deterministic tiebreak,
-  // same construction as the IVF cell assignment
-  private def pqCellOfSub(sub: Column, cb: Array[Array[Double]]): Column = {
-    val sa = array(cb.map(cwd => pqSubDot(sub, cwd)).toSeq: _*)
+  /** argmax-dot cell id of `vec` against a codeword/centroid table —
+    * FIRST index achieving the max (deterministic tie-break). The one
+    * assignment expression shared by PQ training/encode/search AND the
+    * IVF quantizer (train, corpus assignment, drift encode), so every
+    * consumer of a stored model assigns vectors identically. */
+  private def argmaxCell(vec: Column, cb: Array[Array[Double]]): Column = {
+    val sa = array(cb.map(cwd => pqSubDot(vec, cwd)).toSeq: _*)
     (array_position(sa, array_max(sa)) - 1).cast("int")
   }
   // 1-based slice of subspace mi, PROJECTED once per caller — inlining
@@ -1099,7 +1097,7 @@ object Extensions {
           for (_ <- 0 until iters) {
             val sampled = pqWithSubs(train, m, ds)
             val assigned = (0 until m).map(mi => sampled.select(
-              lit(mi).as("m"), pqCellOfSub(col(s"sub_$mi"), cbs(mi)).as("cell"),
+              lit(mi).as("m"), argmaxCell(col(s"sub_$mi"), cbs(mi)).as("cell"),
               col(s"sub_$mi").as("sub"))).reduce(_ unionByName _)
             val aggs = count(lit(1)).as("n") +:
               (0 until ds).map(d => sum(col("sub")(d)).as(s"s$d"))
@@ -1147,10 +1145,6 @@ object Extensions {
     // corpus × M×K doubles — the exact OOM this signature forbids
     val qids = broadcast(queryIds.select("vec_id"))
     val e = pqNormalize(emb)
-    def subDot(sub: Column, cwd: Array[Double]): Column = pqSubDot(sub, cwd)
-    def cellOfSub(sub: Column, cb: Array[Array[Double]]): Column =
-      pqCellOfSub(sub, cb)
-    def withSubs(df: DataFrame, ds: Int): DataFrame = pqWithSubs(df, m, ds)
 
     // the codebook is a MODEL (m×kw×ds doubles) — persisted per input
     // fingerprint like the IVF centroids, so repeated searches and the
@@ -1166,8 +1160,8 @@ object Extensions {
 
     // corpus ENCODE scan: codes only — the frame the ADC join reads is
     // M ints per vector, never the vectors themselves
-    val codes0 = withSubs(e, ds).select(col("vec_id").as("corpus_id"),
-      array((0 until m).map(mi => cellOfSub(col(s"sub_$mi"), cbs(mi))): _*).as("code"))
+    val codes0 = pqWithSubs(e, m, ds).select(col("vec_id").as("corpus_id"),
+      array((0 until m).map(mi => argmaxCell(col(s"sub_$mi"), cbs(mi))): _*).as("code"))
     // the code table IS the index: persisted per (data, codebook) when
     // the source is named — at 100 TB every search reads the stored
     // M-byte codes instead of re-encoding the raw-vector corpus (the
@@ -1181,8 +1175,8 @@ object Extensions {
     }
     // query side: the M×K LUT of sub-dot-products, flattened row-major
     val lut = array((0 until m).flatMap(mi =>
-      cbs(mi).map(cwd => subDot(col(s"sub_$mi"), cwd))): _*)
-    val queries = withSubs(e.join(qids, Seq("vec_id")), ds)
+      cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
+    val queries = pqWithSubs(e.join(qids, Seq("vec_id")), m, ds)
       .select(col("vec_id").as("query_id"), col("nv").as("qv"), lut.as("lut"))
     // ADC: fixed-order fold over subspaces — Σ_mi lut[mi·K + code[mi]]
     val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
@@ -1283,46 +1277,63 @@ object Extensions {
       (lit(2.0) - lit(2.0) * array_max(sa)).as("qerr"))
   }
 
+  /** Deterministic 90/10 standing-corpus / new-batch split on the
+    * sha-derived id hash — ext_dedup_incremental's split shape. */
+  private def incrementalSplit(emb: DataFrame): (DataFrame, DataFrame) = {
+    val bucket = pmod(Scalars.hash60(col("vec_id").cast("string")), lit(100L))
+    (emb.filter(bucket < 90), emb.filter(bucket >= 90))
+  }
+
+  /** Shared drift-report assembly for the incremental-maintenance
+    * queries ([[pqIncremental]] / [[ivfIncremental]]): per-set mean
+    * quantization error of the `encode`d splits, the batch's drift
+    * ratio vs train, and the retrain trigger — computed from the SAME
+    * 4dp-ROUNDED drift the row reports, so the output can never
+    * contradict its own documented rule. An empty batch (every id
+    * hashed into the corpus bucket) yields a well-defined
+    * ('batch', 0, 0.0, 0.0, false) row, never NULLs. */
+  private def driftReport(corpus: DataFrame, batch: DataFrame,
+                          encode: DataFrame => DataFrame): DataFrame = {
+    def meanErr(set: String, df: DataFrame): DataFrame =
+      encode(df)
+        .agg(count(lit(1)).as("n_vecs"),
+          coalesce(avg(col("qerr")), lit(0.0)).as("me"))
+        .select(lit(set).as("set"), col("n_vecs"), col("me"))
+    val t = meanErr("train", corpus)
+    val b = meanErr("batch", batch)
+    // drift = batch/train mean error — two 1-row frames, broadcast
+    val drift = round(when(col("t_me") > 0, col("me") / col("t_me"))
+      .otherwise(lit(0.0)), 4)
+    b.crossJoin(broadcast(t.select(col("me").as("t_me"))))
+      .select(col("set"), col("n_vecs"),
+        round(col("me"), 6).as("mean_qerr"),
+        drift.as("drift_vs_train"),
+        (drift >= PqDriftRetrain).as("retrain"))
+      .unionByName(t.select(col("set"), col("n_vecs"),
+        round(col("me"), 6).as("mean_qerr"),
+        lit(1.0).as("drift_vs_train"), lit(false).as("retrain")))
+      .orderBy("set")
+  }
+
+  /** Empty output of the drift-report shape — the empty-corpus path
+    * (a fresh tenant is an input, not an error). */
+  private def emptyDriftReport(emb: DataFrame): DataFrame =
+    emb.select(lit("x").as("set"), lit(0L).as("n_vecs"),
+        lit(0.0).as("mean_qerr"), lit(0.0).as("drift_vs_train"),
+        lit(false).as("retrain"))
+      .filter(lit(false))
+
   val pqIncremental: Q = Q("ext_pq_incremental",
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // deterministic 90/10 standing-corpus / new-batch split on the
-      // sha-derived id hash — ext_dedup_incremental's split shape
-      val bucket = pmod(Scalars.hash60(col("vec_id").cast("string")), lit(100L))
-      val corpus = emb.filter(bucket < 90)
-      val batch = emb.filter(bucket >= 90)
+      val (corpus, batch) = incrementalSplit(emb)
       // FROZEN model: trained on the standing corpus only (keyTag keeps
       // this fixture distinct from the full-corpus search codebook)
       val cbs = pqCodebooks(corpus,
         codebookSrc = Some(s"$sfDir/embeddings.parquet"), keyTag = "pqinc90")
-      if (cbs.isEmpty)
-        // empty corpus: no model, nothing to maintain — empty output
-        // of the right shape (a fresh tenant is an input, not an error)
-        emb.select(lit("x").as("set"), lit(0L).as("n_vecs"),
-            lit(0.0).as("mean_qerr"), lit(0.0).as("drift_vs_train"),
-            lit(false).as("retrain"))
-          .filter(lit(false))
-      else {
-        def meanErr(set: String, df: DataFrame): DataFrame =
-          pqEncodeWithError(df, cbs)
-            .agg(count(lit(1)).as("n_vecs"), avg(col("qerr")).as("me"))
-            .select(lit(set).as("set"), col("n_vecs"), col("me"))
-        val t = meanErr("train", corpus)
-        val b = meanErr("batch", batch)
-        // drift = batch/train mean error — two 1-row frames, broadcast
-        val drift = when(col("t_me") > 0, col("me") / col("t_me"))
-          .otherwise(lit(0.0))
-        b.crossJoin(broadcast(t.select(col("me").as("t_me"))))
-          .select(col("set"), col("n_vecs"),
-            round(col("me"), 6).as("mean_qerr"),
-            round(drift, 4).as("drift_vs_train"),
-            (drift >= PqDriftRetrain).as("retrain"))
-          .unionByName(t.select(col("set"), col("n_vecs"),
-            round(col("me"), 6).as("mean_qerr"),
-            lit(1.0).as("drift_vs_train"), lit(false).as("retrain")))
-          .orderBy("set")
-      }
+      if (cbs.isEmpty) emptyDriftReport(emb)
+      else driftReport(corpus, batch, df => pqEncodeWithError(df, cbs))
     },
     None)
 
@@ -1336,35 +1347,11 @@ object Extensions {
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val bucket = pmod(Scalars.hash60(col("vec_id").cast("string")), lit(100L))
-      val corpus = emb.filter(bucket < 90)
-      val batch = emb.filter(bucket >= 90)
+      val (corpus, batch) = incrementalSplit(emb)
       val cs = ivfCentroids(corpus,
         centroidSrc = Some(s"$sfDir/embeddings.parquet"), keyTag = "ivfinc90")
-      if (cs.isEmpty)
-        emb.select(lit("x").as("set"), lit(0L).as("n_vecs"),
-            lit(0.0).as("mean_qerr"), lit(0.0).as("drift_vs_train"),
-            lit(false).as("retrain"))
-          .filter(lit(false))
-      else {
-        def meanErr(set: String, df: DataFrame): DataFrame =
-          ivfEncodeWithError(df, cs)
-            .agg(count(lit(1)).as("n_vecs"), avg(col("qerr")).as("me"))
-            .select(lit(set).as("set"), col("n_vecs"), col("me"))
-        val t = meanErr("train", corpus)
-        val b = meanErr("batch", batch)
-        val drift = when(col("t_me") > 0, col("me") / col("t_me"))
-          .otherwise(lit(0.0))
-        b.crossJoin(broadcast(t.select(col("me").as("t_me"))))
-          .select(col("set"), col("n_vecs"),
-            round(col("me"), 6).as("mean_qerr"),
-            round(drift, 4).as("drift_vs_train"),
-            (drift >= PqDriftRetrain).as("retrain"))
-          .unionByName(t.select(col("set"), col("n_vecs"),
-            round(col("me"), 6).as("mean_qerr"),
-            lit(1.0).as("drift_vs_train"), lit(false).as("retrain")))
-          .orderBy("set")
-      }
+      if (cs.isEmpty) emptyDriftReport(emb)
+      else driftReport(corpus, batch, df => ivfEncodeWithError(df, cs))
     },
     None)
 

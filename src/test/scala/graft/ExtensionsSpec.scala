@@ -334,7 +334,10 @@ class ExtensionsSpec extends SparkSpec {
       val code = r.getSeq[Int](1)
       assert(code.length == Extensions.PqM)
       assert(code.forall(c => c >= 0 && c < Extensions.PqK))
-      assert(r.getDouble(2) >= 0.0)
+      // ‖sub‖² − 2·dot + ‖cw‖² can cancel to ~-1e-16 when a vector
+      // coincides with its (1e-9-rounded) codeword — same tolerance as
+      // the IVF twin test
+      assert(r.getDouble(2) >= -1e-9)
     }
   }
 
@@ -382,6 +385,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(1).getDouble(3) == 1.0 && !rows(1).getBoolean(4))
     assert(!rows(0).getBoolean(4),
       s"in-distribution batch tripped retrain (drift ${rows(0).getDouble(3)})")
+  }
+
+  test("incremental maintenance: an EMPTY batch yields a defined row, never NULLs") {
+    // ids chosen so every one hashes into the corpus bucket (<90): the
+    // batch slice is empty, and avg over it is NULL — the report must
+    // still produce ('batch', 0, 0.0, 0.0, false), not a NULL row
+    val ids = spark.range(0, 400)
+      .withColumn("b", pmod(graft.expr.Scalars.hash60(col("id").cast("string")),
+        lit(100L)))
+      .filter(col("b") < 90).limit(20).collect().map(_.getLong(0))
+    assert(ids.length == 20)
+    val v = Array.tabulate(64)(j => math.sin(j + 2.0)).toSeq
+    ids.toSeq.map(i => (i, v)).toDF("vec_id", "embedding")
+      .write.mode("overwrite")
+      .parquet("target/tmp-emptybatch/embeddings.parquet")
+    for (q <- Seq(Extensions.pqIncremental, Extensions.ivfIncremental)) {
+      val rows = q.fn(spark, "target/tmp-emptybatch").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("batch", "train"), q.name)
+      val b = rows(0)
+      assert(b.getLong(1) == 0L, s"${q.name}: batch must be empty")
+      assert(!b.isNullAt(2) && b.getDouble(2) == 0.0, s"${q.name} mean_qerr")
+      assert(!b.isNullAt(3) && b.getDouble(3) == 0.0, s"${q.name} drift")
+      assert(!b.isNullAt(4) && !b.getBoolean(4), s"${q.name} retrain")
+    }
   }
 
   test("ext_pq_incremental on real data: two rows, sane drift, corpus split covers all") {

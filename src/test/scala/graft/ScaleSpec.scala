@@ -102,6 +102,9 @@ class ScaleSpec extends SparkSpec {
     }
     assert(hybridCounts.toSet == Set(Extensions.HybridQueryCount.toLong),
       s"hybrid query workload not SF-invariant: $hybridCounts")
+    // the hybrid runs cacheTracked-pin the postings of TWO scale
+    // factors in the shared test session — release them
+    Extensions.releaseCaches()
   }
 
   test("connectedComponents handles a planted mega-component (hot join key) correctly") {
