@@ -32,9 +32,9 @@ object SparkEntry {
     "ext_hybrid_search_pq" ->
       "self-checking metric over an approximate (PQ-tower) index: the output carries its own pass column asserting the fusion-overlap floor vs the exact hybrid",
     "ext_pq_incremental" ->
-      "frozen-codebook model maintenance has no SQL analog (the codebook is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test and the O(batch) encode by ScaleProbe pqinc",
+      "frozen-codebook model maintenance has no SQL analog (the codebook is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test, the O(batch) encode by ScaleProbe pqinc, and PlanSpec asserts the train distortion is read from the stored model stat (one corpus scan: the batch filter)",
     "ext_ivf_incremental" ->
-      "frozen-centroid model maintenance has no SQL analog (the quantizer is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test (same encode shape as ext_pq_incremental)",
+      "frozen-centroid model maintenance has no SQL analog (the quantizer is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test and PlanSpec's stored-stat gate (same encode shape as ext_pq_incremental)",
     "stream_sync_microbatch" ->
       "streaming foreachBatch lifecycle has no DuckDB analog; semantics are covered by StreamingSyncSpec and PipelineSpec")
 

@@ -411,6 +411,23 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("zero train distortion + nonzero batch error trips retrain, never a silent 0 drift") {
+    // a corpus the model reproduces perfectly (t_me == 0) must not mask
+    // an out-of-distribution arrival: drift reports Infinity → retrain,
+    // while a zero-error batch under a zero-error model stays quiet
+    val trainStat = Seq(("train", 10L, 0.0)).toDF("set", "n_vecs", "me")
+    val badBatch = Seq((1L, 0.5), (2L, 0.3)).toDF("vec_id", "qerr")
+    val bad = Extensions.driftReport(trainStat, badBatch, df => df).collect()
+    val badRow = bad.find(_.getString(0) == "batch").get
+    assert(badRow.getDouble(3).isPosInfinity,
+      s"degenerate drift must be Infinity, got ${badRow.getDouble(3)}")
+    assert(badRow.getBoolean(4), "nonzero batch error under a zero-error model must retrain")
+    val okBatch = Seq((1L, 0.0)).toDF("vec_id", "qerr")
+    val ok = Extensions.driftReport(trainStat, okBatch, df => df).collect()
+    val okRow = ok.find(_.getString(0) == "batch").get
+    assert(okRow.getDouble(3) == 0.0 && !okRow.getBoolean(4))
+  }
+
   test("ext_pq_incremental on real data: two rows, sane drift, corpus split covers all") {
     val rows = Extensions.pqIncremental.fn(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("batch", "train"))

@@ -209,6 +209,33 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unpartitioned-window plans: $offenders")
   }
 
+  test("incremental maintenance reads the stored train stat — no corpus-sized encode scan") {
+    // the train-time distortion is a constant of the frozen (data,
+    // model) pair: the registered plan must read it from the persisted
+    // 1-row stat, and scan the raw embeddings exactly ONCE (the batch
+    // filter). A second testdata scan means the O(corpus) re-encode the
+    // maintenance contract forbids has crept back in.
+    for ((q, statFamily) <- Seq(
+        ext.Extensions.pqIncremental -> "pq-train-stat",
+        ext.Extensions.ivfIncremental -> "ivf-train-stat")) {
+      val df = q.fn(spark, sf0001) // builds the stat fixture if missing
+      val scanPaths = df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      val corpusScans = scanPaths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(corpusScans == 1,
+        s"${q.name}: want exactly 1 raw-embedding scan (the batch), got $corpusScans in $scanPaths")
+      assert(scanPaths.exists(_.contains(statFamily)),
+        s"${q.name}: train stat not served from the stored $statFamily fixture: $scanPaths")
+    }
+  }
+
   test("fixture filters fold into scans, not post-filters (optimizer visibility)") {
     // Fixtures.patients is a projection over customer: the optimized plan
     // must be Project→Relation with no intermediate barriers

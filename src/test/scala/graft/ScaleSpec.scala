@@ -83,28 +83,30 @@ class ScaleSpec extends SparkSpec {
     // driver/executor OOM at 100×. The workload must saturate at
     // exactly AnnQueryCount / HybridQueryCount at every SF.
     val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
-    val annCounts = sfs.map { sf =>
-      Extensions.annQueryIds(model.Tables.embeddings(spark, sf)).count()
-    }
-    assert(annCounts.toSet == Set(Extensions.AnnQueryCount.toLong),
-      s"ANN query workload not SF-invariant: $annCounts")
-    // the registered queries must agree with the helper: distinct
-    // query_ids in each output == the fixed count at both SFs
-    sfs.foreach { sf =>
-      val nq = Extensions.topkCosine.fn(spark, sf)
-        .select("query_id").distinct().count()
-      assert(nq == Extensions.AnnQueryCount.toLong,
-        s"$sf: ext_topk_cosine ran $nq queries, want ${Extensions.AnnQueryCount}")
-    }
-    val hybridCounts = sfs.map { sf =>
-      Extensions.hybridSearch.fn(spark, sf)
-        .select("query_id").distinct().count()
-    }
-    assert(hybridCounts.toSet == Set(Extensions.HybridQueryCount.toLong),
-      s"hybrid query workload not SF-invariant: $hybridCounts")
-    // the hybrid runs cacheTracked-pin the postings of TWO scale
-    // factors in the shared test session — release them
-    Extensions.releaseCaches()
+    // finally-released: a FAILED assertion must not leave the postings/
+    // query caches of two scale factors pinned in the shared session
+    // for the suites that run after this one
+    try {
+      val annCounts = sfs.map { sf =>
+        Extensions.annQueryIds(model.Tables.embeddings(spark, sf)).count()
+      }
+      assert(annCounts.toSet == Set(Extensions.AnnQueryCount.toLong),
+        s"ANN query workload not SF-invariant: $annCounts")
+      // the registered queries must agree with the helper: distinct
+      // query_ids in each output == the fixed count at both SFs
+      sfs.foreach { sf =>
+        val nq = Extensions.topkCosine.fn(spark, sf)
+          .select("query_id").distinct().count()
+        assert(nq == Extensions.AnnQueryCount.toLong,
+          s"$sf: ext_topk_cosine ran $nq queries, want ${Extensions.AnnQueryCount}")
+      }
+      val hybridCounts = sfs.map { sf =>
+        Extensions.hybridSearch.fn(spark, sf)
+          .select("query_id").distinct().count()
+      }
+      assert(hybridCounts.toSet == Set(Extensions.HybridQueryCount.toLong),
+        s"hybrid query workload not SF-invariant: $hybridCounts")
+    } finally Extensions.releaseCaches()
   }
 
   test("connectedComponents handles a planted mega-component (hot join key) correctly") {
