@@ -56,7 +56,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = ms3(results.map(_._2).sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Self-flagging control: fn_epoch_millis is a fixed-work scalar
+    // projection whose steady state is recorded in BASELINE.md — if
+    // this run's control exceeds it by >25% the HOST was stolen/noisy
+    // and apparent per-query regressions in this run are suspect
+    // (round-8's driver bench read the control at 4× steady and
+    // "regressed" half the registry). The flag rides in the JSON so an
+    // inflated run announces itself instead of requiring forensics.
+    val controlSteady = sys.env.get("SPARK_GRAFT_CONTROL_STEADY")
+      .flatMap(_.toDoubleOption).getOrElse(0.95)
+    val controlSec = results.toMap.getOrElse("fn_epoch_millis", -1.0)
+    val controlOk = controlSec > 0 && controlSec <= controlSteady * 1.25
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""control_query":"fn_epoch_millis","control_sec":${ms3(controlSec)},""" +
+      s""""control_steady_sec":${ms3(controlSteady)},"control_ok":$controlOk,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)
