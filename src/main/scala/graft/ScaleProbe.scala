@@ -442,6 +442,74 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `ivfpq` mode: cell-routed ADC at 100×-scale vector counts —
+    * proves the routing contract: the ADC equi-join touches
+    * ≈ nProbe/nCells of the stored code rows per query batch, never
+    * the whole code table (the residual full-scan cost IndexPQ pays).
+    * The corpus is written to parquet and both searches run against
+    * their STORED index fixtures (the production path); reported walls
+    * are the warm (index-serving) runs, and the scanned-code fraction
+    * is recomputed independently from the stored cell sizes plus a
+    * driver-side re-derivation of each query's nProbe cells. */
+  private def ivfpqProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.length > 1) args(1).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val v = transform(sequence(lit(0), lit(63)),
+      j => pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0 - 1.0)
+    val src = s"target/tmp-ivfpqprobe/embeddings.parquet"
+    spark.range(nVecs).select(col("id").as("vec_id"), v.as("v"))
+      .write.mode("overwrite").parquet(src)
+    val emb = spark.read.parquet(src)
+    val qids = emb.select("vec_id").orderBy("vec_id").limit(16)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(df: org.apache.spark.sql.DataFrame): Long = df.count()
+    // cold = model training + index build (one-time); warm = the
+    // steady search cost the routing contract is about
+    val (_, tFullCold) = timed(run(
+      ext.Extensions.pqTopK(emb, qids, codebookSrc = Some(src))))
+    val (_, tFullWarm) = timed(run(
+      ext.Extensions.pqTopK(emb, qids, codebookSrc = Some(src))))
+    val (_, tRoutedCold) = timed(run(
+      ext.Extensions.ivfpqTopK(emb, qids, src = Some(src))))
+    val (_, tRoutedWarm) = timed(run(
+      ext.Extensions.ivfpqTopK(emb, qids, src = Some(src))))
+    // independent fraction: stored cell sizes × driver-side routing
+    val cbs = ext.Extensions.pqCodebooks(emb, codebookSrc = Some(src))
+    val cs = ext.Extensions.ivfCentroids(emb, centroidSrc = Some(src))
+    val sizes = ext.Extensions.ivfpqCellCodes(emb, cbs, cs, Some(src))
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val qvecs = emb.join(qids, Seq("vec_id"))
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def routedCells(q: Array[Double]): Seq[Int] = {
+      val n = math.sqrt(q.map(x => x * x).sum)
+      val nv = q.map(_ / n)
+      cs.indices.sortBy { c =>
+        (-cs(c).zip(nv).map { case (a, b) => a * b }.sum, c)
+      }.take(ext.Extensions.IvfpqNProbe)
+    }
+    val scanned = qvecs.map { case (_, q) =>
+      routedCells(q).map(c => sizes.getOrElse(c, 0L)).sum
+    }.sum
+    val frac = scanned.toDouble / (qvecs.length.toLong * nVecs)
+    val expect = ext.Extensions.IvfpqNProbe.toDouble / cs.length
+    println(f"IVFPQPROBE n=$nVecs%d queries=${qvecs.length}%d " +
+      f"frac_scanned=$frac%.3f expect~=$expect%.3f " +
+      f"wall{full_adc_cold=$tFullCold%.1fs full_adc_warm=$tFullWarm%.1fs " +
+      f"routed_cold=$tRoutedCold%.1fs routed_warm=$tRoutedWarm%.1fs} " +
+      "(contract: frac tracks nProbe/nCells; routed_warm < full_adc_warm)")
+    spark.stop()
+  }
+
   /** `skewsweep` mode: the CC hot/cold decomposition A/B across
     * simulated cluster parallelism. local[32] at 32 shuffle partitions
     * hides the straggler (one hot task ≈ one core's fair share); at
@@ -501,6 +569,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skewsweep")) { skewSweep(args); return }
     if (args.headOption.contains("pqinc")) { pqIncProbe(args); return }
+    if (args.headOption.contains("ivfpq")) { ivfpqProbe(args); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("semantic")) { semanticProbe(args); return }

@@ -27,10 +27,14 @@ object SparkEntry {
       "approximate index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
     "ext_topk_pq" ->
       "approximate (product-quantized) index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
+    "ext_topk_ivfpq" ->
+      "approximate (cell-routed product-quantized) index by design; quality is gated by ext_ann_recall's ivfpq pass row, the routed-candidate containment by ExtensionsSpec, and the cell-equi-join plan by PlanSpec",
     "ext_ann_recall" ->
       "self-checking metric: the output carries its own pass column asserting the registered recall floors",
     "ext_hybrid_search_pq" ->
       "self-checking metric over an approximate (PQ-tower) index: the output carries its own pass column asserting the fusion-overlap floor vs the exact hybrid",
+    "ext_lsh_incremental" ->
+      "approximate index maintenance (same no-oracle reason as ext_ann_lsh); ExtensionsSpec asserts the merged-index output is row-identical to ext_ann_lsh at driver SFs and PlanSpec gates the plan to one batch-side hash scan (corpus buckets served from the stored table)",
     "ext_pq_incremental" ->
       "frozen-codebook model maintenance has no SQL analog (the codebook is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test, the O(batch) encode by ScaleProbe pqinc, and PlanSpec asserts the train distortion is read from the stored model stat (one corpus scan: the batch filter)",
     "ext_ivf_incremental" ->

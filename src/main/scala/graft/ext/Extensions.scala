@@ -718,28 +718,58 @@ object Extensions {
     *                   the candidate join, so its size is the scale
     *                   contract of the whole search.
     */
+  /** Deterministic sha-derived hyperplane weight j of plane p —
+    * driver-side (tiny), shared by every LSH consumer so corpus
+    * hashing, query probing, and incremental batch hashing agree. */
+  private def lshW(p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h = md.digest(s"$p:$j".getBytes("UTF-8"))
+    (java.nio.ByteBuffer.wrap(h.take(8)).getLong & 0xFFFFFFL).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0
+  }
+
+  /** Sign-bit columns of table t over `v` (one per hyperplane). */
+  private def lshBitCols(t: Int, bitsPerTable: Int,
+                         dim: Int = 64): Seq[Column] =
+    (0 until bitsPerTable).map { b =>
+      val plane = array((0 until dim).map(j =>
+        lit(lshW(t * bitsPerTable + b, j))): _*)
+      when(dotD(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
+    }
+
+  /** The LSH bucket rows of a vector frame: (corpus_id, c_bucket), one
+    * row per vector per table — the O(rows) hash scan behind the index.
+    * With `cap` set, hot buckets keep only the `cap` smallest members
+    * by the salted sha order (each table drops a DIFFERENT subset —
+    * how multi-table LSH recovers the recall a single capped table
+    * loses). Extracted from [[annTopK]] so incremental maintenance
+    * ([[lshIncremental]]) can hash a new batch in one O(batch) scan
+    * and union it with the STORED corpus bucket table. */
+  def lshBucketRows(emb: DataFrame, cap: Option[Int],
+                    nTables: Int = 3, bitsPerTable: Int = 6): DataFrame = {
+    def bucketCol(t: Int): Column =
+      concat(lit(s"$t:") +: lshBitCols(t, bitsPerTable): _*)
+    val c = emb
+      .withColumn("bucket", explode(array((0 until nTables).map(bucketCol): _*)))
+      .select(col("vec_id").as("corpus_id"), col("bucket").as("c_bucket"))
+    cap match {
+      case Some(n) =>
+        val cw = Window.partitionBy(col("c_bucket"))
+          .orderBy(Scalars.hash60(concat_ws(":", col("c_bucket"),
+            col("corpus_id").cast("string"))), col("corpus_id"))
+        c.withColumn("rn", row_number().over(cw))
+          .filter(col("rn") <= n).drop("rn")
+      case None => c
+    }
+  }
+
   def annTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
               nTables: Int = 3, bitsPerTable: Int = 6,
               bucketCap: Int = 256,
-              indexSrc: Option[String] = None): DataFrame = {
+              indexSrc: Option[String] = None,
+              buckets0: Option[DataFrame] = None): DataFrame = {
     val qids = broadcast(queryIds.select("vec_id"))
-    val dim = 64
-    // deterministic pseudo-random hyperplanes, driver-side (tiny)
-    def w(p: Int, j: Int): Double = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val h = md.digest(s"$p:$j".getBytes("UTF-8"))
-      (java.nio.ByteBuffer.wrap(h.take(8)).getLong & 0xFFFFFFL).toDouble / 0xFFFFFFL.toDouble * 2.0 - 1.0
-    }
     val e = emb.withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-    def bitCols(t: Int): Seq[Column] =
-      (0 until bitsPerTable).map { b =>
-        val plane = array((0 until dim).map(j => lit(w(t * bitsPerTable + b, j))): _*)
-        when(dotD(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
-      }
-    def bucketCol(t: Int): Column = concat(lit(s"$t:") +: bitCols(t): _*)
-    // each corpus vector lands in ONE bucket per table
-    val bucketed = e.withColumn("bucket",
-      explode(array((0 until nTables).map(bucketCol): _*)))
+    def bitCols(t: Int): Seq[Column] = lshBitCols(t, bitsPerTable)
     // MULTIPROBE on the query side: a near neighbor that straddles one
     // hyperplane lands one sign-bit away, two hyperplanes → two bits
     // away — so each query probes every bucket at hamming distance ≤ 2
@@ -773,31 +803,25 @@ object Extensions {
       .withColumn("bucket",
         explode(array((0 until nTables).flatMap(probeCols): _*)))
       .select(col("vec_id").as("query_id"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("corpus_id"),
-      col("bucket").as("c_bucket"))
-    // Cap hot buckets: a bucket whose sign-pattern attracts a huge
-    // near-dup family (or a degenerate region of the embedding space)
-    // would otherwise contribute |bucket| candidates to EVERY query in
-    // it — candidate volume and shuffle skew both explode. Keep a
-    // deterministic sha-ordered sample of `bucketCap` members per
-    // (table, bucket); the hash is salted with the bucket id so each
-    // of the L tables drops a DIFFERENT subset, which is how
-    // multi-table LSH recovers the recall a single capped table loses.
-    val cw = Window.partitionBy(col("c_bucket"))
-      .orderBy(Scalars.hash60(concat_ws(":", col("c_bucket"),
-        col("corpus_id").cast("string"))), col("corpus_id"))
-    val cCapped0 = c.withColumn("rn", row_number().over(cw))
-      .filter(col("rn") <= bucketCap).drop("rn")
-    // the capped bucket table IS the LSH index: persisted per (data,
-    // planes/cap params) when the source is named — searches then read
-    // the stored (corpus_id, bucket) table instead of re-hashing the
-    // corpus per query batch (same stored-index contract as pq-codes /
-    // ivf-cells; the plane literals are in the plan fingerprint)
-    val cCapped = indexSrc match {
-      case Some(src) => parquetFixture(emb.sparkSession, "lsh-buckets", src,
-        s"t${nTables}_b${bitsPerTable}_c${bucketCap}_lsh1",
-        cCapped0.queryExecution.logical.toString, cCapped0)
-      case None => cCapped0
+    // Cap hot buckets ([[lshBucketRows]]): a bucket whose sign-pattern
+    // attracts a huge near-dup family (or a degenerate region of the
+    // embedding space) would otherwise contribute |bucket| candidates
+    // to EVERY query in it — candidate volume and shuffle skew both
+    // explode. The capped bucket table IS the LSH index: persisted per
+    // (data, planes/cap params) when the source is named — searches
+    // then read the stored (corpus_id, bucket) table instead of
+    // re-hashing the corpus per query batch (same stored-index
+    // contract as pq-codes / ivf-cells; the plane literals are in the
+    // plan fingerprint). `buckets0` lets incremental maintenance
+    // supply the merged (stored corpus + fresh batch) table instead.
+    val cCapped = buckets0.getOrElse {
+      val cCapped0 = lshBucketRows(emb, Some(bucketCap), nTables, bitsPerTable)
+      indexSrc match {
+        case Some(src) => parquetFixture(emb.sparkSession, "lsh-buckets", src,
+          s"t${nTables}_b${bitsPerTable}_c${bucketCap}_lsh1",
+          cCapped0.queryExecution.logical.toString, cCapped0)
+        case None => cCapped0
+      }
     }
     // candidates share any table's bucket -> equi-join, never quadratic
     val cand = cCapped.join(broadcast(q),
@@ -930,6 +954,27 @@ object Extensions {
     }
   }
 
+  /** The stored IVF inverted file: (corpus_id, cell, cv) — each corpus
+    * vector's cell assignment under FROZEN `cs` centroids, persisted
+    * per (data, centroids) when the source is named. The probe join
+    * reads this table instead of re-assigning the whole corpus per
+    * search; retrained centroids orphan it via the plan fingerprint
+    * (centroid literals are in the plan). Shared by [[ivfTopK]] and
+    * the cell-routing half of [[ivfpqTopK]]. */
+  def ivfCellTable(emb: DataFrame, cs: Array[Array[Double]],
+                   centroidSrc: Option[String], nCells: Int = 16,
+                   iters: Int = 2, trainPerCell: Int = 100): DataFrame = {
+    val e = pqNormalize(emb)
+    val corpus0 = e.withColumn("cell", argmaxCell(col("nv"), cs))
+      .select(col("vec_id").as("corpus_id"), col("cell"), col("nv").as("cv"))
+    centroidSrc match {
+      case Some(src) => parquetFixture(emb.sparkSession, "ivf-cells", src,
+        s"c${nCells}_i${iters}_t${trainPerCell}_cells1",
+        corpus0.queryExecution.logical.toString, corpus0)
+      case None => corpus0
+    }
+  }
+
   def ivfTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
               nCells: Int = 16, nProbe: Int = 6, iters: Int = 2,
               trainPerCell: Int = 100,
@@ -962,19 +1007,10 @@ object Extensions {
           lit(0.0).as("cos"), lit(0).as("rank"))
         .filter(lit(false))
 
-    // the cell assignment IS the inverted file: persisted per
-    // (data, centroids) when the source is named — the probe join then
-    // reads the stored (cell, vector) table instead of re-assigning
-    // the whole corpus per search; retrained centroids orphan it via
-    // the plan fingerprint (centroid literals are in the plan)
-    val corpus0 = e.withColumn("cell", cellOf(centroids))
-      .select(col("vec_id").as("corpus_id"), col("cell"), col("nv").as("cv"))
-    val corpus = centroidSrc match {
-      case Some(src) => parquetFixture(emb.sparkSession, "ivf-cells", src,
-        s"c${nCells}_i${iters}_t${trainPerCell}_cells1",
-        corpus0.queryExecution.logical.toString, corpus0)
-      case None => corpus0
-    }
+    // the cell assignment IS the inverted file — stored table, see
+    // [[ivfCellTable]]
+    val corpus = ivfCellTable(emb, centroids, centroidSrc, nCells, iters,
+      trainPerCell)
     // query side: nProbe nearest cells via sorted (negScore, cell) structs
     val probeStructs = array(scores(centroids).zipWithIndex.map { case (s, i) =>
       struct((-s).as("negs"), lit(i).as("cell"))
@@ -1136,6 +1172,29 @@ object Extensions {
     }
   }
 
+  /** The stored PQ code table: (corpus_id, code array<int>) — each
+    * corpus vector encoded against FROZEN `cbs` codebooks, persisted
+    * per (data, codebook) when the source is named. At 100 TB every
+    * search reads the stored M-byte codes instead of re-encoding the
+    * raw-vector corpus (the 64× scan cut PQ exists for); the plan
+    * fingerprint embeds the codeword literals, so a retrained codebook
+    * orphans stale codes. Shared by [[pqTopK]] and the ADC half of
+    * [[ivfpqTopK]]. */
+  def pqCodeTable(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+                  codebookSrc: Option[String], m: Int = PqM, kw: Int = PqK,
+                  iters: Int = 2, trainPerCell: Int = 100): DataFrame = {
+    val e = pqNormalize(emb)
+    val ds = cbs(0)(0).length
+    val codes0 = pqWithSubs(e, m, ds).select(col("vec_id").as("corpus_id"),
+      array((0 until m).map(mi => argmaxCell(col(s"sub_$mi"), cbs(mi))): _*).as("code"))
+    codebookSrc match {
+      case Some(src) => parquetFixture(emb.sparkSession, "pq-codes", src,
+        s"m${m}_k${kw}_i${iters}_t${trainPerCell}_codes1",
+        codes0.queryExecution.logical.toString, codes0)
+      case None => codes0
+    }
+  }
+
   def pqTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
              m: Int = PqM, kw: Int = PqK, rerank: Int = PqRerank,
              iters: Int = 2, trainPerCell: Int = 100,
@@ -1158,21 +1217,8 @@ object Extensions {
         .filter(lit(false))
     val ds = cbs(0)(0).length
 
-    // corpus ENCODE scan: codes only — the frame the ADC join reads is
-    // M ints per vector, never the vectors themselves
-    val codes0 = pqWithSubs(e, m, ds).select(col("vec_id").as("corpus_id"),
-      array((0 until m).map(mi => argmaxCell(col(s"sub_$mi"), cbs(mi))): _*).as("code"))
-    // the code table IS the index: persisted per (data, codebook) when
-    // the source is named — at 100 TB every search reads the stored
-    // M-byte codes instead of re-encoding the raw-vector corpus (the
-    // 64× scan cut PQ exists for). The plan fingerprint embeds the
-    // codeword literals, so a retrained codebook orphans stale codes.
-    val codes = codebookSrc match {
-      case Some(src) => parquetFixture(emb.sparkSession, "pq-codes", src,
-        s"m${m}_k${kw}_i${iters}_t${trainPerCell}_codes1",
-        codes0.queryExecution.logical.toString, codes0)
-      case None => codes0
-    }
+    // corpus ENCODE scan: codes only — stored table, see [[pqCodeTable]]
+    val codes = pqCodeTable(emb, cbs, codebookSrc, m, kw, iters, trainPerCell)
     // query side: the M×K LUT of sub-dot-products, flattened row-major
     val lut = array((0 until m).flatMap(mi =>
       cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
@@ -1209,6 +1255,135 @@ object Extensions {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       pqTopK(emb, annQueryIds(emb),
         codebookSrc = Some(s"$sfDir/embeddings.parquet"))
+    },
+    None)
+
+  // =====================================================================
+  // E3g: IVFPQ — cell-routed ADC search (the FAISS IVFPQ composition;
+  // Jégou et al. 2011, public). IndexPQ's one flaw at 100 TB is that
+  // ADC still scans EVERY code row per query batch: the codes are 64×
+  // smaller than the vectors, but 100 TB of vectors is still ~1.6 TB
+  // of codes per search. IVFPQ closes it by composing the two stored
+  // halves this library already maintains: route each query to its
+  // nProbe nearest IVF cells (a model-sized driver computation), then
+  // ADC-scan ONLY those cells' codes — a cell EQUI-join against the
+  // combined (cell, corpus_id, code) stored index (PlanSpec asserts no
+  // cross join), so the scanned-code fraction per search is
+  // ≈ nProbe/nCells (measured by `ScaleProbe ivfpq` at 2M vectors).
+  // Exact rerank of the ADC-top-R finalists is unchanged from pqTopK.
+  // =====================================================================
+  final val IvfpqNProbe = 6
+  /** Hot-cell skew guard for the combined index: a degenerate region
+    * of embedding space (mass duplication, a collapsed model) can pull
+    * a corpus-scale fraction into ONE cell, and every query probing it
+    * would pay that cell's full ADC volume. Cap cell membership at a
+    * deterministic hash-ordered sample (CapBindSpec forces it to bind;
+    * ExtensionsSpec asserts wide headroom at driver SFs — at the
+    * default it is a guard rail, not a recall cost). */
+  final val IvfpqCellCap = 65536
+  /** Floor for ext_ann_recall's ivfpq row: recall is ROUTING-bound —
+    * IVF's nProbe=6 of 16 cells measures 0.63-0.675 here, and the
+    * ADC+rerank stage under it loses almost nothing (rerank depth 200
+    * over ≤ 3/8 of the corpus). Measured ivfpq recall@10 0.6313 /
+    * 0.675 / 0.6375 at sf0.001/0.01/0.1 — within jitter of the IVF
+    * rows. The floor sits a wide margin below so it trips on index
+    * regressions, not corpus jitter. */
+  final val IvfpqRecallFloor = 0.45
+
+  /** The combined IVFPQ stored index: (cell, corpus_id, code) — the
+    * corpus_id equi-join of the two stored halves ([[ivfCellTable]] ×
+    * [[pqCodeTable]]), hot cells capped, persisted once per (data,
+    * both models) when the source is named. Build cost is one join of
+    * two already-stored tables; every search thereafter reads only the
+    * probed cells' rows. Either retrained model orphans it: the
+    * upstream fixture paths (which embed each model's own plan
+    * fingerprint) sit inside this table's plan fingerprint. */
+  def ivfpqCellCodes(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+                     cs: Array[Array[Double]], src: Option[String],
+                     cellCap: Int = IvfpqCellCap): DataFrame = {
+    val cells = ivfCellTable(emb, cs, src).select("corpus_id", "cell")
+    val codes = pqCodeTable(emb, cbs, src)
+    // deterministic hash-ordered survivors per cell (salted with the
+    // cell id), the same cap discipline as every banded index here
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(Scalars.hash60(concat_ws(":", col("cell"),
+        col("corpus_id").cast("string"))), col("corpus_id"))
+    val joined = codes.join(cells, Seq("corpus_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cellCap).drop("__rn")
+      .select("cell", "corpus_id", "code")
+    src match {
+      case Some(s) => parquetFixture(emb.sparkSession, "ivfpq-codes", s,
+        s"p${cellCap}_ivfpq1", joined.queryExecution.logical.toString, joined)
+      case None => joined
+    }
+  }
+
+  /** IVFPQ search: nProbe cell routing (ivfTopK's query side) feeding
+    * a cell-equi-joined ADC scan (pqTopK's scoring), exact rerank of
+    * the top-R. Same O(1) query-set contract as every search here. */
+  def ivfpqTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
+                nProbe: Int = IvfpqNProbe, rerank: Int = PqRerank,
+                nCells: Int = 16, cellCap: Int = IvfpqCellCap,
+                src: Option[String] = None): DataFrame = {
+    val qids = broadcast(queryIds.select("vec_id"))
+    val e = pqNormalize(emb)
+    val cbs = pqCodebooks(emb, codebookSrc = src)
+    val cs = ivfCentroids(emb, nCells = nCells, centroidSrc = src)
+    if (cbs.isEmpty || cs.isEmpty)
+      return e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("corpus_id"),
+          lit(0.0).as("cos"), lit(0).as("rank"))
+        .filter(lit(false))
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val kw = cbs(0).length
+    val cellCodes = ivfpqCellCodes(emb, cbs, cs, src, cellCap)
+    // query side: nProbe nearest cells (sorted (negScore, cell)
+    // structs — ivfTopK's routing) AND the M×K ADC LUT, one row per
+    // (query, probed cell)
+    val probeStructs = array(cs.toSeq.zipWithIndex.map { case (c, i) =>
+      struct((-dotD(col("nv"), array(c.map(lit).toSeq: _*))).as("negs"),
+        lit(i).as("cell"))
+    }: _*)
+    val lut = array((0 until m).flatMap(mi =>
+      cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
+    val queries = pqWithSubs(e.join(qids, Seq("vec_id")), m, ds)
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"), lut.as("lut"),
+        explode(slice(array_sort(probeStructs), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("lut"), col("p.cell").as("cell"))
+    // ADC over the PROBED cells only — the cell equi-join is the whole
+    // point: candidates = Σ probed-cell sizes, never the corpus
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, mi) => acc +
+        element_at(col("lut"), mi * kw + element_at(col("code"), mi + 1) + 1))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("corpus_id").asc)
+    val candidates = cellCodes.join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("qv"), col("corpus_id"),
+        round(adc, 6).as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= rerank)
+    // exact rerank: fetch full vectors for the top-R candidates only
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    candidates
+      .join(e.select(col("vec_id").as("corpus_id"), col("nv").as("cv")),
+        Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(dotD(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  val topkIvfpq: Q = Q("ext_topk_ivfpq",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      ivfpqTopK(emb, annQueryIds(emb),
+        src = Some(s"$sfDir/embeddings.parquet"))
     },
     None)
 
@@ -1540,6 +1715,8 @@ object Extensions {
       recallOf(annLsh.fn(spark, sfDir), "ann_lsh", AnnLshRecallFloor)
         .unionByName(recallOf(topkIvf.fn(spark, sfDir), "ivf", IvfRecallFloor))
         .unionByName(recallOf(topkPq.fn(spark, sfDir), "pq", PqRecallFloor))
+        .unionByName(
+          recallOf(topkIvfpq.fn(spark, sfDir), "ivfpq", IvfpqRecallFloor))
         .orderBy("method")
     },
     None)
@@ -2642,6 +2819,65 @@ object Extensions {
          |SELECT query_id, doc_id, score, rank FROM r
          |WHERE rank <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
     })
+
+  // =====================================================================
+  // Incremental LEXICAL index maintenance — ext_dedup_incremental's
+  // daily-increment contract applied to the stored inverted index: the
+  // standing corpus's postings are tokenized ONCE (stored fixture over
+  // the 90% split) and a new batch contributes its rows with one
+  // O(batch) tokenize scan, unioned at read time — at 100 TB the batch
+  // postings APPEND to the stored table; the corpus is never
+  // re-tokenized on arrival (PlanSpec gates the registered plan to one
+  // documents scan: the batch filter). Postings are per-doc rows, so
+  // the merged index is EXACTLY the full-corpus postings table — the
+  // query runs BM25 over it and shares ext_bm25_search's DuckDB oracle,
+  // the strongest gate available for a maintenance op.
+  // =====================================================================
+  val bm25Incremental: Q = Q("ext_bm25_incremental",
+    (spark, sfDir) => {
+      val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      val corpus = base.filter(col("bucket") < IncrementalCorpusPct)
+        .select("doc_id", "text")
+      val batch = base.filter(col("bucket") >= IncrementalCorpusPct)
+        .select("doc_id", "text")
+      val corpusPostings0 = postingsOf(corpus)
+      val corpusPostings = parquetFixture(spark, "bm25-postings",
+        s"$sfDir/documents.parquet", s"tok1_inc$IncrementalCorpusPct",
+        corpusPostings0.queryExecution.logical.toString, corpusPostings0)
+      // ONE O(batch) tokenize scan — the only live corpus-data work
+      val merged = corpusPostings.unionByName(postingsOf(batch))
+      bm25From(base, postings0 = Some(merged)).orderBy("query_id", "rank")
+    },
+    bm25Search.oracle)
+
+  // =====================================================================
+  // Incremental LSH index maintenance — the same contract for the
+  // vector index: the standing corpus's capped bucket table is stored
+  // (one hash scan at build), a new batch is hashed in one O(batch)
+  // scan (uncapped — the cap is an INDEX-side discipline; batch rows
+  // are never dropped, mirroring ext_dedup_incremental), and the
+  // search probes the union. Bucket rows are per-vector, so at driver
+  // SFs (cap never binding — headroom asserted in ExtensionsSpec) the
+  // merged table is row-identical to the monolithic index and the
+  // query's output EQUALS ext_ann_lsh's — asserted in ExtensionsSpec;
+  // no oracle for the same reason ext_ann_lsh has none.
+  // =====================================================================
+  val lshIncremental: Q = Q("ext_lsh_incremental",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (corpus, batch) = incrementalSplit(emb)
+      val corpusBuckets0 = lshBucketRows(corpus, Some(256))
+      val corpusBuckets = parquetFixture(spark, "lsh-buckets",
+        s"$sfDir/embeddings.parquet", s"t3_b6_c256_lshinc90",
+        corpusBuckets0.queryExecution.logical.toString, corpusBuckets0)
+      // ONE O(batch) hash scan for the arrival, appended at read time
+      val merged = corpusBuckets.unionByName(lshBucketRows(batch, None))
+      annTopK(emb, annQueryIds(emb), buckets0 = Some(merged))
+    },
+    None)
 
   // =====================================================================
   // Per-document TF-IDF keywords — the cheap topicality signal (domain
@@ -4358,7 +4594,9 @@ object Extensions {
     stratifiedSample, clusterWeightedSample, splitTrainTest, packSequences,
     corpusCurate, corpusCurateFull,
     repetitionScore, charEntropy, contaminationScore,
-    dedupSemantic, semanticClusters, bm25Search, tfidfTerms, domainCap,
+    topkIvfpq,
+    dedupSemantic, semanticClusters, bm25Search, bm25Incremental,
+    lshIncremental, tfidfTerms, domainCap,
     unigramLogprob, perplexityBuckets, importanceResample, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, embeddingQuantize, winnowOverlap,

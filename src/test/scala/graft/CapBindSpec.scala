@@ -215,6 +215,71 @@ class CapBindSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("ivfpq cell cap binds: hash-ordered survivors per cell, batch rows intact") {
+    // four IDENTICAL vectors → one IVF cell; the combined-index cap
+    // must keep the `cap` smallest by (hash60(cell:corpus_id),
+    // corpus_id) — the salted ordering, not natural id order
+    val v = Array.tabulate(64)(i => if (i == 1) 1.0 else 0.0).toSeq
+    val emb = Seq(101L, 202L, 303L, 404L).toDF("vec_id")
+      .withColumn("v", typedLit(v))
+    val cbs = Extensions.pqCodebooks(emb)
+    val cs = Extensions.ivfCentroids(emb)
+    val full = Extensions.ivfpqCellCodes(emb, cbs, cs, None).collect()
+    assert(full.length == 4, "uncapped combined index must carry every vector")
+    val cell = full.head.getInt(0)
+    assert(full.forall(_.getInt(0) == cell), "identical vectors must share one cell")
+    val order = emb.select(col("vec_id"),
+        Scalars.hash60(concat_ws(":", lit(cell), col("vec_id").cast("string"))).as("h"))
+      .orderBy("h", "vec_id").collect().map(_.getLong(0))
+    assert(order.toSeq != Seq(101L, 202L, 303L, 404L),
+      "planted ids hash in natural order; pick different ids")
+    val capped1 = Extensions.ivfpqCellCodes(emb, cbs, cs, None, cellCap = 1)
+      .collect().map(_.getLong(1))
+    assert(capped1.toSeq == Seq(order.head),
+      s"cap=1 survivor must be the hash-min ${order.head}, got ${capped1.toSeq}")
+    val capped2 = Extensions.ivfpqCellCodes(emb, cbs, cs, None, cellCap = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(capped2 == order.take(2).toSet,
+      s"cap=2 survivors must be the two hash-smallest ${order.take(2).toSet}, got $capped2")
+  }
+
+  test("ivfpq nProbe binds: candidates come only from the probed cells") {
+    // four orthogonal clusters, ids interleaved so the 4 seed vectors
+    // cover all clusters and Lloyd separates them. With nProbe=1 and
+    // k > cluster size, the result MUST stop at the probed cell's
+    // membership (minus self) — members of unprobed cells are excluded
+    // even though k has room; nProbe=nCells restores the full top-k.
+    val rnd = new scala.util.Random(31)
+    def member(cluster: Int): Array[Double] = {
+      val a = Array.fill(64)(0.02 * rnd.nextGaussian())
+      a(16 * cluster) += 1.0; a
+    }
+    val rows = (0 until 40).map(i => (i.toLong + 1L, member(i % 4).toSeq))
+    val emb = rows.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val cs = Extensions.ivfCentroids(emb, nCells = 4)
+    assert(cs.length == 4)
+    // the index's OWN cell assignment, and the query's nearest cell
+    val cellOf = Extensions.ivfEncodeWithError(emb, cs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellOf.values.toSet.size == 4, "Lloyd failed to separate the clusters")
+    val qid = 1L
+    val routed = Extensions.ivfpqTopK(emb, Seq(qid).toDF("vec_id"),
+        k = 20, nProbe = 1, rerank = 100, nCells = 4)
+      .collect().map(_.getLong(1))
+    val probedCell = cellOf(qid) // query sits at its cluster's core
+    val probedMembers = cellOf.filter(_._2 == probedCell).keySet - qid
+    assert(routed.toSet.subsetOf(probedMembers),
+      s"nProbe=1 leaked candidates outside cell $probedCell: ${routed.toSet -- probedMembers}")
+    assert(routed.length == probedMembers.size,
+      s"nProbe=1 must return the whole probed cell (${probedMembers.size}), got ${routed.length}")
+    assert(routed.length < 20, "cap must bind: probed cell smaller than k")
+    val all = Extensions.ivfpqTopK(emb, Seq(qid).toDF("vec_id"),
+        k = 20, nProbe = 4, rerank = 100, nCells = 4)
+      .collect().map(_.getLong(1))
+    assert(all.length == 20, s"nProbe=nCells must fill k, got ${all.length}")
+  }
+
   test("incremental index cap=1 keeps exactly the xxhash-min doc per bucket") {
     val txt = "incremental corpus planted duplicate text shared by every corpus document"
     val corpus = Seq(7L, 8L, 9L).map(id => (id, txt)).toDF("doc_id", "text")

@@ -236,7 +236,7 @@ class ExtensionsSpec extends SparkSpec {
   test("ann_recall: all indexes clear their registered recall floors") {
     val rows = Extensions.annRecall.fn(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
-    assert(rows.keySet == Set("ann_lsh", "ivf", "pq"))
+    assert(rows.keySet == Set("ann_lsh", "ivf", "pq", "ivfpq"))
     // n_queries must equal the EXACT baseline's query count — a query
     // with zero approx candidates counts as recall 0, never drops out
     val nExact = Extensions.topkCosine.fn(spark, sf0001)
@@ -247,6 +247,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows("ann_lsh")._2, s"ann_lsh recall ${rows("ann_lsh")._1} below floor")
     assert(rows("ivf")._2, s"ivf recall ${rows("ivf")._1} below floor")
     assert(rows("pq")._2, s"pq recall ${rows("pq")._1} below floor")
+    assert(rows("ivfpq")._2, s"ivfpq recall ${rows("ivfpq")._1} below floor")
   }
 
   test("pqTopK finds planted near-duplicates (codes + rerank have real recall)") {
@@ -426,6 +427,27 @@ class ExtensionsSpec extends SparkSpec {
     val ok = Extensions.driftReport(trainStat, okBatch, df => df).collect()
     val okRow = ok.find(_.getString(0) == "batch").get
     assert(okRow.getDouble(3) == 0.0 && !okRow.getBoolean(4))
+  }
+
+  test("incremental lexical/LSH indexes: merged (stored corpus + fresh batch) == monolithic") {
+    // postings and bucket rows are PER-DOC/PER-VECTOR: the corpus-split
+    // stored table unioned with the batch's O(batch) scan must be
+    // row-identical to the full-corpus index, so the maintenance
+    // queries' outputs must equal their monolithic twins exactly (at
+    // driver SFs the LSH cap never binds — headroom asserted below —
+    // so capped-corpus + uncapped-batch can't diverge either)
+    val bm25Mono = Extensions.bm25Search.fn(spark, sf0001)
+    val bm25Inc = Extensions.bm25Incremental.fn(spark, sf0001)
+    assert(bm25Inc.exceptAll(bm25Mono).count() == 0 &&
+      bm25Mono.exceptAll(bm25Inc).count() == 0,
+      "ext_bm25_incremental diverged from ext_bm25_search")
+    Extensions.releaseCaches()
+    val lshMono = Extensions.annLsh.fn(spark, sf0001)
+    val lshInc = Extensions.lshIncremental.fn(spark, sf0001)
+    assert(lshInc.exceptAll(lshMono).count() == 0 &&
+      lshMono.exceptAll(lshInc).count() == 0,
+      "ext_lsh_incremental diverged from ext_ann_lsh")
+    Extensions.releaseCaches()
   }
 
   test("ext_pq_incremental on real data: two rows, sane drift, corpus split covers all") {

@@ -156,6 +156,7 @@ class PlanSpec extends SparkSpec {
       // any scale — each probe row scans a single build row; an equi-join
       // key would be constant-folded back to this shape anyway
       "ext_bm25_search",
+      "ext_bm25_incremental", // same 1-row corpus-stats broadcast as ext_bm25_search
       "ext_tfidf_terms",
       "ext_unigram_logprob", // 1-row token total rides the vocab-sized count frame
       "ext_perplexity_buckets", // composes ext_unigram_logprob (same 1-row total)
@@ -207,6 +208,97 @@ class PlanSpec extends SparkSpec {
         if (unpart.nonEmpty) Some(q.name) else None
       }
     assert(offenders.isEmpty, s"unpartitioned-window plans: $offenders")
+  }
+
+  /** File-scan root paths of every DISTINCT scan node in the optimized
+    * plan, following into cached (InMemoryRelation) subplans ONCE per
+    * cache — a cache referenced by three consumers contributes its
+    * scans once, so counts reflect distinct data passes, not fan-out. */
+  private def scanNodePaths(df: DataFrame): Seq[String] = {
+    val seenCaches = new java.util.IdentityHashMap[Any, Any]()
+    // cached plans compile behind an AdaptiveSparkPlanExec wrapper
+    // (a leaf to collect) — unwrap it, and nested cache reads, so the
+    // file scans inside cached subtrees are counted
+    def phys(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        phys(a.inputPlan)
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        if (seenCaches.containsKey(i.relation.cacheBuilder)) Seq.empty[String]
+        else {
+          seenCaches.put(i.relation.cacheBuilder, ())
+          phys(i.relation.cachedPlan)
+        }
+    }.flatten.toSeq
+    df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        if (seenCaches.containsKey(m.cacheBuilder)) Seq.empty[String]
+        else { seenCaches.put(m.cacheBuilder, ()); phys(m.cachedPlan) }
+    }.flatten
+  }
+
+  test("incremental lexical index: the corpus is never re-tokenized on batch arrival") {
+    // the merged postings = stored corpus fixture ∪ ONE O(batch)
+    // tokenize — exactly one raw documents scan (the batch filter) may
+    // appear anywhere in the plan, cached subplans included
+    val df = ext.Extensions.bm25Incremental.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 1,
+        s"want exactly 1 raw documents scan (the batch tokenize), got $docScans in $paths")
+      assert(paths.exists(_.contains("bm25-postings")),
+        s"corpus postings not served from the stored index: $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("incremental LSH index: the corpus is never re-hashed on batch arrival") {
+    val df = ext.Extensions.lshIncremental.fn(spark, sf0001)
+    val paths = scanNodePaths(df)
+    assert(paths.exists(_.contains("lsh-buckets")),
+      s"corpus buckets not served from the stored index: $paths")
+    // raw embedding scans, enumerated: the batch-hash scan (the one
+    // O(batch) arrival cost), the query-bit projection, the query- and
+    // corpus-vector fetches of the scoring join, and 2× the fixed
+    // query-id TakeOrdered (referenced by both query-side joins) — the
+    // corpus HASH scan must not reappear on top of these six
+    val embScans = paths.count(p =>
+      p.contains("/testdata/") && p.contains("embeddings.parquet"))
+    assert(embScans == 6,
+      s"raw embedding scans drifted from the six enumerated fetches ($embScans): $paths")
+  }
+
+  test("ivfpq ADC scan is a cell EQUI-join over the stored combined index, never a cross join") {
+    // the entire point of IVFPQ over IndexPQ: the ADC scan touches only
+    // the probed cells' codes. A CartesianProduct / nested-loop here
+    // would silently restore the full-code scan pqTopK pays.
+    val df = ext.Extensions.topkIvfpq.fn(spark, sf0001)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ADC must stay a cell equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"routed queries should broadcast into the code scan:\n$plan")
+    // the codes must come from the stored combined index, not a live
+    // re-encode: the only raw-embedding scans are the query-side fetch
+    // (qids + subspace projection) and the top-R exact-rerank fetch
+    val scanPaths = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scanPaths.exists(_.contains("ivfpq-codes")),
+      s"ADC side not served from the stored ivfpq-codes index: $scanPaths")
   }
 
   test("incremental maintenance reads the stored train stat — no corpus-sized encode scan") {

@@ -106,6 +106,15 @@ class ScaleSpec extends SparkSpec {
       }
       assert(hybridCounts.toSet == Set(Extensions.HybridQueryCount.toLong),
         s"hybrid query workload not SF-invariant: $hybridCounts")
+      // the cell-routed index inherits the same contract: its query
+      // side carries an M×K LUT per row, so cardinality must saturate
+      // at exactly AnnQueryCount at every SF
+      val ivfpqCounts = sfs.map { sf =>
+        Extensions.topkIvfpq.fn(spark, sf)
+          .select("query_id").distinct().count()
+      }
+      assert(ivfpqCounts.toSet == Set(Extensions.AnnQueryCount.toLong),
+        s"ivfpq query workload not SF-invariant: $ivfpqCounts")
     } finally Extensions.releaseCaches()
   }
 
