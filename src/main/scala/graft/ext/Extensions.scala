@@ -1195,6 +1195,52 @@ object Extensions {
     }
   }
 
+  /** The rerank-side corpus vectors (corpus_id, cv — unit-normalized).
+    * Live mode (no source): the raw vectors, normalized. Stored mode:
+    * served from the 8×-SMALLER int8 table — at 100 TB the top-R
+    * exact-rerank fetch reads 64 bytes/vector instead of 512, the
+    * storage-side half of E3e's quantization story applied to search.
+    * Two fixtures: `int8-stats` (the 64-row per-dimension (mn, scale)
+    * quantizer model over the NORMALIZED corpus — min/max are exact,
+    * no summation-order nondeterminism) and `int8-vecs` (the quantized
+    * codes, floor(+0.5) like E3e so rounding is engine-unambiguous).
+    * Dequantized vectors are re-normalized before the cosine, so the
+    * rerank stays a unit-vector dot product. Rank perturbation vs the
+    * raw fetch is bounded by scale/2 per dimension — ExtensionsSpec's
+    * int8 test measures neighbor recall ≥0.9 and the registered
+    * recall floors gate the end-to-end effect per round. */
+  private def rerankVecs(emb: DataFrame, src: Option[String]): DataFrame = {
+    val e = pqNormalize(emb)
+    val raw = e.select(col("vec_id").as("corpus_id"), col("nv").as("cv"))
+    src match {
+      case None => raw
+      case Some(s) =>
+        val spark = emb.sparkSession
+        val statsLive = e.select(posexplode(col("nv")).as(Seq("pos", "x")))
+          .groupBy("pos").agg(min(col("x")).as("mn"),
+            ((max(col("x")) - min(col("x"))) / 255.0).as("scale"))
+        val st = parquetFixture(spark, "int8-stats", s, "i8s1",
+            statsLive.queryExecution.logical.toString, statsLive)
+          .orderBy("pos").collect()
+        if (st.isEmpty) return raw // empty corpus: nothing to quantize
+        val mnArr = typedLit(st.map(_.getDouble(1)).toSeq)
+        val scArr = typedLit(st.map(_.getDouble(2)).toSeq)
+        val q8live = e.select(col("vec_id").as("corpus_id"),
+          transform(col("nv"), (x, i) =>
+            when(element_at(scArr, i + 1) === 0.0, lit(0))
+              .otherwise(least(floor((x - element_at(mnArr, i + 1)) /
+                element_at(scArr, i + 1) + 0.5), lit(255.0)))
+              .cast("int")).as("qv8"))
+        val q8 = parquetFixture(spark, "int8-vecs", s, "i8v1",
+          q8live.queryExecution.logical.toString, q8live)
+        val deq = transform(col("qv8"), (x, i) =>
+          x.cast("double") * element_at(scArr, i + 1) + element_at(mnArr, i + 1))
+        q8.select(col("corpus_id"), deq.as("dv"))
+          .select(col("corpus_id"),
+            transform(col("dv"), x => x / sqrt(dotD(col("dv"), col("dv")))).as("cv"))
+    }
+  }
+
   def pqTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
              m: Int = PqM, kw: Int = PqK, rerank: Int = PqRerank,
              iters: Int = 2, trainPerCell: Int = 100,
@@ -1236,12 +1282,12 @@ object Extensions {
         round(adc, 6).as("adc"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= rerank)
-    // exact rerank: fetch full vectors for the top-R candidates only
+    // exact rerank: fetch vectors for the top-R candidates only — from
+    // the 8×-smaller stored int8 table in stored-index mode
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     candidates
-      .join(e.select(col("vec_id").as("corpus_id"), col("nv").as("cv")),
-        Seq("corpus_id"))
+      .join(rerankVecs(emb, codebookSrc), Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(dotD(col("qv"), col("cv")), 6).as("cos"))
       .withColumn("rank", row_number().over(wCos))
@@ -1365,12 +1411,12 @@ object Extensions {
         round(adc, 6).as("adc"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= rerank)
-    // exact rerank: fetch full vectors for the top-R candidates only
+    // exact rerank: fetch vectors for the top-R candidates only — from
+    // the 8×-smaller stored int8 table in stored-index mode
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     candidates
-      .join(e.select(col("vec_id").as("corpus_id"), col("nv").as("cv")),
-        Seq("corpus_id"))
+      .join(rerankVecs(emb, src), Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(dotD(col("qv"), col("cv")), 6).as("cos"))
       .withColumn("rank", row_number().over(wCos))

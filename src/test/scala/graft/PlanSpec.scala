@@ -276,6 +276,17 @@ class PlanSpec extends SparkSpec {
       s"raw embedding scans drifted from the six enumerated fetches ($embScans): $paths")
   }
 
+  test("PQ/IVFPQ rerank fetch reads the stored int8 table, not the raw vectors") {
+    // at 100 TB the top-R exact-rerank fetch should read the 8×-smaller
+    // quantized table; the raw f64 vectors are touched only on the
+    // query side (a fixed-count workload)
+    for (q <- Seq(ext.Extensions.topkPq, ext.Extensions.topkIvfpq)) {
+      val paths = scanNodePaths(q.fn(spark, sf0001))
+      assert(paths.exists(_.contains("int8-vecs")),
+        s"${q.name}: rerank not served from the stored int8 fixture: $paths")
+    }
+  }
+
   test("ivfpq ADC scan is a cell EQUI-join over the stored combined index, never a cross join") {
     // the entire point of IVFPQ over IndexPQ: the ADC scan touches only
     // the probed cells' codes. A CartesianProduct / nested-loop here
