@@ -442,6 +442,46 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `lexinc` mode: incremental lexical-index maintenance at
+    * 100×-scale document counts — proves the E35 contract: tokenizing
+    * a daily batch costs O(batch), never a corpus re-tokenize (the
+    * stored postings table serves the standing side). Reports the
+    * corpus vs batch postings-build walls; the ratio should track the
+    * 1:100 size ratio, not 1:1. */
+  private def lexIncProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+    val nBatch = math.max(1L, nDocs / 100L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // ~40-token synthetic docs over a 5000-word vocabulary
+    val text = concat_ws(" ", (0 until 40).map(j =>
+      concat(lit("w"), pmod(hash(col("id"), lit(j)), lit(5000)))): _*)
+    val corpus = spark.range(nDocs).select(col("id").as("doc_id"), text.as("text"))
+    val batch = spark.range(nDocs, nDocs + nBatch)
+      .select(col("id").as("doc_id"), text.as("text"))
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def build(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = ext.Extensions.postingsOf(df)
+        .agg(count(lit(1)), sum(col("tf"))).collect()(0)
+      (r.getLong(0), r.getDouble(1))
+    }
+    val ((nC, _), tCorpus) = timed(build(corpus))
+    val ((nB, _), tBatch) = timed(build(batch))
+    println(f"LEXINCPROBE docs=$nDocs%d batch=$nBatch%d " +
+      f"postings{corpus=$nC%d batch=$nB%d} " +
+      f"wall{corpus_tokenize=$tCorpus%.1fs batch_tokenize=$tBatch%.1fs " +
+      f"ratio=${tBatch / tCorpus}%.3f} " +
+      f"(contract: ratio tracks size ratio ${nBatch.toDouble / nDocs}%.3f, not 1.0)")
+    spark.stop()
+  }
+
   /** `ivfpq` mode: cell-routed ADC at 100×-scale vector counts —
     * proves the routing contract: the ADC equi-join touches
     * ≈ nProbe/nCells of the stored code rows per query batch, never
@@ -570,6 +610,7 @@ object ScaleProbe {
     if (args.headOption.contains("skewsweep")) { skewSweep(args); return }
     if (args.headOption.contains("pqinc")) { pqIncProbe(args); return }
     if (args.headOption.contains("ivfpq")) { ivfpqProbe(args); return }
+    if (args.headOption.contains("lexinc")) { lexIncProbe(args); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("semantic")) { semanticProbe(args); return }

@@ -2767,7 +2767,7 @@ object Extensions {
   /** The per-(doc, term) postings frame (doc_id, term, tf, dl) — the
     * single tokenize + wordcount pass behind every lexical retrieval
     * query. */
-  private def postingsOf(docsRaw: DataFrame): DataFrame = {
+  private[graft] def postingsOf(docsRaw: DataFrame): DataFrame = {
     val docs = docsRaw
       .select(col("doc_id"),
         split(edgeTrim(lower(col("text"))), "\\s+").as("toks"))

@@ -48,7 +48,8 @@ class RegistrySpec extends SparkSpec {
       "ext_bm25_search", "ext_tfidf_terms", "ext_domain_cap",
       "ext_cluster_representative", "ext_temperature_sample",
       "ext_quality_percentile_gate", "window_latest_event",
-      "window_sessionize", "ext_dedup_chunk_rewrite")
+      "window_sessionize", "ext_dedup_chunk_rewrite",
+      "ext_topk_ivfpq", "ext_bm25_incremental", "ext_lsh_incremental")
     val diverged = rankSensitive.flatMap { name =>
       val fn = SparkEntry.queries(name)
       def runOnce() =
