@@ -429,6 +429,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(okRow.getDouble(3) == 0.0 && !okRow.getBoolean(4))
   }
 
+  test("incremental cluster maintenance: batch near-dups ADOPT the min matched corpus label") {
+    // planted corpus: docs 7/8/9 share one text (one corpus cluster,
+    // label = min id 7, all ids hashing into the <80 bucket); batch
+    // doc (>=80 bucket) carrying the same text must adopt label 7;
+    // a unique batch doc founds its own singleton cluster
+    def bucketOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+      val hex = h.take(8).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val corpusIds = (1L to 400L).filter(bucketOf(_) < Extensions.IncrementalCorpusPct)
+    val batchIds = (1L to 400L).filter(bucketOf(_) >= Extensions.IncrementalCorpusPct)
+    assert(corpusIds.size >= 3 && batchIds.size >= 2)
+    val dupText = "the planted near duplicate corpus sentence repeated verbatim in every member"
+    val Seq(c1, c2, c3) = corpusIds.take(3)
+    val Seq(b1, b2) = batchIds.take(2)
+    val docs = Seq(
+      (c1, dupText), (c2, dupText), (c3, dupText),
+      (b1, dupText),
+      (b2, "a completely different and unrelated batch document about nothing else"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet("target/tmp-clinc/documents.parquet")
+    try {
+      val got = Extensions.clustersIncremental.fn(spark, "target/tmp-clinc")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(got.keySet == Set(b1, b2), "exactly the batch docs are labeled")
+      assert(got(b1) == (math.min(c1, math.min(c2, c3)), false),
+        s"batch twin must adopt the min corpus label, got ${got(b1)}")
+      assert(got(b2) == (b2, true),
+        s"unique batch doc must found its own cluster, got ${got(b2)}")
+    } finally Extensions.releaseCaches()
+  }
+
   test("incremental lexical/LSH indexes: merged (stored corpus + fresh batch) == monolithic") {
     // postings and bucket rows are PER-DOC/PER-VECTOR: the corpus-split
     // stored table unioned with the batch's O(batch) scan must be

@@ -260,6 +260,27 @@ class PlanSpec extends SparkSpec {
     } finally ext.Extensions.releaseCaches()
   }
 
+  test("incremental dedup/cluster maintenance: one raw documents scan, artifacts served") {
+    // the corpus-side content hashes / signatures / capped band index /
+    // cluster labels are STORED index tables — an arrival's plan pays
+    // exactly one raw documents scan (the batch filter); a second one
+    // means a corpus re-tokenize crept back in
+    for ((q, families) <- Seq(
+        ext.Extensions.dedupIncremental -> Seq("mh-chash", "mh-sigs", "mh-bands"),
+        ext.Extensions.clustersIncremental -> Seq("mh-sigs", "mh-bands", "cc-cache"))) {
+      val df = q.fn(spark, sf0001)
+      try {
+        val paths = scanNodePaths(df)
+        val docScans = paths.count(p =>
+          p.contains("/testdata/") && p.contains("documents.parquet"))
+        assert(docScans == 1,
+          s"${q.name}: want exactly 1 raw documents scan (the batch), got $docScans in $paths")
+        families.foreach(f => assert(paths.exists(_.contains(f)),
+          s"${q.name}: $f not served from its stored fixture: $paths"))
+      } finally ext.Extensions.releaseCaches()
+    }
+  }
+
   test("incremental LSH index: the corpus is never re-hashed on batch arrival") {
     val df = ext.Extensions.lshIncremental.fn(spark, sf0001)
     val paths = scanNodePaths(df)
