@@ -39,6 +39,8 @@ object SparkEntry {
       "frozen-codebook model maintenance has no SQL analog (the codebook is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test, the O(batch) encode by ScaleProbe pqinc, and PlanSpec asserts the train distortion is read from the stored model stat (one corpus scan: the batch filter)",
     "ext_ivf_incremental" ->
       "frozen-centroid model maintenance has no SQL analog (the quantizer is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test and PlanSpec's stored-stat gate (same encode shape as ext_pq_incremental)",
+    "ext_bpe_merges" ->
+      "K data-dependent argmax+rewrite rounds have no practical recursive-CTE SQL form; ExtensionsSpec recomputes the merge table with an independent in-memory BPE over the collected vocabulary and requires exact equality",
     "stream_sync_microbatch" ->
       "streaming foreachBatch lifecycle has no DuckDB analog; semantics are covered by StreamingSyncSpec and PipelineSpec")
 

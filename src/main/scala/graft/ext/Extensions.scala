@@ -4761,6 +4761,69 @@ object Extensions {
             |SELECT pair, CAST(n AS BIGINT) AS n FROM pc
             |ORDER BY n DESC, pair ASC LIMIT $BpeTopPairs""".stripMargin))
 
+  // =====================================================================
+  // BPE training loop — the real thing E30 computes one step of: K
+  // greedy merges (Sennrich et al. 2016, public). Scale shape: ONE
+  // corpus wordcount shuffle builds the count-weighted vocabulary;
+  // every iteration after that runs on the VOCAB-sized frame (cached
+  // per level — millions of rows at 100 TB, never corpus-sized): an
+  // adjacent-pair count with map-side partials, a 1-row argmax
+  // TakeOrdered (count desc, pair asc — deterministic), and a
+  // left-to-right non-overlapping greedy fold rewriting each token's
+  // symbol array. The K merge decisions are MODEL parameters (like
+  // centroids/codebooks) — collected one row per iteration, never
+  // data-sized. No SQL oracle: K data-dependent argmax+rewrite rounds
+  // have no practical recursive-CTE form; ExtensionsSpec recomputes
+  // the merge table with an independent in-memory BPE over the
+  // collected vocabulary and requires equality.
+  // =====================================================================
+  final val BpeMergeRounds = 8
+
+  /** Greedy left-to-right merge of adjacent (l, r) in a symbol array —
+    * the standard BPE rewrite, as a deterministic fold. */
+  private def bpeMergeFold(sym: Column, l: String, r: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  val bpeMerges: Q = Q("ext_bpe_merges",
+    (spark, sfDir) => {
+      import spark.implicits._
+      // the ONE corpus pass: count-weighted vocabulary, symbols =
+      // characters (trailing-empty filtered: split's -1 limit keeps it)
+      val vocab0 = Tables.documents(spark, sfDir)
+        .select(explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          filter(split(col("tok"), ""), x => x =!= "").as("sym"))
+      var vocab = cacheTracked(vocab0)
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var done = false
+      for (k <- 1 to BpeMergeRounds if !done) {
+        val top = vocab.select(col("cnt"), explode(
+            zip_with(slice(col("sym"), lit(1), size(col("sym")) - 1),
+              slice(col("sym"), lit(2), size(col("sym")) - 1),
+              (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val l: String = top(0).getString(0)
+          val r: String = top(0).getString(1)
+          val n: Long = top(0).getLong(2)
+          merges += ((k, l, r, n))
+          vocab = cacheTracked(vocab.select(col("cnt"),
+            bpeMergeFold(col("sym"), l, r).as("sym")))
+        }
+      }
+      merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+    },
+    None)
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, topkPq, annRecall,
@@ -4780,5 +4843,5 @@ object Extensions {
     embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits,
     zipfFit, qualityClassifier, hybridSearch, hybridSearchPq, knnLabelAudit,
-    clusterCentroids, bpePairStats, pqIncremental, ivfIncremental)
+    clusterCentroids, bpePairStats, bpeMerges, pqIncremental, ivfIncremental)
 }

@@ -429,6 +429,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(okRow.getDouble(3) == 0.0 && !okRow.getBoolean(4))
   }
 
+  test("ext_bpe_merges equals an independent in-memory BPE over the collected vocabulary") {
+    // the no-oracle gate: recompute the K greedy merges in plain Scala
+    // from the (token, count) vocabulary and require the exact merge
+    // table — argmax tie-break (count desc, pair asc) and the greedy
+    // left-to-right non-overlapping rewrite both pinned
+    import org.apache.spark.sql.functions.{explode, split, lower}
+    val vocab = graft.model.Tables.documents(spark, sf0001)
+      .select(explode(split(Extensions.edgeTrim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var syms: Seq[(Array[String], Long)] =
+      vocab.toSeq.map { case (t, n) => (t.split("").filter(_.nonEmpty), n) }
+    def mergeOnce(a: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      for (x <- a) {
+        if (out.nonEmpty && out.last == l && x == r) { out.remove(out.length - 1); out += (l + r) }
+        else out += x
+      }
+      out.toArray
+    }
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var k = 1
+    var exhausted = false
+    while (k <= Extensions.BpeMergeRounds && !exhausted) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((a, n) <- syms; i <- 0 until a.length - 1)
+        counts((a(i), a(i + 1))) = counts.getOrElse((a(i), a(i + 1)), 0L) + n
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        expect += ((k, l, r, n))
+        syms = syms.map { case (a, cnt) => (mergeOnce(a, l, r), cnt) }
+        k += 1
+      }
+    }
+    val got = Extensions.bpeMerges.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expect.toSeq, s"merge tables diverged:\n got   $got\n want  $expect")
+    assert(got.size == Extensions.BpeMergeRounds, "corpus should support all K rounds")
+    Extensions.releaseCaches()
+  }
+
   test("incremental cluster maintenance: batch near-dups ADOPT the min matched corpus label") {
     // planted corpus: docs 7/8/9 share one text (one corpus cluster,
     // label = min id 7, all ids hashing into the <80 bucket); batch
