@@ -1330,11 +1330,17 @@ object Extensions {
   /** Hot-cell skew guard for the combined index: a degenerate region
     * of embedding space (mass duplication, a collapsed model) can pull
     * a corpus-scale fraction into ONE cell, and every query probing it
-    * would pay that cell's full ADC volume. Cap cell membership at a
-    * deterministic hash-ordered sample (CapBindSpec forces it to bind;
-    * ExtensionsSpec asserts wide headroom at driver SFs — at the
-    * default it is a guard rail, not a recall cost). */
-  final val IvfpqCellCap = 65536
+    * would pay that cell's full ADC volume. The guard must be RELATIVE
+    * — an absolute cap binds on perfectly uniform data once the corpus
+    * outgrows nCells×cap and silently drops reachable vectors (a 2M
+    * uniform corpus at 16 cells averages 125k/cell) — so the default
+    * cap is [[IvfpqCellSkewFactor]]× the average cell size (floored at
+    * 4096 for tiny corpora): it binds only on cells ≫ uniform, which
+    * is exactly the degenerate case it exists for. CapBindSpec forces
+    * an explicit cap to bind and pins the hash-ordered survivors. */
+  final val IvfpqCellSkewFactor = 8L
+  /** Sentinel: resolve the cap from the corpus (skew-relative). */
+  final val IvfpqCellCapAuto = -1
   /** Floor for ext_ann_recall's ivfpq row: recall is ROUTING-bound —
     * IVF's nProbe=6 of 16 cells measures 0.63-0.675 here, and the
     * ADC+rerank stage under it loses almost nothing (rerank depth 200
@@ -1354,9 +1360,20 @@ object Extensions {
     * fingerprint) sit inside this table's plan fingerprint. */
   def ivfpqCellCodes(emb: DataFrame, cbs: Array[Array[Array[Double]]],
                      cs: Array[Array[Double]], src: Option[String],
-                     cellCap: Int = IvfpqCellCap): DataFrame = {
-    val cells = ivfCellTable(emb, cs, src).select("corpus_id", "cell")
-    val codes = pqCodeTable(emb, cbs, src)
+                     cellCap: Int = IvfpqCellCapAuto, nCells: Int = 16,
+                     iters: Int = 2, trainPerCell: Int = 100): DataFrame = {
+    val cells = ivfCellTable(emb, cs, src, nCells, iters, trainPerCell)
+      .select("corpus_id", "cell")
+    val codes = pqCodeTable(emb, cbs, src,
+      iters = iters, trainPerCell = trainPerCell)
+    // auto cap: SkewFactor × the average cell size — a one-time
+    // metadata-cheap count of the (stored) cell table at index build,
+    // floored for tiny corpora; an explicit cap is honored verbatim
+    // (CapBindSpec drives the bind branch with it)
+    val cap: Long =
+      if (cellCap != IvfpqCellCapAuto) cellCap.toLong
+      else math.max(4096L,
+        IvfpqCellSkewFactor * cells.count() / math.max(1, cs.length))
     // deterministic hash-ordered survivors per cell (salted with the
     // cell id), the same cap discipline as every banded index here
     val w = Window.partitionBy(col("cell"))
@@ -1364,11 +1381,11 @@ object Extensions {
         col("corpus_id").cast("string"))), col("corpus_id"))
     val joined = codes.join(cells, Seq("corpus_id"))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= cellCap).drop("__rn")
+      .filter(col("__rn") <= cap).drop("__rn")
       .select("cell", "corpus_id", "code")
     src match {
       case Some(s) => parquetFixture(emb.sparkSession, "ivfpq-codes", s,
-        s"p${cellCap}_ivfpq1", joined.queryExecution.logical.toString, joined)
+        s"p${cap}_ivfpq1", joined.queryExecution.logical.toString, joined)
       case None => joined
     }
   }
@@ -1378,7 +1395,7 @@ object Extensions {
     * the top-R. Same O(1) query-set contract as every search here. */
   def ivfpqTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
                 nProbe: Int = IvfpqNProbe, rerank: Int = PqRerank,
-                nCells: Int = 16, cellCap: Int = IvfpqCellCap,
+                nCells: Int = 16, cellCap: Int = IvfpqCellCapAuto,
                 src: Option[String] = None): DataFrame = {
     val qids = broadcast(queryIds.select("vec_id"))
     val e = pqNormalize(emb)
@@ -1392,7 +1409,7 @@ object Extensions {
     val m = cbs.length
     val ds = cbs(0)(0).length
     val kw = cbs(0).length
-    val cellCodes = ivfpqCellCodes(emb, cbs, cs, src, cellCap)
+    val cellCodes = ivfpqCellCodes(emb, cbs, cs, src, cellCap, nCells)
     // query side: nProbe nearest cells (sorted (negScore, cell)
     // structs — ivfTopK's routing) AND the M×K ADC LUT, one row per
     // (query, probed cell)
@@ -2889,20 +2906,17 @@ object Extensions {
   // =====================================================================
   val bm25Incremental: Q = Q("ext_bm25_incremental",
     (spark, sfDir) => {
-      val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
-      val base = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text"), bucket.as("bucket"))
-      val corpus = base.filter(col("bucket") < IncrementalCorpusPct)
-        .select("doc_id", "text")
-      val batch = base.filter(col("bucket") >= IncrementalCorpusPct)
-        .select("doc_id", "text")
+      // ONE definition of the corpus/batch split across the whole
+      // incremental family — a diverging copy here would silently
+      // break the merged == monolithic invariant
+      val (corpus, batch) = incrementalDocSplit(spark, sfDir)
       val corpusPostings0 = postingsOf(corpus)
       val corpusPostings = parquetFixture(spark, "bm25-postings",
         s"$sfDir/documents.parquet", s"tok1_inc$IncrementalCorpusPct",
         corpusPostings0.queryExecution.logical.toString, corpusPostings0)
       // ONE O(batch) tokenize scan — the only live corpus-data work
       val merged = corpusPostings.unionByName(postingsOf(batch))
-      bm25From(base, postings0 = Some(merged)).orderBy("query_id", "rank")
+      bm25From(corpus, postings0 = Some(merged)).orderBy("query_id", "rank")
     },
     bm25Search.oracle)
 
@@ -3544,21 +3558,28 @@ object Extensions {
   }
 
   /** The STORED corpus-side artifacts of the incremental minhash
-    * contract — (distinct content hashes, minhash signatures, capped
-    * band index) of the standing corpus split, each persisted once per
-    * corpus ([[parquetFixture]]) so an arrival's registered plan scans
-    * raw documents exactly ONCE: the batch filter (PlanSpec gates it).
-    * At 100 TB these are the dedup system's index tables — written at
-    * corpus build, reused by every daily increment; the band fixture
-    * keys on the served signature table's path, so changed signature
-    * code orphans the bands with it. */
-  private def mhCorpusArtifacts(spark: SparkSession, sfDir: String,
-      corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val src = s"$sfDir/documents.parquet"
+    * contract — the distinct content-hash set ([[mhContentHashes]],
+    * built only by its one consumer ext_dedup_incremental) and the
+    * (minhash signatures, capped band index) pair
+    * ([[mhCorpusArtifacts]]) of the standing corpus split, each
+    * persisted once per corpus ([[parquetFixture]]) so an arrival's
+    * registered plan scans raw documents exactly ONCE: the batch
+    * filter (PlanSpec gates it). At 100 TB these are the dedup
+    * system's index tables — written at corpus build, reused by every
+    * daily increment; the band fixture keys on the served signature
+    * table's path, so changed signature code orphans the bands with
+    * it. */
+  private def mhContentHashes(spark: SparkSession, sfDir: String,
+      corpus: DataFrame): DataFrame = {
     val chash0 = corpus.select(Scalars.hash60(col("text")).as("ch")).distinct()
-    val chash = parquetFixture(spark, "mh-chash", src,
+    parquetFixture(spark, "mh-chash", s"$sfDir/documents.parquet",
       s"inc$IncrementalCorpusPct",
       chash0.queryExecution.logical.toString, chash0)
+  }
+
+  private def mhCorpusArtifacts(spark: SparkSession, sfDir: String,
+      corpus: DataFrame): (DataFrame, DataFrame) = {
+    val src = s"$sfDir/documents.parquet"
     val sig0 = minhashSignatures(corpus)
     val sig = parquetFixture(spark, "mh-sigs", src,
       s"inc$IncrementalCorpusPct",
@@ -3567,7 +3588,7 @@ object Extensions {
     val band = parquetFixture(spark, "mh-bands", src,
       s"inc${IncrementalCorpusPct}_c$IncrementalBucketCap",
       band0.queryExecution.logical.toString, band0)
-    (chash, sig, band)
+    (sig, band)
   }
 
   val dedupIncremental: Q = Q("ext_dedup_incremental",
@@ -3579,7 +3600,8 @@ object Extensions {
       // probe, signatures, the final status join) would otherwise each
       // re-scan raw documents — PlanSpec pins the single scan.
       val batch = cacheTracked(batch0)
-      val (chash, sigC, bandC0) = mhCorpusArtifacts(spark, sfDir, corpus)
+      val (sigC, bandC0) = mhCorpusArtifacts(spark, sfDir, corpus)
+      val chash = mhContentHashes(spark, sfDir, corpus)
       val exactDup = batch
         .select(col("doc_id"), Scalars.hash60(col("text")).as("ch"))
         .join(chash, Seq("ch"), "left_semi")
@@ -3653,7 +3675,7 @@ object Extensions {
       // cached for the same reason as ext_dedup_incremental's batch:
       // the signature scan and the final label join share one read
       val batch = cacheTracked(batch0)
-      val (_, sigC, bandC0) = mhCorpusArtifacts(spark, sfDir, corpus)
+      val (sigC, bandC0) = mhCorpusArtifacts(spark, sfDir, corpus)
       // the corpus labels: CC over the corpus's own near-dup pairs,
       // derived from the SERVED signature table, persisted like
       // minhashComponentLabels (pair plan + algo version as the key)
@@ -4792,12 +4814,18 @@ object Extensions {
     (spark, sfDir) => {
       import spark.implicits._
       // the ONE corpus pass: count-weighted vocabulary, symbols =
-      // characters (trailing-empty filtered: split's -1 limit keeps it)
+      // characters (trailing-empty filtered: split's -1 limit keeps
+      // it). Tokens with < 2 symbols are dropped up front — they can
+      // never contribute a pair NOR be rewritten by a merge, and an
+      // EMPTY symbol array (a whitespace-only document tokenizes to
+      // "") would crash the pair slice with a negative length — the
+      // same degenerate-token guard ext_bpe_pair_stats carries.
       val vocab0 = Tables.documents(spark, sfDir)
         .select(explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .select(col("cnt"),
           filter(split(col("tok"), ""), x => x =!= "").as("sym"))
+        .filter(size(col("sym")) >= 2)
       var vocab = cacheTracked(vocab0)
       val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
       var done = false

@@ -429,6 +429,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(okRow.getDouble(3) == 0.0 && !okRow.getBoolean(4))
   }
 
+  test("ext_bpe_merges survives empty / whitespace-only / single-char documents") {
+    // a whitespace-only doc tokenizes to "" (empty symbol array) and a
+    // 1-char token can never pair NOR be rewritten — both must be
+    // guarded out, not crash the pair slice with a negative length
+    Seq((1L, "ab ab"), (2L, ""), (3L, "   "), (4L, "x"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet("target/tmp-bpe/documents.parquet")
+    val got = Extensions.bpeMerges.fn(spark, "target/tmp-bpe").collect()
+    assert(got.length == 1, s"exactly one merge is derivable, got ${got.length}")
+    assert((got(0).getString(1), got(0).getString(2), got(0).getLong(3)) == ("a", "b", 2L))
+    Extensions.releaseCaches()
+  }
+
   test("ext_bpe_merges equals an independent in-memory BPE over the collected vocabulary") {
     // the no-oracle gate: recompute the K greedy merges in plain Scala
     // from the (token, count) vocabulary and require the exact merge
@@ -449,6 +462,22 @@ class ExtensionsSpec extends SparkSpec {
       }
       out.toArray
     }
+    // Spark's string ORDER BY compares UTF-8 BYTES; Java String
+    // comparison is UTF-16 code units — the two disagree on
+    // supplementary-plane characters (surrogates sort before U+E000 in
+    // UTF-16, after U+FFFF in UTF-8), so the independent recompute
+    // must tie-break in the engine's order or the gate would fail on
+    // an ordering artifact, not a real merge-table bug
+    def u8cmp(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < math.min(x.length, y.length)) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
     val expect = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var k = 1
     var exhausted = false
@@ -458,7 +487,12 @@ class ExtensionsSpec extends SparkSpec {
         counts((a(i), a(i + 1))) = counts.getOrElse((a(i), a(i + 1)), 0L) + n
       if (counts.isEmpty) exhausted = true
       else {
-        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        val ((l, r), n) = counts.toSeq.sortWith {
+          case (((l1, r1), n1), ((l2, r2), n2)) =>
+            if (n1 != n2) n1 > n2
+            else if (u8cmp(l1, l2) != 0) u8cmp(l1, l2) < 0
+            else u8cmp(r1, r2) < 0
+        }.head
         expect += ((k, l, r, n))
         syms = syms.map { case (a, cnt) => (mergeOnce(a, l, r), cnt) }
         k += 1
