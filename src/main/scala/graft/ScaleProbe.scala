@@ -497,6 +497,16 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split-packing tuned to the probe's index sizes: the stored
+      // code tables here are ~20 MB in 10-30 files, and the DEFAULT
+      // openCostInBytes (4 MB) packs them into 1-2 read splits — the
+      // ADC map stage then runs on 1-2 of 32 cores, which is a local
+      // small-file artifact, not the 100 TB posture (there a code
+      // table is thousands of ≥128 MB splits across executors). 4 MB
+      // splits / 256 KB open cost restore scan parallelism so the
+      // probe measures the routing contract, not file packing.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -542,8 +552,18 @@ object ScaleProbe {
     }.sum
     val frac = scanned.toDouble / (qvecs.length.toLong * nVecs)
     val expect = ext.Extensions.IvfpqNProbe.toDouble / cs.length
+    // the BATCH's file-pruning fraction: the stored index is hive-
+    // partitioned by cell and the search filters to the batch's ∪ of
+    // probed cells, so bytes read per batch ≈ this fraction of the
+    // index (per-QUERY ADC volume is `frac` above). With few cells and
+    // many queries the union saturates — it shrinks as nCells grows
+    // with the corpus (the production regime).
+    val unionCells = qvecs.flatMap { case (_, q) => routedCells(q) }.distinct
+    val ioFrac = unionCells.map(c => sizes.getOrElse(c, 0L)).sum.toDouble /
+      sizes.values.sum
     println(f"IVFPQPROBE n=$nVecs%d queries=${qvecs.length}%d " +
       f"frac_scanned=$frac%.3f expect~=$expect%.3f " +
+      f"batch_io_frac=$ioFrac%.3f (|∪cells|=${unionCells.length}/${cs.length}) " +
       f"wall{full_adc_cold=$tFullCold%.1fs full_adc_warm=$tFullWarm%.1fs " +
       f"routed_cold=$tRoutedCold%.1fs routed_warm=$tRoutedWarm%.1fs} " +
       "(contract: frac tracks nProbe/nCells; routed_warm < full_adc_warm)")

@@ -1384,8 +1384,14 @@ object Extensions {
       .filter(col("__rn") <= cap).drop("__rn")
       .select("cell", "corpus_id", "code")
     src match {
+      // stored CELL-PARTITIONED (hive layout): a probed-cell predicate
+      // prunes unprobed cells' files at plan time, so per-search I/O is
+      // Σ probed-cell bytes — the other half of the routing contract
+      // (the equi-join alone cuts ADC rows, not bytes read)
       case Some(s) => parquetFixture(emb.sparkSession, "ivfpq-codes", s,
-        s"p${cap}_ivfpq1", joined.queryExecution.logical.toString, joined)
+        s"p${cap}_ivfpq2", joined.queryExecution.logical.toString, joined,
+        partitionCols = Seq("cell"))
+        .select("cell", "corpus_id", "code")
       case None => joined
     }
   }
@@ -1430,7 +1436,24 @@ object Extensions {
         element_at(col("lut"), mi * kw + element_at(col("code"), mi + 1) + 1))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("corpus_id").asc)
-    val candidates = cellCodes.join(broadcast(queries), Seq("cell"))
+    // the batch's probed-cell set, collected driver-side — an
+    // O(nQueries×nProbe) collect (query-sized by the O(1) workload
+    // contract) turned into a LITERAL predicate on the stored index's
+    // PARTITION column, so unprobed cells' files are pruned at plan
+    // time (PartitionFilters on the scan — PlanSpec gates it). The
+    // equi-join below still restricts per-(query, cell) pairs; this
+    // filter is a superset of it per query, so results are unchanged —
+    // it exists to make routing cut bytes READ, not just ADC rows.
+    val probedCells = queries.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (probedCells.isEmpty)
+      return e.select(col("vec_id").as("query_id"),
+          col("vec_id").as("corpus_id"),
+          lit(0.0).as("cos"), lit(0).as("rank"))
+        .filter(lit(false))
+    val candidates = cellCodes
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .join(broadcast(queries), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("qv"), col("corpus_id"),
         round(adc, 6).as("adc"))
@@ -1693,7 +1716,7 @@ object Extensions {
     * `SPARK_GRAFT_FIXTURES=live` forces the in-session recompute. */
   private[graft] def parquetFixture(spark: SparkSession, family: String,
       srcPath: String, keyExtra: String, planOf: => String,
-      live: => DataFrame): DataFrame = {
+      live: => DataFrame, partitionCols: Seq[String] = Nil): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_FIXTURES").contains("live")) return live
     try {
       val src = new java.io.File(srcPath)
@@ -1737,7 +1760,12 @@ object Extensions {
         val tmp = java.nio.file.Paths.get(
           s"target/$family/.tmp_${key}_${java.util.UUID.randomUUID()}")
         val t0 = System.nanoTime()
-        live.write.mode("overwrite").parquet(tmp.toString)
+        // hive-style layout when requested (e.g. ivfpq-codes by cell):
+        // readers filtering on the partition column prune whole
+        // directories at plan time — at 100 TB that is the difference
+        // between scanning nProbe cells and scanning the index
+        live.write.mode("overwrite").partitionBy(partitionCols: _*)
+          .parquet(tmp.toString)
         // one line per cold build so bench readers can attribute the
         // one-time cost a warm-fixture per-query row doesn't show
         System.err.println(s"""{"event":"fixture_build","family":"$family",""" +

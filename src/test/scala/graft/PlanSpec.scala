@@ -331,6 +331,14 @@ class PlanSpec extends SparkSpec {
     }.flatten
     assert(scanPaths.exists(_.contains("ivfpq-codes")),
       s"ADC side not served from the stored ivfpq-codes index: $scanPaths")
+    // routing must also cut bytes READ, not just ADC rows: the stored
+    // index is hive-partitioned by cell and the probed-cell set is a
+    // literal predicate, so the scan must show partition pruning —
+    // without it every search reads the whole code table's files
+    val pruned = "(?s)PartitionFilters: \\[[^\\]]*cell[^\\]]*(?i:in)[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined
+    assert(pruned,
+      s"ivfpq-codes scan has no probed-cell PartitionFilters — routing is not pruning files:\n$plan")
   }
 
   test("incremental maintenance reads the stored train stat — no corpus-sized encode scan") {
