@@ -1009,11 +1009,7 @@ object Extensions {
     // empty corpus: no seeds, nothing to search — return the (empty)
     // top-k shape rather than crashing in training. A fresh tenant /
     // empty date partition is a normal library input, not an error.
-    if (centroids.isEmpty)
-      return e.select(col("vec_id").as("query_id"),
-          col("vec_id").as("corpus_id"),
-          lit(0.0).as("cos"), lit(0).as("rank"))
-        .filter(lit(false))
+    if (centroids.isEmpty) return emptyTopK(e)
 
     // the cell assignment IS the inverted file — stored table, see
     // [[ivfCellTable]]
@@ -1079,6 +1075,28 @@ object Extensions {
     val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
     emb.select(col("vec_id"), nv.as("nv"))
   }
+  /** The (empty) top-k result shape every vector search returns for a
+    * degenerate input (empty corpus / empty query set) — ONE
+    * definition so a schema change cannot silently diverge between
+    * the search variants. */
+  private def emptyTopK(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("query_id"), col("vec_id").as("corpus_id"),
+        lit(0.0).as("cos"), lit(0).as("rank"))
+      .filter(lit(false))
+  /** ADC score: fixed-order sum over subspaces — Σ_mi lut[mi·K +
+    * code[mi]]. M is a plan-time constant, so the sum is UNROLLED
+    * into M element_at terms: the aggregate(sequence(0, m-1), ...)
+    * fold this replaces materialized a sequence array per candidate
+    * row and evaluated the lambda through the interpreted higher-
+    * order-function path — swapping in the unrolled sum cut the warm
+    * 2M-vector search ~19 s → ~13.5 s in back-to-back runs (the
+    * unrolled form stays inside whole-stage codegen; same add order,
+    * so scores are bit-identical). Shared by [[pqTopK]] and
+    * [[ivfpqTopK]] so the two ADC paths cannot drift. */
+  private def adcSum(m: Int, kw: Int): Column =
+    (0 until m).map(mi =>
+        element_at(col("lut"), element_at(col("code"), mi + 1) + (mi * kw + 1)))
+      .reduce((a: Column, b: Column) => a + b)
   private def pqSubDot(sub: Column, cwd: Array[Double]): Column =
     dotD(sub, array(cwd.map(lit).toSeq: _*))
   /** argmax-dot cell id of `vec` against a codeword/centroid table —
@@ -1265,10 +1283,7 @@ object Extensions {
     val cbs: Array[Array[Array[Double]]] =
       pqCodebooks(emb, m, kw, iters, trainPerCell, codebookSrc)
     if (cbs.isEmpty)
-      return e.select(col("vec_id").as("query_id"),
-          col("vec_id").as("corpus_id"),
-          lit(0.0).as("cos"), lit(0).as("rank"))
-        .filter(lit(false))
+      return emptyTopK(e)
     val ds = cbs(0)(0).length
 
     // corpus ENCODE scan: codes only — stored table, see [[pqCodeTable]]
@@ -1278,18 +1293,8 @@ object Extensions {
       cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
     val queries = pqWithSubs(e.join(qids, Seq("vec_id")), m, ds)
       .select(col("vec_id").as("query_id"), col("nv").as("qv"), lut.as("lut"))
-    // ADC: fixed-order sum over subspaces — Σ_mi lut[mi·K + code[mi]].
-    // M is a plan-time constant, so the sum is UNROLLED into M
-    // element_at terms: the aggregate(sequence(0, m-1), ...) fold this
-    // replaces materialized a sequence array per candidate row and
-    // evaluated the lambda through the interpreted higher-order-
-    // function path — swapping in the unrolled sum cut the warm
-    // 2M-vector search ~19 s → ~13.5 s in back-to-back runs (the
-    // unrolled form stays inside whole-stage codegen; same add order,
-    // so scores are bit-identical)
-    val adc = (0 until m).map(mi =>
-        element_at(col("lut"), element_at(col("code"), mi + 1) + (mi * kw + 1)))
-      .reduce((a: Column, b: Column) => a + b)
+    // ADC: the shared unrolled sum — see [[adcSum]]
+    val adc = adcSum(m, kw)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("corpus_id").asc)
     val candidates = codes.crossJoin(broadcast(queries))
@@ -1429,10 +1434,7 @@ object Extensions {
     val cbs = pqCodebooks(emb, codebookSrc = src)
     val cs = ivfCentroids(emb, nCells = nCells, centroidSrc = src)
     if (cbs.isEmpty || cs.isEmpty)
-      return e.select(col("vec_id").as("query_id"),
-          col("vec_id").as("corpus_id"),
-          lit(0.0).as("cos"), lit(0).as("rank"))
-        .filter(lit(false))
+      return emptyTopK(e)
     val m = cbs.length
     val ds = cbs(0)(0).length
     val kw = cbs(0).length
@@ -1451,29 +1453,32 @@ object Extensions {
         explode(slice(array_sort(probeStructs), 1, nProbe)).as("p"))
       .select(col("query_id"), col("qv"), col("lut"), col("p.cell").as("cell"))
     // ADC over the PROBED cells only — the cell equi-join is the whole
-    // point: candidates = Σ probed-cell sizes, never the corpus.
-    // Unrolled like pqTopK's: M is static, and the HOF fold it
-    // replaces was the candidate stage's dominant cost.
-    val adc = (0 until m).map(mi =>
-        element_at(col("lut"), element_at(col("code"), mi + 1) + (mi * kw + 1)))
-      .reduce((a: Column, b: Column) => a + b)
+    // point: candidates = Σ probed-cell sizes, never the corpus
+    // (shared unrolled sum — see [[adcSum]])
+    val adc = adcSum(m, kw)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("corpus_id").asc)
-    // the batch's probed-cell set, collected driver-side — an
-    // O(nQueries×nProbe) collect (query-sized by the O(1) workload
-    // contract) turned into a LITERAL predicate on the stored index's
-    // PARTITION column, so unprobed cells' files are pruned at plan
-    // time (PartitionFilters on the scan — PlanSpec gates it). The
+    // the batch's probed-cell set, collected driver-side and applied
+    // as a LITERAL predicate on the stored index's PARTITION column,
+    // so unprobed cells' files are pruned at plan time
+    // (PartitionFilters on the scan — PlanSpec gates it; Spark's
+    // dynamic partition pruning then ALSO attaches its runtime
+    // subquery on top, but DPP alone cannot be the mechanism: its
+    // benefit heuristic is size-based and does not fire on small
+    // indexes, so the static predicate is the deterministic
+    // guarantee). The collect is query-sized (≤ nQueries × nProbe
+    // ints — the O(1) workload contract) and its routing job is
+    // centroid-model work, trivial next to the search it saves. The
     // equi-join below still restricts per-(query, cell) pairs; this
-    // filter is a superset of it per query, so results are unchanged —
-    // it exists to make routing cut bytes READ, not just ADC rows.
+    // filter is a per-query superset of it, so results are unchanged.
+    // The literal freezes the batch's cells at plan-build: coherent
+    // with the stored-index design, where a search frame built
+    // against a corpus version reads that version's fixture snapshot
+    // — corpora are immutable per session by contract.
     val probedCells = queries.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     if (probedCells.isEmpty)
-      return e.select(col("vec_id").as("query_id"),
-          col("vec_id").as("corpus_id"),
-          lit(0.0).as("cos"), lit(0).as("rank"))
-        .filter(lit(false))
+      return emptyTopK(e)
     val candidates = cellCodes
       .filter(col("cell").isin(probedCells.toSeq: _*))
       .join(broadcast(queries), Seq("cell"))
