@@ -67,6 +67,15 @@ object Bench {
       .flatMap(_.toDoubleOption).getOrElse(0.95)
     val controlSec = results.toMap.getOrElse("fn_epoch_millis", -1.0)
     val controlOk = controlSec > 0 && controlSec <= controlSteady * 1.25
+    // drift check BOTH ways: a control far BELOW steady means the host
+    // got faster than the recorded baseline — the flag threshold above
+    // is then miscalibrated (too lenient) and steady needs re-recording
+    // (BASELINE.md). Warn, don't flag: a fast host never fabricates
+    // regressions.
+    if (controlSec > 0 && controlSec < controlSteady * 0.75)
+      System.err.println(f"[bench] WARNING control $controlSec%.3f s is >25%% " +
+        f"below the recorded steady $controlSteady%.3f s — steady is stale, " +
+        "re-record SPARK_GRAFT_CONTROL_STEADY / BASELINE.md")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""control_query":"fn_epoch_millis","control_sec":${ms3(controlSec)},""" +
       s""""control_steady_sec":${ms3(controlSteady)},"control_ok":$controlOk,"sf":"$sfDir"}"""
@@ -80,6 +89,23 @@ object Bench {
       // picks this file up, making the full per-query record durable.
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_last_full.json"), line + "\n")
+      // the CLEAN-ANCHOR record: keep the control-ok run with the
+      // LOWEST control seen so far in its own committed file, so
+      // per-query comparisons across rounds anchor on the cleanest
+      // host state instead of whatever ran last (round-9's committed
+      // mirror was an 18%-elevated run while the true anchor lived
+      // only as a BASELINE.md total)
+      if (controlOk) {
+        val bestPath = java.nio.file.Paths.get("BENCH_best_full.json")
+        val prevControl =
+          if (java.nio.file.Files.exists(bestPath))
+            """"control_sec":([0-9.]+)""".r
+              .findFirstMatchIn(java.nio.file.Files.readString(bestPath))
+              .map(_.group(1).toDouble)
+          else None
+        if (prevControl.forall(controlSec < _))
+          java.nio.file.Files.writeString(bestPath, line + "\n")
+      }
     } catch { case _: Exception => () } // artifact is best-effort
     println(line)
     spark.stop()

@@ -493,6 +493,15 @@ object ScaleProbe {
     * driver-side re-derivation of each query's nProbe cells. */
   private def ivfpqProbe(args: Array[String]): Unit = {
     val nVecs = if (args.length > 1) args(1).toLong else 2000000L
+    // nCells: explicit, or "auto" = the 4√N FAISS guidance the index
+    // build derives from the corpus count ([[Extensions.autoNCells]]);
+    // nProbe defaults to the registered 6 — pass a larger probe depth
+    // when sweeping the recall/fraction trade at high cell counts
+    val nCellsArg = if (args.length > 2) args(2) else "16"
+    val nCells = if (nCellsArg == "auto") ext.Extensions.autoNCells(nVecs)
+                 else nCellsArg.toInt
+    val nProbe = if (args.length > 3) args(3).toInt
+                 else ext.Extensions.IvfpqNProbe
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -530,13 +539,17 @@ object ScaleProbe {
     val tFullWarm = Seq.fill(2)(timed(run(
       ext.Extensions.pqTopK(emb, qids, codebookSrc = Some(src))))._2).min
     val (_, tRoutedCold) = timed(run(
-      ext.Extensions.ivfpqTopK(emb, qids, src = Some(src))))
+      ext.Extensions.ivfpqTopK(emb, qids, nProbe = nProbe, nCells = nCells,
+        src = Some(src))))
     val tRoutedWarm = Seq.fill(2)(timed(run(
-      ext.Extensions.ivfpqTopK(emb, qids, src = Some(src))))._2).min
+      ext.Extensions.ivfpqTopK(emb, qids, nProbe = nProbe, nCells = nCells,
+        src = Some(src))))._2).min
     // independent fraction: stored cell sizes × driver-side routing
     val cbs = ext.Extensions.pqCodebooks(emb, codebookSrc = Some(src))
-    val cs = ext.Extensions.ivfCentroids(emb, centroidSrc = Some(src))
-    val sizes = ext.Extensions.ivfpqCellCodes(emb, cbs, cs, Some(src))
+    val cs = ext.Extensions.ivfCentroids(emb, nCells = nCells,
+      centroidSrc = Some(src))
+    val sizes = ext.Extensions.ivfpqCellCodes(emb, cbs, cs, Some(src),
+        nCells = nCells)
       .groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val qvecs = emb.join(qids, Seq("vec_id"))
@@ -547,13 +560,40 @@ object ScaleProbe {
       val nv = q.map(_ / n)
       cs.indices.sortBy { c =>
         (-cs(c).zip(nv).map { case (a, b) => a * b }.sum, c)
-      }.take(ext.Extensions.IvfpqNProbe)
+      }.take(nProbe)
     }
     val scanned = qvecs.map { case (_, q) =>
       routedCells(q).map(c => sizes.getOrElse(c, 0L)).sum
     }.sum
     val frac = scanned.toDouble / (qvecs.length.toLong * nVecs)
-    val expect = ext.Extensions.IvfpqNProbe.toDouble / cs.length
+    val expect = nProbe.toDouble / cs.length
+    // recall@10 vs a brute-force exact baseline (one corpus scan with
+    // the 16-query side broadcast): the recall floor must HOLD at the
+    // probed (nCells, nProbe) operating point, not just at the
+    // registered 16/6 — this is directive-level evidence, so it is
+    // measured here rather than assumed from the driver-SF floors
+    val recall = {
+      val dot = graft.expr.ColumnOps.dotProduct(col("qv"), col("cv"))
+      val nrm = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => x / sqrt(graft.expr.ColumnOps.dotProduct(c, c)))
+      val q = emb.join(qids.select("vec_id"), Seq("vec_id"))
+        .select(col("vec_id").as("query_id"), nrm(col("v")).as("qv"))
+      val c = emb.select(col("vec_id").as("corpus_id"), nrm(col("v")).as("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("corpus_id").asc)
+      val exact = c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"), round(dot, 6).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "corpus_id")
+      val approx = ext.Extensions.ivfpqTopK(emb, qids, nProbe = nProbe,
+          nCells = nCells, src = Some(src))
+        .filter(col("rank") <= 10).select("query_id", "corpus_id")
+      val hit = approx.join(exact, Seq("query_id", "corpus_id"), "left_semi").count()
+      hit.toDouble / exact.count()
+    }
     // the BATCH's file-pruning fraction: the stored index is hive-
     // partitioned by cell and the search filters to the batch's ∪ of
     // probed cells, so bytes read per batch ≈ this fraction of the
@@ -564,6 +604,7 @@ object ScaleProbe {
     val ioFrac = unionCells.map(c => sizes.getOrElse(c, 0L)).sum.toDouble /
       sizes.values.sum
     println(f"IVFPQPROBE n=$nVecs%d queries=${qvecs.length}%d " +
+      f"nCells=$nCells%d nProbe=$nProbe%d recall_at_10=$recall%.3f " +
       f"frac_scanned=$frac%.3f expect~=$expect%.3f " +
       f"batch_io_frac=$ioFrac%.3f (|∪cells|=${unionCells.length}/${cs.length}) " +
       f"wall{full_adc_cold=$tFullCold%.1fs full_adc_warm=$tFullWarm%.1fs " +

@@ -33,6 +33,10 @@ object SparkEntry {
       "self-checking metric: the output carries its own pass column asserting the registered recall floors",
     "ext_hybrid_search_pq" ->
       "self-checking metric over an approximate (PQ-tower) index: the output carries its own pass column asserting the fusion-overlap floor vs the exact hybrid",
+    "ext_hybrid_search_ivfpq" ->
+      "self-checking metric over an approximate (IVFPQ-tower) index: the output carries its own pass column asserting the fusion-overlap floor vs the exact hybrid (same pattern as ext_hybrid_search_pq, dense tower cell-routed)",
+    "ext_ivfpq_incremental" ->
+      "approximate index maintenance (same no-oracle reason as ext_topk_ivfpq); ExtensionsSpec asserts the merged-index output equals ext_topk_ivfpq at driver SFs and PlanSpec gates the plan to one batch-side encode scan (standing corpus served from the stored combined index)",
     "ext_lsh_incremental" ->
       "approximate index maintenance (same no-oracle reason as ext_ann_lsh); ExtensionsSpec asserts the merged-index output is row-identical to ext_ann_lsh at driver SFs and PlanSpec gates the plan to one batch-side hash scan (corpus buckets served from the stored table)",
     "ext_pq_incremental" ->

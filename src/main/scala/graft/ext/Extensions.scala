@@ -760,14 +760,22 @@ object Extensions {
       .withColumn("bucket", explode(array((0 until nTables).map(bucketCol): _*)))
       .select(col("vec_id").as("corpus_id"), col("bucket").as("c_bucket"))
     cap match {
-      case Some(n) =>
-        val cw = Window.partitionBy(col("c_bucket"))
-          .orderBy(Scalars.hash60(concat_ws(":", col("c_bucket"),
-            col("corpus_id").cast("string"))), col("corpus_id"))
-        c.withColumn("rn", row_number().over(cw))
-          .filter(col("rn") <= n).drop("rn")
+      case Some(n) => capBuckets(c, n)
       case None => c
     }
+  }
+
+  /** The hot-bucket cap on a (corpus_id, c_bucket) row table: keep the
+    * `n` smallest members per bucket by the salted sha order (a pure
+    * function of the stored columns, so the cap is idempotent and can
+    * be RE-applied to a merged stored∪batch table — the same rows
+    * survive no matter how many increments built it). */
+  private def capBuckets(rows: DataFrame, n: Int): DataFrame = {
+    val cw = Window.partitionBy(col("c_bucket"))
+      .orderBy(Scalars.hash60(concat_ws(":", col("c_bucket"),
+        col("corpus_id").cast("string"))), col("corpus_id"))
+    rows.withColumn("rn", row_number().over(cw))
+      .filter(col("rn") <= n).drop("rn")
   }
 
   def annTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
@@ -875,6 +883,108 @@ object Extensions {
   def ivfTrainStride(n: Long, nCells: Int, trainPerCell: Int): Long =
     math.max(1L, n / (trainPerCell.toLong * nCells))
 
+  /** FAISS-guidance cell count for an N-vector corpus: ≈4√N, bounded to
+    * [16, 1024]. The lower bound keeps tiny corpora out of degenerate
+    * 1-vector cells; the upper bound is the single-level quantizer's
+    * honest limit here — training/assignment FLOPs are N×nCells, and
+    * past ~1k cells the right 100 TB structure is a sharded or
+    * two-level coarse quantizer, not a bigger flat one. `ScaleProbe
+    * ivfpq … auto` derives this at index build (N is already a fixture
+    * key input) and re-measures recall at the derived point. */
+  def autoNCells(n: Long): Int =
+    math.min(1024L, math.max(16L, 4L * math.round(math.sqrt(n.toDouble)))).toInt
+
+  /** Max nCells for the LITERAL argmax assignment form ([[argmaxCell]]).
+    * A literal assignment embeds nCells×dim constants in one projection
+    * — ideal codegen at 16 cells, but past ~64 it approaches janino's
+    * method limits (the library already hit that wall once, in the
+    * round-7 explode fallback) and the plan itself grows with the
+    * model. Above the threshold assignment switches to the broadcast
+    * centroid-TABLE join ([[assignCells]]): same dots, same tie-break,
+    * plan size constant in nCells. */
+  final val IvfLiteralAssignMaxCells = 64
+
+  /** The coarse-quantizer model as a TABLE: (cell int, cv array<double>)
+    * — nCells rows, broadcast by every consumer. Routing and
+    * large-nCells assignment join against this frame instead of
+    * embedding nCells×dim literals in a projection, which is what lets
+    * the IVF family's plans stay constant-size as nCells grows ~4√N
+    * with the corpus. */
+  private def centroidFrame(spark: SparkSession,
+                            cs: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
+  }
+
+  /** Query-side cell ROUTING as a model-table join: attach the nProbe
+    * nearest cells per row of `q` (one output row per (id, probed
+    * cell), `payload` columns carried through). The cell-id fan-out is
+    * `explode(sequence(0, nCells-1))` — ONE expression at any nCells —
+    * the per-(row, cell) dot comes from the broadcast [[centroidFrame]]
+    * equi-join, and the top-nProbe cut is an id-partitioned window
+    * (dot desc, cell asc — [[argmaxCell]]'s first-max tie-break). No
+    * nCells-proportional literal appears anywhere in the plan (PlanSpec
+    * gates the registered searches), which is the form that survives
+    * nCells ≈ 4√N: the pre-round-10 literal probe-struct array was an
+    * O(nCells) codegen expression per projection — fine at 16 cells, a
+    * janino/plan-size wall at the cell counts the 100 TB story needs. */
+  private[graft] def routeCells(q: DataFrame, idCol: String, vecCol: String,
+      cs: Array[Array[Double]], nProbe: Int,
+      payload: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: payload).distinct
+    val csDf = broadcast(centroidFrame(q.sparkSession, cs))
+    val wR = Window.partitionBy(col(idCol))
+      .orderBy(col("__negs").asc, col("cell").asc)
+    q.select(keep.map(col) :+ col(vecCol).as("__rv"): _*)
+      .withColumn("cell", explode(sequence(lit(0), lit(cs.length - 1))))
+      .join(csDf, Seq("cell"))
+      .withColumn("__negs", -dotD(col("__rv"), col("cv")))
+      .withColumn("__pr", row_number().over(wR))
+      .filter(col("__pr") <= nProbe)
+      .select(keep.map(col) :+ col("cell"): _*)
+  }
+
+  /** The pre-round-10 LITERAL routing (an nCells-sized sorted
+    * probe-struct array per row), kept ONLY as the equality reference
+    * for [[routeCells]] in ExtensionsSpec — never called by a
+    * registered query. */
+  private[graft] def routeCellsLiteral(q: DataFrame, idCol: String,
+      vecCol: String, cs: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val probeStructs = array(cs.toSeq.zipWithIndex.map { case (c, i) =>
+      struct((-dotD(col(vecCol), array(c.map(lit).toSeq: _*))).as("negs"),
+        lit(i).as("cell"))
+    }: _*)
+    q.select(col(idCol),
+        explode(slice(array_sort(probeStructs), 1, nProbe)).as("p"))
+      .select(col(idCol), col("p.cell").as("cell"))
+  }
+
+  /** Corpus-side cell ASSIGNMENT: `df` + a `cell` column. At small
+    * nCells this is the literal [[argmaxCell]] projection (pure
+    * codegen, zero shuffle — and bit-compatible with every stored
+    * fixture built before the threshold existed). Past
+    * [[IvfLiteralAssignMaxCells]] it becomes the same model-table join
+    * as [[routeCells]], reduced by a partial-agg-friendly
+    * `min(struct(-dot, cell))` per id — lexicographic struct min IS
+    * the first-max tie-break — so the assignment scan survives the
+    * same nCells growth the routing does. */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                          cs: Array[Array[Double]]): DataFrame =
+    if (cs.length <= IvfLiteralAssignMaxCells)
+      df.withColumn("cell", argmaxCell(col(vecCol), cs))
+    else {
+      val csDf = broadcast(centroidFrame(df.sparkSession, cs))
+      val top1 = df.select(col(idCol), col(vecCol).as("__rv"))
+        .withColumn("cell", explode(sequence(lit(0), lit(cs.length - 1))))
+        .join(csDf, Seq("cell"))
+        .select(col(idCol),
+          struct((-dotD(col("__rv"), col("cv"))).as("negs"),
+            col("cell").as("cell")).as("sc"))
+        .groupBy(idCol).agg(min(col("sc")).as("sc"))
+        .select(col(idCol), col("sc.cell").as("cell"))
+      df.join(top1, Seq(idCol))
+    }
+
   /** Train-or-load the IVF coarse quantizer (nCells×dim unit centroids)
     * for `emb` — extracted from [[ivfTopK]] so incremental maintenance
     * ([[ivfIncremental]]) can assign new batches against FROZEN
@@ -901,8 +1011,6 @@ object Extensions {
                    keyTag: String = "ivf1"): Array[Array[Double]] = {
     val spark = emb.sparkSession
     val e = pqNormalize(emb)
-    def cellOf(cs: Array[Array[Double]]): Column =
-      argmaxCell(col("nv"), cs)
     def trainCentroids(): Array[Array[Double]] = {
       val ep = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -929,7 +1037,7 @@ object Extensions {
             // carries kilobytes regardless of corpus size
             val aggs = count(lit(1)).as("n") +:
               (0 until dim).map(d => sum(col("nv")(d)).as(s"s$d"))
-            val means = train.withColumn("cell", cellOf(centroids))
+            val means = assignCells(train, "vec_id", "nv", centroids)
               .groupBy("cell").agg(aggs.head, aggs.tail: _*)
               .collect()
             val next = centroids.map(_.clone())
@@ -973,7 +1081,7 @@ object Extensions {
                    centroidSrc: Option[String], nCells: Int = 16,
                    iters: Int = 2, trainPerCell: Int = 100): DataFrame = {
     val e = pqNormalize(emb)
-    val corpus0 = e.withColumn("cell", argmaxCell(col("nv"), cs))
+    val corpus0 = assignCells(e, "vec_id", "nv", cs)
       .select(col("vec_id").as("corpus_id"), col("cell"), col("nv").as("cv"))
     centroidSrc match {
       case Some(src) => parquetFixture(emb.sparkSession, "ivf-cells", src,
@@ -992,15 +1100,6 @@ object Extensions {
     // unit-normalize once: cosine over normalized vectors = dot product
     val e = pqNormalize(emb)
 
-    def scores(cs: Array[Array[Double]]): Seq[Column] =
-      cs.toSeq.map(c => dotD(col("nv"), array(c.map(lit).toSeq: _*)))
-    // the shared argmax assignment ([[argmaxCell]]): one scores array +
-    // array_position keeps each centroid dot a single expression node
-    // (a greatest + when-chain form duplicated every dot and made
-    // codegen the dominant cost)
-    def cellOf(cs: Array[Array[Double]]): Column =
-      argmaxCell(col("nv"), cs)
-
     // The trained quantizer is a MODEL (nCells×dim doubles) — see
     // [[ivfCentroids]] (extracted so incremental maintenance can
     // assign new batches against FROZEN centroids without retraining)
@@ -1015,14 +1114,13 @@ object Extensions {
     // [[ivfCellTable]]
     val corpus = ivfCellTable(emb, centroids, centroidSrc, nCells, iters,
       trainPerCell)
-    // query side: nProbe nearest cells via sorted (negScore, cell) structs
-    val probeStructs = array(scores(centroids).zipWithIndex.map { case (s, i) =>
-      struct((-s).as("negs"), lit(i).as("cell"))
-    }: _*)
-    val queries = e.join(qids, Seq("vec_id"))
-      .select(col("vec_id").as("query_id"), col("nv").as("qv"),
-        explode(slice(array_sort(probeStructs), 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+    // query side: nProbe nearest cells via the model-table routing join
+    // ([[routeCells]] — plan size constant in nCells), qv carried
+    // through the routing window so the query side stays one pass
+    val queries = routeCells(
+      e.join(qids, Seq("vec_id"))
+        .select(col("vec_id").as("query_id"), col("nv").as("qv")),
+      "query_id", "qv", centroids, nProbe, payload = Seq("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     corpus.join(broadcast(queries), Seq("cell"))
@@ -1207,9 +1305,15 @@ object Extensions {
     * orphans stale codes. Shared by [[pqTopK]] and the ADC half of
     * [[ivfpqTopK]]. */
   def pqCodeTable(emb: DataFrame, cbs: Array[Array[Array[Double]]],
-                  codebookSrc: Option[String], m: Int = PqM, kw: Int = PqK,
+                  codebookSrc: Option[String],
                   iters: Int = 2, trainPerCell: Int = 100): DataFrame = {
     val e = pqNormalize(emb)
+    // m/kw are DERIVED from the codebook that encodes — a caller-passed
+    // pair could silently disagree with the model's own shape (codes
+    // built with default m against a non-default-m codebook truncate or
+    // overflow), so the code table cannot be parameterized past cbs
+    val m = cbs.length
+    val kw = cbs(0).length
     val ds = cbs(0)(0).length
     val codes0 = pqWithSubs(e, m, ds).select(col("vec_id").as("corpus_id"),
       array((0 until m).map(mi => argmaxCell(col(s"sub_$mi"), cbs(mi))): _*).as("code"))
@@ -1287,7 +1391,7 @@ object Extensions {
     val ds = cbs(0)(0).length
 
     // corpus ENCODE scan: codes only — stored table, see [[pqCodeTable]]
-    val codes = pqCodeTable(emb, cbs, codebookSrc, m, kw, iters, trainPerCell)
+    val codes = pqCodeTable(emb, cbs, codebookSrc, iters, trainPerCell)
     // query side: the M×K LUT of sub-dot-products, flattened row-major
     val lut = array((0 until m).flatMap(mi =>
       cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
@@ -1303,8 +1407,10 @@ object Extensions {
         round(adc, 6).as("adc"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= rerank)
-    // exact rerank: fetch vectors for the top-R candidates only — from
-    // the 8×-smaller stored int8 table in stored-index mode
+    // top-R rerank: fetch vectors for the finalists only — full raw
+    // vectors in live mode; the 8×-smaller stored int8 table (an
+    // int8-dequantized, NOT bit-exact, rerank — recall-floor-gated)
+    // in stored-index mode. See [[rerankVecs]].
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     candidates
@@ -1410,25 +1516,53 @@ object Extensions {
       // prunes unprobed cells' files at plan time, so per-search I/O is
       // Σ probed-cell bytes — the other half of the routing contract
       // (the equi-join alone cuts ADC rows, not bytes read). The plan
-      // fingerprint is the UNCAPPED join's — it embeds both upstream
-      // fixture paths (each carrying its model's own fingerprint), so
-      // either retrained model still orphans this table.
+      // fingerprint is the UNCAPPED join's PLUS its scan root paths:
+      // a LogicalRelation renders PATHLESS in a plan string, so the
+      // join of two stored-fixture reads would otherwise fingerprint
+      // identically for ANY upstream fixtures of the same shape —
+      // a retrained model (new pq-codes/ivf-cells key) or a different
+      // corpus split under the same src would silently serve this
+      // stale table. The appended paths carry each upstream's own
+      // fingerprint (model literals included), so either retrained
+      // model orphans this table — now by construction, not by claim
+      // (round 10: the incremental corpus-half build exposed the
+      // collision).
       case Some(s) => parquetFixture(emb.sparkSession, "ivfpq-codes", s,
-        s"${capTag}_c${nCells}_ivfpq3",
-        baseJoin.queryExecution.logical.toString, capped,
+        s"${capTag}_c${nCells}_ivfpq4",
+        baseJoin.queryExecution.logical.toString +
+          "\nscans:" + scanRootPaths(baseJoin).mkString(","), capped,
         partitionCols = Seq("cell"))
         .select("cell", "corpus_id", "code")
       case None => capped
     }
   }
 
-  /** IVFPQ search: nProbe cell routing (ivfTopK's query side) feeding
-    * a cell-equi-joined ADC scan (pqTopK's scoring), exact rerank of
-    * the top-R. Same O(1) query-set contract as every search here. */
+  /** File-scan root paths of a frame's ANALYZED plan — appended to a
+    * fixture fingerprint when the producing plan reads OTHER stored
+    * fixtures (whose relations render pathless in plan strings). */
+  private def scanRootPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.sorted
+
+  /** IVFPQ search: nProbe cell routing (ivfTopK's model-table join)
+    * feeding a cell-equi-joined ADC scan (pqTopK's scoring), top-R
+    * rerank (full-precision in live mode; int8-dequantized when
+    * serving the stored index — see [[rerankVecs]]). Same O(1)
+    * query-set contract as every search here. `codes0` lets
+    * incremental maintenance ([[ivfpqIncremental]]) supply the merged
+    * (stored corpus + fresh batch) combined index instead of the
+    * monolithic stored table. */
   def ivfpqTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
                 nProbe: Int = IvfpqNProbe, rerank: Int = PqRerank,
                 nCells: Int = 16, cellCap: Int = IvfpqCellCapAuto,
-                src: Option[String] = None): DataFrame = {
+                src: Option[String] = None,
+                codes0: Option[DataFrame] = None): DataFrame = {
     val qids = broadcast(queryIds.select("vec_id"))
     val e = pqNormalize(emb)
     val cbs = pqCodebooks(emb, codebookSrc = src)
@@ -1438,20 +1572,20 @@ object Extensions {
     val m = cbs.length
     val ds = cbs(0)(0).length
     val kw = cbs(0).length
-    val cellCodes = ivfpqCellCodes(emb, cbs, cs, src, cellCap, nCells)
-    // query side: nProbe nearest cells (sorted (negScore, cell)
-    // structs — ivfTopK's routing) AND the M×K ADC LUT, one row per
-    // (query, probed cell)
-    val probeStructs = array(cs.toSeq.zipWithIndex.map { case (c, i) =>
-      struct((-dotD(col("nv"), array(c.map(lit).toSeq: _*))).as("negs"),
-        lit(i).as("cell"))
-    }: _*)
+    val cellCodes = codes0.getOrElse(
+      ivfpqCellCodes(emb, cbs, cs, src, cellCap, nCells))
+    // query side: nProbe nearest cells (the [[routeCells]] model-table
+    // join — plan size constant in nCells) AND the M×K ADC LUT, one
+    // row per (query, probed cell). CACHED (tracked): the frame feeds
+    // BOTH the probed-cell collect below and the scoring join — without
+    // the cache the routing job and the raw query-vector fetch would
+    // run twice per search.
     val lut = array((0 until m).flatMap(mi =>
       cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
-    val queries = pqWithSubs(e.join(qids, Seq("vec_id")), m, ds)
-      .select(col("vec_id").as("query_id"), col("nv").as("qv"), lut.as("lut"),
-        explode(slice(array_sort(probeStructs), 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qv"), col("lut"), col("p.cell").as("cell"))
+    val queries = cacheTracked(routeCells(
+      pqWithSubs(e.join(qids, Seq("vec_id")), m, ds)
+        .select(col("vec_id").as("query_id"), col("nv").as("qv"), lut.as("lut")),
+      "query_id", "qv", cs, nProbe, payload = Seq("qv", "lut")))
     // ADC over the PROBED cells only — the cell equi-join is the whole
     // point: candidates = Σ probed-cell sizes, never the corpus
     // (shared unrolled sum — see [[adcSum]])
@@ -1487,8 +1621,10 @@ object Extensions {
         round(adc, 6).as("adc"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= rerank)
-    // exact rerank: fetch vectors for the top-R candidates only — from
-    // the 8×-smaller stored int8 table in stored-index mode
+    // top-R rerank: fetch vectors for the finalists only — full raw
+    // vectors in live mode; the 8×-smaller stored int8 table (an
+    // int8-dequantized, NOT bit-exact, rerank — recall-floor-gated)
+    // in stored-index mode. See [[rerankVecs]].
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     candidates
@@ -1506,6 +1642,76 @@ object Extensions {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       ivfpqTopK(emb, annQueryIds(emb),
         src = Some(s"$sfDir/embeddings.parquet"))
+    },
+    None)
+
+  // =====================================================================
+  // Incremental maintenance for the COMBINED ivfpq-codes index — the
+  // last stored index without an O(batch) arrival path (every other
+  // artifact — postings, buckets, band index, labels, model stats —
+  // already has one). The standing corpus's combined (cell, corpus_id,
+  // code) table is stored once under the frozen full-corpus models
+  // (the same model fixtures the monolithic search serves from); a new
+  // batch is encoded AND cell-assigned in ONE O(batch) map-only scan
+  // and its rows union at read time (at 100 TB: appended to the
+  // cell-partitioned layout) — the corpus is never re-encoded or
+  // re-joined per arrival. Retrain/compaction cadence: the cap and the
+  // codebook are maintained by the DRIFT rule (ext_pq_incremental /
+  // ext_ivf_incremental) — when drift ≥ PqDriftRetrain the models
+  // retrain, which orphans this table via its fixture fingerprint and
+  // the rebuild re-applies the hot-cell cap over everything
+  // accumulated; between retrains, batch rows ride uncapped (the lsh
+  // re-cap trick does not apply here — the cap is RELATIVE to the
+  // average cell size, so re-resolving it per arrival would cost an
+  // index-sized count per search).
+  // =====================================================================
+  /** One-scan encode+assign of a vector frame against BOTH frozen
+    * models → (cell, corpus_id, code): the arrival path of the
+    * combined index. The cell assignment and the M code argmaxes share
+    * one projection over one pass of `emb` — identical expressions to
+    * the stored halves' builders, so a batch row is bit-identical to
+    * what the monolithic build would have produced for it. */
+  def ivfpqEncodeAssign(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+                        cs: Array[Array[Double]]): DataFrame = {
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val e = pqWithSubs(pqNormalize(emb), m, ds)
+    assignCells(e, "vec_id", "nv", cs)
+      .select(col("cell"), col("vec_id").as("corpus_id"),
+        array((0 until m).map(mi =>
+          argmaxCell(col(s"sub_$mi"), cbs(mi))): _*).as("code"))
+  }
+
+  /** The incremental IVFPQ search: merged (stored standing-corpus
+    * combined index ∪ one-scan-encoded batch) served to [[ivfpqTopK]]
+    * via `codes0`. Models are the frozen FULL-corpus fixtures, so the
+    * merged index is row-identical to the monolithic `ivfpq-codes` at
+    * driver SFs (cap headroom asserted) and the search output EQUALS
+    * ext_topk_ivfpq's — asserted in ExtensionsSpec; no oracle for the
+    * same reason ext_topk_ivfpq has none. PlanSpec gates the plan: the
+    * standing corpus is served from its stored fixture (plan-time
+    * partition pruning included — the probed-cell predicate pushes
+    * through the union into the hive-partitioned half), and the only
+    * corpus-data scans are the batch encode plus the fixed query-side
+    * fetches. */
+  val ivfpqIncremental: Q = Q("ext_ivfpq_incremental",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (corpus, batch) = incrementalSplit(emb)
+      val src = s"$sfDir/embeddings.parquet"
+      val cbs = pqCodebooks(emb, codebookSrc = Some(src))
+      val cs = ivfCentroids(emb, centroidSrc = Some(src))
+      if (cbs.isEmpty || cs.isEmpty) emptyTopK(pqNormalize(emb))
+      else {
+        // the stored standing-corpus half: the full ivfpqCellCodes
+        // discipline (cell-partitioned layout, relative cap, orphaned
+        // by either retrained model) applied to the 90% split
+        val corpusCodes = ivfpqCellCodes(corpus, cbs, cs, Some(src))
+        val merged = corpusCodes.unionByName(ivfpqEncodeAssign(batch, cbs, cs))
+        ivfpqTopK(emb, annQueryIds(emb), src = Some(src),
+          codes0 = Some(merged))
+      }
     },
     None)
 
@@ -1571,11 +1777,26 @@ object Extensions {
   def ivfEncodeWithError(emb: DataFrame,
                          cs: Array[Array[Double]]): DataFrame = {
     val e = pqNormalize(emb)
-    val sa = array(cs.toSeq.map(c =>
-      dotD(col("nv"), array(c.map(lit).toSeq: _*))): _*)
-    val cell = (array_position(sa, array_max(sa)) - 1).cast("int")
-    e.select(col("vec_id"), cell.as("cell"),
-      (lit(2.0) - lit(2.0) * array_max(sa)).as("qerr"))
+    if (cs.length <= IvfLiteralAssignMaxCells) {
+      val sa = array(cs.toSeq.map(c =>
+        dotD(col("nv"), array(c.map(lit).toSeq: _*))): _*)
+      val cell = (array_position(sa, array_max(sa)) - 1).cast("int")
+      e.select(col("vec_id"), cell.as("cell"),
+        (lit(2.0) - lit(2.0) * array_max(sa)).as("qerr"))
+    } else {
+      // large-nCells form — [[assignCells]]'s model-table join, keeping
+      // the max dot (−negs) for the spherical error ‖nv − c‖² = 2 − 2·dot
+      val csDf = broadcast(centroidFrame(emb.sparkSession, cs))
+      e.select(col("vec_id"), col("nv").as("__rv"))
+        .withColumn("cell", explode(sequence(lit(0), lit(cs.length - 1))))
+        .join(csDf, Seq("cell"))
+        .select(col("vec_id"),
+          struct((-dotD(col("__rv"), col("cv"))).as("negs"),
+            col("cell").as("cell")).as("sc"))
+        .groupBy("vec_id").agg(min(col("sc")).as("sc"))
+        .select(col("vec_id"), col("sc.cell").as("cell"),
+          (lit(2.0) + lit(2.0) * col("sc.negs")).as("qerr"))
+    }
   }
 
   /** Deterministic 90/10 standing-corpus / new-batch split on the
@@ -2997,8 +3218,16 @@ object Extensions {
       val corpusBuckets = parquetFixture(spark, "lsh-buckets",
         s"$sfDir/embeddings.parquet", s"t3_b6_c256_lshinc90",
         corpusBuckets0.queryExecution.logical.toString, corpusBuckets0)
-      // ONE O(batch) hash scan for the arrival, appended at read time
-      val merged = corpusBuckets.unionByName(lshBucketRows(batch, None))
+      // ONE O(batch) hash scan for the arrival, appended at read time.
+      // The per-bucket cap is RE-applied to the merged table: the cap
+      // is the search-shuffle skew guard, and a stored-capped ∪
+      // uncapped-batches union would erode it as increments accumulate
+      // — the salted sha order is a pure function of the stored
+      // columns, so the re-cap is deterministic and idempotent (at
+      // driver SFs the cap never binds — ExtensionsSpec asserts the
+      // headroom AND output equality with the monolithic index).
+      val merged = capBuckets(
+        corpusBuckets.unionByName(lshBucketRows(batch, None)), 256)
       annTopK(emb, annQueryIds(emb), buckets0 = Some(merged))
     },
     None)
@@ -4632,33 +4861,82 @@ object Extensions {
     hybridFuse(densePq, sparse0.getOrElse(hybridSparseTop(spark, sfDir, q)))
   }
 
+  /** Shared self-checking overlap metric for the indexed hybrids: run
+    * the EXACT fusion and the indexed fusion over one cached query set
+    * and one cached sparse tower, report mean per-query overlap@10
+    * with a pass column carrying `floor`. Overlap is driven from the
+    * exact side: a query whose indexed fusion returned nothing counts
+    * as overlap 0, never drops out. */
+  private def hybridOverlapQuery(method: String, floor: Double,
+      indexed: (SparkSession, String, DataFrame, DataFrame) => DataFrame)
+      : (SparkSession, String) => DataFrame = (spark, sfDir) => {
+    // cached (tracked): the fixed query set feeds both towers of both
+    // fusions — without it each consumer re-runs the corpus
+    // TakeOrdered that defines the workload
+    val q = cacheTracked(hybridQueries(spark, sfDir))
+    // ONE sparse tower feeds both fusions (cached): the towers differ
+    // only on the dense side, so recomputing BM25 per fusion would
+    // double the postings work the comparison doesn't need
+    val sparse = cacheTracked(hybridSparseTop(spark, sfDir, q))
+    val exact = hybridFuse(hybridDenseExact(hybridEmb(spark, sfDir), q), sparse)
+      .select(col("query_id"), col("doc_id"))
+    val idx = indexed(spark, sfDir, sparse, q)
+      .select(col("query_id"), col("doc_id"))
+    val exactN = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = idx.join(exact, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("nhit"))
+    exactN.join(hits, Seq("query_id"), "left")
+      .select((coalesce(col("nhit"), lit(0L)) / col("n_exact")).as("overlap"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("overlap")), 4).as("overlap_at_10"))
+      .select(lit(method).as("method"), col("n_queries"),
+        col("overlap_at_10"),
+        (col("overlap_at_10") >= floor).as("pass"))
+  }
+
   val hybridSearchPq: Q = Q("ext_hybrid_search_pq",
-    (spark, sfDir) => {
-      // cached (tracked): the fixed query set feeds both towers of both
-      // fusions — without it each consumer re-runs the corpus
-      // TakeOrdered that defines the workload
-      val q = cacheTracked(hybridQueries(spark, sfDir))
-      // ONE sparse tower feeds both fusions (cached): the towers differ
-      // only on the dense side, so recomputing BM25 per fusion would
-      // double the postings work the comparison doesn't need
-      val sparse = cacheTracked(hybridSparseTop(spark, sfDir, q))
-      val exact = hybridFuse(hybridDenseExact(hybridEmb(spark, sfDir), q), sparse)
-        .select(col("query_id"), col("doc_id"))
-      val pq = hybridSearchPqRanking(spark, sfDir, Some(sparse), Some(q))
-        .select(col("query_id"), col("doc_id"))
-      // overlap driven from the EXACT side: a query whose indexed
-      // fusion returned nothing counts as overlap 0, never drops out
-      val exactN = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-      val hits = pq.join(exact, Seq("query_id", "doc_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("nhit"))
-      exactN.join(hits, Seq("query_id"), "left")
-        .select((coalesce(col("nhit"), lit(0L)) / col("n_exact")).as("overlap"))
-        .agg(count(lit(1)).as("n_queries"),
-          round(avg(col("overlap")), 4).as("overlap_at_10"))
-        .select(lit("hybrid_pq").as("method"), col("n_queries"),
-          col("overlap_at_10"),
-          (col("overlap_at_10") >= HybridPqOverlapFloor).as("pass"))
-    },
+    hybridOverlapQuery("hybrid_pq", HybridPqOverlapFloor,
+      (spark, sfDir, sparse, q) =>
+        hybridSearchPqRanking(spark, sfDir, Some(sparse), Some(q))),
+    None)
+
+  // =====================================================================
+  // IVFPQ-tower hybrid — the composition a 100 TB deployment actually
+  // runs: BM25 sparse tower + CELL-ROUTED ADC dense tower (E34's
+  // machinery — stored combined index, probed-cell partition pruning,
+  // int8 rerank) fused by the same RRF. E31's flat-PQ tower still ADC-
+  // scans every code row per search; this sibling replaces that last
+  // full-scan with the structural nProbe/nCells fraction, so the dense
+  // tower's per-search I/O stops growing with the corpus. Registered
+  // as the same self-checking overlap metric vs the exact hybrid.
+  // =====================================================================
+  /** Floor for the IVFPQ-tower fusion's overlap@10 vs the exact-tower
+    * fusion. The dense tower is routing-bound (ivfpq recall ≈ 0.63 at
+    * nProbe=6/nCells=16) but the sparse tower is identical in both
+    * stacks and RRF rewards agreement, so fused overlap measures well
+    * above dense recall: 0.7375/0.8375/0.875 at sf0.001/0.01/0.1. The
+    * floor sits far below so it trips on real index regressions, not
+    * corpus jitter. */
+  final val HybridIvfpqOverlapFloor = 0.5
+
+  /** The IVFPQ-tower hybrid ranking (query_id, doc_id, rrf, rank). */
+  def hybridSearchIvfpqRanking(spark: SparkSession, sfDir: String,
+                               sparse0: Option[DataFrame] = None,
+                               q0: Option[DataFrame] = None): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = q0.getOrElse(hybridQueries(spark, sfDir))
+    val dense = ivfpqTopK(emb, q.select(col("query_id").as("vec_id")),
+        k = HybridPerSide, src = Some(s"$sfDir/embeddings.parquet"))
+      .select(col("query_id"), col("corpus_id").as("doc_id"),
+        col("rank").as("r_dense"))
+    hybridFuse(dense, sparse0.getOrElse(hybridSparseTop(spark, sfDir, q)))
+  }
+
+  val hybridSearchIvfpq: Q = Q("ext_hybrid_search_ivfpq",
+    hybridOverlapQuery("hybrid_ivfpq", HybridIvfpqOverlapFloor,
+      (spark, sfDir, sparse, q) =>
+        hybridSearchIvfpqRanking(spark, sfDir, Some(sparse), Some(q))),
     None)
 
   // =====================================================================
@@ -4920,12 +5198,13 @@ object Extensions {
     repetitionScore, charEntropy, contaminationScore,
     topkIvfpq,
     dedupSemantic, semanticClusters, bm25Search, bm25Incremental,
-    lshIncremental, tfidfTerms, domainCap,
+    lshIncremental, ivfpqIncremental, tfidfTerms, domainCap,
     unigramLogprob, perplexityBuckets, importanceResample, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, clustersIncremental,
     embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits,
-    zipfFit, qualityClassifier, hybridSearch, hybridSearchPq, knnLabelAudit,
+    zipfFit, qualityClassifier, hybridSearch, hybridSearchPq,
+    hybridSearchIvfpq, knnLabelAudit,
     clusterCentroids, bpePairStats, bpeMerges, pqIncremental, ivfIncremental)
 }

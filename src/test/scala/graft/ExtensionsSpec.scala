@@ -120,6 +120,48 @@ class ExtensionsSpec extends SparkSpec {
     out.foreach { case (q, c) => assert(c == q + 10000L, s"query $q matched $c") }
   }
 
+  test("routeCells (model-table join) == the literal probe-struct routing, incl. ties") {
+    // round-10 replaced the O(nCells) literal routing array with a
+    // broadcast centroid-table join + top-nProbe window — this is the
+    // equality reference the swap is licensed by: same dots (the same
+    // DotProduct chain over the same doubles), same (dot desc, cell
+    // asc) tie-break, per query row the SAME probed cell set in the
+    // SAME order. Run on the real trained quantizer AND on a planted
+    // exact-tie model (two identical centroids) so the tie-break claim
+    // is exercised, not assumed.
+    val emb = model.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cs = Extensions.ivfCentroids(emb,
+      centroidSrc = Some(s"$sf0001/embeddings.parquet"))
+    val q = emb.select(col("vec_id").as("query_id"),
+      transform(col("v"), x =>
+        x / sqrt(aggregate(zip_with(col("v"), col("v"), _ * _),
+          lit(0.0), _ + _))).as("nv"))
+    for (quant <- Seq(cs, cs ++ Array(cs(0).clone()))) { // planted exact tie
+      val nProbe = 6
+      val joined = Extensions.routeCells(q, "query_id", "nv", quant, nProbe)
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val literal = Extensions.routeCellsLiteral(q, "query_id", "nv", quant, nProbe)
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(joined.sorted.toSeq == literal.sorted.toSeq,
+        s"probed-cell sets diverge at nCells=${quant.length}")
+    }
+  }
+
+  test("ext_ivfpq_incremental == ext_topk_ivfpq (frozen models, merged == monolithic)") {
+    // codes and cell assignments are PER-VECTOR under the frozen
+    // full-corpus models, so stored-90% ∪ one-scan-encoded-batch must
+    // be row-identical to the monolithic combined index (the relative
+    // cap never binds at driver SFs — CapBindSpec asserts the
+    // headroom) and the search outputs must match exactly
+    val mono = Extensions.topkIvfpq.fn(spark, sf0001)
+    val inc = Extensions.ivfpqIncremental.fn(spark, sf0001)
+    assert(inc.exceptAll(mono).count() == 0 &&
+      mono.exceptAll(inc).count() == 0,
+      "ext_ivfpq_incremental diverged from ext_topk_ivfpq")
+    Extensions.releaseCaches()
+  }
+
   test("topk_ivf on real data returns well-formed rankings") {
     val approx = Extensions.topkIvf.fn(spark, sf0001)
     assert(approx.count() > 0)

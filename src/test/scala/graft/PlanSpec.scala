@@ -166,6 +166,7 @@ class PlanSpec extends SparkSpec {
       "ext_quality_classifier", // 1-row smoothing totals + class priors
       "ext_hybrid_search",   // broadcast query slice × corpus (dense tower) + 1-row bm25 stats
       "ext_hybrid_search_pq", // composes ext_hybrid_search + ext_topk_pq shapes above
+      "ext_hybrid_search_ivfpq", // same composition with the cell-routed dense tower (1-row bm25 stats)
       "ext_pq_incremental",  // 1-row train-distortion broadcast onto the 1-row batch agg
       "ext_ivf_incremental", // same 1-row drift broadcast shape as ext_pq_incremental
       "ext_knn_label_audit") // broadcast query slice × corpus — topk_cosine shape
@@ -339,6 +340,64 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(plan).isDefined
     assert(pruned,
       s"ivfpq-codes scan has no probed-cell PartitionFilters — routing is not pruning files:\n$plan")
+  }
+
+  test("IVF-family routing is the model-table join — no nCells-proportional literal") {
+    // round-10 contract: the query-side routing must survive nCells
+    // growing ~4√N with the corpus, so the plan may NOT embed an
+    // nCells-sized literal array (the pre-round-10 probe-struct form —
+    // a janino/plan-size wall at production cell counts). Assert the
+    // join form is present (the sequence fan-out + a broadcast hash
+    // join feeding the routing window) and that the SEARCH plan's size
+    // is CONSTANT in nCells: doubling nCells may not grow the plan
+    // string materially (the literal form grew it by ~nCells×dim
+    // constants).
+    val emb = model.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qids = ext.Extensions.annQueryIds(emb)
+    val src = Some(s"$sf0001/embeddings.parquet")
+    // the sequence(0, nCells-1) fan-out constant-folds to ONE compact
+    // int-array literal (nCells ints — not nCells×dim doubles), so the
+    // plan shows Generate explode(<folded array>) joined to the
+    // broadcast centroid frame on `cell`
+    val p16 = physical(ext.Extensions.ivfTopK(emb, qids, nCells = 16,
+      centroidSrc = src))
+    assert(p16.contains("Generate explode(") &&
+      "BroadcastHashJoin \\[cell".r.findFirstIn(p16).isDefined,
+      s"routing fan-out/centroid join missing:\n$p16")
+    val p32 = physical(ext.Extensions.ivfTopK(emb, qids, nCells = 32,
+      centroidSrc = src))
+    assert(p32.length <= p16.length * 1.3 + 2048,
+      s"search plan grows with nCells (${p16.length} -> ${p32.length} chars): " +
+        "an nCells-proportional literal crept back into routing")
+  }
+
+  test("incremental ivfpq index: corpus served from the stored combined table; one batch encode") {
+    // the arrival contract for the combined index: the ONLY raw
+    // embedding scans are the batch encode (1) plus the fixed
+    // query-side fetches inside the cached query frame (the raw-vector
+    // fetch and the query-id TakeOrdered — 2); the standing corpus's
+    // codes come from the stored cell-partitioned fixture, and the
+    // probed-cell predicate must still prune its files THROUGH the
+    // union with the batch rows
+    val df = ext.Extensions.ivfpqIncremental.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("ivfpq-codes")),
+        s"standing corpus not served from the stored combined index: $paths")
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 3,
+        s"raw embedding scans drifted from the three enumerated fetches ($embScans): $paths")
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"merged ADC must stay a cell equi-join:\n$plan")
+      val pruned = "(?s)PartitionFilters: \\[[^\\]]*cell[^\\]]*(?i:in)[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined
+      assert(pruned,
+        s"probed-cell PartitionFilters lost through the union:\n$plan")
+    } finally ext.Extensions.releaseCaches()
   }
 
   test("incremental maintenance reads the stored train stat — no corpus-sized encode scan") {

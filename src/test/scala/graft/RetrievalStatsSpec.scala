@@ -97,6 +97,28 @@ class RetrievalStatsSpec extends SparkSpec {
     }
   }
 
+  test("indexed hybrid (IVFPQ dense tower): overlap floor clears; metric well-formed") {
+    val rows = Extensions.hybridSearchIvfpq.fn(spark, sf0001).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(0) == "hybrid_ivfpq")
+    assert(r.getLong(1) == Extensions.HybridQueryCount.toLong)
+    info(s"hybrid_ivfpq overlap_at_10 = ${r.getDouble(2)}")
+    assert(r.getBoolean(3),
+      s"overlap ${r.getDouble(2)} below floor ${Extensions.HybridIvfpqOverlapFloor}")
+    // the cell-routed ranking itself is well-formed: top-k per query,
+    // ranks contiguous from 1, no self-retrieval
+    val ranking = Extensions.hybridSearchIvfpqRanking(spark, sf0001)
+    assert(ranking.filter(col("query_id") === col("doc_id")).count() == 0)
+    val byQ = ranking.collect().groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length <= Extensions.HybridTopK)
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    }
+    Extensions.releaseCaches()
+  }
+
   test("hybrid RRF: rank-1 fused score requires presence in a top list; bounds hold") {
     val rows = Extensions.hybridSearch.fn(spark, sf0001).collect()
     assert(rows.nonEmpty)

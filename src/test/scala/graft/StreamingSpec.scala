@@ -188,4 +188,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamingShaped.agg(sum("n")).collect()(0).getLong(0) ==
       batch.agg(sum("n")).collect()(0).getLong(0))
   }
+
+  test("streaming postings arrival: appended micro-batches == batch tokenize; replay idempotent") {
+    // the streaming twin of ext_bm25_incremental's arrival contract:
+    // docs arrive on a stream, each micro-batch is tokenized once and
+    // appended to the stored layout under checkpoint-owned progress;
+    // the merged read-back must equal the one-shot batch tokenize of
+    // the same docs, and a crash-replayed batch (same batchId) must
+    // rewrite its own partition, never double-append
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IndexMaintenanceStream
+    val dir = java.nio.file.Files.createTempDirectory("postidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("postckpt").toString
+    val docsAll = Seq(
+      (1L, "alpha beta beta"), (2L, "beta gamma"),
+      (3L, "alpha alpha delta"), (4L, "gamma gamma gamma"))
+    val ms = MemoryStream[(Long, String)]
+    val q = IndexMaintenanceStream.startPostingsAppend(
+      ms.toDF().toDF("doc_id", "text"), dir, ckpt)
+    try {
+      ms.addData(docsAll.take(2): _*); q.processAllAvailable()
+      ms.addData(docsAll.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val merged = IndexMaintenanceStream.mergedPostings(spark, dir)
+    val oneShot = graft.ext.Extensions.postingsOf(
+      docsAll.toDF("doc_id", "text"))
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "streamed postings diverged from the one-shot batch tokenize")
+    // at-least-once replay: re-running a batch id overwrites in place
+    val before = merged.count()
+    IndexMaintenanceStream.appendPostingsBatch(
+      docsAll.take(2).toDF("doc_id", "text"), dir, 0L)
+    assert(IndexMaintenanceStream.mergedPostings(spark, dir).count() == before,
+      "replayed micro-batch double-appended instead of rewriting its partition")
+  }
 }
