@@ -521,9 +521,16 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val v = transform(sequence(lit(0), lit(63)),
       j => pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0 - 1.0)
-    val src = s"target/tmp-ivfpqprobe/embeddings.parquet"
-    spark.range(nVecs).select(col("id").as("vec_id"), v.as("v"))
-      .write.mode("overwrite").parquet(src)
+    // nVecs-keyed corpus, written ONCE: a rewrite would mint a fresh
+    // data fingerprint and force every fixture (codebooks, codes,
+    // centroids, combined index) to rebuild per probe run — reusing it
+    // lets an nCells/nProbe sweep share the nCells-independent PQ
+    // artifacts, which is also the production shape (one corpus, many
+    // index operating points)
+    val src = s"target/tmp-ivfpqprobe/embeddings-$nVecs.parquet"
+    if (!new java.io.File(src).exists())
+      spark.range(nVecs).select(col("id").as("vec_id"), v.as("v"))
+        .write.mode("overwrite").parquet(src)
     val emb = spark.read.parquet(src)
     val qids = emb.select("vec_id").orderBy("vec_id").limit(16)
     def timed[A](f: => A): (A, Double) = {

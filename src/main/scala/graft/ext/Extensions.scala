@@ -1562,11 +1562,16 @@ object Extensions {
                 nProbe: Int = IvfpqNProbe, rerank: Int = PqRerank,
                 nCells: Int = 16, cellCap: Int = IvfpqCellCapAuto,
                 src: Option[String] = None,
-                codes0: Option[DataFrame] = None): DataFrame = {
+                codes0: Option[DataFrame] = None,
+                cbs0: Option[Array[Array[Array[Double]]]] = None,
+                cs0: Option[Array[Array[Double]]] = None): DataFrame = {
     val qids = broadcast(queryIds.select("vec_id"))
     val e = pqNormalize(emb)
-    val cbs = pqCodebooks(emb, codebookSrc = src)
-    val cs = ivfCentroids(emb, nCells = nCells, centroidSrc = src)
+    // models: caller-supplied when the caller already loaded them
+    // (ivfpqIncremental needs both to encode the batch — re-reading
+    // the fixtures here would pay two extra model-load jobs per search)
+    val cbs = cbs0.getOrElse(pqCodebooks(emb, codebookSrc = src))
+    val cs = cs0.getOrElse(ivfCentroids(emb, nCells = nCells, centroidSrc = src))
     if (cbs.isEmpty || cs.isEmpty)
       return emptyTopK(e)
     val m = cbs.length
@@ -1710,7 +1715,7 @@ object Extensions {
         val corpusCodes = ivfpqCellCodes(corpus, cbs, cs, Some(src))
         val merged = corpusCodes.unionByName(ivfpqEncodeAssign(batch, cbs, cs))
         ivfpqTopK(emb, annQueryIds(emb), src = Some(src),
-          codes0 = Some(merged))
+          codes0 = Some(merged), cbs0 = Some(cbs), cs0 = Some(cs))
       }
     },
     None)
