@@ -930,7 +930,8 @@ object Extensions {
     * janino/plan-size wall at the cell counts the 100 TB story needs. */
   private[graft] def routeCells(q: DataFrame, idCol: String, vecCol: String,
       cs: Array[Array[Double]], nProbe: Int,
-      payload: Seq[String] = Nil): DataFrame = {
+      payload: Seq[String] = Nil,
+      scoreCol: Option[String] = None): DataFrame = {
     val keep = (idCol +: payload).distinct
     val csDf = broadcast(centroidFrame(q.sparkSession, cs))
     val wR = Window.partitionBy(col(idCol))
@@ -941,7 +942,10 @@ object Extensions {
       .withColumn("__negs", -dotD(col("__rv"), col("cv")))
       .withColumn("__pr", row_number().over(wR))
       .filter(col("__pr") <= nProbe)
-      .select(keep.map(col) :+ col("cell"): _*)
+      // scoreCol: expose the routing −dot when the caller combines
+      // scores ACROSS routings (the IMI product-cell ranking)
+      .select(keep.map(col) ++ Seq(col("cell")) ++
+        scoreCol.map(n => col("__negs").as(n)).toSeq: _*)
   }
 
   /** The pre-round-10 LITERAL routing (an nCells-sized sorted
@@ -1721,6 +1725,134 @@ object Extensions {
     None)
 
   // =====================================================================
+  // E41: IMI — inverted multi-index (Babenko & Lempitsky, CVPR 2012,
+  // public): the coarse quantizer that lets nCells grow PAST a flat
+  // IVF's practical bound. Two independent K-cell quantizers over the
+  // two vector HALVES define K² product cells, and because
+  // dot(q, x) = dot(qh0, xh0) + dot(qh1, xh1) decomposes over halves,
+  // assignment costs 2K dots per vector where a flat quantizer of
+  // equal cell count costs K². That is exactly the wall autoNCells
+  // documents: the flat quantizer is bounded at 1024 cells because
+  // N×nCells assignment FLOPs keep growing — IMI holds assignment at
+  // N×2K while cells = K² (K=32 → 1024 cells for 64 dots/vector;
+  // K=256 → 65 536 cells for 512). Routing: top-a cells per half (two
+  // [[routeCells]] model-table joins, scores kept), cross-combined per
+  // query by an equi-join on query_id (a² combo rows), ranked by the
+  // SUMMED −dots, top-nProbe kept. Product-of-top-a is the standard
+  // approximation of the exact multi-sequence walk — a combo outside
+  // either half's top-a is unreachable, so a ≥ ~√nProbe with margin;
+  // the registered recall floor gates the approximation per round.
+  // Scoring inside probed cells is exact (the ivfTopK shape, combined
+  // cell id); composing with stored PQ codes instead of raw vectors is
+  // E34's construction applied verbatim to the IMI cell table.
+  // =====================================================================
+  final val ImiK = 8           // cells per half → 64 product cells
+  final val ImiNProbe = 16     // product cells probed per query (¼ of cells)
+  final val ImiProbeA = 8      // per-half probe depth (a² ≥ reachable combos)
+  /** Floor for ext_ann_recall's imi row. The product quantizer's cells
+    * are finer than flat IVF's (64 vs 16 over the same tiny driver
+    * corpora — ~8 vectors/cell at sf0.001), so probing ¼ of them is a
+    * strictly harder routing problem than IVF's 6/16; the floor sits
+    * below the measured 0.5187 / 0.5375 / 0.5313 (sf0.001/0.01/0.1)
+    * so it trips on real index regressions, not corpus jitter. */
+  final val ImiRecallFloor = 0.40
+
+  /** The half-sliced normalized frame: (vec_id, nv, h0, h1) with
+    * h0/h1 = the two halves of the FULL-vector-normalized nv — halves
+    * are NOT re-normalized, so the half dots sum to the full dot. */
+  private def imiHalves(emb: DataFrame): DataFrame = {
+    val hd = (size(col("nv")) / 2).cast("int")
+    pqNormalize(emb).select(col("vec_id"), col("nv"),
+      slice(col("nv"), lit(1), hd).as("h0"),
+      slice(col("nv"), hd + 1, hd).as("h1"))
+  }
+
+  /** Train-or-load the per-half quantizer: [[ivfCentroids]] on the
+    * half frame (training re-normalizes the halves internally —
+    * harmless: cell ASSIGNMENT argmax is invariant to per-vector
+    * positive scaling, so raw-half scoring picks the same cells the
+    * trained model defines). */
+  def imiCentroids(emb: DataFrame, h: Int, k: Int = ImiK,
+                   src: Option[String] = None): Array[Array[Double]] = {
+    val halfFrame = imiHalves(emb)
+      .select(col("vec_id"), col(s"h$h").as("v"))
+    ivfCentroids(halfFrame, nCells = k, centroidSrc = src,
+      keyTag = s"imi_h$h")
+  }
+
+  /** The stored IMI inverted file: (corpus_id, cell, cv) with
+    * cell = c0·K₁ + c1 — both per-half argmaxes share ONE scan (2K
+    * dots per vector, the whole point of the product structure). */
+  def imiCellTable(emb: DataFrame, cs0: Array[Array[Double]],
+                   cs1: Array[Array[Double]],
+                   src: Option[String]): DataFrame = {
+    val assigned = assignCells(
+      assignCells(imiHalves(emb), "vec_id", "h0", cs0)
+        .withColumnRenamed("cell", "c0"),
+      "vec_id", "h1", cs1).withColumnRenamed("cell", "c1")
+    val corpus0 = assigned.select(col("vec_id").as("corpus_id"),
+      (col("c0") * cs1.length + col("c1")).as("cell"), col("nv").as("cv"))
+    src match {
+      case Some(s) => parquetFixture(emb.sparkSession, "imi-cells", s,
+        s"k${cs0.length}x${cs1.length}_imi1",
+        corpus0.queryExecution.logical.toString, corpus0)
+      case None => corpus0
+    }
+  }
+
+  def imiTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
+              kPerHalf: Int = ImiK, nProbe: Int = ImiNProbe,
+              probeA: Int = ImiProbeA,
+              src: Option[String] = None): DataFrame = {
+    val qids = broadcast(queryIds.select("vec_id"))
+    val e = pqNormalize(emb)
+    val cs0 = imiCentroids(emb, 0, kPerHalf, src)
+    val cs1 = imiCentroids(emb, 1, kPerHalf, src)
+    if (cs0.isEmpty || cs1.isEmpty) return emptyTopK(e)
+    val corpus = imiCellTable(emb, cs0, cs1, src)
+    // query side: top-a cells per half with scores, cross-combined per
+    // query (equi-join on query_id → a² rows), summed-score top-nProbe
+    val q = imiHalves(emb).join(qids, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"),
+        col("h0"), col("h1"))
+    val r0 = routeCells(q, "query_id", "h0", cs0, probeA,
+      payload = Seq("qv"), scoreCol = Some("negs0"))
+      .withColumnRenamed("cell", "c0")
+    val r1 = routeCells(q, "query_id", "h1", cs1, probeA,
+      scoreCol = Some("negs1")).withColumnRenamed("cell", "c1")
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("negs").asc, col("cell").asc)
+    // r1 is (nQueries × probeA) rows — bounded by the fixed query
+    // workload, never data-sized — so the combo cross-product per
+    // query is a broadcast join by construction, not a stats guess
+    val queries = r0.join(broadcast(r1), Seq("query_id"))
+      .select(col("query_id"), col("qv"),
+        (col("c0") * cs1.length + col("c1")).as("cell"),
+        (col("negs0") + col("negs1")).as("negs"))
+      .withColumn("__pr", row_number().over(wC))
+      .filter(col("__pr") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(dotD(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  val topkImi: Q = Q("ext_topk_imi",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      imiTopK(emb, annQueryIds(emb),
+        src = Some(s"$sfDir/embeddings.parquet"))
+    },
+    None)
+
+  // =====================================================================
   // Incremental vector-index maintenance — ext_dedup_incremental's
   // daily-increment contract applied to the PQ index: the codebook is
   // trained ONCE on the standing corpus (a frozen MODEL, fixture-
@@ -2070,6 +2202,8 @@ object Extensions {
         .unionByName(recallOf(topkPq.fn(spark, sfDir), "pq", PqRecallFloor))
         .unionByName(
           recallOf(topkIvfpq.fn(spark, sfDir), "ivfpq", IvfpqRecallFloor))
+        .unionByName(
+          recallOf(topkImi.fn(spark, sfDir), "imi", ImiRecallFloor))
         .orderBy("method")
     },
     None)
@@ -5210,6 +5344,6 @@ object Extensions {
     embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits,
     zipfFit, qualityClassifier, hybridSearch, hybridSearchPq,
-    hybridSearchIvfpq, knnLabelAudit,
+    hybridSearchIvfpq, topkImi, knnLabelAudit,
     clusterCentroids, bpePairStats, bpeMerges, pqIncremental, ivfIncremental)
 }

@@ -278,7 +278,7 @@ class ExtensionsSpec extends SparkSpec {
   test("ann_recall: all indexes clear their registered recall floors") {
     val rows = Extensions.annRecall.fn(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
-    assert(rows.keySet == Set("ann_lsh", "ivf", "pq", "ivfpq"))
+    assert(rows.keySet == Set("ann_lsh", "ivf", "pq", "ivfpq", "imi"))
     // n_queries must equal the EXACT baseline's query count — a query
     // with zero approx candidates counts as recall 0, never drops out
     val nExact = Extensions.topkCosine.fn(spark, sf0001)
@@ -290,6 +290,49 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows("ivf")._2, s"ivf recall ${rows("ivf")._1} below floor")
     assert(rows("pq")._2, s"pq recall ${rows("pq")._1} below floor")
     assert(rows("ivfpq")._2, s"ivfpq recall ${rows("ivfpq")._1} below floor")
+    assert(rows("imi")._2, s"imi recall ${rows("imi")._1} below floor")
+  }
+
+  test("imiTopK scores exactly inside probed product cells") {
+    // the coarse structure is approximate (which cells are probed) but
+    // scoring within them is NOT: every returned cos must equal the
+    // exact normalized dot of the pair, and ranks must be the exact
+    // top-k restricted to the candidate set (descending, id tiebreak)
+    val emb = model.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = Extensions.topkCosine.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val byVec = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      def n(x: Array[Double]) = {
+        val m = math.sqrt(x.map(d => d * d).sum); x.map(_ / m)
+      }
+      val (u, v) = (n(byVec(a)), n(byVec(b)))
+      BigDecimal(u.zip(v).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = Extensions.topkImi.fn(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, c, cos, rank) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      assert(math.abs(cos - cosOf(q, c)) < 1e-6,
+        s"imi cos for ($q,$c) is not the exact normalized dot")
+      // a returned pair that IS in the exact top-k must carry the same
+      // score the exact path computed (shared rounding contract)
+      exact.get((q, c)).foreach(e => assert(math.abs(cos - e) < 1e-6))
+      assert(rank >= 1 && rank <= Extensions.AnnK)
+    }
+    // per query: ranks are 1..n with cos non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rs.length),
+        s"query $q ranks not dense")
+      val coss = sorted.map(_.getDouble(2))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b },
+        s"query $q cos not non-increasing")
+    }
   }
 
   test("pqTopK finds planted near-duplicates (codes + rerank have real recall)") {

@@ -372,6 +372,37 @@ class PlanSpec extends SparkSpec {
         "an nCells-proportional literal crept back into routing")
   }
 
+  test("imi search: stored product-cell serve, per-half routing joins, plan constant in K") {
+    // E41's whole point is that cells = K² while per-vector work stays
+    // 2K, so the plan may not regress to anything K²- (or even K-)
+    // proportional: both per-half routings must be the model-table
+    // join form, the corpus side must come from the stored imi-cells
+    // fixture, and doubling K per half (4× the product cells) may not
+    // grow the search plan materially
+    val df = ext.Extensions.topkImi.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("imi-cells")),
+        s"candidate scan not served from the stored imi-cells table: $paths")
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"imi candidate fetch must stay a cell equi-join:\n$plan")
+      assert("Generate explode\\(".r.findAllIn(plan).size >= 2,
+        s"expected two per-half routing fan-outs:\n$plan")
+      val emb = model.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qids = ext.Extensions.annQueryIds(emb)
+      val src = Some(s"$sf0001/embeddings.parquet")
+      val p8 = physical(ext.Extensions.imiTopK(emb, qids, kPerHalf = 8,
+        src = src))
+      val p16 = physical(ext.Extensions.imiTopK(emb, qids, kPerHalf = 16,
+        src = src))
+      assert(p16.length <= p8.length * 1.3 + 2048,
+        s"imi search plan grows with K (${p8.length} -> ${p16.length} chars)")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("incremental ivfpq index: corpus served from the stored combined table; one batch encode") {
     // the arrival contract for the combined index: the ONLY raw
     // embedding scans are the batch encode (1) plus the fixed
