@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe winnow [nDocs]
   *        runMain graft.ScaleProbe pagerank [nNodes]
   *        runMain graft.ScaleProbe pq [nVecs]
+  *        runMain graft.ScaleProbe imi [nVecs] [kPerHalf] [nProbe] [probeA] [noflat]
   *
   * The `skew` mode measures the connected-components loop on a planted
   * MEGA-COMPONENT (one hub star of `spokes` edges + a background of
@@ -624,6 +625,133 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `imi` mode: the assignment-wall A/B at EQUAL cell counts — the
+    * measurement behind E41's claim. A flat quantizer at nCells = K²
+    * pays N×K² dots to build its inverted file (the cost that made the
+    * derived-1024 ivfpq build take minutes at 2M vectors); the
+    * inverted multi-index reaches the SAME K² product cells for N×2K
+    * dots (two K-cell per-half argmaxes sharing one scan). Both sides
+    * here build their stored (cell, vec) table from scratch —
+    * quantizer training + one corpus assignment scan + parquet write —
+    * so the reported walls are the one-time index build a 100 TB
+    * deployment schedules, and the IMI side also reports routed-search
+    * recall/fraction at the probed operating point. Pass `noflat` to
+    * skip the (expensive) flat side when only the IMI numbers are
+    * needed. Corpus parquet is shared with the `ivfpq` probe. */
+  private def imiProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.length > 1) args(1).toLong else 2000000L
+    val kHalf = if (args.length > 2) args(2).toInt else 32 // → 1024 cells
+    val nProbe = if (args.length > 3) args(3).toInt else 24
+    val probeA = if (args.length > 4) args(4).toInt else 12
+    val runFlat = !args.contains("noflat")
+    val nCellsEq = kHalf * kHalf
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // same split-packing rationale as ivfpqProbe: measure the
+      // assignment/routing contract, not local small-file packing
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val v = transform(sequence(lit(0), lit(63)),
+      j => pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0 - 1.0)
+    val src = s"target/tmp-ivfpqprobe/embeddings-$nVecs.parquet"
+    if (!new java.io.File(src).exists())
+      spark.range(nVecs).select(col("id").as("vec_id"), v.as("v"))
+        .write.mode("overwrite").parquet(src)
+    val emb = spark.read.parquet(src)
+    val qids = emb.select("vec_id").orderBy("vec_id").limit(16)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(df: org.apache.spark.sql.DataFrame): Long = df.count()
+    // --- IMI side: train both half quantizers + one 2K-dot assignment
+    // scan into the stored product-cell table (all fixture-keyed, so a
+    // repeat run measures the warm serve instead — delete target/ to
+    // re-measure cold)
+    val ((cs0, cs1), tImiBuild) = timed {
+      val a = ext.Extensions.imiCentroids(emb, 0, kHalf, Some(src))
+      val b = ext.Extensions.imiCentroids(emb, 1, kHalf, Some(src))
+      run(ext.Extensions.imiCellTable(emb, a, b, Some(src)))
+      (a, b)
+    }
+    val search = () => ext.Extensions.imiTopK(emb, qids, kPerHalf = kHalf,
+      nProbe = nProbe, probeA = probeA, src = Some(src))
+    val (_, tSearchCold) = timed(run(search()))
+    val tSearchWarm = Seq.fill(2)(timed(run(search()))._2).min
+    // independent scanned fraction: stored cell sizes × a driver-side
+    // re-derivation of each query's per-half routing + combo ranking
+    val sizes = ext.Extensions.imiCellTable(emb, cs0, cs1, Some(src))
+      .groupBy("cell").count().collect()
+      .map(r => (r.get(0).toString.toInt, r.getLong(1))).toMap
+    val qvecs = emb.join(qids, Seq("vec_id"))
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def probedCells(q: Array[Double]): Seq[Int] = {
+      val n = math.sqrt(q.map(x => x * x).sum)
+      val nv = q.map(_ / n)
+      val (h0, h1) = nv.splitAt(nv.length / 2)
+      def top(h: Array[Double], cs: Array[Array[Double]]) =
+        cs.indices.sortBy { c =>
+          (-cs(c).zip(h).map { case (a, b) => a * b }.sum, c)
+        }.take(probeA).map(c => c -> cs(c).zip(h).map { case (a, b) => a * b }.sum)
+      val combos = for ((c0, d0) <- top(h0, cs0); (c1, d1) <- top(h1, cs1))
+        yield (c0 * cs1.length + c1, -(d0 + d1))
+      combos.sortBy { case (cell, negs) => (negs, cell) }
+        .take(nProbe).map(_._1)
+    }
+    val scanned = qvecs.map { case (_, q) =>
+      probedCells(q).map(c => sizes.getOrElse(c, 0L)).sum
+    }.sum
+    val frac = scanned.toDouble / (qvecs.length.toLong * nVecs)
+    val unionCells = qvecs.flatMap { case (_, q) => probedCells(q) }.distinct
+    // recall@10 vs brute force (16-query side broadcast, one corpus scan)
+    val recall = {
+      val dot = graft.expr.ColumnOps.dotProduct(col("qv"), col("cv"))
+      val nrm = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => x / sqrt(graft.expr.ColumnOps.dotProduct(c, c)))
+      val q = emb.join(qids.select("vec_id"), Seq("vec_id"))
+        .select(col("vec_id").as("query_id"), nrm(col("v")).as("qv"))
+      val c = emb.select(col("vec_id").as("corpus_id"), nrm(col("v")).as("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("corpus_id").asc)
+      val exact = c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"), round(dot, 6).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "corpus_id")
+      val approx = search()
+        .filter(col("rank") <= 10).select("query_id", "corpus_id")
+      val hit = approx.join(exact, Seq("query_id", "corpus_id"), "left_semi").count()
+      hit.toDouble / exact.count()
+    }
+    // --- flat side at the SAME cell count: training + N×K² assignment
+    val tFlatBuild = if (runFlat) {
+      val (_, t) = timed {
+        val cs = ext.Extensions.ivfCentroids(emb, nCells = nCellsEq,
+          centroidSrc = Some(src))
+        run(ext.Extensions.ivfCellTable(emb, cs, Some(src), nCells = nCellsEq))
+      }
+      f"$t%.1fs"
+    } else "skipped"
+    println(f"IMIPROBE n=$nVecs%d queries=${qvecs.length}%d " +
+      f"cells=$nCellsEq%d (K=$kHalf%d/half) nProbe=$nProbe%d probeA=$probeA%d " +
+      f"recall_at_10=$recall%.3f frac_scanned=$frac%.3f " +
+      f"expect~=${nProbe.toDouble / nCellsEq}%.3f " +
+      f"batch_io_frac=${unionCells.map(c => sizes.getOrElse(c, 0L)).sum.toDouble /
+        sizes.values.sum}%.3f (|∪cells|=${unionCells.length}/${sizes.size}) " +
+      f"wall{imi_build=$tImiBuild%.1fs flat_build_equal_cells=$tFlatBuild%s " +
+      f"search_cold=$tSearchCold%.1fs search_warm=$tSearchWarm%.1fs} " +
+      "(contract: imi_build ≪ flat_build at equal cells — assignment is " +
+      "N×2K dots vs N×K²; frac tracks nProbe/K²)")
+    spark.stop()
+  }
+
   /** `skewsweep` mode: the CC hot/cold decomposition A/B across
     * simulated cluster parallelism. local[32] at 32 shuffle partitions
     * hides the straggler (one hot task ≈ one core's fair share); at
@@ -684,6 +812,7 @@ object ScaleProbe {
     if (args.headOption.contains("skewsweep")) { skewSweep(args); return }
     if (args.headOption.contains("pqinc")) { pqIncProbe(args); return }
     if (args.headOption.contains("ivfpq")) { ivfpqProbe(args); return }
+    if (args.headOption.contains("imi")) { imiProbe(args); return }
     if (args.headOption.contains("lexinc")) { lexIncProbe(args); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }

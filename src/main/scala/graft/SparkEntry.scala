@@ -31,6 +31,8 @@ object SparkEntry {
       "approximate (cell-routed product-quantized) index by design; quality is gated by ext_ann_recall's ivfpq pass row, the routed-candidate containment by ExtensionsSpec, and the cell-equi-join plan by PlanSpec",
     "ext_topk_imi" ->
       "approximate (inverted multi-index) search by design; quality is gated by ext_ann_recall's imi pass row (floor 0.40) and PlanSpec asserts the per-half routing joins + the stored imi-cells serve",
+    "ext_topk_imipq" ->
+      "approximate (product-routed product-quantized) search by design; quality is gated by ext_ann_recall's imipq pass row (floor 0.40, plus the routing-bound imipq≈imi assertion) and PlanSpec asserts the stored imipq-codes serve, the cell equi-join, and probed-cell PartitionFilters",
     "ext_ann_recall" ->
       "self-checking metric: the output carries its own pass column asserting the registered recall floors",
     "ext_hybrid_search_pq" ->

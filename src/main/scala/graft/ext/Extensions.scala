@@ -1595,33 +1595,48 @@ object Extensions {
       pqWithSubs(e.join(qids, Seq("vec_id")), m, ds)
         .select(col("vec_id").as("query_id"), col("nv").as("qv"), lut.as("lut")),
       "query_id", "qv", cs, nProbe, payload = Seq("qv", "lut")))
-    // ADC over the PROBED cells only — the cell equi-join is the whole
-    // point: candidates = Σ probed-cell sizes, never the corpus
-    // (shared unrolled sum — see [[adcSum]])
+    adcCellSearch(emb, queries, cellCodes, m, kw, rerank, k, src)
+  }
+
+  /** The cell-equi-joined ADC scan + top-R rerank shared by every
+    * cell-routed PQ search (flat-IVF routing in [[ivfpqTopK]], product
+    * routing in [[imipqTopK]]). `queries` = one CACHED row per (query,
+    * probed cell) carrying `qv` + the M×K ADC LUT.
+    *
+    * ADC runs over the PROBED cells only — the cell equi-join is the
+    * whole point: candidates = Σ probed-cell sizes, never the corpus
+    * (shared unrolled sum — see [[adcSum]]). The batch's probed-cell
+    * set is collected driver-side and applied as a LITERAL predicate
+    * on the stored index's PARTITION column, so unprobed cells' files
+    * are pruned at plan time (PartitionFilters on the scan — PlanSpec
+    * gates it; Spark's dynamic partition pruning then ALSO attaches
+    * its runtime subquery on top, but DPP alone cannot be the
+    * mechanism: its benefit heuristic is size-based and does not fire
+    * on small indexes, so the static predicate is the deterministic
+    * guarantee). The collect is query-sized (≤ nQueries × nProbe ints
+    * — the O(1) workload contract) and its routing job is
+    * centroid-model work, trivial next to the search it saves. The
+    * equi-join below still restricts per-(query, cell) pairs; the
+    * filter is a per-query superset of it, so results are unchanged.
+    * The literal freezes the batch's cells at plan-build: coherent
+    * with the stored-index design, where a search frame built against
+    * a corpus version reads that version's fixture snapshot — corpora
+    * are immutable per session by contract.
+    *
+    * Rerank: vectors fetched for the top-R finalists only — full raw
+    * vectors in live mode; the 8×-smaller stored int8 table (an
+    * int8-dequantized, NOT bit-exact, rerank — recall-floor-gated) in
+    * stored-index mode. See [[rerankVecs]]. */
+  private def adcCellSearch(emb: DataFrame, queries: DataFrame,
+      cellCodes: DataFrame, m: Int, kw: Int, rerank: Int, k: Int,
+      src: Option[String]): DataFrame = {
     val adc = adcSum(m, kw)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("corpus_id").asc)
-    // the batch's probed-cell set, collected driver-side and applied
-    // as a LITERAL predicate on the stored index's PARTITION column,
-    // so unprobed cells' files are pruned at plan time
-    // (PartitionFilters on the scan — PlanSpec gates it; Spark's
-    // dynamic partition pruning then ALSO attaches its runtime
-    // subquery on top, but DPP alone cannot be the mechanism: its
-    // benefit heuristic is size-based and does not fire on small
-    // indexes, so the static predicate is the deterministic
-    // guarantee). The collect is query-sized (≤ nQueries × nProbe
-    // ints — the O(1) workload contract) and its routing job is
-    // centroid-model work, trivial next to the search it saves. The
-    // equi-join below still restricts per-(query, cell) pairs; this
-    // filter is a per-query superset of it, so results are unchanged.
-    // The literal freezes the batch's cells at plan-build: coherent
-    // with the stored-index design, where a search frame built
-    // against a corpus version reads that version's fixture snapshot
-    // — corpora are immutable per session by contract.
     val probedCells = queries.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     if (probedCells.isEmpty)
-      return emptyTopK(e)
+      return emptyTopK(pqNormalize(emb))
     val candidates = cellCodes
       .filter(col("cell").isin(probedCells.toSeq: _*))
       .join(broadcast(queries), Seq("cell"))
@@ -1630,10 +1645,6 @@ object Extensions {
         round(adc, 6).as("adc"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= rerank)
-    // top-R rerank: fetch vectors for the finalists only — full raw
-    // vectors in live mode; the 8×-smaller stored int8 table (an
-    // int8-dequantized, NOT bit-exact, rerank — recall-floor-gated)
-    // in stored-index mode. See [[rerankVecs]].
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     candidates
@@ -1800,6 +1811,32 @@ object Extensions {
     }
   }
 
+  /** IMI query-side routing with [[routeCells]]'s contract: one output
+    * row per (id, probed PRODUCT cell), payload carried through. Two
+    * per-half [[routeCells]] joins (scores kept), combos cross-built
+    * per id (the r1 side is nIds×probeA rows — bounded by the fixed
+    * query workload, never data-sized — so the per-id cross product is
+    * a broadcast join by construction), ranked by the SUMMED −dots,
+    * top-nProbe kept. `q` must carry `h0`/`h1` half columns. */
+  private def imiRouteCells(q: DataFrame, idCol: String,
+      cs0: Array[Array[Double]], cs1: Array[Array[Double]],
+      nProbe: Int, probeA: Int, payload: Seq[String]): DataFrame = {
+    val r0 = routeCells(q, idCol, "h0", cs0, probeA,
+      payload = payload, scoreCol = Some("__negs0"))
+      .withColumnRenamed("cell", "__c0")
+    val r1 = routeCells(q, idCol, "h1", cs1, probeA,
+      scoreCol = Some("__negs1")).withColumnRenamed("cell", "__c1")
+    val wC = Window.partitionBy(col(idCol))
+      .orderBy(col("__negs").asc, col("cell").asc)
+    r0.join(broadcast(r1), Seq(idCol))
+      .select(col(idCol) +: payload.map(col) :+
+        (col("__c0") * cs1.length + col("__c1")).as("cell") :+
+        (col("__negs0") + col("__negs1")).as("__negs"): _*)
+      .withColumn("__pr", row_number().over(wC))
+      .filter(col("__pr") <= nProbe)
+      .select((idCol +: payload).map(col) :+ col("cell"): _*)
+  }
+
   def imiTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
               kPerHalf: Int = ImiK, nProbe: Int = ImiNProbe,
               probeA: Int = ImiProbeA,
@@ -1810,28 +1847,11 @@ object Extensions {
     val cs1 = imiCentroids(emb, 1, kPerHalf, src)
     if (cs0.isEmpty || cs1.isEmpty) return emptyTopK(e)
     val corpus = imiCellTable(emb, cs0, cs1, src)
-    // query side: top-a cells per half with scores, cross-combined per
-    // query (equi-join on query_id → a² rows), summed-score top-nProbe
     val q = imiHalves(emb).join(qids, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("nv").as("qv"),
         col("h0"), col("h1"))
-    val r0 = routeCells(q, "query_id", "h0", cs0, probeA,
-      payload = Seq("qv"), scoreCol = Some("negs0"))
-      .withColumnRenamed("cell", "c0")
-    val r1 = routeCells(q, "query_id", "h1", cs1, probeA,
-      scoreCol = Some("negs1")).withColumnRenamed("cell", "c1")
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("negs").asc, col("cell").asc)
-    // r1 is (nQueries × probeA) rows — bounded by the fixed query
-    // workload, never data-sized — so the combo cross-product per
-    // query is a broadcast join by construction, not a stats guess
-    val queries = r0.join(broadcast(r1), Seq("query_id"))
-      .select(col("query_id"), col("qv"),
-        (col("c0") * cs1.length + col("c1")).as("cell"),
-        (col("negs0") + col("negs1")).as("negs"))
-      .withColumn("__pr", row_number().over(wC))
-      .filter(col("__pr") <= nProbe)
-      .select("query_id", "qv", "cell")
+    val queries = imiRouteCells(q, "query_id", cs0, cs1, nProbe, probeA,
+      payload = Seq("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     corpus.join(broadcast(queries), Seq("cell"))
@@ -1848,6 +1868,100 @@ object Extensions {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       imiTopK(emb, annQueryIds(emb),
+        src = Some(s"$sfDir/embeddings.parquet"))
+    },
+    None)
+
+  // =====================================================================
+  // E42: IMI-PQ — the production composition at 100 TB: product-cell
+  // routing (E41 — build cost N×2K, cells K²) over stored PQ codes
+  // (E28 — 64×-smaller scan rows) with the int8 rerank. This is E34's
+  // construction with the coarse quantizer swapped: the combined
+  // (cell, corpus_id, code) table joins the two ALREADY-STORED halves
+  // (imi-cells × pq-codes), hive-partitions by product cell, and the
+  // probed-cell literal prunes unprobed cells' files at plan time.
+  // Everything downstream of routing is adcCellSearch — shared with
+  // ivfpqTopK verbatim, so the PlanSpec guarantees (equi-join only,
+  // PartitionFilters, unrolled codegen ADC) carry over structurally.
+  // =====================================================================
+  /** The combined IMI-PQ stored index: (cell, corpus_id, code) with
+    * cell = the PRODUCT cell id. Same skew cap, same deterministic
+    * hash-ordered survivors, same path-embedding fingerprint
+    * discipline as [[ivfpqCellCodes]] (either retrained model orphans
+    * the table by construction). */
+  def imipqCellCodes(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+                     cs0: Array[Array[Double]], cs1: Array[Array[Double]],
+                     src: Option[String],
+                     cellCap: Int = IvfpqCellCapAuto): DataFrame = {
+    val cells = imiCellTable(emb, cs0, cs1, src).select("corpus_id", "cell")
+    val codes = pqCodeTable(emb, cbs, src)
+    val baseJoin = codes.join(cells, Seq("corpus_id"))
+    def capped = {
+      val cap: Long =
+        if (cellCap != IvfpqCellCapAuto) cellCap.toLong
+        else math.max(4096L, IvfpqCellSkewFactor * cells.count() /
+          math.max(1, cs0.length * cs1.length))
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(Scalars.hash60(concat_ws(":", col("cell"),
+          col("corpus_id").cast("string"))), col("corpus_id"))
+      baseJoin.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= cap).drop("__rn")
+        .select("cell", "corpus_id", "code")
+    }
+    val capTag =
+      if (cellCap != IvfpqCellCapAuto) s"p$cellCap"
+      else s"auto$IvfpqCellSkewFactor"
+    src match {
+      case Some(s) => parquetFixture(emb.sparkSession, "imipq-codes", s,
+        s"${capTag}_k${cs0.length}x${cs1.length}_imipq1",
+        baseJoin.queryExecution.logical.toString +
+          "\nscans:" + scanRootPaths(baseJoin).mkString(","), capped,
+        partitionCols = Seq("cell"))
+        .select("cell", "corpus_id", "code")
+      case None => capped
+    }
+  }
+
+  /** IMI-PQ search: [[imiRouteCells]] product routing feeding the
+    * shared [[adcCellSearch]] (probed-cell literal pruning, unrolled
+    * ADC, int8 rerank). Same O(1) query-set contract as every search
+    * here. */
+  def imipqTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
+                kPerHalf: Int = ImiK, nProbe: Int = ImiNProbe,
+                probeA: Int = ImiProbeA, rerank: Int = PqRerank,
+                cellCap: Int = IvfpqCellCapAuto,
+                src: Option[String] = None): DataFrame = {
+    val qids = broadcast(queryIds.select("vec_id"))
+    val e = pqNormalize(emb)
+    val cbs = pqCodebooks(emb, codebookSrc = src)
+    val cs0 = imiCentroids(emb, 0, kPerHalf, src)
+    val cs1 = imiCentroids(emb, 1, kPerHalf, src)
+    if (cbs.isEmpty || cs0.isEmpty || cs1.isEmpty) return emptyTopK(e)
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val kw = cbs(0).length
+    val cellCodes = imipqCellCodes(emb, cbs, cs0, cs1, src, cellCap)
+    // query side: the M×K ADC LUT + both halves, routed to nProbe
+    // product cells; CACHED (tracked) for the same two-consumer reason
+    // as ivfpqTopK (the probed-cell collect + the scoring join)
+    val lut = array((0 until m).flatMap(mi =>
+      cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
+    val hd = (size(col("nv")) / 2).cast("int")
+    val q = pqWithSubs(e.join(qids, Seq("vec_id")), m, ds)
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"),
+        lut.as("lut"),
+        slice(col("nv"), lit(1), hd).as("h0"),
+        slice(col("nv"), hd + 1, hd).as("h1"))
+    val queries = cacheTracked(imiRouteCells(q, "query_id", cs0, cs1,
+      nProbe, probeA, payload = Seq("qv", "lut")))
+    adcCellSearch(emb, queries, cellCodes, m, kw, rerank, k, src)
+  }
+
+  val topkImipq: Q = Q("ext_topk_imipq",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      imipqTopK(emb, annQueryIds(emb),
         src = Some(s"$sfDir/embeddings.parquet"))
     },
     None)
@@ -2204,6 +2318,8 @@ object Extensions {
           recallOf(topkIvfpq.fn(spark, sfDir), "ivfpq", IvfpqRecallFloor))
         .unionByName(
           recallOf(topkImi.fn(spark, sfDir), "imi", ImiRecallFloor))
+        .unionByName(
+          recallOf(topkImipq.fn(spark, sfDir), "imipq", ImiRecallFloor))
         .orderBy("method")
     },
     None)
@@ -5344,6 +5460,6 @@ object Extensions {
     embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits,
     zipfFit, qualityClassifier, hybridSearch, hybridSearchPq,
-    hybridSearchIvfpq, topkImi, knnLabelAudit,
+    hybridSearchIvfpq, topkImi, topkImipq, knnLabelAudit,
     clusterCentroids, bpePairStats, bpeMerges, pqIncremental, ivfIncremental)
 }

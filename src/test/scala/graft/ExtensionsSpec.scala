@@ -278,7 +278,7 @@ class ExtensionsSpec extends SparkSpec {
   test("ann_recall: all indexes clear their registered recall floors") {
     val rows = Extensions.annRecall.fn(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
-    assert(rows.keySet == Set("ann_lsh", "ivf", "pq", "ivfpq", "imi"))
+    assert(rows.keySet == Set("ann_lsh", "ivf", "pq", "ivfpq", "imi", "imipq"))
     // n_queries must equal the EXACT baseline's query count — a query
     // with zero approx candidates counts as recall 0, never drops out
     val nExact = Extensions.topkCosine.fn(spark, sf0001)
@@ -291,6 +291,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows("pq")._2, s"pq recall ${rows("pq")._1} below floor")
     assert(rows("ivfpq")._2, s"ivfpq recall ${rows("ivfpq")._1} below floor")
     assert(rows("imi")._2, s"imi recall ${rows("imi")._1} below floor")
+    assert(rows("imipq")._2, s"imipq recall ${rows("imipq")._1} below floor")
+    // imipq is routing-bound: the ADC+rerank stage under the SAME
+    // product routing may not cost more than jitter vs imi's exact
+    // in-cell scoring (measured equal to 3 decimals at every SF)
+    assert(rows("imipq")._1 >= rows("imi")._1 - 0.1,
+      s"imipq recall ${rows("imipq")._1} far below imi ${rows("imi")._1}: " +
+        "the ADC/rerank stage is losing more than routing allows")
   }
 
   test("imiTopK scores exactly inside probed product cells") {

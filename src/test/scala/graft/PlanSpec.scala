@@ -342,6 +342,26 @@ class PlanSpec extends SparkSpec {
       s"ivfpq-codes scan has no probed-cell PartitionFilters — routing is not pruning files:\n$plan")
   }
 
+  test("imipq ADC scan: stored imipq-codes serve, cell equi-join, probed-cell PartitionFilters") {
+    // E42 shares adcCellSearch with ivfpq, so the same three guarantees
+    // must hold with the product-cell index: no cross join, codes from
+    // the stored combined table, files pruned to the probed cells
+    val df = ext.Extensions.topkImipq.fn(spark, sf0001)
+    try {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"ADC must stay a cell equi-join:\n$plan")
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("imipq-codes")),
+        s"ADC side not served from the stored imipq-codes index: $paths")
+      val pruned = "(?s)PartitionFilters: \\[[^\\]]*cell[^\\]]*(?i:in)[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined
+      assert(pruned,
+        s"imipq-codes scan has no probed-cell PartitionFilters:\n$plan")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("IVF-family routing is the model-table join — no nCells-proportional literal") {
     // round-10 contract: the query-side routing must survive nCells
     // growing ~4√N with the corpus, so the plan may NOT embed an
