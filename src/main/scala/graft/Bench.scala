@@ -97,13 +97,20 @@ object Bench {
       // only as a BASELINE.md total)
       if (controlOk) {
         val bestPath = java.nio.file.Paths.get("BENCH_best_full.json")
-        val prevControl =
+        val prev =
           if (java.nio.file.Files.exists(bestPath))
-            """"control_sec":([0-9.]+)""".r
-              .findFirstMatchIn(java.nio.file.Files.readString(bestPath))
-              .map(_.group(1).toDouble)
+            Some(java.nio.file.Files.readString(bestPath))
           else None
-        if (prevControl.forall(controlSec < _))
+        val prevControl = prev.flatMap(""""control_sec":([0-9.]+)""".r
+          .findFirstMatchIn(_).map(_.group(1).toDouble))
+        // a GROWN registry also re-anchors: a stale best that lacks
+        // the new queries can't serve cross-round comparison, so any
+        // control-ok run with more queries supersedes it even at a
+        // (slightly) higher control
+        val prevNQueries = prev.flatMap(s => """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(s).map(_.group(1).count(_ == ':'))).getOrElse(0)
+        if (prevControl.forall(controlSec < _) ||
+            results.size > prevNQueries)
           java.nio.file.Files.writeString(bestPath, line + "\n")
       }
     } catch { case _: Exception => () } // artifact is best-effort

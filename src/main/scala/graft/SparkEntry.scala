@@ -39,6 +39,8 @@ object SparkEntry {
       "self-checking metric over an approximate (PQ-tower) index: the output carries its own pass column asserting the fusion-overlap floor vs the exact hybrid",
     "ext_hybrid_search_ivfpq" ->
       "self-checking metric over an approximate (IVFPQ-tower) index: the output carries its own pass column asserting the fusion-overlap floor vs the exact hybrid (same pattern as ext_hybrid_search_pq, dense tower cell-routed)",
+    "ext_imipq_incremental" ->
+      "approximate index maintenance (same no-oracle reason as ext_topk_imipq); ExtensionsSpec asserts the merged-index output equals ext_topk_imipq at driver SFs and PlanSpec gates the stored corpus serve, the batch-only raw scans, and probed-cell pruning through the union",
     "ext_ivfpq_incremental" ->
       "approximate index maintenance (same no-oracle reason as ext_topk_ivfpq); ExtensionsSpec asserts the merged-index output equals ext_topk_ivfpq at driver SFs and PlanSpec gates the plan to one batch-side encode scan (standing corpus served from the stored combined index)",
     "ext_lsh_incremental" ->

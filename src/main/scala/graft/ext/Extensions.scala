@@ -887,10 +887,13 @@ object Extensions {
     * [16, 1024]. The lower bound keeps tiny corpora out of degenerate
     * 1-vector cells; the upper bound is the single-level quantizer's
     * honest limit here — training/assignment FLOPs are N×nCells, and
-    * past ~1k cells the right 100 TB structure is a sharded or
-    * two-level coarse quantizer, not a bigger flat one. `ScaleProbe
-    * ivfpq … auto` derives this at index build (N is already a fixture
-    * key input) and re-measures recall at the derived point. */
+    * past ~1k cells the right 100 TB structure is a two-level coarse
+    * quantizer, not a bigger flat one: that structure exists as the
+    * inverted multi-index ([[imiTopK]]/[[imipqTopK]] — K² product
+    * cells for N×2K assignment dots; `ScaleProbe imi` measures the
+    * build A/B at equal cell counts). `ScaleProbe ivfpq … auto`
+    * derives this bound at index build (N is already a fixture key
+    * input) and re-measures recall at the derived point. */
   def autoNCells(n: Long): Int =
     math.min(1024L, math.max(16L, 4L * math.round(math.sqrt(n.toDouble)))).toInt
 
@@ -1847,9 +1850,12 @@ object Extensions {
     val cs1 = imiCentroids(emb, 1, kPerHalf, src)
     if (cs0.isEmpty || cs1.isEmpty) return emptyTopK(e)
     val corpus = imiCellTable(emb, cs0, cs1, src)
-    val q = imiHalves(emb).join(qids, Seq("vec_id"))
+    // cached: the two per-half routings inside imiRouteCells would
+    // otherwise each re-run the corpus-sized query fetch (see
+    // imipqTopK's twin comment)
+    val q = cacheTracked(imiHalves(emb).join(qids, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("nv").as("qv"),
-        col("h0"), col("h1"))
+        col("h0"), col("h1")))
     val queries = imiRouteCells(q, "query_id", cs0, cs1, nProbe, probeA,
       payload = Seq("qv"))
     val w = Window.partitionBy(col("query_id"))
@@ -1925,33 +1931,45 @@ object Extensions {
   /** IMI-PQ search: [[imiRouteCells]] product routing feeding the
     * shared [[adcCellSearch]] (probed-cell literal pruning, unrolled
     * ADC, int8 rerank). Same O(1) query-set contract as every search
-    * here. */
+    * here. `codes0`/`cbs0`/`csH0`/`csH1` let incremental maintenance
+    * ([[imipqIncremental]]) supply the merged combined index and the
+    * already-loaded frozen models (same contract as [[ivfpqTopK]]). */
   def imipqTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
                 kPerHalf: Int = ImiK, nProbe: Int = ImiNProbe,
                 probeA: Int = ImiProbeA, rerank: Int = PqRerank,
                 cellCap: Int = IvfpqCellCapAuto,
-                src: Option[String] = None): DataFrame = {
+                src: Option[String] = None,
+                codes0: Option[DataFrame] = None,
+                cbs0: Option[Array[Array[Array[Double]]]] = None,
+                csH0: Option[Array[Array[Double]]] = None,
+                csH1: Option[Array[Array[Double]]] = None): DataFrame = {
     val qids = broadcast(queryIds.select("vec_id"))
     val e = pqNormalize(emb)
-    val cbs = pqCodebooks(emb, codebookSrc = src)
-    val cs0 = imiCentroids(emb, 0, kPerHalf, src)
-    val cs1 = imiCentroids(emb, 1, kPerHalf, src)
+    val cbs = cbs0.getOrElse(pqCodebooks(emb, codebookSrc = src))
+    val cs0 = csH0.getOrElse(imiCentroids(emb, 0, kPerHalf, src))
+    val cs1 = csH1.getOrElse(imiCentroids(emb, 1, kPerHalf, src))
     if (cbs.isEmpty || cs0.isEmpty || cs1.isEmpty) return emptyTopK(e)
     val m = cbs.length
     val ds = cbs(0)(0).length
     val kw = cbs(0).length
-    val cellCodes = imipqCellCodes(emb, cbs, cs0, cs1, src, cellCap)
+    val cellCodes = codes0.getOrElse(
+      imipqCellCodes(emb, cbs, cs0, cs1, src, cellCap))
     // query side: the M×K ADC LUT + both halves, routed to nProbe
     // product cells; CACHED (tracked) for the same two-consumer reason
     // as ivfpqTopK (the probed-cell collect + the scoring join)
     val lut = array((0 until m).flatMap(mi =>
       cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
     val hd = (size(col("nv")) / 2).cast("int")
-    val q = pqWithSubs(e.join(qids, Seq("vec_id")), m, ds)
+    // cached BEFORE the routing: imiRouteCells consumes q TWICE (one
+    // routeCells per half) — uncached, each routing would re-run the
+    // corpus-sized raw fetch + the query-id TakeOrdered (the same
+    // double-scan class the round-9 ADVICE flagged on ivfpqTopK);
+    // cached, the query side is ONE pass (PlanSpec counts the scans)
+    val q = cacheTracked(pqWithSubs(e.join(qids, Seq("vec_id")), m, ds)
       .select(col("vec_id").as("query_id"), col("nv").as("qv"),
         lut.as("lut"),
         slice(col("nv"), lit(1), hd).as("h0"),
-        slice(col("nv"), hd + 1, hd).as("h1"))
+        slice(col("nv"), hd + 1, hd).as("h1")))
     val queries = cacheTracked(imiRouteCells(q, "query_id", cs0, cs1,
       nProbe, probeA, payload = Seq("qv", "lut")))
     adcCellSearch(emb, queries, cellCodes, m, kw, rerank, k, src)
@@ -1963,6 +1981,65 @@ object Extensions {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       imipqTopK(emb, annQueryIds(emb),
         src = Some(s"$sfDir/embeddings.parquet"))
+    },
+    None)
+
+  /** One-scan encode+assign of a vector frame against all THREE frozen
+    * models (two half quantizers + the codebook) → (cell, corpus_id,
+    * code): the arrival path of the combined IMI-PQ index. Both half
+    * argmaxes and the M code argmaxes share one pass of `emb`;
+    * expressions are identical to the stored halves' builders, so a
+    * batch row is bit-identical to what the monolithic build would
+    * have produced for it ([[ivfpqEncodeAssign]]'s contract with the
+    * product quantizer). */
+  def imipqEncodeAssign(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+                        cs0: Array[Array[Double]],
+                        cs1: Array[Array[Double]]): DataFrame = {
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val e = pqWithSubs(pqNormalize(emb), m, ds)
+    val hd = (size(col("nv")) / 2).cast("int")
+    val halves = e
+      .withColumn("h0", slice(col("nv"), lit(1), hd))
+      .withColumn("h1", slice(col("nv"), hd + 1, hd))
+    val assigned = assignCells(
+      assignCells(halves, "vec_id", "h0", cs0)
+        .withColumnRenamed("cell", "c0"),
+      "vec_id", "h1", cs1).withColumnRenamed("cell", "c1")
+    assigned.select(
+      (col("c0") * cs1.length + col("c1")).as("cell"),
+      col("vec_id").as("corpus_id"),
+      array((0 until m).map(mi =>
+        argmaxCell(col(s"sub_$mi"), cbs(mi))): _*).as("code"))
+  }
+
+  /** Incremental IMI-PQ maintenance: the stored standing-corpus
+    * combined index ∪ the one-scan-encoded batch, served to
+    * [[imipqTopK]] via `codes0` — [[ivfpqIncremental]]'s arrival
+    * contract with the product coarse quantizer. Output equals
+    * `ext_topk_imipq` at driver SFs (ExtensionsSpec); PlanSpec gates
+    * the stored corpus serve, the raw-scan count, and probed-cell
+    * pruning through the union. Retrain/compaction cadence is the
+    * drift rule, as for every PQ-family index. */
+  val imipqIncremental: Q = Q("ext_imipq_incremental",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (corpus, batch) = incrementalSplit(emb)
+      val src = s"$sfDir/embeddings.parquet"
+      val cbs = pqCodebooks(emb, codebookSrc = Some(src))
+      val cs0 = imiCentroids(emb, 0, ImiK, Some(src))
+      val cs1 = imiCentroids(emb, 1, ImiK, Some(src))
+      if (cbs.isEmpty || cs0.isEmpty || cs1.isEmpty)
+        emptyTopK(pqNormalize(emb))
+      else {
+        val corpusCodes = imipqCellCodes(corpus, cbs, cs0, cs1, Some(src))
+        val merged = corpusCodes
+          .unionByName(imipqEncodeAssign(batch, cbs, cs0, cs1))
+        imipqTopK(emb, annQueryIds(emb), src = Some(src),
+          codes0 = Some(merged), cbs0 = Some(cbs),
+          csH0 = Some(cs0), csH1 = Some(cs1))
+      }
     },
     None)
 
@@ -5460,6 +5537,6 @@ object Extensions {
     embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits,
     zipfFit, qualityClassifier, hybridSearch, hybridSearchPq,
-    hybridSearchIvfpq, topkImi, topkImipq, knnLabelAudit,
+    hybridSearchIvfpq, topkImi, topkImipq, imipqIncremental, knnLabelAudit,
     clusterCentroids, bpePairStats, bpeMerges, pqIncremental, ivfIncremental)
 }

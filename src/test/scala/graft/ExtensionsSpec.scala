@@ -162,6 +162,18 @@ class ExtensionsSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("ext_imipq_incremental == ext_topk_imipq (frozen models, merged == monolithic)") {
+    // the same contract with the product coarse quantizer: all three
+    // models are frozen full-corpus fixtures, so the merged index and
+    // the search over it must match the monolithic path exactly
+    val mono = Extensions.topkImipq.fn(spark, sf0001)
+    val inc = Extensions.imipqIncremental.fn(spark, sf0001)
+    assert(inc.exceptAll(mono).count() == 0 &&
+      mono.exceptAll(inc).count() == 0,
+      "ext_imipq_incremental diverged from ext_topk_imipq")
+    Extensions.releaseCaches()
+  }
+
   test("topk_ivf on real data returns well-formed rankings") {
     val approx = Extensions.topkIvf.fn(spark, sf0001)
     assert(approx.count() > 0)

@@ -451,6 +451,31 @@ class PlanSpec extends SparkSpec {
     } finally ext.Extensions.releaseCaches()
   }
 
+  test("incremental imipq index: corpus served from the stored combined table; one batch encode") {
+    // the arrival contract with the product coarse quantizer: same
+    // raw-scan budget as the ivfpq twin (1 batch encode + the fixed
+    // query-side fetches), corpus codes from the stored imipq-codes,
+    // probed-cell pruning surviving the union
+    val df = ext.Extensions.imipqIncremental.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("imipq-codes")),
+        s"standing corpus not served from the stored combined index: $paths")
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 3,
+        s"raw embedding scans drifted from the three enumerated fetches ($embScans): $paths")
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"merged ADC must stay a cell equi-join:\n$plan")
+      val pruned = "(?s)PartitionFilters: \\[[^\\]]*cell[^\\]]*(?i:in)[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined
+      assert(pruned,
+        s"probed-cell PartitionFilters lost through the union:\n$plan")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("incremental maintenance reads the stored train stat — no corpus-sized encode scan") {
     // the train-time distortion is a constant of the frozen (data,
     // model) pair: the registered plan must read it from the persisted
