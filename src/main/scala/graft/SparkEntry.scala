@@ -27,6 +27,8 @@ object SparkEntry {
       "approximate index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
     "ext_topk_pq" ->
       "approximate (product-quantized) index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
+    "ext_topk_ivfpqr" ->
+      "approximate (residual-encoded cell-routed product-quantized) search by design; quality is gated by ext_ann_recall's ivfpqr pass row plus the no-loss-vs-plain-ivfpq assertion, and PlanSpec asserts the stored ivfpqr-codes serve with probed-cell PartitionFilters",
     "ext_topk_ivfpq" ->
       "approximate (cell-routed product-quantized) index by design; quality is gated by ext_ann_recall's ivfpq pass row, the routed-candidate containment by ExtensionsSpec, and the cell-equi-join plan by PlanSpec",
     "ext_topk_imi" ->

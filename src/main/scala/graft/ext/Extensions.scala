@@ -1213,6 +1213,21 @@ object Extensions {
     val sa = array(cb.map(cwd => pqSubDot(vec, cwd)).toSeq: _*)
     (array_position(sa, array_max(sa)) - 1).cast("int")
   }
+  /** Nearest-codeword id by EUCLIDEAN distance — argmin ‖v − cw‖² =
+    * argmax (dot(v, cw) − ‖cw‖²/2), same first-max tie-break as
+    * [[argmaxCell]]. Max-dot assignment is the right quantizer for
+    * unit-normalized vectors (all candidates on the sphere), but for
+    * RESIDUALS centered near zero it systematically prefers
+    * large-norm codewords over NEAR ones — and for dot-product ADC
+    * the encoder minimizing E_q[(dot(q, r) − dot(q, cw))²] over
+    * isotropic q is exactly the L2-nearest codeword. The residual
+    * family (E44) trains and encodes with this; the unit-vector
+    * family keeps max-dot (its stored models are bit-frozen on it). */
+  private def argminDistCell(vec: Column, cb: Array[Array[Double]]): Column = {
+    val sa = array(cb.map(cwd =>
+      pqSubDot(vec, cwd) - lit(0.5 * cwd.map(x => x * x).sum)).toSeq: _*)
+    (array_position(sa, array_max(sa)) - 1).cast("int")
+  }
   // 1-based slice of subspace mi, PROJECTED once per caller — inlining
   // the slice into every codeword dot would re-slice the vector K
   // times per subspace per row (256 allocations/row on the encode scan)
@@ -1236,9 +1251,21 @@ object Extensions {
   def pqCodebooks(emb: DataFrame, m: Int = PqM, kw: Int = PqK,
                   iters: Int = 2, trainPerCell: Int = 100,
                   codebookSrc: Option[String] = None,
-                  keyTag: String = "pq1"): Array[Array[Array[Double]]] = {
+                  keyTag: String = "pq1",
+                  frame0: Option[DataFrame] = None,
+                  l2Assign: Boolean = false): Array[Array[Array[Double]]] = {
     val spark = emb.sparkSession
-    val e = pqNormalize(emb)
+    // l2Assign: Lloyd assignment by nearest-codeword distance instead
+    // of max dot — see [[argminDistCell]]; the residual family's
+    // training metric
+    val assign: (Column, Array[Array[Double]]) => Column =
+      if (l2Assign) argminDistCell else argmaxCell
+    // frame0: an ALREADY-prepared (vec_id, nv) training frame — the
+    // residual-encoding variant trains its codebooks on (nv − assigned
+    // centroid) rather than nv; the frame's plan (centroid literals
+    // included) is in the fixture fingerprint, so a residual model can
+    // never be served where a plain one is expected or vice versa
+    val e = frame0.getOrElse(pqNormalize(emb))
 
     def trainCodebooks(): Array[Array[Array[Double]]] = {
       val ep = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1264,7 +1291,7 @@ object Extensions {
           for (_ <- 0 until iters) {
             val sampled = pqWithSubs(train, m, ds)
             val assigned = (0 until m).map(mi => sampled.select(
-              lit(mi).as("m"), argmaxCell(col(s"sub_$mi"), cbs(mi)).as("cell"),
+              lit(mi).as("m"), assign(col(s"sub_$mi"), cbs(mi)).as("cell"),
               col(s"sub_$mi").as("sub"))).reduce(_ unionByName _)
             val aggs = count(lit(1)).as("n") +:
               (0 until ds).map(d => sum(col("sub")(d)).as(s"s$d"))
@@ -1632,7 +1659,13 @@ object Extensions {
     * stored-index mode. See [[rerankVecs]]. */
   private def adcCellSearch(emb: DataFrame, queries: DataFrame,
       cellCodes: DataFrame, m: Int, kw: Int, rerank: Int, k: Int,
-      src: Option[String]): DataFrame = {
+      src: Option[String],
+      adcExtra: Column = lit(0.0)): DataFrame = {
+    // adcExtra: a per-(query, cell) score term from the `queries`
+    // frame, added to the ADC sum BEFORE the top-R cut. The residual
+    // variant passes dot(q, centroid): its codes quantize x − c, so
+    // the ADC approximates dot(q, x − c) and candidates from DIFFERENT
+    // cells are only comparable after adding the cell's own dot back.
     val adc = adcSum(m, kw)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("corpus_id").asc)
@@ -1645,7 +1678,7 @@ object Extensions {
       .join(broadcast(queries), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("qv"), col("corpus_id"),
-        round(adc, 6).as("adc"))
+        round(adc + adcExtra, 6).as("adc"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= rerank)
     val wCos = Window.partitionBy(col("query_id"))
@@ -1735,6 +1768,192 @@ object Extensions {
         ivfpqTopK(emb, annQueryIds(emb), src = Some(src),
           codes0 = Some(merged), cbs0 = Some(cbs), cs0 = Some(cs))
       }
+    },
+    None)
+
+  // =====================================================================
+  // E44: residual-encoded IVFPQ — the TEXTBOOK formulation (Jégou et
+  // al. 2011 §III): PQ quantizes the residual x − c(x) instead of x
+  // itself. Residuals concentrate around zero with far less variance
+  // than raw vectors, so the same M×K code budget spends its
+  // codewords on a tighter distribution — strictly better
+  // reconstruction at identical index size and scan cost. Under the
+  // dot-product metric the decomposition is exact and cheap:
+  //   dot(q, x) ≈ dot(q, c) + Σ_m dot(q_m, codeword_m(residual))
+  // — dot(q, c) is the ROUTING score (already computed per probed
+  // cell, exposed by routeCells), and the ADC LUT stays
+  // CELL-INDEPENDENT (it is built from q's subspaces against the
+  // residual codebooks), unlike the L2 formulation where the LUT
+  // shifts per cell. So the search plan is ivfpqTopK's with one added
+  // scalar per candidate row; only the stored artifacts differ (a
+  // residual-trained codebook, residual codes).
+  // =====================================================================
+  /** The per-cell MEAN model (nCells×dim; zero row for empty cells):
+    * the residual CENTER. [[ivfCentroids]] re-normalizes its Lloyd
+    * means to unit length — correct for cosine ROUTING (direction is
+    * the signal) but wrong for residual CENTERING: against a unit
+    * centroid, E‖x − c‖² = 2 − 2·E dot > 1 on weakly-clustered data
+    * (measured 1.35 on the driver corpus — subtracting the unit
+    * centroid ADDS energy). The variance-minimizing center of a cell
+    * is its plain mean; E‖x − mean‖² = 1 − ‖mean‖² < 1 always. One
+    * model-sized aggregation; stored per (data, centroids). */
+  def ivfCellMeans(emb: DataFrame, cs: Array[Array[Double]],
+                   src: Option[String]): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    val e = pqNormalize(emb)
+    def compute(): Seq[(Int, Seq[Double])] = {
+      val dim = cs.headOption.map(_.length).getOrElse(0)
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(d => sum(col("nv")(d)).as(s"s$d"))
+      assignCells(e, "vec_id", "nv", cs)
+        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> (0 until dim)
+            .map(d => math.rint(r.getDouble(2 + d) / n * 1e9) / 1e9)
+        }.toSeq
+    }
+    val rows = src match {
+      case Some(s) =>
+        import spark.implicits._
+        parquetFixture(spark, "ivf-cellmeans", s,
+          s"c${cs.length}_cm1",
+          e.queryExecution.logical.toString +
+            "\ncentroids:" + cs.flatten.mkString(","),
+          compute().toDF("cell", "mv"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+      case None => compute()
+    }
+    val out = Array.fill(cs.length)(
+      Array.fill(cs.headOption.map(_.length).getOrElse(0))(0.0))
+    rows.foreach { case (c, m) => out(c) = m.toArray }
+    out
+  }
+
+  /** The (cell, mv) means model as a broadcastable frame. */
+  private def meanFrame(spark: SparkSession,
+                        ms: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    ms.zipWithIndex.map { case (m, i) => (i, m.toSeq) }.toSeq
+      .toDF("cell", "mv")
+  }
+
+  /** (vec_id, cell, nv, rv): routing-metric cell assignment (unit
+    * centroids — the SAME cells the query router probes) + residual
+    * against the cell MEAN — the residual-encoding frame shared by
+    * training and the code-table build. */
+  private def withResiduals(emb: DataFrame, cs: Array[Array[Double]],
+                            ms: Array[Array[Double]]): DataFrame = {
+    val msDf = broadcast(meanFrame(emb.sparkSession, ms))
+    assignCells(pqNormalize(emb), "vec_id", "nv", cs)
+      .join(msDf, Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("nv"),
+        zip_with(col("nv"), col("mv"), (a, b) => a - b).as("rv"))
+  }
+
+  /** Train-or-load the RESIDUAL codebook: [[pqCodebooks]] on the
+    * (vec_id, rv) frame with L2 Lloyd assignment ([[argminDistCell]] —
+    * residuals are centered near zero, where max-dot assignment
+    * systematically prefers large-norm codewords over NEAR ones). The
+    * coarse models are training inputs, so centroid AND mean literals
+    * key the fixture — either retrained orphans the codebook. */
+  def pqrCodebooks(emb: DataFrame, cs: Array[Array[Double]],
+                   ms: Array[Array[Double]],
+                   src: Option[String]): Array[Array[Array[Double]]] =
+    pqCodebooks(emb, codebookSrc = src, keyTag = "pqr3",
+      frame0 = Some(withResiduals(emb, cs, ms)
+        .select(col("vec_id"), col("rv").as("nv"))),
+      l2Assign = true)
+
+  /** The combined residual index: (cell, corpus_id, code) with code =
+    * the M residual-code argmaxes — ONE scan computes the assignment,
+    * the residual, and all M codes (codes depend on the cell through
+    * the residual, so this table cannot be a join of stored halves
+    * like [[ivfpqCellCodes]]; the build cost is the same one encode
+    * scan the pq-codes half pays). Same relative skew cap, same
+    * hash-ordered survivors, same hive cell-partitioning. */
+  def ivfpqrCellCodes(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+                      cs: Array[Array[Double]], ms: Array[Array[Double]],
+                      src: Option[String],
+                      cellCap: Int = IvfpqCellCapAuto,
+                      nCells: Int = 16): DataFrame = {
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val r = withResiduals(emb, cs, ms)
+    val subs = r.select(Seq(col("vec_id"), col("cell")) ++
+      (0 until m).map(mi => slice(col("rv"), mi * ds + 1, ds).as(s"sub_$mi")): _*)
+    val base = subs.select(col("cell"), col("vec_id").as("corpus_id"),
+      array((0 until m).map(mi =>
+        argminDistCell(col(s"sub_$mi"), cbs(mi))): _*).as("code"))
+    def capped = {
+      val cap: Long =
+        if (cellCap != IvfpqCellCapAuto) cellCap.toLong
+        else math.max(4096L,
+          IvfpqCellSkewFactor * base.count() / math.max(1, cs.length))
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(Scalars.hash60(concat_ws(":", col("cell"),
+          col("corpus_id").cast("string"))), col("corpus_id"))
+      base.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= cap).drop("__rn")
+        .select("cell", "corpus_id", "code")
+    }
+    val capTag =
+      if (cellCap != IvfpqCellCapAuto) s"p$cellCap"
+      else s"auto$IvfpqCellSkewFactor"
+    src match {
+      // the mean model rides in a LocalRelation (data not rendered in
+      // the plan string), so its literals are appended explicitly —
+      // means are a pure function of (data, centroids), but the
+      // explicit append keeps the fingerprint honest by construction
+      case Some(s) => parquetFixture(emb.sparkSession, "ivfpqr-codes", s,
+        s"${capTag}_c${nCells}_ivfpqr3",
+        base.queryExecution.logical.toString +
+          "\nmeans:" + ms.flatten.mkString(","), capped,
+        partitionCols = Seq("cell"))
+        .select("cell", "corpus_id", "code")
+      case None => capped
+    }
+  }
+
+  /** Residual IVFPQ search: ivfTopK's routing (SAME unit-centroid
+    * cells as every IVF consumer) + ADC over the residual codes with
+    * dot(q, cell MEAN) added back per (query, cell) — codes quantize
+    * x − mean(cell), so dot(q, x) ≈ dot(q, mean) + ADC, and the mean
+    * dot comes from one broadcast join of the nCells-row means model
+    * onto the routed query frame. Rerank unchanged. */
+  def ivfpqrTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
+                 nProbe: Int = IvfpqNProbe, rerank: Int = PqRerank,
+                 nCells: Int = 16, cellCap: Int = IvfpqCellCapAuto,
+                 src: Option[String] = None): DataFrame = {
+    val qids = broadcast(queryIds.select("vec_id"))
+    val e = pqNormalize(emb)
+    val cs = ivfCentroids(emb, nCells = nCells, centroidSrc = src)
+    if (cs.isEmpty) return emptyTopK(e)
+    val ms = ivfCellMeans(emb, cs, src)
+    val cbs = pqrCodebooks(emb, cs, ms, src)
+    if (cbs.isEmpty) return emptyTopK(e)
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val kw = cbs(0).length
+    val cellCodes = ivfpqrCellCodes(emb, cbs, cs, ms, src, cellCap, nCells)
+    val lut = array((0 until m).flatMap(mi =>
+      cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
+    val queries = cacheTracked(routeCells(
+      pqWithSubs(e.join(qids, Seq("vec_id")), m, ds)
+        .select(col("vec_id").as("query_id"), col("nv").as("qv"), lut.as("lut")),
+      "query_id", "qv", cs, nProbe, payload = Seq("qv", "lut"))
+      .join(broadcast(meanFrame(emb.sparkSession, ms)), Seq("cell"))
+      .withColumn("cdot", dotD(col("qv"), col("mv"))).drop("mv"))
+    adcCellSearch(emb, queries, cellCodes, m, kw, rerank, k, src,
+      adcExtra = col("cdot"))
+  }
+
+  val topkIvfpqr: Q = Q("ext_topk_ivfpqr",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      ivfpqrTopK(emb, annQueryIds(emb),
+        src = Some(s"$sfDir/embeddings.parquet"))
     },
     None)
 
@@ -2397,6 +2616,8 @@ object Extensions {
           recallOf(topkImi.fn(spark, sfDir), "imi", ImiRecallFloor))
         .unionByName(
           recallOf(topkImipq.fn(spark, sfDir), "imipq", ImiRecallFloor))
+        .unionByName(
+          recallOf(topkIvfpqr.fn(spark, sfDir), "ivfpqr", IvfpqRecallFloor))
         .orderBy("method")
     },
     None)
@@ -5537,6 +5758,7 @@ object Extensions {
     embeddingQuantize, winnowOverlap,
     pagerank, weightedSample, domainKl, hits,
     zipfFit, qualityClassifier, hybridSearch, hybridSearchPq,
-    hybridSearchIvfpq, topkImi, topkImipq, imipqIncremental, knnLabelAudit,
+    hybridSearchIvfpq, topkImi, topkImipq, imipqIncremental, topkIvfpqr,
+    knnLabelAudit,
     clusterCentroids, bpePairStats, bpeMerges, pqIncremental, ivfIncremental)
 }

@@ -43,4 +43,51 @@ object IndexMaintenanceStream {
     * batch partition, batch column dropped. */
   def mergedPostings(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(indexDir).select("doc_id", "term", "tf", "dl")
+
+  // ---------------------------------------------------------------------
+  // The VECTOR-index twin (E43's streaming form): embeddings arrive on
+  // a stream, each micro-batch is encoded + product-cell-assigned ONCE
+  // against the FROZEN models (the same one-scan projection
+  // ext_imipq_incremental pays per batch — imipqEncodeAssign) and
+  // appended to the stored combined-index layout. Same idempotence
+  // discipline: a deterministic batch=<id> partition with overwrite
+  // semantics, so an at-least-once replay rewrites byte-identically.
+  // Frozen models are exactly the contract's premise — retrain (the
+  // drift rule) is a batch-side event that restarts the stream against
+  // the new model fixtures and a fresh index dir.
+  // ---------------------------------------------------------------------
+
+  /** One micro-batch's append: encode+assign + write to the batch-keyed
+    * partition. `batch` carries (vec_id, v). Exposed for the
+    * idempotence test. */
+  def appendImipqBatch(batch: DataFrame,
+                       cbs: Array[Array[Array[Double]]],
+                       cs0: Array[Array[Double]],
+                       cs1: Array[Array[Double]],
+                       indexDir: String, batchId: Long): Unit =
+    graft.ext.Extensions.imipqEncodeAssign(batch, cbs, cs0, cs1)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Start the vector-index maintenance stream: `vecs` must carry
+    * (vec_id, v) with v the embedding array. */
+  def startImipqAppend(vecs: DataFrame,
+                       cbs: Array[Array[Array[Double]]],
+                       cs0: Array[Array[Double]],
+                       cs1: Array[Array[Double]],
+                       indexDir: String,
+                       checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .queryName("graft-imipq-append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          appendImipqBatch(batch.toDF(), cbs, cs0, cs1, indexDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The merged combined-index table the searches read (the `codes0`
+    * input of imipqTopK), batch column dropped. */
+  def mergedImipqCodes(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir).select("cell", "corpus_id", "code")
 }

@@ -290,7 +290,8 @@ class ExtensionsSpec extends SparkSpec {
   test("ann_recall: all indexes clear their registered recall floors") {
     val rows = Extensions.annRecall.fn(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
-    assert(rows.keySet == Set("ann_lsh", "ivf", "pq", "ivfpq", "imi", "imipq"))
+    assert(rows.keySet ==
+      Set("ann_lsh", "ivf", "pq", "ivfpq", "imi", "imipq", "ivfpqr"))
     // n_queries must equal the EXACT baseline's query count — a query
     // with zero approx candidates counts as recall 0, never drops out
     val nExact = Extensions.topkCosine.fn(spark, sf0001)
@@ -310,6 +311,61 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows("imipq")._1 >= rows("imi")._1 - 0.1,
       s"imipq recall ${rows("imipq")._1} far below imi ${rows("imi")._1}: " +
         "the ADC/rerank stage is losing more than routing allows")
+    assert(rows("ivfpqr")._2,
+      s"ivfpqr recall ${rows("ivfpqr")._1} below floor")
+    // residual encoding may not LOSE recall vs plain ivfpq under the
+    // same routing (it exists to gain reconstruction quality)
+    assert(rows("ivfpqr")._1 >= rows("ivfpq")._1 - 0.05,
+      s"ivfpqr recall ${rows("ivfpqr")._1} below plain ivfpq " +
+        s"${rows("ivfpq")._1}: residual codes are losing candidates")
+  }
+
+  test("residual codes reconstruct the corpus strictly better than plain PQ codes") {
+    // E44's whole premise, asserted as a measurement: at the SAME M×K
+    // code budget, quantizing x − c(x) must reconstruct x with lower
+    // mean squared error than quantizing x directly (recall floors
+    // cannot show this at driver SFs — both variants are
+    // routing-bound there)
+    val emb = model.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val src = Some(s"$sf0001/embeddings.parquet")
+    val cs = Extensions.ivfCentroids(emb, centroidSrc = src)
+    val ms = Extensions.ivfCellMeans(emb, cs, src)
+    val cbs = Extensions.pqCodebooks(emb, codebookSrc = src)
+    val rcbs = Extensions.pqrCodebooks(emb, cs, ms, src)
+    val nvs = emb.collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      r.getLong(0) -> v.map(_ / n)
+    }.toMap
+    def decode(cb: Array[Array[Array[Double]]], code: Seq[Int]) =
+      code.zipWithIndex.flatMap { case (c, mi) => cb(mi)(c) }.toArray
+    def mse(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+    val plain = Extensions.pqCodeTable(emb, cbs, src).collect().map { r =>
+      mse(nvs(r.getLong(0)), decode(cbs, r.getSeq[Int](1)))
+    }
+    val residRows = Extensions.ivfpqrCellCodes(emb, rcbs, cs, ms, src).collect()
+    val resid = residRows.map { r =>
+      val rec = ms(r.getInt(0)).zip(decode(rcbs, r.getSeq[Int](2)))
+        .map { case (a, b) => a + b }
+      mse(nvs(r.getLong(1)), rec)
+    }
+    val (mp, mr) = (plain.sum / plain.length, resid.sum / resid.length)
+    // the premise's precondition: centering on the cell MEAN must
+    // shrink the energy the codebook has to spend codes on (centering
+    // on the UNIT centroid measurably inflated it to 1.35 here)
+    val rEnergy = residRows.map { r =>
+      val c = ms(r.getInt(0)); val x = nvs(r.getLong(1))
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    val re = rEnergy.sum / rEnergy.length
+    info(f"reconstruction MSE plain=$mp%.5f residual=$mr%.5f " +
+      f"resid_energy=$re%.5f (unit=1.0)")
+    assert(re < 1.0, f"mean-centered residual energy $re%.5f not below 1")
+    assert(resid.length == plain.length)
+    assert(mr < mp,
+      f"residual reconstruction MSE $mr%.5f not below plain $mp%.5f")
   }
 
   test("imiTopK scores exactly inside probed product cells") {

@@ -342,6 +342,25 @@ class PlanSpec extends SparkSpec {
       s"ivfpq-codes scan has no probed-cell PartitionFilters — routing is not pruning files:\n$plan")
   }
 
+  test("ivfpqr ADC scan: stored ivfpqr-codes serve, cell equi-join, probed-cell PartitionFilters") {
+    // the residual variant shares adcCellSearch, so the same three
+    // guarantees must hold over its own stored combined index
+    val df = ext.Extensions.topkIvfpqr.fn(spark, sf0001)
+    try {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"ADC must stay a cell equi-join:\n$plan")
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("ivfpqr-codes")),
+        s"ADC side not served from the stored ivfpqr-codes index: $paths")
+      val pruned = "(?s)PartitionFilters: \\[[^\\]]*cell[^\\]]*(?i:in)[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined
+      assert(pruned,
+        s"ivfpqr-codes scan has no probed-cell PartitionFilters:\n$plan")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("imipq ADC scan: stored imipq-codes serve, cell equi-join, probed-cell PartitionFilters") {
     // E42 shares adcCellSearch with ivfpq, so the same three guarantees
     // must hold with the product-cell index: no cross join, codes from

@@ -224,4 +224,42 @@ class StreamingSpec extends SparkSpec {
     assert(IndexMaintenanceStream.mergedPostings(spark, dir).count() == before,
       "replayed micro-batch double-appended instead of rewriting its partition")
   }
+
+  test("streaming imipq arrival: appended micro-batches == one-shot encode; replay idempotent") {
+    // the vector twin of the postings stream — E43's contract with
+    // checkpoint-owned progress: embeddings arrive on a stream, each
+    // micro-batch is encoded + product-cell-assigned once against the
+    // FROZEN models and appended; merged read-back must equal the
+    // one-shot encode of the same vectors, and a replayed batch id
+    // must rewrite its own partition
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IndexMaintenanceStream
+    val rnd = new scala.util.Random(29)
+    val vecsAll = (1L to 12L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian())))
+    val allDf = vecsAll.toDF("vec_id", "v")
+    val cbs = graft.ext.Extensions.pqCodebooks(allDf)
+    val cs0 = graft.ext.Extensions.imiCentroids(allDf, 0, k = 2)
+    val cs1 = graft.ext.Extensions.imiCentroids(allDf, 1, k = 2)
+    val dir = java.nio.file.Files.createTempDirectory("imipqidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("imipqckpt").toString
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = IndexMaintenanceStream.startImipqAppend(
+      ms.toDF().toDF("vec_id", "v"), cbs, cs0, cs1, dir, ckpt)
+    try {
+      ms.addData(vecsAll.take(6): _*); q.processAllAvailable()
+      ms.addData(vecsAll.drop(6): _*); q.processAllAvailable()
+    } finally q.stop()
+    val merged = IndexMaintenanceStream.mergedImipqCodes(spark, dir)
+    val oneShot = graft.ext.Extensions.imipqEncodeAssign(allDf, cbs, cs0, cs1)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "streamed combined-index rows diverged from the one-shot encode")
+    val before = merged.count()
+    IndexMaintenanceStream.appendImipqBatch(
+      vecsAll.take(6).toDF("vec_id", "v"), cbs, cs0, cs1, dir, 0L)
+    assert(IndexMaintenanceStream.mergedImipqCodes(spark, dir).count() == before,
+      "replayed micro-batch double-appended instead of rewriting its partition")
+  }
 }
