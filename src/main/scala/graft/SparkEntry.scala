@@ -45,6 +45,8 @@ object SparkEntry {
       "approximate index maintenance (same no-oracle reason as ext_topk_imipq); ExtensionsSpec asserts the merged-index output equals ext_topk_imipq at driver SFs and PlanSpec gates the stored corpus serve, the batch-only raw scans, and probed-cell pruning through the union",
     "ext_ivfpq_incremental" ->
       "approximate index maintenance (same no-oracle reason as ext_topk_ivfpq); ExtensionsSpec asserts the merged-index output equals ext_topk_ivfpq at driver SFs and PlanSpec gates the plan to one batch-side encode scan (standing corpus served from the stored combined index)",
+    "ext_ivfpq_compact" ->
+      "approximate index maintenance (same no-oracle reason as ext_topk_ivfpq); ExtensionsSpec asserts the compacted-index search equals ext_topk_ivfpq at driver SFs and that the compacted table is row-identical to the monolithic build; PlanSpec gates the settled debts (single compacted scan, no union, two query-side raw fetches, PartitionFilters)",
     "ext_lsh_incremental" ->
       "approximate index maintenance (same no-oracle reason as ext_ann_lsh); ExtensionsSpec asserts the merged-index output is row-identical to ext_ann_lsh at driver SFs and PlanSpec gates the plan to one batch-side hash scan (corpus buckets served from the stored table)",
     "ext_pq_incremental" ->

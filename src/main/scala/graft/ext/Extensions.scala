@@ -1772,6 +1772,96 @@ object Extensions {
     None)
 
   // =====================================================================
+  // E45: combined-index COMPACTION — the missing third verb of the
+  // index lifecycle (build → arrive → COMPACT → retrain). The arrival
+  // contract deliberately leaves two debts open, both documented at
+  // [[ivfpqIncremental]]: batch rows ride UNCAPPED between retrains
+  // (re-resolving the relative cap per arrival would cost an
+  // index-sized count per search), and every read pays a union of the
+  // stored base plus the accumulated batch appends — at 100 TB that
+  // union is the small-files problem (per-batch part files × days
+  // since retrain) landing on every search's file listing. Compaction
+  // settles both at once, on an operator cadence instead of a search
+  // cadence: ONE job folds base ∪ batches into a fresh cell-
+  // partitioned table, re-resolving the relative cap over the merged
+  // row count (the same one-count-per-rebuild cost the monolithic
+  // build pays — amortized over every search until the next
+  // compaction, not charged per search). Crucially the job reads only
+  // CODE rows — M bytes per vector from the stored base plus the
+  // O(batch) encode — never the raw corpus: at 100 TB compaction I/O
+  // is index-sized (~64× smaller than the data), the same asymmetry
+  // PQ storage exists for. Models stay frozen, so a compacted row is
+  // bit-identical to its uncompacted self and search results are
+  // unchanged by construction (asserted); retrain (the drift rule)
+  // still orphans everything via the fixture fingerprint, which
+  // embeds both the base table's path-fingerprint and the batch
+  // encode's model literals.
+  // =====================================================================
+  /** Fold the combined index's accumulated arrival state (stored base
+    * codes ∪ batch-encoded rows) into ONE fresh cell-partitioned
+    * stored table with the relative hot-cell cap re-applied over the
+    * merged rows. Post-compaction readers see a single pruned scan —
+    * no union, no per-batch small files, cap discipline restored. */
+  def ivfpqCompactedCodes(corpusCodes: DataFrame, batchCodes: DataFrame,
+                          src: String, nCells: Int = 16): DataFrame = {
+    val spark = corpusCodes.sparkSession
+    val merged = corpusCodes.unionByName(batchCodes)
+    // the re-resolved cap counts MERGED CODE rows (base was already
+    // capped, so this can undercount the monolithic build's raw-cell
+    // count only where the base cap previously bound — cells already
+    // at their cap stay there; headroom asserted at driver SFs)
+    def capped = {
+      val cap = math.max(4096L,
+        IvfpqCellSkewFactor * merged.count() / math.max(1, nCells))
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(Scalars.hash60(concat_ws(":", col("cell"),
+          col("corpus_id").cast("string"))), col("corpus_id"))
+      merged.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= cap).drop("__rn")
+        .select("cell", "corpus_id", "code")
+    }
+    // fingerprint = the merged plan (batch model literals included)
+    // PLUS the base table's scan root path (fixture reads render
+    // pathless — same collision [[ivfpqCellCodes]] documents), so a
+    // retrained model or a different batch orphans the compacted table
+    parquetFixture(spark, "ivfpq-codes-compact", src,
+      s"auto${IvfpqCellSkewFactor}_c${nCells}_compact1",
+      merged.queryExecution.logical.toString +
+        "\nscans:" + scanRootPaths(merged).mkString(","), capped,
+      partitionCols = Seq("cell"))
+      .select("cell", "corpus_id", "code")
+  }
+
+  /** The post-compaction search: [[ivfpqIncremental]]'s state after
+    * the compaction job — served entirely from the compacted table.
+    * Output EQUALS both `ext_ivfpq_incremental` and (at driver SFs,
+    * cap headroom) the monolithic `ext_topk_ivfpq` — asserted in
+    * ExtensionsSpec; rows-only for the same approximate-index reason.
+    * PlanSpec gates the settled debts: the search plan scans
+    * `ivfpq-codes-compact` with probed-cell PartitionFilters, NO
+    * union, and exactly the TWO fixed query-side raw fetches (the
+    * incremental plan carries three — its per-search batch encode is
+    * gone, paid once at compaction). */
+  val ivfpqCompact: Q = Q("ext_ivfpq_compact",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (corpus, batch) = incrementalSplit(emb)
+      val src = s"$sfDir/embeddings.parquet"
+      val cbs = pqCodebooks(emb, codebookSrc = Some(src))
+      val cs = ivfCentroids(emb, centroidSrc = Some(src))
+      if (cbs.isEmpty || cs.isEmpty) emptyTopK(pqNormalize(emb))
+      else {
+        val corpusCodes = ivfpqCellCodes(corpus, cbs, cs, Some(src))
+        val compacted = ivfpqCompactedCodes(corpusCodes,
+          ivfpqEncodeAssign(batch, cbs, cs), src)
+        ivfpqTopK(emb, annQueryIds(emb), src = Some(src),
+          codes0 = Some(compacted), cbs0 = Some(cbs), cs0 = Some(cs))
+      }
+    },
+    None)
+
+  // =====================================================================
   // E44: residual-encoded IVFPQ — the TEXTBOOK formulation (Jégou et
   // al. 2011 §III): PQ quantizes the residual x − c(x) instead of x
   // itself. Residuals concentrate around zero with far less variance
@@ -2348,7 +2438,7 @@ object Extensions {
 
   /** Deterministic 90/10 standing-corpus / new-batch split on the
     * sha-derived id hash — ext_dedup_incremental's split shape. */
-  private def incrementalSplit(emb: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def incrementalSplit(emb: DataFrame): (DataFrame, DataFrame) = {
     val bucket = pmod(Scalars.hash60(col("vec_id").cast("string")), lit(100L))
     (emb.filter(bucket < 90), emb.filter(bucket >= 90))
   }
@@ -5751,7 +5841,7 @@ object Extensions {
     repetitionScore, charEntropy, contaminationScore,
     topkIvfpq,
     dedupSemantic, semanticClusters, bm25Search, bm25Incremental,
-    lshIncremental, ivfpqIncremental, tfidfTerms, domainCap,
+    lshIncremental, ivfpqIncremental, ivfpqCompact, tfidfTerms, domainCap,
     unigramLogprob, perplexityBuckets, importanceResample, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, clustersIncremental,

@@ -162,6 +162,33 @@ class ExtensionsSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("ext_ivfpq_compact == ext_topk_ivfpq; compacted table == monolithic build") {
+    // compaction folds the arrival state (stored 90% base ∪ one-scan
+    // batch codes) into one fresh capped cell-partitioned table under
+    // the SAME frozen models — so both the compacted TABLE and the
+    // search over it must be row-identical to the monolithic path
+    // (cap headroom at driver SFs per CapBindSpec)
+    val emb = model.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val src = s"$sf0001/embeddings.parquet"
+    val cbs = Extensions.pqCodebooks(emb, codebookSrc = Some(src))
+    val cs = Extensions.ivfCentroids(emb, centroidSrc = Some(src))
+    val (corpus, batch) = Extensions.incrementalSplit(emb)
+    val compacted = Extensions.ivfpqCompactedCodes(
+      Extensions.ivfpqCellCodes(corpus, cbs, cs, Some(src)),
+      Extensions.ivfpqEncodeAssign(batch, cbs, cs), src)
+    val monoTable = Extensions.ivfpqCellCodes(emb, cbs, cs, Some(src))
+    assert(compacted.exceptAll(monoTable).count() == 0 &&
+      monoTable.exceptAll(compacted).count() == 0,
+      "compacted table diverged from the monolithic combined index")
+    val mono = Extensions.topkIvfpq.fn(spark, sf0001)
+    val comp = Extensions.ivfpqCompact.fn(spark, sf0001)
+    assert(comp.exceptAll(mono).count() == 0 &&
+      mono.exceptAll(comp).count() == 0,
+      "ext_ivfpq_compact diverged from ext_topk_ivfpq")
+    Extensions.releaseCaches()
+  }
+
   test("ext_imipq_incremental == ext_topk_imipq (frozen models, merged == monolithic)") {
     // the same contract with the product coarse quantizer: all three
     // models are frozen full-corpus fixtures, so the merged index and

@@ -470,6 +470,39 @@ class PlanSpec extends SparkSpec {
     } finally ext.Extensions.releaseCaches()
   }
 
+  test("compacted ivfpq index: single pruned scan, no union, no batch encode in the search") {
+    // compaction's settled debts, as plan facts: the search reads ONE
+    // stored table (ivfpq-codes-compact — not the base, not a union
+    // with batch rows), raw embedding scans drop to the TWO fixed
+    // query-side fetches (the incremental plan's per-search batch
+    // encode is gone — paid once at compaction), probed-cell
+    // PartitionFilters prune the compacted layout, and the re-capped
+    // ADC stays a cell equi-join
+    val df = ext.Extensions.ivfpqCompact.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("ivfpq-codes-compact")),
+        s"search not served from the compacted table: $paths")
+      assert(!paths.exists(p => p.contains("ivfpq-codes/") ||
+          p.contains("ivfpq-codes\\")),
+        s"uncompacted base table still in the search plan: $paths")
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 2,
+        s"raw embedding scans drifted from the two query-side fetches ($embScans): $paths")
+      val plan = physical(df)
+      assert(!plan.contains("Union"),
+        s"compacted search must not union batch rows:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"compacted ADC must stay a cell equi-join:\n$plan")
+      val pruned = "(?s)PartitionFilters: \\[[^\\]]*cell[^\\]]*(?i:in)[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined
+      assert(pruned,
+        s"probed-cell PartitionFilters lost on the compacted layout:\n$plan")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("incremental imipq index: corpus served from the stored combined table; one batch encode") {
     // the arrival contract with the product coarse quantizer: same
     // raw-scan budget as the ivfpq twin (1 batch encode + the fixed
