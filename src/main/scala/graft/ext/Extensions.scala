@@ -3876,6 +3876,98 @@ object Extensions {
     None)
 
   // =====================================================================
+  // E46/E47: compaction for the LEXICAL and LSH indexes — the E45
+  // settling verb applied to the other two accumulating arrival
+  // contracts, so EVERY stored index family now has the full lifecycle
+  // (build → arrive → compact → retrain), not just IVFPQ. The debts
+  // differ per family, which is why these are distinct operators and
+  // not a rename: the postings union carries no cap (postings rows are
+  // per-doc facts), so lexical compaction settles the small-files
+  // union and the PER-SEARCH batch tokenize; the LSH union carries the
+  // hot-bucket cap, and the arrival path re-applies it PER SEARCH (a
+  // window over the merged table on every query batch) — compaction
+  // pays that window once and stores its result, so post-compaction
+  // searches read pre-capped rows with zero re-cap work. Both jobs
+  // read only INDEX rows plus the O(batch) scan, never the raw corpus
+  // (the same index-sized-I/O asymmetry as E45), and both compacted
+  // tables are row-identical to the monolithic build under the frozen
+  // tokenization/plane models — for the lexical index that makes the
+  // post-compaction search ORACLE-PAIRED (it shares ext_bm25_search's
+  // DuckDB BM25 oracle, the strongest gate any maintenance op has).
+  // =====================================================================
+  /** Fold the lexical index's arrival state (stored corpus postings ∪
+    * one-scan batch postings) into ONE fresh stored postings table.
+    * Postings are per-doc rows — no cap to re-resolve — so the
+    * compacted table IS the full-corpus postings table, row-exact. */
+  def postingsCompacted(corpusPostings: DataFrame, batchPostings: DataFrame,
+                        src: String): DataFrame = {
+    val spark = corpusPostings.sparkSession
+    val merged = corpusPostings.unionByName(batchPostings)
+    // fingerprint = merged plan + the base table's scan root path
+    // (fixture reads render pathless — E45's collision note), so a
+    // changed tokenization or a different batch orphans the compact
+    parquetFixture(spark, "bm25-postings-compact", src, "tok1_compact1",
+      merged.queryExecution.logical.toString +
+        "\nscans:" + scanRootPaths(merged).mkString(","), merged)
+  }
+
+  /** The post-compaction lexical search: BM25 served entirely from the
+    * compacted postings table — no union, no per-search batch
+    * tokenize, ZERO raw documents scans in the plan (PlanSpec gates
+    * all three). Oracle-paired: the compacted postings are
+    * row-identical to the full-corpus table (asserted), so the output
+    * must match DuckDB's monolithic BM25 exactly. */
+  val bm25Compact: Q = Q("ext_bm25_compact",
+    (spark, sfDir) => {
+      val (corpus, batch) = incrementalDocSplit(spark, sfDir)
+      val corpusPostings0 = postingsOf(corpus)
+      val corpusPostings = parquetFixture(spark, "bm25-postings",
+        s"$sfDir/documents.parquet", s"tok1_inc$IncrementalCorpusPct",
+        corpusPostings0.queryExecution.logical.toString, corpusPostings0)
+      val compacted = postingsCompacted(corpusPostings, postingsOf(batch),
+        s"$sfDir/documents.parquet")
+      bm25From(corpus, postings0 = Some(compacted)).orderBy("query_id", "rank")
+    },
+    bm25Search.oracle)
+
+  /** Fold the LSH index's arrival state (stored capped corpus buckets
+    * ∪ one-scan uncapped batch rows) into ONE fresh stored bucket
+    * table with the hot-bucket cap re-resolved over the merged rows —
+    * the window the arrival path pays per search, paid once here. The
+    * salted sha order is a pure function of the stored columns, so
+    * compaction is deterministic and idempotent. */
+  def lshCompactedBuckets(corpusBuckets: DataFrame, batchRows: DataFrame,
+                          src: String, cap: Int = 256): DataFrame = {
+    val spark = corpusBuckets.sparkSession
+    val merged = corpusBuckets.unionByName(batchRows)
+    def capped = capBuckets(merged, cap)
+    parquetFixture(spark, "lsh-buckets-compact", src,
+      s"t3_b6_c${cap}_compact1",
+      merged.queryExecution.logical.toString +
+        "\nscans:" + scanRootPaths(merged).mkString(","), capped)
+  }
+
+  /** The post-compaction LSH search: probes served entirely from the
+    * compacted pre-capped bucket table — no union, no per-search
+    * re-cap window, no batch hash scan (PlanSpec gates the scan set).
+    * Output EQUALS ext_ann_lsh at driver SFs (cap headroom — the same
+    * argument as ext_lsh_incremental, asserted in ExtensionsSpec). */
+  val lshCompact: Q = Q("ext_lsh_compact",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (corpus, batch) = incrementalSplit(emb)
+      val corpusBuckets0 = lshBucketRows(corpus, Some(256))
+      val corpusBuckets = parquetFixture(spark, "lsh-buckets",
+        s"$sfDir/embeddings.parquet", s"t3_b6_c256_lshinc90",
+        corpusBuckets0.queryExecution.logical.toString, corpusBuckets0)
+      val compacted = lshCompactedBuckets(corpusBuckets,
+        lshBucketRows(batch, None), s"$sfDir/embeddings.parquet")
+      annTopK(emb, annQueryIds(emb), buckets0 = Some(compacted))
+    },
+    None)
+
+  // =====================================================================
   // Per-document TF-IDF keywords — the cheap topicality signal (domain
   // tagging, mixture analysis) and the natural companion to the corpus-
   // level ext_top_terms. Same postings shape as BM25 (shared scale
@@ -4476,7 +4568,7 @@ object Extensions {
 
   /** The deterministic corpus/batch split of `documents` shared by the
     * incremental document-maintenance queries. */
-  private def incrementalDocSplit(spark: SparkSession,
+  private[graft] def incrementalDocSplit(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
     val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
     val base = Tables.documents(spark, sfDir)
@@ -5841,7 +5933,8 @@ object Extensions {
     repetitionScore, charEntropy, contaminationScore,
     topkIvfpq,
     dedupSemantic, semanticClusters, bm25Search, bm25Incremental,
-    lshIncremental, ivfpqIncremental, ivfpqCompact, tfidfTerms, domainCap,
+    lshIncremental, ivfpqIncremental, ivfpqCompact, bm25Compact, lshCompact,
+    tfidfTerms, domainCap,
     unigramLogprob, perplexityBuckets, importanceResample, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, clustersIncremental,

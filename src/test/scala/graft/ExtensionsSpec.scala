@@ -189,6 +189,47 @@ class ExtensionsSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("lexical/LSH compaction: compacted tables == monolithic; searches equal their exact twins") {
+    // lexical: postings are per-doc facts (no cap), so the compacted
+    // table must be the full-corpus postings table ROW-EXACT — which
+    // is what lets ext_bm25_compact share ext_bm25_search's DuckDB
+    // oracle (the strongest gate any maintenance op has)
+    val docSrc = s"$sf0001/documents.parquet"
+    val (dCorpus, dBatch) = Extensions.incrementalDocSplit(spark, sf0001)
+    val compactedP = Extensions.postingsCompacted(
+      Extensions.postingsOf(dCorpus), Extensions.postingsOf(dBatch), docSrc)
+    val monoP = Extensions.bm25Postings(spark, sf0001)
+    assert(compactedP.exceptAll(monoP).count() == 0 &&
+      monoP.exceptAll(compactedP).count() == 0,
+      "compacted postings diverged from the monolithic table")
+    val bm25Mono = Extensions.bm25Search.fn(spark, sf0001)
+    val bm25Comp = Extensions.bm25Compact.fn(spark, sf0001)
+    assert(bm25Comp.exceptAll(bm25Mono).count() == 0 &&
+      bm25Mono.exceptAll(bm25Comp).count() == 0,
+      "ext_bm25_compact diverged from ext_bm25_search")
+    Extensions.releaseCaches()
+    // LSH: the compacted table re-resolves the hot-bucket cap over the
+    // merged rows; at driver SFs the cap never binds (headroom asserted
+    // in the incremental test's CapBind posture), so compacted ==
+    // monolithic capped index and the search output equals ext_ann_lsh
+    val emb = model.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (vCorpus, vBatch) = Extensions.incrementalSplit(emb)
+    val compactedB = Extensions.lshCompactedBuckets(
+      Extensions.lshBucketRows(vCorpus, Some(256)),
+      Extensions.lshBucketRows(vBatch, None), s"$sf0001/embeddings.parquet")
+    val monoB = Extensions.lshBucketRows(emb, Some(256))
+    assert(compactedB.exceptAll(monoB).count() == 0 &&
+      monoB.exceptAll(compactedB).count() == 0,
+      "compacted bucket table diverged from the monolithic capped index")
+    val lshMono = Extensions.annLsh.fn(spark, sf0001)
+    val lshComp = Extensions.lshCompact.fn(spark, sf0001)
+    assert(lshComp.exceptAll(lshMono).count() == 0 &&
+      lshMono.exceptAll(lshComp).count() == 0,
+      "ext_lsh_compact diverged from ext_ann_lsh")
+    Extensions.releaseCaches()
+  }
+
   test("ext_imipq_incremental == ext_topk_imipq (frozen models, merged == monolithic)") {
     // the same contract with the product coarse quantizer: all three
     // models are frozen full-corpus fixtures, so the merged index and

@@ -503,6 +503,55 @@ class PlanSpec extends SparkSpec {
     } finally ext.Extensions.releaseCaches()
   }
 
+  test("compacted lexical index: zero raw documents scans, single stored table, no union") {
+    // the lexical debts, settled as plan facts: post-compaction BM25
+    // reads ONE stored postings table — not the corpus-split base, not
+    // a union with batch rows — and the per-search batch tokenize is
+    // gone entirely (the incremental plan pays one raw documents scan;
+    // this plan pays ZERO)
+    val df = ext.Extensions.bm25Compact.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("bm25-postings-compact")),
+        s"search not served from the compacted postings: $paths")
+      assert(!paths.exists(p => p.contains("bm25-postings/") ||
+          p.contains("bm25-postings\\")),
+        s"uncompacted base postings still in the search plan: $paths")
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 0,
+        s"post-compaction BM25 must not touch raw documents, got $docScans in $paths")
+      assert(!physical(df).contains("Union"),
+        s"compacted search must not union batch postings:\n${physical(df)}")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("compacted LSH index: pre-capped single scan, no batch hash, no re-cap window") {
+    // the LSH debts, settled: the search reads ONE pre-capped stored
+    // bucket table (no base∪batch union), the batch hash scan is gone
+    // (incremental's six raw embedding scans drop to five), and the
+    // per-search re-cap window over c_bucket — the work compaction
+    // exists to pay once — is absent from the search plan
+    val df = ext.Extensions.lshCompact.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("lsh-buckets-compact")),
+        s"search not served from the compacted buckets: $paths")
+      assert(!paths.exists(p => p.contains("lsh-buckets/") ||
+          p.contains("lsh-buckets\\")),
+        s"uncompacted base buckets still in the search plan: $paths")
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 5,
+        s"raw embedding scans drifted from the five query-side fetches ($embScans): $paths")
+      val plan = physical(df)
+      assert(!plan.contains("Union"),
+        s"compacted search must not union batch rows:\n$plan")
+      assert(!plan.contains("windowspecdefinition(c_bucket"),
+        s"per-search re-cap window crept back into the compacted search:\n$plan")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("incremental imipq index: corpus served from the stored combined table; one batch encode") {
     // the arrival contract with the product coarse quantizer: same
     // raw-scan budget as the ivfpq twin (1 batch encode + the fixed
