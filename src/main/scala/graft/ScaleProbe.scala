@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe pagerank [nNodes]
   *        runMain graft.ScaleProbe pq [nVecs]
   *        runMain graft.ScaleProbe imi [nVecs] [kPerHalf] [nProbe] [probeA] [noflat]
+  *        runMain graft.ScaleProbe compact [nVecs] [nCells]
   *
   * The `skew` mode measures the connected-components loop on a planted
   * MEGA-COMPONENT (one hub star of `spokes` edges + a background of
@@ -409,6 +410,80 @@ object ScaleProbe {
     * never a corpus rescan. Reports train / full-corpus-encode /
     * batch-encode walls; the batch:corpus encode ratio should track
     * the batch:corpus SIZE ratio (1:100), not 1:1. */
+  /** `compact` mode: measure the E45 claim — compaction cost is
+    * INDEX-sized, a monolithic rebuild is CORPUS-sized. Both sides
+    * compute the same capped (cell, corpus_id, code) table live (the
+    * parquet write would be identical, so it is excluded from both):
+    * compact = stored-base code-row read ∪ one O(batch) encode+assign
+    * → re-cap; mono = full-corpus encode+assign → cap. Also reports
+    * the on-disk I/O asymmetry (stored code bytes vs raw corpus
+    * bytes) that makes operator-cadence compaction affordable.
+    *
+    * Usage: runMain graft.ScaleProbe compact [nVecs] [nCells] */
+  private def compactProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.length > 1) args(1).toLong else 2000000L
+    val nCells = if (args.length > 2) args(2).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // same split-packing note as ivfpqProbe: stored code tables are
+      // tens of MB here; default openCost packs them into 1-2 splits
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val v = transform(sequence(lit(0), lit(63)),
+      j => pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0 - 1.0)
+    // shared with ivfpqProbe: one corpus, many probe modes
+    val src = s"target/tmp-ivfpqprobe/embeddings-$nVecs.parquet"
+    if (!new java.io.File(src).exists())
+      spark.range(nVecs).select(col("id").as("vec_id"), v.as("v"))
+        .write.mode("overwrite").parquet(src)
+    val emb = spark.read.parquet(src)
+    val cbs = ext.Extensions.pqCodebooks(emb, codebookSrc = Some(src))
+    val cs = ext.Extensions.ivfCentroids(emb, nCells = nCells,
+      centroidSrc = Some(src))
+    val (corpus, batch) = ext.Extensions.incrementalSplit(emb)
+    val batchN = batch.count()
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = f
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    // the stored base the arrival contract accumulates onto (cold
+    // fixture build timed once — it is the per-retrain cost, not the
+    // per-compaction cost)
+    val (_, tBase) = timed(ext.Extensions
+      .ivfpqCellCodes(corpus, cbs, cs, Some(src), nCells = nCells).count())
+    def compactLive = ext.Extensions.recapCellCodes(
+      ext.Extensions.ivfpqCellCodes(corpus, cbs, cs, Some(src),
+        nCells = nCells)
+        .unionByName(ext.Extensions.ivfpqEncodeAssign(batch, cbs, cs)),
+      nCells)
+    def monoLive = ext.Extensions.ivfpqCellCodes(emb, cbs, cs, None,
+      nCells = nCells)
+    // min of 2 reps per the host-noise discipline
+    val (nComp, tComp) =
+      Seq.fill(2)(timed(compactLive.count())).minBy(_._2)
+    val (nMono, tMono) =
+      Seq.fill(2)(timed(monoLive.count())).minBy(_._2)
+    def dirBytes(d: java.io.File): Long =
+      if (d.isFile) d.length()
+      else Option(d.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
+    val rawBytes = dirBytes(new java.io.File(src))
+    val baseBytes = Option(new java.io.File("target/ivfpq-codes").listFiles())
+      .getOrElse(Array.empty).map(dirBytes).max // largest = this corpus
+    println(f"PROBE compact: nVecs=$nVecs%d nCells=$nCells%d " +
+      f"batch=$batchN%d (${100.0 * batchN / nVecs}%.1f%%)")
+    println(f"PROBE compact: base fixture build (per-RETRAIN cost) $tBase%.1f s")
+    println(f"PROBE compact: compaction fold $tComp%.1f s ($nComp%d rows) vs " +
+      f"monolithic rebuild $tMono%.1f s ($nMono%d rows) -> ${tMono / tComp}%.1fx")
+    println(f"PROBE compact: I/O asymmetry raw corpus $rawBytes%d B vs " +
+      f"stored code table $baseBytes%d B -> ${rawBytes.toDouble / baseBytes}%.1fx")
+    spark.stop()
+  }
+
   private def pqIncProbe(args: Array[String]): Unit = {
     val nVecs = if (args.length > 1) args(1).toLong else 2000000L
     val nBatch = math.max(1L, nVecs / 100L)
@@ -811,6 +886,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skewsweep")) { skewSweep(args); return }
     if (args.headOption.contains("pqinc")) { pqIncProbe(args); return }
+    if (args.headOption.contains("compact")) { compactProbe(args); return }
     if (args.headOption.contains("ivfpq")) { ivfpqProbe(args); return }
     if (args.headOption.contains("imi")) { imiProbe(args); return }
     if (args.headOption.contains("lexinc")) { lexIncProbe(args); return }

@@ -1803,34 +1803,84 @@ object Extensions {
     * merged rows. Post-compaction readers see a single pruned scan —
     * no union, no per-batch small files, cap discipline restored. */
   def ivfpqCompactedCodes(corpusCodes: DataFrame, batchCodes: DataFrame,
-                          src: String, nCells: Int = 16): DataFrame = {
-    val spark = corpusCodes.sparkSession
-    val merged = corpusCodes.unionByName(batchCodes)
-    // the re-resolved cap counts MERGED CODE rows (base was already
-    // capped, so this can undercount the monolithic build's raw-cell
-    // count only where the base cap previously bound — cells already
-    // at their cap stay there; headroom asserted at driver SFs)
-    def capped = {
-      val cap = math.max(4096L,
-        IvfpqCellSkewFactor * merged.count() / math.max(1, nCells))
-      val w = Window.partitionBy(col("cell"))
-        .orderBy(Scalars.hash60(concat_ws(":", col("cell"),
-          col("corpus_id").cast("string"))), col("corpus_id"))
-      merged.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= cap).drop("__rn")
-        .select("cell", "corpus_id", "code")
-    }
-    // fingerprint = the merged plan (batch model literals included)
-    // PLUS the base table's scan root path (fixture reads render
-    // pathless — same collision [[ivfpqCellCodes]] documents), so a
-    // retrained model or a different batch orphans the compacted table
-    parquetFixture(spark, "ivfpq-codes-compact", src,
-      s"auto${IvfpqCellSkewFactor}_c${nCells}_compact1",
+                          src: String, nCells: Int = 16): DataFrame =
+    compactedCellCodes(corpusCodes.unionByName(batchCodes),
+      "ivfpq-codes-compact", src,
+      s"auto${IvfpqCellSkewFactor}_c${nCells}_compact1", nCells)
+
+  /** The shared compaction fold for any (cell, corpus_id, code)
+    * combined index — flat-IVF ([[ivfpqCompactedCodes]]) or product
+    * ([[imipqCompactedCodes]]) coarse quantizer: re-resolve the
+    * relative hot-cell cap over the MERGED rows (base was already
+    * capped, so this can undercount the monolithic build's raw-cell
+    * count only where the base cap previously bound — cells already
+    * at their cap stay there; headroom asserted at driver SFs) and
+    * store one fresh cell-partitioned table. Fingerprint = the merged
+    * plan (batch model literals included) PLUS the base table's scan
+    * root path (fixture reads render pathless — same collision
+    * [[ivfpqCellCodes]] documents), so a retrained model or a
+    * different batch orphans the compacted table. */
+  private def compactedCellCodes(merged: DataFrame, family: String,
+      src: String, keyExtra: String, nCells: Int): DataFrame =
+    parquetFixture(merged.sparkSession, family, src, keyExtra,
       merged.queryExecution.logical.toString +
-        "\nscans:" + scanRootPaths(merged).mkString(","), capped,
+        "\nscans:" + scanRootPaths(merged).mkString(","),
+      recapCellCodes(merged, nCells),
       partitionCols = Seq("cell"))
       .select("cell", "corpus_id", "code")
+
+  /** The compaction FOLD itself (also probed standalone by `ScaleProbe
+    * compact`): re-resolve the relative hot-cell cap over the merged
+    * (cell, corpus_id, code) rows. Deterministic salted order — same
+    * rows survive regardless of how many increments built the input. */
+  private[graft] def recapCellCodes(merged: DataFrame,
+      nCells: Int): DataFrame = {
+    val cap = math.max(4096L,
+      IvfpqCellSkewFactor * merged.count() / math.max(1, nCells))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(Scalars.hash60(concat_ws(":", col("cell"),
+        col("corpus_id").cast("string"))), col("corpus_id"))
+    merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+      .select("cell", "corpus_id", "code")
   }
+
+  /** [[ivfpqCompactedCodes]] with the product coarse quantizer: fold
+    * the IMI-PQ arrival state into one fresh cell-partitioned table
+    * (cells = kPerHalf², the product grid). Same frozen-model
+    * bit-identity argument, so search results are unchanged. */
+  def imipqCompactedCodes(corpusCodes: DataFrame, batchCodes: DataFrame,
+                          src: String, kPerHalf: Int = ImiK): DataFrame =
+    compactedCellCodes(corpusCodes.unionByName(batchCodes),
+      "imipq-codes-compact", src,
+      s"auto${IvfpqCellSkewFactor}_k${kPerHalf}x${kPerHalf}_compact1",
+      kPerHalf * kPerHalf)
+
+  /** The post-compaction IMI-PQ search — [[imipqIncremental]]'s state
+    * after the compaction job, served entirely from the compacted
+    * table. Output EQUALS `ext_topk_imipq` at driver SFs (asserted);
+    * PlanSpec gates the settled debts on the product layout. */
+  val imipqCompact: Q = Q("ext_imipq_compact",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (corpus, batch) = incrementalSplit(emb)
+      val src = s"$sfDir/embeddings.parquet"
+      val cbs = pqCodebooks(emb, codebookSrc = Some(src))
+      val cs0 = imiCentroids(emb, 0, ImiK, Some(src))
+      val cs1 = imiCentroids(emb, 1, ImiK, Some(src))
+      if (cbs.isEmpty || cs0.isEmpty || cs1.isEmpty)
+        emptyTopK(pqNormalize(emb))
+      else {
+        val compacted = imipqCompactedCodes(
+          imipqCellCodes(corpus, cbs, cs0, cs1, Some(src)),
+          imipqEncodeAssign(batch, cbs, cs0, cs1), src)
+        imipqTopK(emb, annQueryIds(emb), src = Some(src),
+          codes0 = Some(compacted), cbs0 = Some(cbs),
+          csH0 = Some(cs0), csH1 = Some(cs1))
+      }
+    },
+    None)
 
   /** The post-compaction search: [[ivfpqIncremental]]'s state after
     * the compaction job — served entirely from the compacted table.
@@ -5934,7 +5984,7 @@ object Extensions {
     topkIvfpq,
     dedupSemantic, semanticClusters, bm25Search, bm25Incremental,
     lshIncremental, ivfpqIncremental, ivfpqCompact, bm25Compact, lshCompact,
-    tfidfTerms, domainCap,
+    imipqCompact, tfidfTerms, domainCap,
     unigramLogprob, perplexityBuckets, importanceResample, corpusCurateSemantic,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, clustersIncremental,

@@ -230,6 +230,32 @@ class ExtensionsSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("ext_imipq_compact == ext_topk_imipq; compacted table == monolithic product build") {
+    // E45's fold with the product coarse quantizer: all three models
+    // frozen, so the compacted table and the search over it are both
+    // row-identical to the monolithic path (cap headroom at driver SFs)
+    val emb = model.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val src = s"$sf0001/embeddings.parquet"
+    val cbs = Extensions.pqCodebooks(emb, codebookSrc = Some(src))
+    val cs0 = Extensions.imiCentroids(emb, 0, Extensions.ImiK, Some(src))
+    val cs1 = Extensions.imiCentroids(emb, 1, Extensions.ImiK, Some(src))
+    val (corpus, batch) = Extensions.incrementalSplit(emb)
+    val compacted = Extensions.imipqCompactedCodes(
+      Extensions.imipqCellCodes(corpus, cbs, cs0, cs1, Some(src)),
+      Extensions.imipqEncodeAssign(batch, cbs, cs0, cs1), src)
+    val monoTable = Extensions.imipqCellCodes(emb, cbs, cs0, cs1, Some(src))
+    assert(compacted.exceptAll(monoTable).count() == 0 &&
+      monoTable.exceptAll(compacted).count() == 0,
+      "compacted table diverged from the monolithic product-cell index")
+    val mono = Extensions.topkImipq.fn(spark, sf0001)
+    val comp = Extensions.imipqCompact.fn(spark, sf0001)
+    assert(comp.exceptAll(mono).count() == 0 &&
+      mono.exceptAll(comp).count() == 0,
+      "ext_imipq_compact diverged from ext_topk_imipq")
+    Extensions.releaseCaches()
+  }
+
   test("ext_imipq_incremental == ext_topk_imipq (frozen models, merged == monolithic)") {
     // the same contract with the product coarse quantizer: all three
     // models are frozen full-corpus fixtures, so the merged index and

@@ -503,6 +503,36 @@ class PlanSpec extends SparkSpec {
     } finally ext.Extensions.releaseCaches()
   }
 
+  test("compacted imipq index: single pruned scan, no union, no batch encode in the search") {
+    // E45's settled debts on the product layout: one stored compacted
+    // table, no base∪batch union, the per-search batch encode gone
+    // (raw embedding scans drop to the two fixed query-side fetches),
+    // probed-cell PartitionFilters on the fresh layout
+    val df = ext.Extensions.imipqCompact.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("imipq-codes-compact")),
+        s"search not served from the compacted table: $paths")
+      assert(!paths.exists(p => p.contains("imipq-codes/") ||
+          p.contains("imipq-codes\\")),
+        s"uncompacted base table still in the search plan: $paths")
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 2,
+        s"raw embedding scans drifted from the two query-side fetches ($embScans): $paths")
+      val plan = physical(df)
+      assert(!plan.contains("Union"),
+        s"compacted search must not union batch rows:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"compacted ADC must stay a cell equi-join:\n$plan")
+      val pruned = "(?s)PartitionFilters: \\[[^\\]]*cell[^\\]]*(?i:in)[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined
+      assert(pruned,
+        s"probed-cell PartitionFilters lost on the compacted layout:\n$plan")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("compacted lexical index: zero raw documents scans, single stored table, no union") {
     // the lexical debts, settled as plan facts: post-compaction BM25
     // reads ONE stored postings table — not the corpus-split base, not
