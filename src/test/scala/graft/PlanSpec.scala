@@ -157,6 +157,7 @@ class PlanSpec extends SparkSpec {
       // key would be constant-folded back to this shape anyway
       "ext_bm25_search",
       "ext_bm25_incremental", // same 1-row corpus-stats broadcast as ext_bm25_search
+      "ext_bm25_compact",    // same 1-row corpus-stats broadcast as ext_bm25_search
       "ext_tfidf_terms",
       "ext_unigram_logprob", // 1-row token total rides the vocab-sized count frame
       "ext_perplexity_buckets", // composes ext_unigram_logprob (same 1-row total)
