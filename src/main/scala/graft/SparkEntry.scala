@@ -49,6 +49,10 @@ object SparkEntry {
       "approximate index maintenance (same no-oracle reason as ext_topk_ivfpq); ExtensionsSpec asserts the compacted-index search equals ext_topk_ivfpq at driver SFs and that the compacted table is row-identical to the monolithic build; PlanSpec gates the settled debts (single compacted scan, no union, two query-side raw fetches, PartitionFilters)",
     "ext_lsh_incremental" ->
       "approximate index maintenance (same no-oracle reason as ext_ann_lsh); ExtensionsSpec asserts the merged-index output is row-identical to ext_ann_lsh at driver SFs and PlanSpec gates the plan to one batch-side hash scan (corpus buckets served from the stored table)",
+    "ext_ivfpqr_incremental" ->
+      "approximate index maintenance (same no-oracle reason as ext_topk_ivfpqr); ExtensionsSpec asserts the merged-index output equals ext_topk_ivfpqr at driver SFs and PlanSpec gates the plan to one batch-side encode scan with probed-cell pruning through the union",
+    "ext_ivfpqr_compact" ->
+      "approximate index maintenance (same no-oracle reason as ext_topk_ivfpqr); ExtensionsSpec asserts the compacted-index search equals ext_topk_ivfpqr at driver SFs and that the compacted table is row-identical to the monolithic residual build; PlanSpec gates the settled debts (single compacted scan, no union, two query-side raw fetches, PartitionFilters)",
     "ext_imipq_compact" ->
       "approximate index maintenance (same no-oracle reason as ext_topk_imipq); ExtensionsSpec asserts the compacted-index search equals ext_topk_imipq at driver SFs and that the compacted table is row-identical to the monolithic product-cell build; PlanSpec gates the settled debts on the product layout (single compacted scan, no union, two query-side raw fetches, PartitionFilters)",
     "ext_lsh_compact" ->

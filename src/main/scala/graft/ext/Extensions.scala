@@ -2012,19 +2012,32 @@ object Extensions {
     * like [[ivfpqCellCodes]]; the build cost is the same one encode
     * scan the pq-codes half pays). Same relative skew cap, same
     * hash-ordered survivors, same hive cell-partitioning. */
-  def ivfpqrCellCodes(emb: DataFrame, cbs: Array[Array[Array[Double]]],
-                      cs: Array[Array[Double]], ms: Array[Array[Double]],
-                      src: Option[String],
-                      cellCap: Int = IvfpqCellCapAuto,
-                      nCells: Int = 16): DataFrame = {
+  /** One-scan encode+assign of a vector frame against the frozen
+    * residual models (centroids + cell means + residual codebook) →
+    * (cell, corpus_id, code): the arrival path of the residual index
+    * ([[ivfpqEncodeAssign]]'s contract for the residual geometry). One
+    * pass computes the assignment, the residual, and all M L2-nearest
+    * codes; expressions are identical to [[ivfpqrCellCodes]]'s builder,
+    * so a batch row is bit-identical to the monolithic build's. */
+  def ivfpqrEncodeAssign(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+                         cs: Array[Array[Double]],
+                         ms: Array[Array[Double]]): DataFrame = {
     val m = cbs.length
     val ds = cbs(0)(0).length
     val r = withResiduals(emb, cs, ms)
     val subs = r.select(Seq(col("vec_id"), col("cell")) ++
       (0 until m).map(mi => slice(col("rv"), mi * ds + 1, ds).as(s"sub_$mi")): _*)
-    val base = subs.select(col("cell"), col("vec_id").as("corpus_id"),
+    subs.select(col("cell"), col("vec_id").as("corpus_id"),
       array((0 until m).map(mi =>
         argminDistCell(col(s"sub_$mi"), cbs(mi))): _*).as("code"))
+  }
+
+  def ivfpqrCellCodes(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+                      cs: Array[Array[Double]], ms: Array[Array[Double]],
+                      src: Option[String],
+                      cellCap: Int = IvfpqCellCapAuto,
+                      nCells: Int = 16): DataFrame = {
+    val base = ivfpqrEncodeAssign(emb, cbs, cs, ms)
     def capped = {
       val cap: Long =
         if (cellCap != IvfpqCellCapAuto) cellCap.toLong
@@ -2064,18 +2077,23 @@ object Extensions {
   def ivfpqrTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
                  nProbe: Int = IvfpqNProbe, rerank: Int = PqRerank,
                  nCells: Int = 16, cellCap: Int = IvfpqCellCapAuto,
-                 src: Option[String] = None): DataFrame = {
+                 src: Option[String] = None,
+                 codes0: Option[DataFrame] = None,
+                 cbs0: Option[Array[Array[Array[Double]]]] = None,
+                 cs0: Option[Array[Array[Double]]] = None,
+                 ms0: Option[Array[Array[Double]]] = None): DataFrame = {
     val qids = broadcast(queryIds.select("vec_id"))
     val e = pqNormalize(emb)
-    val cs = ivfCentroids(emb, nCells = nCells, centroidSrc = src)
+    val cs = cs0.getOrElse(ivfCentroids(emb, nCells = nCells, centroidSrc = src))
     if (cs.isEmpty) return emptyTopK(e)
-    val ms = ivfCellMeans(emb, cs, src)
-    val cbs = pqrCodebooks(emb, cs, ms, src)
+    val ms = ms0.getOrElse(ivfCellMeans(emb, cs, src))
+    val cbs = cbs0.getOrElse(pqrCodebooks(emb, cs, ms, src))
     if (cbs.isEmpty) return emptyTopK(e)
     val m = cbs.length
     val ds = cbs(0)(0).length
     val kw = cbs(0).length
-    val cellCodes = ivfpqrCellCodes(emb, cbs, cs, ms, src, cellCap, nCells)
+    val cellCodes = codes0.getOrElse(
+      ivfpqrCellCodes(emb, cbs, cs, ms, src, cellCap, nCells))
     val lut = array((0 until m).flatMap(mi =>
       cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
     val queries = cacheTracked(routeCells(
@@ -2094,6 +2112,71 @@ object Extensions {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       ivfpqrTopK(emb, annQueryIds(emb),
         src = Some(s"$sfDir/embeddings.parquet"))
+    },
+    None)
+
+  /** The frozen full-corpus residual-model triple (centroids, cell
+    * means, residual codebook) shared by the residual maintenance
+    * pair below — loading them once per query keeps the model-fixture
+    * jobs off the per-search path ([[ivfpqTopK]]'s caller contract). */
+  private def ivfpqrModels(emb: DataFrame, src: String):
+      Option[(Array[Array[Double]], Array[Array[Double]],
+        Array[Array[Array[Double]]])] = {
+    val cs = ivfCentroids(emb, centroidSrc = Some(src))
+    if (cs.isEmpty) return None
+    val ms = ivfCellMeans(emb, cs, Some(src))
+    val cbs = pqrCodebooks(emb, cs, ms, Some(src))
+    if (cbs.isEmpty) None else Some((cs, ms, cbs))
+  }
+
+  /** Incremental residual-index maintenance — [[ivfpqIncremental]]'s
+    * arrival contract for the residual geometry: the standing corpus's
+    * cell-partitioned `ivfpqr-codes` stored once under the THREE
+    * frozen full-corpus models, each batch encoded (assignment +
+    * residual + M codes) in ONE O(batch) scan and unioned at read.
+    * Output equals `ext_topk_ivfpqr` at driver SFs (asserted);
+    * PlanSpec gates the stored serve + raw-scan budget + pruning
+    * through the union. */
+  val ivfpqrIncremental: Q = Q("ext_ivfpqr_incremental",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (corpus, batch) = incrementalSplit(emb)
+      val src = s"$sfDir/embeddings.parquet"
+      ivfpqrModels(emb, src) match {
+        case None => emptyTopK(pqNormalize(emb))
+        case Some((cs, ms, cbs)) =>
+          val merged = ivfpqrCellCodes(corpus, cbs, cs, ms, Some(src))
+            .unionByName(ivfpqrEncodeAssign(batch, cbs, cs, ms))
+          ivfpqrTopK(emb, annQueryIds(emb), src = Some(src),
+            codes0 = Some(merged), cbs0 = Some(cbs),
+            cs0 = Some(cs), ms0 = Some(ms))
+      }
+    },
+    None)
+
+  /** The post-compaction residual search — [[ivfpqCompact]]'s fold for
+    * the residual geometry, via the shared [[compactedCellCodes]].
+    * Output equals `ext_topk_ivfpqr` (asserted); PlanSpec gates the
+    * settled debts on the `ivfpqr-codes-compact` layout. */
+  val ivfpqrCompact: Q = Q("ext_ivfpqr_compact",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (corpus, batch) = incrementalSplit(emb)
+      val src = s"$sfDir/embeddings.parquet"
+      ivfpqrModels(emb, src) match {
+        case None => emptyTopK(pqNormalize(emb))
+        case Some((cs, ms, cbs)) =>
+          val compacted = compactedCellCodes(
+            ivfpqrCellCodes(corpus, cbs, cs, ms, Some(src))
+              .unionByName(ivfpqrEncodeAssign(batch, cbs, cs, ms)),
+            "ivfpqr-codes-compact", src,
+            s"auto${IvfpqCellSkewFactor}_c16_compact1", 16)
+          ivfpqrTopK(emb, annQueryIds(emb), src = Some(src),
+            codes0 = Some(compacted), cbs0 = Some(cbs),
+            cs0 = Some(cs), ms0 = Some(ms))
+      }
     },
     None)
 
@@ -5992,6 +6075,7 @@ object Extensions {
     pagerank, weightedSample, domainKl, hits,
     zipfFit, qualityClassifier, hybridSearch, hybridSearchPq,
     hybridSearchIvfpq, topkImi, topkImipq, imipqIncremental, topkIvfpqr,
+    ivfpqrIncremental, ivfpqrCompact,
     knnLabelAudit,
     clusterCentroids, bpePairStats, bpeMerges, pqIncremental, ivfIncremental)
 }

@@ -230,6 +230,37 @@ class ExtensionsSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("residual index lifecycle: incremental and compacted searches == ext_topk_ivfpqr") {
+    // the arrival + fold contracts for the residual geometry: all
+    // three models (centroids, cell means, residual codebook) are
+    // frozen full-corpus fixtures, so batch-encoded rows are
+    // bit-identical to the monolithic build's and all three searches
+    // must agree exactly (cap headroom at driver SFs)
+    val emb = model.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val src = s"$sf0001/embeddings.parquet"
+    val cs = Extensions.ivfCentroids(emb, centroidSrc = Some(src))
+    val ms = Extensions.ivfCellMeans(emb, cs, Some(src))
+    val cbs = Extensions.pqrCodebooks(emb, cs, ms, Some(src))
+    val (corpus, batch) = Extensions.incrementalSplit(emb)
+    val merged = Extensions.ivfpqrCellCodes(corpus, cbs, cs, ms, Some(src))
+      .unionByName(Extensions.ivfpqrEncodeAssign(batch, cbs, cs, ms))
+    val monoTable = Extensions.ivfpqrCellCodes(emb, cbs, cs, ms, Some(src))
+    assert(merged.exceptAll(monoTable).count() == 0 &&
+      monoTable.exceptAll(merged).count() == 0,
+      "merged residual index diverged from the monolithic build")
+    val mono = Extensions.topkIvfpqr.fn(spark, sf0001)
+    val inc = Extensions.ivfpqrIncremental.fn(spark, sf0001)
+    assert(inc.exceptAll(mono).count() == 0 &&
+      mono.exceptAll(inc).count() == 0,
+      "ext_ivfpqr_incremental diverged from ext_topk_ivfpqr")
+    val comp = Extensions.ivfpqrCompact.fn(spark, sf0001)
+    assert(comp.exceptAll(mono).count() == 0 &&
+      mono.exceptAll(comp).count() == 0,
+      "ext_ivfpqr_compact diverged from ext_topk_ivfpqr")
+    Extensions.releaseCaches()
+  }
+
   test("ext_imipq_compact == ext_topk_imipq; compacted table == monolithic product build") {
     // E45's fold with the product coarse quantizer: all three models
     // frozen, so the compacted table and the search over it are both

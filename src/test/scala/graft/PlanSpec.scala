@@ -608,6 +608,47 @@ class PlanSpec extends SparkSpec {
     } finally ext.Extensions.releaseCaches()
   }
 
+  test("residual index lifecycle plans: arrival = one batch encode; compaction = single pruned scan") {
+    // the arrival contract for the residual geometry (same raw-scan
+    // budget as the ivfpq/imipq twins: 1 batch encode + 2 query-side
+    // fetches), then the compacted search with the settled debts
+    val inc = ext.Extensions.ivfpqrIncremental.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(inc)
+      assert(paths.exists(_.contains("ivfpqr-codes")),
+        s"standing corpus not served from the stored residual index: $paths")
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 3,
+        s"raw embedding scans drifted from the three enumerated fetches ($embScans): $paths")
+      val plan = physical(inc)
+      val pruned = "(?s)PartitionFilters: \\[[^\\]]*cell[^\\]]*(?i:in)[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined
+      assert(pruned,
+        s"probed-cell PartitionFilters lost through the union:\n$plan")
+    } finally ext.Extensions.releaseCaches()
+    val comp = ext.Extensions.ivfpqrCompact.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(comp)
+      assert(paths.exists(_.contains("ivfpqr-codes-compact")),
+        s"search not served from the compacted table: $paths")
+      assert(!paths.exists(p => p.contains("ivfpqr-codes/") ||
+          p.contains("ivfpqr-codes\\")),
+        s"uncompacted base table still in the search plan: $paths")
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 2,
+        s"raw embedding scans drifted from the two query-side fetches ($embScans): $paths")
+      val plan = physical(comp)
+      assert(!plan.contains("Union"),
+        s"compacted search must not union batch rows:\n$plan")
+      val pruned = "(?s)PartitionFilters: \\[[^\\]]*cell[^\\]]*(?i:in)[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined
+      assert(pruned,
+        s"probed-cell PartitionFilters lost on the compacted layout:\n$plan")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("incremental maintenance reads the stored train stat — no corpus-sized encode scan") {
     // the train-time distortion is a constant of the frozen (data,
     // model) pair: the registered plan must read it from the persisted
