@@ -243,6 +243,31 @@ class CapBindSpec extends SparkSpec {
       s"cap=2 survivors must be the two hash-smallest ${order.take(2).toSet}, got $capped2")
   }
 
+  test("compaction re-cap binds: source-blind hash-ordered survivors; idempotent fold") {
+    // the E45/E48/E50 fold must pick survivors from base ∪ batch
+    // JOINTLY by the salted order (a later batch row can displace a
+    // base row — the fold is source-blind by construction) and
+    // re-applying it must be a no-op. The relative cap carries a 4096
+    // absolute floor, so binding needs a >4096-row cell — never seen
+    // at driver SFs, which is why this branch gets direct coverage
+    val merged = spark.range(5000).select(lit(7).as("cell"),
+      col("id").as("corpus_id"), array(lit(0), lit(1)).as("code"))
+    val recapped = Extensions.recapCellCodes(merged, nCells = 16)
+    val got = recapped.collect().map(_.getLong(1)).toSet
+    assert(got.size == 4096,
+      s"the 4096 cap floor must bind on a 5000-row cell, kept ${got.size}")
+    val expected = merged.select(col("corpus_id"),
+        Scalars.hash60(concat_ws(":", col("cell"),
+          col("corpus_id").cast("string"))).as("h"))
+      .orderBy("h", "corpus_id").limit(4096).collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      "survivors must be the 4096 salted-hash-smallest over the MERGED rows")
+    val again = Extensions.recapCellCodes(recapped, nCells = 16)
+    assert(again.exceptAll(recapped).count() == 0 &&
+      recapped.exceptAll(again).count() == 0,
+      "the fold must be idempotent on its own output")
+  }
+
   test("ivfpq nProbe binds: candidates come only from the probed cells") {
     // four orthogonal clusters, ids interleaved so the 4 seed vectors
     // cover all clusters and Lloyd separates them. With nProbe=1 and
