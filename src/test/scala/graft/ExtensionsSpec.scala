@@ -230,6 +230,45 @@ class ExtensionsSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("index lifecycle composes: arrive, compact, arrive again == monolithic") {
+    // the seam none of the per-verb tests cover: day-2's arrival must
+    // union onto the COMPACTED base (not the original), and the
+    // resulting three-state composition (base -> +batch1 -> compact ->
+    // +batch2) must still equal the monolithic index — the guarantee a
+    // production operator actually relies on across days. Frozen
+    // full-corpus models + source-blind fold + cap headroom make every
+    // intermediate row bit-identical to its monolithic twin.
+    val emb = model.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val src = s"$sf0001/embeddings.parquet"
+    val cbs = Extensions.pqCodebooks(emb, codebookSrc = Some(src))
+    val cs = Extensions.ivfCentroids(emb, centroidSrc = Some(src))
+    val bucket = pmod(graft.expr.Scalars.hash60(col("vec_id").cast("string")),
+      lit(100L))
+    val base = emb.filter(bucket < 80)
+    val batch1 = emb.filter(bucket >= 80 && bucket < 90)
+    val batch2 = emb.filter(bucket >= 90)
+    // the REAL compaction API (fixture write + read-back, as the
+    // production job does): day-1's arrival state folds to a stored
+    // table keyed on ITS merged plan (distinct from the registered
+    // 90/10 split's compact), and day-2's arrival unions onto that
+    val compacted = Extensions.ivfpqCompactedCodes(
+      Extensions.ivfpqCellCodes(base, cbs, cs, Some(src)),
+      Extensions.ivfpqEncodeAssign(batch1, cbs, cs), src)
+    val day2 = compacted.unionByName(Extensions.ivfpqEncodeAssign(batch2, cbs, cs))
+    val monoTable = Extensions.ivfpqCellCodes(emb, cbs, cs, Some(src))
+    assert(day2.exceptAll(monoTable).count() == 0 &&
+      monoTable.exceptAll(day2).count() == 0,
+      "arrive->compact->arrive state diverged from the monolithic index")
+    val got = Extensions.ivfpqTopK(emb, Extensions.annQueryIds(emb),
+      src = Some(src), codes0 = Some(day2), cbs0 = Some(cbs), cs0 = Some(cs))
+    val mono = Extensions.topkIvfpq.fn(spark, sf0001)
+    assert(got.exceptAll(mono).count() == 0 &&
+      mono.exceptAll(got).count() == 0,
+      "search over the composed lifecycle state diverged from ext_topk_ivfpq")
+    Extensions.releaseCaches()
+  }
+
   test("residual index lifecycle: incremental and compacted searches == ext_topk_ivfpqr") {
     // the arrival + fold contracts for the residual geometry: all
     // three models (centroids, cell means, residual codebook) are
