@@ -63,6 +63,8 @@ object SparkEntry {
       "frozen-centroid model maintenance has no SQL analog (the quantizer is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test and PlanSpec's stored-stat gate (same encode shape as ext_pq_incremental)",
     "ext_bpe_merges" ->
       "K data-dependent argmax+rewrite rounds have no practical recursive-CTE SQL form; ExtensionsSpec recomputes the merge table with an independent in-memory BPE over the collected vocabulary and requires exact equality",
+    "ext_bpe_token_count" ->
+      "the apply side of ext_bpe_merges inherits its no-oracle reason (the merge table is the K-round trained model; a SQL twin would need the same argmax loop plus a fixpoint rewrite per merge); ExtensionsSpec applies the collected merges with an independent in-memory BPE to every document and requires exact per-doc ws/bpe token counts",
     "stream_sync_microbatch" ->
       "streaming foreachBatch lifecycle has no DuckDB analog; semantics are covered by StreamingSyncSpec and PipelineSpec")
 

@@ -6054,6 +6054,61 @@ object Extensions {
     },
     None)
 
+  // =====================================================================
+  // E51: BPE tokenization APPLY — the consumer the training loop (E38)
+  // exists for: token-budget estimation under the TRAINED tokenizer.
+  // Whitespace token counts under- or over-state the real sequence
+  // budget; the trained merge table gives per-doc BPE token counts and
+  // fertility (bpe/ws ratio — the standard tokenizer-efficiency
+  // metric). Scale shape: the merge table is a stored MODEL fixture
+  // (trained once per corpus, exactly like codebooks/centroids), and
+  // the merge application runs over the DISTINCT-token vocabulary —
+  // O(vocab × len × K), not O(corpus) — then broadcast-joins the
+  // per-token lengths back onto the corpus token stream. The rewrite
+  // is [[bpeMergeFold]] itself (the training loop's own fold), so
+  // apply-time tokenization is bit-identical to training-time.
+  // =====================================================================
+  /** Train-or-load the K-round merge table as a stored model fixture
+    * (family `bpe-merges`, keyed on the documents source + round
+    * count; a changed corpus or tokenization orphans it). The LIVE
+    * branch is [[bpeMerges]]'s K-round loop — evaluated only on a
+    * cold build, so steady-state consumers pay a K-row read. */
+  private def bpeTrainedMerges(spark: SparkSession,
+      sfDir: String): Array[(String, String)] =
+    parquetFixture(spark, "bpe-merges", s"$sfDir/documents.parquet",
+      s"k${BpeMergeRounds}_tok1", s"bpe-train k=$BpeMergeRounds tok1",
+      bpeMerges.fn(spark, sfDir))
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+
+  val bpeTokenCount: Q = Q("ext_bpe_token_count",
+    (spark, sfDir) => {
+      val merges = bpeTrainedMerges(spark, sfDir)
+      // same tokenization as training; whitespace-only docs tokenize
+      // to "" and carry no tokens (and hence no output row)
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val sym0 = filter(split(col("tok"), ""), x => x =!= "")
+      val symN = merges.foldLeft(sym0) { case (c, (l, r)) =>
+        bpeMergeFold(c, l, r)
+      }
+      // vocabulary-sized apply: K chained interpreted folds are fine
+      // over distinct tokens (the training loop pays the same), and
+      // the corpus-sized side is one broadcast equi-join
+      val vocabLen = toks.select("tok").distinct()
+        .select(col("tok"), size(symN).as("tok_bpe"))
+      toks.join(broadcast(vocabLen), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ws_tokens"), sum(col("tok_bpe")).as("bpe_tokens"))
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+          round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4)
+            .as("fertility"))
+        .orderBy("doc_id")
+    },
+    None)
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, topkPq, annRecall,
@@ -6077,5 +6132,6 @@ object Extensions {
     hybridSearchIvfpq, topkImi, topkImipq, imipqIncremental, topkIvfpqr,
     ivfpqrIncremental, ivfpqrCompact,
     knnLabelAudit,
-    clusterCentroids, bpePairStats, bpeMerges, pqIncremental, ivfIncremental)
+    clusterCentroids, bpePairStats, bpeMerges, bpeTokenCount,
+    pqIncremental, ivfIncremental)
 }

@@ -829,6 +829,47 @@ class ExtensionsSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("ext_bpe_token_count equals an independent in-memory BPE application per document") {
+    // the apply-side no-oracle gate: collect the trained merges, apply
+    // them to every document in plain Scala with the same greedy
+    // left-to-right rewrite, and require exact per-doc (ws, bpe)
+    // counts — tokenization parity with training included
+    val merges = Extensions.bpeMerges.fn(spark, sf0001)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def mergeOnce(a: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      for (x <- a) {
+        if (out.nonEmpty && out.last == l && x == r) {
+          out.remove(out.length - 1); out += (l + r)
+        } else out += x
+      }
+      out.toArray
+    }
+    def bpeLen(tok: String): Long = {
+      var sym = tok.split("").filter(_.nonEmpty)
+      for ((l, r) <- merges) sym = mergeOnce(sym, l, r)
+      sym.length.toLong
+    }
+    val expect = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else Some(r.getLong(0) -> (toks.length.toLong, toks.map(bpeLen).sum))
+      }.toMap
+    val got = Extensions.bpeTokenCount.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect,
+      s"per-doc token counts diverged on ${
+        (got.keySet ++ expect.keySet).filter(k => got.get(k) != expect.get(k)).take(5)}")
+    // fertility sanity: merges only ever SHRINK the symbol count
+    val badFert = Extensions.bpeTokenCount.fn(spark, sf0001)
+      .filter(col("bpe_tokens") > col("ws_tokens") * 64).count()
+    assert(badFert == 0, "fertility out of any plausible range")
+    Extensions.releaseCaches()
+  }
+
   test("incremental cluster maintenance: batch near-dups ADOPT the min matched corpus label") {
     // planted corpus: docs 7/8/9 share one text (one corpus cluster,
     // label = min id 7, all ids hashing into the <80 bucket); batch
