@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe winnow [nDocs]
   *        runMain graft.ScaleProbe pagerank [nNodes]
   *        runMain graft.ScaleProbe pq [nVecs]
-  *        runMain graft.ScaleProbe imi [nVecs] [kPerHalf] [nProbe] [probeA] [noflat]
+  *        runMain graft.ScaleProbe imi [nVecs] [kPerHalf|auto] [nProbe|auto] [probeA] [noflat]
   *        runMain graft.ScaleProbe compact [nVecs] [nCells]
   *        runMain graft.ScaleProbe lexcompact [nDocs]
   *
@@ -778,9 +778,18 @@ object ScaleProbe {
     * needed. Corpus parquet is shared with the `ivfpq` probe. */
   private def imiProbe(args: Array[String]): Unit = {
     val nVecs = if (args.length > 1) args(1).toLong else 2000000L
-    val kHalf = if (args.length > 2) args(2).toInt else 32 // → 1024 cells
-    val nProbe = if (args.length > 3) args(3).toInt else 24
-    val probeA = if (args.length > 4) args(4).toInt else 12
+    // `auto` derives K from the corpus count (autoKPerHalf ≈ √(4√N),
+    // the product-index continuation of the flat `ivfpq … auto` mode)
+    // and scales nProbe to hold the 24/1024 operating scan fraction,
+    // probeA to keep the reachable-combo budget ≥ 4×nProbe
+    val kHalf =
+      if (args.length > 2 && args(2) == "auto") ext.Extensions.autoKPerHalf(nVecs)
+      else if (args.length > 2) args(2).toInt
+      else 32 // → 1024 cells
+    val nProbe = if (args.length > 3 && args(3) != "auto") args(3).toInt
+      else math.max(4, math.round(kHalf.toLong * kHalf * 24 / 1024.0).toInt)
+    val probeA = if (args.length > 4 && !args(4).startsWith("no")) args(4).toInt
+      else math.max(12, math.ceil(2 * math.sqrt(nProbe.toDouble)).toInt)
     val runFlat = !args.contains("noflat")
     val nCellsEq = kHalf * kHalf
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

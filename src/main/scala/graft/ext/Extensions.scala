@@ -897,15 +897,42 @@ object Extensions {
   def autoNCells(n: Long): Int =
     math.min(1024L, math.max(16L, 4L * math.round(math.sqrt(n.toDouble)))).toInt
 
-  /** Max nCells for the LITERAL argmax assignment form ([[argmaxCell]]).
-    * A literal assignment embeds nCells×dim constants in one projection
-    * — ideal codegen at 16 cells, but past ~64 it approaches janino's
-    * method limits (the library already hit that wall once, in the
-    * round-7 explode fallback) and the plan itself grows with the
-    * model. Above the threshold assignment switches to the broadcast
+  /** Derived per-half cell count for the product index ([[imiTopK]]):
+    * K = ⌈√(4√N)⌉ bounded to [4, 256], so the K² product cells track
+    * the same ≈4√N guidance [[autoNCells]] follows — WITHOUT its 1024
+    * ceiling, because product assignment pays N×2K dots, never N×K².
+    * At the K=256 bound the index reaches 65 536 cells for 512
+    * dots/vector (half the flat quantizer's cost at 1024 cells); past
+    * that the next structure is a deeper product, not a bigger K.
+    * `ScaleProbe imi <N> auto` derives this at index build — N is
+    * already a fixture-key input — and re-measures recall at the
+    * derived point with nProbe scaled to hold the operating scan
+    * fraction. */
+  def autoKPerHalf(n: Long): Int = {
+    val cells = 4.0 * math.sqrt(math.max(1L, n).toDouble)
+    math.min(256L, math.max(4L, math.ceil(math.sqrt(cells)).toLong)).toInt
+  }
+
+  /** Max nCells×dim LITERAL TERMS for the literal argmax assignment
+    * form ([[argmaxCell]]). A literal assignment embeds nCells×dim
+    * constants in one projection — ideal codegen at 16 cells × 64 dims
+    * (1024 terms, the flat default, proven fast since round 7) — but
+    * the cost is a function of TOTAL terms, not cell count: the IMI
+    * K=64 half-quantizer (64 cells × 32 dims = 2048 terms) measured
+    * 274.5 s for the 2M-vector assignment scan where the join form at
+    * K=76 took 32.4 s — an 8× cliff from the codegen/JIT limits this
+    * threshold exists to avoid, hit INSIDE the old ≤64-cells rule.
+    * Above the terms budget assignment switches to the broadcast
     * centroid-TABLE join ([[assignCells]]): same dots, same tie-break,
-    * plan size constant in nCells. */
-  final val IvfLiteralAssignMaxCells = 64
+    * plan size constant in nCells. The budget keeps the two
+    * historically-literal shapes literal (flat 16×64, IMI ≤32×32), so
+    * every stored fixture keeps its producing form. */
+  final val IvfLiteralAssignMaxTerms = 1024
+
+  /** True when `cs` is small enough (cells×dim ≤
+    * [[IvfLiteralAssignMaxTerms]]) for the literal assignment form. */
+  private def literalAssignOk(cs: Array[Array[Double]]): Boolean =
+    cs.nonEmpty && cs.length.toLong * cs.head.length <= IvfLiteralAssignMaxTerms
 
   /** The coarse-quantizer model as a TABLE: (cell int, cv array<double>)
     * — nCells rows, broadcast by every consumer. Routing and
@@ -970,14 +997,22 @@ object Extensions {
     * nCells this is the literal [[argmaxCell]] projection (pure
     * codegen, zero shuffle — and bit-compatible with every stored
     * fixture built before the threshold existed). Past
-    * [[IvfLiteralAssignMaxCells]] it becomes the same model-table join
+    * [[IvfLiteralAssignMaxTerms]] it becomes the same model-table join
     * as [[routeCells]], reduced by a partial-agg-friendly
     * `min(struct(-dot, cell))` per id — lexicographic struct min IS
     * the first-max tie-break — so the assignment scan survives the
     * same nCells growth the routing does. */
-  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
-                          cs: Array[Array[Double]]): DataFrame =
-    if (cs.length <= IvfLiteralAssignMaxCells)
+  /** The literal [[argmaxCell]] assignment unconditionally — kept ONLY
+    * as the equality reference for [[assignCells]]'s join branch in
+    * ExtensionsSpec (the twin of [[routeCellsLiteral]]); never called
+    * by a registered query above the terms budget. */
+  private[graft] def assignCellsLiteralRef(df: DataFrame, idCol: String,
+      vecCol: String, cs: Array[Array[Double]]): DataFrame =
+    df.withColumn("cell", argmaxCell(col(vecCol), cs))
+
+  private[graft] def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                                 cs: Array[Array[Double]]): DataFrame =
+    if (literalAssignOk(cs))
       df.withColumn("cell", argmaxCell(col(vecCol), cs))
     else {
       val csDf = broadcast(centroidFrame(df.sparkSession, cs))
@@ -2547,7 +2582,7 @@ object Extensions {
   def ivfEncodeWithError(emb: DataFrame,
                          cs: Array[Array[Double]]): DataFrame = {
     val e = pqNormalize(emb)
-    if (cs.length <= IvfLiteralAssignMaxCells) {
+    if (literalAssignOk(cs)) {
       val sa = array(cs.toSeq.map(c =>
         dotD(col("nv"), array(c.map(lit).toSeq: _*))): _*)
       val cell = (array_position(sa, array_max(sa)) - 1).cast("int")

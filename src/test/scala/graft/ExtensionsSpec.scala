@@ -148,6 +148,33 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("assignCells join branch == the literal argmax form, incl. ties") {
+    // the corpus-side twin of the routeCells equality above: past the
+    // terms budget (cells×dim > 1024) assignment becomes a broadcast
+    // model-table join + min(struct(-dot, cell)) partial agg — the
+    // lexicographic struct min must reproduce argmaxCell's first-max
+    // tie-break exactly. 40 cells × 64 dims = 2560 terms forces the
+    // join branch; a planted duplicate centroid exercises the tie.
+    val emb = model.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cs = Extensions.ivfCentroids(emb,
+      centroidSrc = Some(s"$sf0001/embeddings.parquet"))
+    val big = (0 until 40).map(i => cs(i % cs.length).map(x =>
+      x * (1.0 + 0.01 * (i / cs.length)))).toArray
+    for (quant <- Seq(big, big.take(2) ++ big)) { // planted exact ties
+      assert(quant.length.toLong * quant.head.length >
+        Extensions.IvfLiteralAssignMaxTerms, "test must hit the join branch")
+      val joined = Extensions.assignCells(emb, "vec_id", "v", quant)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val literal = Extensions.assignCellsLiteralRef(emb, "vec_id", "v", quant)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(joined.sorted.toSeq == literal.sorted.toSeq,
+        s"cell assignments diverge at nCells=${quant.length}")
+    }
+  }
+
   test("ext_ivfpq_incremental == ext_topk_ivfpq (frozen models, merged == monolithic)") {
     // codes and cell assignments are PER-VECTOR under the frozen
     // full-corpus models, so stored-90% ∪ one-scan-encoded-batch must
@@ -987,6 +1014,24 @@ class ExtensionsSpec extends SparkSpec {
       .filter(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out.foreach { case (q, c) => assert(c == q + 10000L, s"query $q matched $c") }
+  }
+
+  test("autoKPerHalf tracks 4*sqrt(N) product cells without autoNCells's ceiling") {
+    // K^2 stays within a factor of 2 of the 4*sqrt(N) guidance wherever
+    // neither bound binds (ceil overshoots by < 1 cell per half)
+    for (n <- Seq(10000L, 1000000L, 100000000L)) {
+      val k = Extensions.autoKPerHalf(n).toDouble
+      val target = 4.0 * math.sqrt(n.toDouble)
+      assert(k * k >= target && k * k <= 2 * target, s"n=$n k=$k")
+    }
+    assert(Extensions.autoKPerHalf(1L) == 4)          // floor binds
+    assert(Extensions.autoKPerHalf(10L * 1000 * 1000 * 1000) == 256) // cap binds
+    // past the flat ceiling: the product index keeps deriving finer
+    // cells where autoNCells has saturated
+    val n = 100000000L
+    assert(Extensions.autoNCells(n) == 1024)
+    val k = Extensions.autoKPerHalf(n)
+    assert(k * k > 1024, s"product cells ${k * k} should exceed the flat cap")
   }
 
   test("redactPii masks real-world shaped PII and leaves clean text alone") {
