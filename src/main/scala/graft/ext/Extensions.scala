@@ -668,6 +668,110 @@ object Extensions {
            |ORDER BY id_a, id_b""".stripMargin))
 
   // =====================================================================
+  // E52: span-level substring dedup (the W-token repeated-span form of
+  // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  // Better"): a gram position is DUPLICATED when its 8-word window
+  // occurs at >= 2 positions anywhere in the corpus (any doc, including
+  // self-repetition); a token is duplicated when any duplicated gram
+  // covers it. Per doc: gram/token counts plus the duplicated-token
+  // fraction — the span-removal gate trainers apply before packing.
+  // Doc-LEVEL minhash/ngram dedup (above) cannot see a copied PARAGRAPH
+  // inside an otherwise-novel document; this is the operator that does.
+  //
+  // Scale shape: ONE fused tokenize+hash scan per doc (WordGramSha60 —
+  // grams shuffle as 60-bit longs, 8 bytes/key instead of ~50-byte gram
+  // strings), the canonical wordcount shuffle with map-side partials
+  // for the global position counts (sha-uniform keys, no skew), a
+  // semi-join back on the same key, then a doc-partitioned window over
+  // the DUP positions only (a few % of gram volume) for the fixed-width
+  // interval union. Every stage is corpus-partitioned; nothing reaches
+  // the driver.
+  // =====================================================================
+  /** 8-word windows: long enough that natural-language collisions are
+    * rare, short enough that copied boilerplate sentences are caught
+    * (sf0.01: 2101 duplicated positions across 47 of 500 docs). */
+  final val SubstrDedupW = 8
+
+  /** Per-doc duplicated-span stats over (doc_id, text) rows — the Q
+    * body takes this so ExtensionsSpec can plant a known shared span
+    * and assert the interval-union arithmetic by hand. */
+  private[graft] def substringDedupStats(docs0: DataFrame): DataFrame = {
+    val W = SubstrDedupW
+    val docs = docs0
+      .select(col("doc_id"), edgeTrim(lower(col("text"))).as("t"))
+      .select(col("doc_id"),
+        size(split(col("t"), "\\s+")).cast("long").as("n_tokens"),
+        graft.expr.ColumnOps.wordGramSha60(col("t"), W).as("gh"))
+    // (doc, pos, gram-hash) — cached: feeds the global count AND the
+    // per-position dup flag, so the corpus explodes once, not twice
+    val pos = cacheTracked(docs
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(col("gh")).as(Seq("pos", "g")))
+      .withColumn("pos", col("pos").cast("long")))
+    val dupG = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g")
+    // interval union for FIXED-width spans: duplicated start s covers
+    // [s, s+W-1] clipped to the doc, so with starts sorted its net new
+    // coverage is min(W, next_start - s, n_tokens - s) — no interval
+    // stack, one lead() per dup position
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val contrib = least(
+      coalesce(lead(col("pos"), 1).over(wDoc) - col("pos"), lit(W.toLong)),
+      lit(W.toLong), col("n_tokens") - col("pos"))
+    val cov = pos.join(dupG, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+      .withColumn("contrib", contrib)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_grams"), sum("contrib").as("dup_tokens"))
+    docs.select(col("doc_id"), col("n_tokens"),
+        size(col("gh")).cast("long").as("n_grams"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val substringDedup: Q = Q("ext_substring_dedup",
+    (spark, sfDir) => substringDedupStats(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))),
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, regexp_split_to_array(
+            |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'),
+            |    '\\s+') AS toks
+            |  FROM documents),
+            |g AS (
+            |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            |    [${duckHash60(s"array_to_string(toks[i:i+${SubstrDedupW - 1}], ' ')")}
+            |     for i in range(1, greatest(len(toks) - ${SubstrDedupW - 1}, 1) + 1)] AS grams
+            |  FROM d),
+            |p AS (
+            |  SELECT doc_id, n_tokens, unnest(grams) AS gh,
+            |    CAST(unnest(range(0, len(grams))) AS BIGINT) AS pos
+            |  FROM g),
+            |c AS (SELECT gh FROM p GROUP BY gh HAVING count(*) >= 2),
+            |dp AS (SELECT p.doc_id, p.n_tokens, p.pos FROM p
+            |       WHERE EXISTS (SELECT 1 FROM c WHERE c.gh = p.gh)),
+            |cov AS (
+            |  SELECT doc_id, count(*) AS dup_grams, sum(contrib) AS dup_tokens
+            |  FROM (
+            |    SELECT doc_id, least(
+            |      coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+            |               $SubstrDedupW),
+            |      $SubstrDedupW, n_tokens - pos) AS contrib
+            |    FROM dp) GROUP BY doc_id)
+            |SELECT g.doc_id AS doc_id, g.n_tokens AS n_tokens,
+            |  CAST(len(grams) AS BIGINT) AS n_grams,
+            |  CAST(coalesce(cov.dup_grams, 0) AS BIGINT) AS dup_grams,
+            |  CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+            |  round(CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / g.n_tokens, 4)
+            |    AS dup_frac
+            |FROM g LEFT JOIN cov ON cov.doc_id = g.doc_id
+            |ORDER BY g.doc_id""".stripMargin))
+
+  // =====================================================================
   // E3: brute-force top-k cosine similarity search (the exact baseline;
   // the LSH-bucketed ANN variant is ext_ann_lsh below).
   // Query set is the FIXED-COUNT hash-ordered sample ([[annQueryIds]]) —
@@ -6146,7 +6250,8 @@ object Extensions {
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
-    dedupSimhash, dedupEmbedding, topkCosine, annLsh, topkIvf, topkPq, annRecall,
+    dedupSimhash, dedupEmbedding, substringDedup,
+    topkCosine, annLsh, topkIvf, topkPq, annRecall,
     textStats,
     langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,
     fingerprintWinnow,

@@ -28,6 +28,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("substringDedupStats: planted spans, hand-computed interval union") {
+    // W=8. doc1/doc2 share a 10-token span (3 dup gram starts each,
+    // union covers exactly the 10 span tokens); doc3 is clean; doc4
+    // self-repeats an 8-token run (both occurrences duplicated, 16
+    // covered); doc5/doc6 are identical SHORT docs (< W tokens → one
+    // whole-doc gram each, full coverage clipped to doc length).
+    val docs = Seq(
+      (1L, "u1 u2 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 u3 u4"),
+      (2L, "v1 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 v2 v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8 x r1 r2 r3 r4 r5 r6 r7 r8"),
+      (5L, "a b c"), (6L, "a b c")).toDF("doc_id", "text")
+    val got = Extensions.substringDedupStats(docs).collect().map(r =>
+      r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got(1L) == ((14L, 7L, 3L, 10L, 0.7143)))
+    assert(got(2L) == ((15L, 8L, 3L, 10L, 0.6667)))
+    assert(got(3L) == ((9L, 2L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((17L, 10L, 2L, 16L, 0.9412)))
+    assert(got(5L) == ((3L, 1L, 1L, 3L, 1.0)))
+    assert(got(6L) == ((3L, 1L, 1L, 3L, 1.0)))
+  }
+
   test("topk cosine: nearest neighbor of a vector family is its closest variant") {
     val df = Extensions.topkCosine.fn(spark, sf0001)
     // rank 1 must have the highest cos per query
