@@ -3399,6 +3399,100 @@ object Extensions {
            |FROM ranked WHERE rank <= 10 ORDER BY lang, rank""".stripMargin))
 
   // =====================================================================
+  // E53: count-min-sketch heavy hitters — ext_top_terms at a shuffle
+  // cost that is CONSTANT in vocabulary size. The exact path's
+  // (lang, token) groupBy shuffles the full distinct-term table: ~30k
+  // rows/lang at sf0.1, but BILLIONS at 100 TB of web text (typo/junk
+  // long tail), where per-term counting is the textbook heavy-hitter
+  // non-starter. The CMS form is expressed RELATIONALLY — no sketch
+  // blobs, no driver state: the stored 60-bit sha of each token is
+  // sliced into d=4 independent 12-bit bucket hashes (one hash
+  // evaluation per occurrence, sha256 bits are independent), and the
+  // sketch IS the (lang, row, bucket, cnt) table — its groupBy's
+  // map-side partials collapse every partition to ≤ d×w rows, so the
+  // wire carries ≤ langs×4×4096 rows no matter the corpus. Estimation
+  // is the textbook min-over-rows: candidates (distinct tokens of the
+  // fixed 256-doc hash sample — heavy hitters are in any sample by
+  // definition) join the sketch on (lang, row, bucket), min(cnt) is
+  // the one-sided CMS estimate, rank as the exact query does. Both
+  // halves are plain joins/aggs, so the DuckDB oracle replicates the
+  // sketch bit-for-bit — a HASH-MATCHED approximate operator.
+  // =====================================================================
+  /** d=4 rows × w=4096 buckets (12-bit slices of hash60): at sf0.1
+    * expected collision noise ≈ 270k occurrences / 4096 ≈ 66 per
+    * bucket-row vs stopword counts in the thousands; the spec measures
+    * top-10 agreement vs the exact query and asserts one-sidedness. */
+  final val CmsDepth = 4
+  final val CmsWidth = 4096
+  final val CmsCandidateDocs = 256
+
+  val topTermsCms: Q = Q("ext_top_terms_cms",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      def toks(d: DataFrame): DataFrame = d
+        .select(col("lang"),
+          explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 2)
+      def bucketed(d: DataFrame): DataFrame = d
+        .withColumn("h", Scalars.hash60(col("token")))
+        .select(col("*"), posexplode(array((0 until CmsDepth).map(i =>
+          shiftright(col("h"), 12 * i)
+            .bitwiseAND(lit((CmsWidth - 1).toLong))): _*)).as(Seq("i", "bucket")))
+      // the pre-agg ×d explode never reaches the wire: partial
+      // aggregation collapses each partition to ≤ d×w rows in-stage
+      val sketch = bucketed(toks(docs))
+        .groupBy("lang", "i", "bucket").agg(count(lit(1)).as("cnt"))
+      val cand = bucketed(
+        toks(hashOrderedSample(docs.select(col("doc_id"), col("lang"),
+          col("text")), "doc_id", CmsCandidateDocs))
+          .distinct())
+      val est = cand.join(sketch, Seq("lang", "i", "bucket"))
+        .groupBy("lang", "token").agg(min(col("cnt")).as("n_est"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_est").desc, col("token").asc)
+      est.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy("lang", "rank")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT lang, unnest(regexp_split_to_array(
+            |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS token
+            |  FROM documents),
+            |occ AS (
+            |  SELECT lang, ${duckHash60("token")} AS h FROM toks
+            |  WHERE length(token) > 2),
+            |sk AS (
+            |  SELECT lang, i, (h >> (12 * i)) & ${CmsWidth - 1} AS bucket,
+            |    count(*) AS cnt
+            |  FROM occ, unnest(range(0, $CmsDepth)) AS r(i)
+            |  GROUP BY lang, i, bucket),
+            |samp AS (
+            |  ${duckHashOrderedSampleSql("documents", "doc_id", CmsCandidateDocs,
+                 "doc_id, lang, text")}),
+            |cand AS (
+            |  SELECT DISTINCT lang, token FROM (
+            |    SELECT lang, unnest(regexp_split_to_array(
+            |      regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS token
+            |    FROM samp) WHERE length(token) > 2),
+            |cb AS (
+            |  SELECT lang, token, i,
+            |    (${duckHash60("token")} >> (12 * i)) & ${CmsWidth - 1} AS bucket
+            |  FROM cand, unnest(range(0, $CmsDepth)) AS r(i)),
+            |est AS (
+            |  SELECT cb.lang AS lang, cb.token AS token, min(sk.cnt) AS n_est
+            |  FROM cb JOIN sk ON sk.lang = cb.lang AND sk.i = cb.i
+            |    AND sk.bucket = cb.bucket
+            |  GROUP BY cb.lang, cb.token),
+            |ranked AS (
+            |  SELECT lang, token, n_est,
+            |    row_number() OVER (PARTITION BY lang
+            |      ORDER BY n_est DESC, token ASC) AS rank
+            |  FROM est)
+            |SELECT lang, token, CAST(n_est AS BIGINT) AS n_est,
+            |  CAST(rank AS INT) AS rank
+            |FROM ranked WHERE rank <= 10 ORDER BY lang, rank""".stripMargin))
+
+  // =====================================================================
   // Test-set DECONTAMINATION — flag training documents sharing any
   // 5-word gram with any test document (split = the same content-hash
   // buckets as ext_split_assign, so the check is stable under
@@ -6255,7 +6349,8 @@ object Extensions {
     textStats,
     langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,
     fingerprintWinnow,
-    multimodalJoin, multimodalDecode, piiRedact, topTerms, decontaminate,
+    multimodalJoin, multimodalDecode, piiRedact, topTerms, topTermsCms,
+    decontaminate,
     stratifiedSample, clusterWeightedSample, splitTrainTest, packSequences,
     corpusCurate, corpusCurateFull,
     repetitionScore, charEntropy, contaminationScore,

@@ -52,6 +52,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(6L) == ((3L, 1L, 1L, 3L, 1.0)))
   }
 
+  test("ext_top_terms_cms: one-sided estimates, top-10 agrees with exact") {
+    val cms = Extensions.topTermsCms.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // CMS never underestimates: every estimate >= the true count
+    val exact = Extensions.topTerms.fn(spark, sf0001)
+    val trueN = model.Tables.documents(spark, sf0001)
+      .select(col("lang"),
+        explode(split(Extensions.edgeTrim(lower(col("text"))), "\\s+")).as("t"))
+      .filter(length(col("t")) > 2)
+      .groupBy("lang", "t").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    cms.foreach { case (l, t, est) =>
+      assert(est >= trueN((l, t)), s"underestimate for ($l,$t)") }
+    // and with d=4 x w=4096 the top-10 per lang matches the exact query
+    // (measured 10/10 at sf0.001 and sf0.01; floor 9 allows one
+    // collision-induced boundary flip)
+    val exSet = exact.select("lang", "token").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val byLang = cms.groupBy(_._1)
+    byLang.foreach { case (l, rows) =>
+      val hit = rows.count(r => exSet.contains((r._1, r._2)))
+      assert(hit >= 9, s"lang $l: only $hit/10 CMS top terms match exact") }
+  }
+
   test("topk cosine: nearest neighbor of a vector family is its closest variant") {
     val df = Extensions.topkCosine.fn(spark, sf0001)
     // rank 1 must have the highest cos per query
