@@ -61,6 +61,8 @@ object SparkEntry {
       "frozen-codebook model maintenance has no SQL analog (the codebook is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test, the O(batch) encode by ScaleProbe pqinc, and PlanSpec asserts the train distortion is read from the stored model stat (one corpus scan: the batch filter)",
     "ext_ivf_incremental" ->
       "frozen-centroid model maintenance has no SQL analog (the quantizer is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test and PlanSpec's stored-stat gate (same encode shape as ext_pq_incremental)",
+    "ext_mmr_rerank" ->
+      "the k-step greedy selection is sequentially data-dependent (selection r depends on the max-similarity state of selections 1..r-1) and has no practical recursive-CTE SQL form; ExtensionsSpec recomputes the selection with an independent in-memory MMR over the same pool and requires identical (query, corpus, rank) triples plus score agreement, and asserts rank 1 equals the exact search's nearest neighbor",
     "ext_bpe_merges" ->
       "K data-dependent argmax+rewrite rounds have no practical recursive-CTE SQL form; ExtensionsSpec recomputes the merge table with an independent in-memory BPE over the collected vocabulary and requires exact equality",
     "ext_bpe_token_count" ->

@@ -814,6 +814,103 @@ object Extensions {
            |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin))
 
   // =====================================================================
+  // E54: MMR diversified top-k (Carbonell & Goldstein 1998) — rerank
+  // the exact top-R pool so the returned k cover the query's
+  // neighborhood instead of repeating near-duplicates of the top hit:
+  // pick argmax of λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s), k
+  // times. The retrieval consumer every dedup-aware pipeline runs on
+  // top of similarity search.
+  //
+  // Scale shape: the corpus-sized work stays the one-scan broadcast
+  // exact search (same plan as ext_topk_cosine) cut to R=30 per query;
+  // the greedy is per-query SEQUENTIAL by definition (selection r
+  // depends on selections 1..r−1), so it runs as a typed
+  // flatMapGroups over the query-sized pool — each group ≤ R rows,
+  // O(R·k·dim) flops, groups distributed across executors. k relational
+  // self-joins could express the same loop but would pay k query-sized
+  // shuffles for no parallelism gain; mapGroups is the idiomatic Spark
+  // home for a bounded per-group fold. Nothing corpus-sized leaves the
+  // search stage; nothing at all reaches the driver.
+  // =====================================================================
+  final val MmrLambda = 0.7
+  final val MmrPool = 30
+
+  /** Greedy MMR over ONE query's candidate pool (corpus_id, rel, unit
+    * vector): deterministic — pool pre-sorted by (rel desc, id asc),
+    * MMR-score ties resolve to the higher-rel then smaller-id
+    * candidate. Selection 1 is the pure-relevance argmax (rank 1 of
+    * the exact search). */
+  private[graft] def mmrSelect(qid: Long,
+      pool: Seq[(Long, Long, Double, Seq[Double])])
+      : Iterator[(Long, Long, Double, Double, Int)] = {
+    val cand = pool.sortBy(t => (-t._3, t._2)).toArray
+    val n = cand.length
+    val vecs = cand.map(_._4.toArray)
+    val chosen = new Array[Boolean](n)
+    val maxSim = new Array[Double](n) // max cos to the selected set
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val out = Vector.newBuilder[(Long, Long, Double, Double, Int)]
+    var r = 1
+    while (r <= math.min(AnnK, n)) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!chosen(i)) {
+          val s =
+            if (r == 1) cand(i)._3
+            else MmrLambda * cand(i)._3 - (1 - MmrLambda) * maxSim(i)
+          // strict > plus the (rel desc, id asc) pre-sort: score ties
+          // resolve to the higher-rel, then smaller-id candidate
+          if (s > bestScore) { best = i; bestScore = s }
+        }
+        i += 1
+      }
+      chosen(best) = true
+      out += ((qid, cand(best)._2, cand(best)._3,
+        math.rint(bestScore * 1e6) / 1e6, r))
+      var j = 0
+      while (j < n) {
+        if (!chosen(j)) {
+          val s = dot(vecs(j), vecs(best)) // unit vectors → cosine
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      r += 1
+    }
+    out.result().iterator
+  }
+
+  val mmrRerank: Q = Q("ext_mmr_rerank",
+    (spark, sfDir) => {
+      val sp = spark
+      import sp.implicits._
+      val e = pqNormalize(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      val q = hashOrderedSample(e, "vec_id", AnnQueryCount)
+        .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("corpus_id").asc)
+      val pool = e.select(col("vec_id").as("corpus_id"), col("nv").as("cv"))
+        .join(broadcast(q), col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"),
+          round(dotD(col("qv"), col("cv")), 6).as("rel"), col("cv"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= MmrPool)
+        .select(col("query_id"), col("corpus_id"), col("rel"), col("cv"))
+      pool.as[(Long, Long, Double, Seq[Double])]
+        .groupByKey(_._1)
+        .flatMapGroups((qid: Long,
+            it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+          mmrSelect(qid, it.toSeq))
+        .toDF("query_id", "corpus_id", "rel", "mmr_score", "mmr_rank")
+        .orderBy("query_id", "mmr_rank")
+    }, None)
+
+  // =====================================================================
   // ANN via sign-random-hyperplane LSH (Spark-only; approximate, so no
   // SQL oracle — driver records the weaker rows-only check).
   // Planes are derived from sha256 so the index is deterministic.
@@ -6345,7 +6442,7 @@ object Extensions {
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, substringDedup,
-    topkCosine, annLsh, topkIvf, topkPq, annRecall,
+    topkCosine, mmrRerank, annLsh, topkIvf, topkPq, annRecall,
     textStats,
     langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,
     fingerprintWinnow,

@@ -76,6 +76,63 @@ class ExtensionsSpec extends SparkSpec {
       assert(hit >= 9, s"lang $l: only $hit/10 CMS top terms match exact") }
   }
 
+  test("ext_mmr_rerank equals an independent in-memory MMR; rank 1 = exact NN") {
+    val out = Extensions.mmrRerank.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4)))
+    // independent reference: plain-scala normalize, pool, greedy
+    val raw = model.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val unit = raw.map { case (id, v) =>
+      val n = math.sqrt(dot(v, v)); id -> v.map(_ / n) }
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val lam = 0.7
+    for (q <- out.map(_._1).distinct) {
+      val qv = unit(q)
+      val pool = unit.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, r6(dot(qv, v)), v) }
+        .sortBy(t => (-t._2, t._1)).take(30).toArray
+      var selected = List.empty[(Long, Double, Double, Int)]
+      var simState = pool.map(_ => 0.0)
+      val taken = pool.map(_ => false)
+      for (r <- 1 to 10) {
+        val scores = pool.indices.map { i =>
+          if (taken(i)) Double.NegativeInfinity
+          else if (r == 1) pool(i)._2
+          else lam * pool(i)._2 - (1 - lam) * simState(i)
+        }
+        // ties → earliest pool index (pool is (rel desc, id asc) sorted)
+        val best = scores.indices.maxBy(i => (scores(i), -i))
+        taken(best) = true
+        selected ::= ((pool(best)._1, pool(best)._2, r6(scores(best)), r))
+        simState = pool.indices.map(i =>
+          if (taken(i)) simState(i)
+          else math.max(simState(i), dot(pool(i)._3, pool(best)._3))).toArray
+      }
+      val ref = selected.reverse
+      val got = out.filter(_._1 == q).sortBy(_._5)
+      assert(got.map(t => (t._2, t._5)).toSeq == ref.map(t => (t._1, t._4)),
+        s"selection order diverges for query $q")
+      got.zip(ref).foreach { case (g, e) =>
+        assert(math.abs(g._3 - e._2) <= 1e-6 && math.abs(g._4 - e._3) <= 1e-6,
+          s"scores diverge for query $q rank ${g._5}") }
+      // diversification never changes the FIRST pick: pure relevance
+      assert(got.head._2 == ref.head._1 && got.head._5 == 1)
+    }
+    // and λ<1 must actually diversify somewhere: at least one query's
+    // MMR order differs from its pure-relevance (rel desc, id asc)
+    // order — guards a degenerate wiring where the penalty term is 0
+    val reordered = out.groupBy(_._1).count { case (_, rows) =>
+      val byRank = rows.sortBy(_._5).map(_._2).toSeq
+      val byRel = rows.sortBy(t => (-t._3, t._2)).map(_._2).toSeq
+      byRank != byRel
+    }
+    assert(reordered > 0, "MMR output is pure relevance order for every query")
+  }
+
   test("topk cosine: nearest neighbor of a vector family is its closest variant") {
     val df = Extensions.topkCosine.fn(spark, sf0001)
     // rank 1 must have the highest cos per query

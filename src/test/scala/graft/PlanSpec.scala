@@ -148,6 +148,7 @@ class PlanSpec extends SparkSpec {
       "ext_dedup_ngram",     // 128-doc absolute sample, exact Jaccard ground truth
       "ext_dedup_embedding", // ≤64-per-label absolute sample, ground truth for E3b
       "ext_topk_cosine",     // broadcast query set × corpus — exact baseline
+      "ext_mmr_rerank",      // same broadcast query × corpus pool build as ext_topk_cosine
       "ext_ann_lsh",         // broadcast query side over bucket candidates
       "ext_topk_pq",         // broadcast query LUTs × corpus CODE scan (ADC)
       "ext_ann_recall",      // composes topk_cosine + ann_lsh above
