@@ -695,19 +695,31 @@ object Extensions {
   /** Per-doc duplicated-span stats over (doc_id, text) rows — the Q
     * body takes this so ExtensionsSpec can plant a known shared span
     * and assert the interval-union arithmetic by hand. */
-  private[graft] def substringDedupStats(docs0: DataFrame): DataFrame = {
-    val W = SubstrDedupW
-    val docs = docs0
+  /** Cached single-pass base for the substring-dedup family: one raw
+    * scan, one tokenize + fused gram-hash pass, materialized as
+    * (doc_id, n_tokens, toks, gh) — every consumer (global gram count,
+    * dup-position probe, per-doc stats, token-level rewrite) reads the
+    * cached arrays and InMemoryTableScan prunes the columns it needs;
+    * the explodes downstream unpack cached arrays, cheap next to
+    * re-running regex split + sha over the corpus. */
+  private def substringDocs(docs0: DataFrame): DataFrame =
+    cacheTracked(docs0
       .select(col("doc_id"), edgeTrim(lower(col("text"))).as("t"))
       .select(col("doc_id"),
-        size(split(col("t"), "\\s+")).cast("long").as("n_tokens"),
-        graft.expr.ColumnOps.wordGramSha60(col("t"), W).as("gh"))
-    // (doc, pos, gram-hash) — cached: feeds the global count AND the
-    // per-position dup flag, so the corpus explodes once, not twice
-    val pos = cacheTracked(docs
-      .select(col("doc_id"), col("n_tokens"),
+        split(col("t"), "\\s+").as("toks"),
+        graft.expr.ColumnOps.wordGramSha60(col("t"), SubstrDedupW).as("gh"))
+      .withColumn("n_tokens", size(col("toks")).cast("long")))
+
+  /** (doc_id, n_tokens, pos, g): every gram-start position. */
+  private def substringGramPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_tokens"),
         posexplode(col("gh")).as(Seq("pos", "g")))
-      .withColumn("pos", col("pos").cast("long")))
+      .withColumn("pos", col("pos").cast("long"))
+
+  private[graft] def substringDedupStats(docs0: DataFrame): DataFrame = {
+    val W = SubstrDedupW
+    val docs = substringDocs(docs0)
+    val pos = substringGramPositions(docs)
     val dupG = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("g")
     // interval union for FIXED-width spans: duplicated start s covers
@@ -770,6 +782,124 @@ object Extensions {
             |    AS dup_frac
             |FROM g LEFT JOIN cov ON cov.doc_id = g.doc_id
             |ORDER BY g.doc_id""".stripMargin))
+
+  // =====================================================================
+  // E55: substring-dedup REWRITE — the consumer transformation E52's
+  // stats gate: duplicated spans are REMOVED and the text rebuilt.
+  // Policy (deterministic, the Lee et al. keep-one discipline): the
+  // canonical occurrence of a duplicated gram is its globally FIRST
+  // (min doc_id, then min pos); a token is removed iff covered by at
+  // least one NON-canonical duplicated occurrence. The canonical doc
+  // keeps its span, every later copy loses it, and a self-repeat keeps
+  // its first occurrence.
+  //
+  // Scale shape: canonical occurrences come from ONE
+  // partial-agg-friendly min(struct(doc, pos)) per gram — never a
+  // window over all gram positions; span coverage is folded by the
+  // delta-row trick (+1 at span start, −1 at its exclusive end, merged
+  // with the token rows, one running-sum window per doc) — the
+  // interval-containment join with NO range join and no per-token span
+  // probe. Reconstruction is a per-doc sort-collect of the kept
+  // tokens. Everything shuffles on doc_id or the 60-bit gram hash.
+  // =====================================================================
+  private[graft] def substringDedupRewrite(docs0: DataFrame): DataFrame = {
+    val W = SubstrDedupW
+    val docs = substringDocs(docs0)
+    val pos = substringGramPositions(docs)
+    val dupStats = pos.groupBy("g").agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("cnt") >= 2)
+      .select(col("g"), col("canon.doc_id").as("cdoc"),
+        col("canon.pos").as("cpos"))
+    // non-canonical duplicated occurrences → removal spans [s, e)
+    val spans = pos.join(dupStats, Seq("g"))
+      .filter(!(col("doc_id") === col("cdoc") && col("pos") === col("cpos")))
+      .select(col("doc_id"), col("pos").as("s"),
+        least(col("pos") + W, col("n_tokens")).as("e"))
+    val deltas = spans
+      .select(col("doc_id"), col("s").as("p"), lit(1L).as("delta"))
+      .unionAll(spans
+        .select(col("doc_id"), col("e").as("p"), lit(-1L).as("delta")))
+      .select(col("doc_id"), col("p"), col("delta"),
+        lit(null).cast("string").as("tok"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        lit(0L).as("delta"), col("tok"))
+    // deltas sort BEFORE the token at the same position: +1 at p covers
+    // token p (inclusive start) and −1 at p has already ended
+    // (exclusive e) — so the token's running sum IS its live coverage
+    val wCum = Window.partitionBy(col("doc_id"))
+      .orderBy(col("p"), col("tok").isNotNull.cast("int"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = deltas.unionAll(toks)
+      .withColumn("cov", sum(col("delta")).over(wCum))
+      .filter(col("tok").isNotNull)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(when(col("cov") === 0, 1)).as("kept_tokens"),
+      array_join(transform(array_sort(collect_list(
+          when(col("cov") === 0, struct(col("p"), col("tok"))))),
+        st => st.getField("tok")), " ").as("text_dedup"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy("doc_id")
+  }
+
+  val substringDedupRewriteQ: Q = Q("ext_substring_dedup_rewrite",
+    (spark, sfDir) => substringDedupRewrite(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))),
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, regexp_split_to_array(
+            |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'),
+            |    '\\s+') AS toks
+            |  FROM documents),
+            |g AS (
+            |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            |    [${duckHash60(s"array_to_string(toks[i:i+${SubstrDedupW - 1}], ' ')")}
+            |     for i in range(1, greatest(len(toks) - ${SubstrDedupW - 1}, 1) + 1)] AS grams
+            |  FROM d),
+            |p AS (
+            |  SELECT doc_id, n_tokens, unnest(grams) AS gh,
+            |    CAST(unnest(range(0, len(grams))) AS BIGINT) AS pos
+            |  FROM g),
+            |c0 AS (
+            |  SELECT doc_id, n_tokens, pos,
+            |    count(*) OVER (PARTITION BY gh) AS cnt,
+            |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+            |  FROM p),
+            |spans AS (
+            |  SELECT doc_id, pos AS s,
+            |    least(pos + $SubstrDedupW, n_tokens) AS e
+            |  FROM c0 WHERE cnt >= 2 AND rn > 1),
+            |deltas AS (
+            |  SELECT doc_id, s AS p, 1 AS delta, NULL AS tok FROM spans
+            |  UNION ALL
+            |  SELECT doc_id, e AS p, -1 AS delta, NULL AS tok FROM spans),
+            |tk AS (
+            |  SELECT doc_id, CAST(unnest(range(0, len(toks))) AS BIGINT) AS p,
+            |    0 AS delta, unnest(toks) AS tok
+            |  FROM d),
+            |cum AS (
+            |  SELECT doc_id, p, tok,
+            |    sum(delta) OVER (PARTITION BY doc_id
+            |      ORDER BY p, (tok IS NOT NULL)
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+            |  FROM (SELECT * FROM deltas UNION ALL SELECT * FROM tk)),
+            |reb AS (
+            |  SELECT doc_id,
+            |    count(CASE WHEN cov = 0 THEN 1 END) AS kept_tokens,
+            |    coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' '
+            |      ORDER BY p), '') AS text_dedup
+            |  FROM cum WHERE tok IS NOT NULL GROUP BY doc_id)
+            |SELECT d.doc_id AS doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+            |  CAST(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+            |  coalesce(reb.text_dedup, '') AS text_dedup
+            |FROM d LEFT JOIN reb ON reb.doc_id = d.doc_id
+            |ORDER BY d.doc_id""".stripMargin))
 
   // =====================================================================
   // E3: brute-force top-k cosine similarity search (the exact baseline;
@@ -6441,7 +6571,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
-    dedupSimhash, dedupEmbedding, substringDedup,
+    dedupSimhash, dedupEmbedding, substringDedup, substringDedupRewriteQ,
     topkCosine, mmrRerank, annLsh, topkIvf, topkPq, annRecall,
     textStats,
     langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,

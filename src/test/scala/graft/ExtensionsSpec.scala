@@ -76,6 +76,29 @@ class ExtensionsSpec extends SparkSpec {
       assert(hit >= 9, s"lang $l: only $hit/10 CMS top terms match exact") }
   }
 
+  test("substringDedupRewrite: canonical occurrence kept, every copy removed") {
+    // same planted corpus as the stats test. Canonical = global first
+    // (min doc, then min pos): doc1 owns the shared 10-token span so it
+    // keeps everything and doc2 loses exactly the span; doc4's
+    // self-repeat keeps its first 8-token run and drops the second;
+    // doc5 (canonical) keeps the short dup whole-doc gram, doc6 loses
+    // its entire text.
+    val docs = Seq(
+      (1L, "u1 u2 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 u3 u4"),
+      (2L, "v1 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 v2 v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8 x r1 r2 r3 r4 r5 r6 r7 r8"),
+      (5L, "a b c"), (6L, "a b c")).toDF("doc_id", "text")
+    val got = Extensions.substringDedupRewrite(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((14L, 14L, "u1 u2 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 u3 u4")))
+    assert(got(2L) == ((15L, 5L, "v1 v2 v3 v4 v5")))
+    assert(got(3L) == ((9L, 9L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+    assert(got(4L) == ((17L, 9L, "r1 r2 r3 r4 r5 r6 r7 r8 x")))
+    assert(got(5L) == ((3L, 3L, "a b c")))
+    assert(got(6L) == ((3L, 0L, "")))
+  }
+
   test("ext_mmr_rerank equals an independent in-memory MMR; rank 1 = exact NN") {
     val out = Extensions.mmrRerank.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
