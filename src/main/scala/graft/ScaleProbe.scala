@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe imi [nVecs] [kPerHalf|auto] [nProbe|auto] [probeA] [noflat]
   *        runMain graft.ScaleProbe compact [nVecs] [nCells]
   *        runMain graft.ScaleProbe lexcompact [nDocs]
+  *        runMain graft.ScaleProbe substr [nDocs]
   *
   * The `skew` mode measures the connected-components loop on a planted
   * MEGA-COMPONENT (one hub star of `spokes` edges + a background of
@@ -566,6 +567,58 @@ object ScaleProbe {
     * of 2 reps. Also reports the postings-vs-raw I/O asymmetry.
     *
     * Usage: runMain graft.ScaleProbe lexcompact [nDocs] */
+  /** E52/E55 substring dedup at 2M docs: 5% of docs carry one of 7
+    * ten-token boilerplate sentences appended to otherwise-unique
+    * 40-token text — realistic web boilerplate fan-out (~14k copies per
+    * sentence, 3 duplicated gram starts per carrier). Claims probed:
+    * (1) the gram-count shuffle is the plain wordcount shape at ~86M
+    * gram positions; (2) the dup-gram set feeding the semi-join probe
+    * is MODEL-sized (21 distinct grams here) no matter the corpus;
+    * (3) the per-doc coverage window runs over dup positions only
+    * (300k of 86M). Usage: runMain graft.ScaleProbe substr [nDocs] */
+  private def substrProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = concat_ws(" ", (0 until 40).map(j =>
+      concat(lit("w"), pmod(hash(col("id"), lit(j)), lit(2000000)))): _*)
+    val boiler = concat_ws(" ", (0 until 10).map(j =>
+      concat(lit("b"), pmod(hash(pmod(col("id"), lit(7)), lit(j)), lit(1000)))): _*)
+    val text = when(pmod(col("id"), lit(20)) === 0,
+      concat_ws(" ", base, boiler)).otherwise(base)
+    val srcDir = s"target/tmp-substr/docs-$nDocs.parquet"
+    if (!new java.io.File(srcDir).exists())
+      spark.range(nDocs).select(col("id").as("doc_id"), text.as("text"))
+        .write.mode("overwrite").parquet(srcDir)
+    val docs = spark.read.parquet(srcDir)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val statsOf = () => ext.Extensions.substringDedupStats(docs)
+      .agg(sum("n_grams"), sum("dup_grams"), sum("dup_tokens"),
+        count(when(col("dup_grams") > 0, 1)))
+      .collect()(0)
+    val (st, tStats) = Seq.fill(2)(timed(statsOf())).minBy(_._2)
+    println(f"PROBE substr: docs=$nDocs%d grams=${st.getLong(0)}%d " +
+      f"dup_positions=${st.getLong(1)}%d dup_tokens=${st.getLong(2)}%d " +
+      f"dup_docs=${st.getLong(3)}%d stats_wall=$tStats%.1f s")
+    val rewriteOf = () => ext.Extensions.substringDedupRewrite(docs)
+      .agg(sum("n_tokens"), sum("kept_tokens")).collect()(0)
+    val (rw, tRw) = Seq.fill(2)(timed(rewriteOf())).minBy(_._2)
+    val removed = rw.getLong(0) - rw.getLong(1)
+    println(f"PROBE substr: rewrite removed $removed%d of ${rw.getLong(0)}%d " +
+      f"tokens (${100.0 * removed / rw.getLong(0)}%.2f%%) rewrite_wall=$tRw%.1f s")
+    spark.stop()
+  }
+
   private def lexCompactProbe(args: Array[String]): Unit = {
     val nDocs = if (args.length > 1) args(1).toLong else 2000000L
     val nBatch = math.max(1L, nDocs / 100L)
@@ -961,6 +1014,7 @@ object ScaleProbe {
     if (args.headOption.contains("compact")) { compactProbe(args); return }
     if (args.headOption.contains("ivfpq")) { ivfpqProbe(args); return }
     if (args.headOption.contains("imi")) { imiProbe(args); return }
+    if (args.headOption.contains("substr")) { substrProbe(args); return }
     if (args.headOption.contains("lexinc")) { lexIncProbe(args); return }
     if (args.headOption.contains("lexcompact")) { lexCompactProbe(args); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }

@@ -812,18 +812,26 @@ object Extensions {
       .filter(col("cnt") >= 2)
       .select(col("g"), col("canon.doc_id").as("cdoc"),
         col("canon.pos").as("cpos"))
-    // non-canonical duplicated occurrences → removal spans [s, e)
-    val spans = pos.join(dupStats, Seq("g"))
+    // non-canonical duplicated occurrences → removal spans [s, e).
+    // Cached: dup-fraction-bounded (300k rows at the 2M-doc probe) and
+    // read three times below — without the cache the 67M-gram count
+    // shuffle above would re-run per consumer
+    val spans = cacheTracked(pos.join(dupStats, Seq("g"))
       .filter(!(col("doc_id") === col("cdoc") && col("pos") === col("cpos")))
       .select(col("doc_id"), col("pos").as("s"),
-        least(col("pos") + W, col("n_tokens")).as("e"))
+        least(col("pos") + W, col("n_tokens")).as("e")))
+    // only span-CARRYING docs pay the token explode + window (5% of
+    // docs at the probe's boilerplate rate); the untouched 95% rebuild
+    // straight from their cached token arrays
+    val spanDocs = spans.select("doc_id").distinct()
+    val touched = docs.join(spanDocs, Seq("doc_id"), "left_semi")
     val deltas = spans
       .select(col("doc_id"), col("s").as("p"), lit(1L).as("delta"))
       .unionAll(spans
         .select(col("doc_id"), col("e").as("p"), lit(-1L).as("delta")))
       .select(col("doc_id"), col("p"), col("delta"),
         lit(null).cast("string").as("tok"))
-    val toks = docs
+    val toks = touched
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
       .select(col("doc_id"), col("p").cast("long").as("p"),
         lit(0L).as("delta"), col("tok"))
@@ -841,11 +849,14 @@ object Extensions {
       array_join(transform(array_sort(collect_list(
           when(col("cov") === 0, struct(col("p"), col("tok"))))),
         st => st.getField("tok")), " ").as("text_dedup"))
-    docs.select(col("doc_id"), col("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
+    touched.select(col("doc_id"), col("n_tokens"))
+      .join(rebuilt, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        col("kept_tokens"), col("text_dedup"))
+      .unionByName(docs.join(spanDocs, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"),
+          col("n_tokens").as("kept_tokens"),
+          array_join(col("toks"), " ").as("text_dedup")))
       .orderBy("doc_id")
   }
 
