@@ -616,6 +616,31 @@ object ScaleProbe {
     val removed = rw.getLong(0) - rw.getLong(1)
     println(f"PROBE substr: rewrite removed $removed%d of ${rw.getLong(0)}%d " +
       f"tokens (${100.0 * removed / rw.getLong(0)}%.2f%%) rewrite_wall=$tRw%.1f s")
+    // E56 arrival: stored corpus gram counts (built once per corpus =
+    // the retrain cost), a 1% batch pays one O(batch) gram scan + a
+    // count-merge join; the alternative re-runs the corpus gram count
+    val gramDir = s"target/tmp-substr/grams-$nDocs.parquet"
+    val tIdx =
+      if (new java.io.File(gramDir).exists()) 0.0
+      else timed {
+        ext.Extensions.substringGramCounts(docs)
+          .write.mode("overwrite").parquet(gramDir)
+      }._2
+    val stored = spark.read.parquet(gramDir)
+    val nBatch = math.max(1L, nDocs / 100L)
+    val batch = spark.range(nDocs, nDocs + nBatch)
+      .select(col("id").as("doc_id"), text.as("text"))
+    def arrivalStats(counts: org.apache.spark.sql.DataFrame,
+                     from: org.apache.spark.sql.DataFrame) =
+      ext.Extensions.substrStatsAgainst(from, counts)
+        .agg(sum("dup_grams"), sum("dup_tokens")).collect()(0)
+    val (ai, tArr) = Seq.fill(2)(timed(
+      arrivalStats(stored, batch))).minBy(_._2)
+    val (_, tMono) = Seq.fill(2)(timed(
+      arrivalStats(ext.Extensions.substringGramCounts(docs), batch))).minBy(_._2)
+    println(f"PROBE substr: arrival (1%% batch=$nBatch%d) stored-index " +
+      f"$tArr%.1f s vs corpus re-count $tMono%.1f s -> ${tMono / tArr}%.1fx " +
+      f"(index build $tIdx%.1f s; batch dup_grams=${ai.getLong(0)}%d)")
     spark.stop()
   }
 

@@ -716,12 +716,13 @@ object Extensions {
         posexplode(col("gh")).as(Seq("pos", "g")))
       .withColumn("pos", col("pos").cast("long"))
 
-  private[graft] def substringDedupStats(docs0: DataFrame): DataFrame = {
+  /** The per-doc stats half shared by the monolithic (E52) and
+    * incremental (E56) forms: given the cached docs, their gram
+    * positions, and the set `dupG` of duplicated gram hashes, fold the
+    * fixed-width interval union and emit one row per doc. */
+  private def substringStatsFrom(docs: DataFrame, pos: DataFrame,
+                                 dupG: DataFrame): DataFrame = {
     val W = SubstrDedupW
-    val docs = substringDocs(docs0)
-    val pos = substringGramPositions(docs)
-    val dupG = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("g")
     // interval union for FIXED-width spans: duplicated start s covers
     // [s, s+W-1] clipped to the doc, so with starts sorted its net new
     // coverage is min(W, next_start - s, n_tokens - s) — no interval
@@ -746,42 +747,59 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  private[graft] def substringDedupStats(docs0: DataFrame): DataFrame = {
+    val docs = substringDocs(docs0)
+    val pos = substringGramPositions(docs)
+    val dupG = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g")
+    substringStatsFrom(docs, pos, dupG)
+  }
+
+  /** E52's oracle, with `where` (a full `WHERE ...` clause over the
+    * output's `g` alias, or "") restricting the emitted docs — the
+    * incremental form (E56) is EXACTLY this query filtered to the
+    * batch split, because a doc's dup flags depend only on GLOBAL gram
+    * counts, not on which split the other occurrences live in. */
+  private def substrStatsSql(where: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'),
+       |    '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    [${duckHash60(s"array_to_string(toks[i:i+${SubstrDedupW - 1}], ' ')")}
+       |     for i in range(1, greatest(len(toks) - ${SubstrDedupW - 1}, 1) + 1)] AS grams
+       |  FROM d),
+       |p AS (
+       |  SELECT doc_id, n_tokens, unnest(grams) AS gh,
+       |    CAST(unnest(range(0, len(grams))) AS BIGINT) AS pos
+       |  FROM g),
+       |c AS (SELECT gh FROM p GROUP BY gh HAVING count(*) >= 2),
+       |dp AS (SELECT p.doc_id, p.n_tokens, p.pos FROM p
+       |       WHERE EXISTS (SELECT 1 FROM c WHERE c.gh = p.gh)),
+       |cov AS (
+       |  SELECT doc_id, count(*) AS dup_grams, sum(contrib) AS dup_tokens
+       |  FROM (
+       |    SELECT doc_id, least(
+       |      coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+       |               $SubstrDedupW),
+       |      $SubstrDedupW, n_tokens - pos) AS contrib
+       |    FROM dp) GROUP BY doc_id)
+       |SELECT g.doc_id AS doc_id, g.n_tokens AS n_tokens,
+       |  CAST(len(grams) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(cov.dup_grams, 0) AS BIGINT) AS dup_grams,
+       |  CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  round(CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / g.n_tokens, 4)
+       |    AS dup_frac
+       |FROM g LEFT JOIN cov ON cov.doc_id = g.doc_id
+       |$where
+       |ORDER BY g.doc_id""".stripMargin
+
   val substringDedup: Q = Q("ext_substring_dedup",
     (spark, sfDir) => substringDedupStats(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))),
-    Some(s"""WITH d AS (
-            |  SELECT doc_id, regexp_split_to_array(
-            |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'),
-            |    '\\s+') AS toks
-            |  FROM documents),
-            |g AS (
-            |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-            |    [${duckHash60(s"array_to_string(toks[i:i+${SubstrDedupW - 1}], ' ')")}
-            |     for i in range(1, greatest(len(toks) - ${SubstrDedupW - 1}, 1) + 1)] AS grams
-            |  FROM d),
-            |p AS (
-            |  SELECT doc_id, n_tokens, unnest(grams) AS gh,
-            |    CAST(unnest(range(0, len(grams))) AS BIGINT) AS pos
-            |  FROM g),
-            |c AS (SELECT gh FROM p GROUP BY gh HAVING count(*) >= 2),
-            |dp AS (SELECT p.doc_id, p.n_tokens, p.pos FROM p
-            |       WHERE EXISTS (SELECT 1 FROM c WHERE c.gh = p.gh)),
-            |cov AS (
-            |  SELECT doc_id, count(*) AS dup_grams, sum(contrib) AS dup_tokens
-            |  FROM (
-            |    SELECT doc_id, least(
-            |      coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
-            |               $SubstrDedupW),
-            |      $SubstrDedupW, n_tokens - pos) AS contrib
-            |    FROM dp) GROUP BY doc_id)
-            |SELECT g.doc_id AS doc_id, g.n_tokens AS n_tokens,
-            |  CAST(len(grams) AS BIGINT) AS n_grams,
-            |  CAST(coalesce(cov.dup_grams, 0) AS BIGINT) AS dup_grams,
-            |  CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-            |  round(CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / g.n_tokens, 4)
-            |    AS dup_frac
-            |FROM g LEFT JOIN cov ON cov.doc_id = g.doc_id
-            |ORDER BY g.doc_id""".stripMargin))
+    Some(substrStatsSql("")))
 
   // =====================================================================
   // E55: substring-dedup REWRITE — the consumer transformation E52's
@@ -911,6 +929,57 @@ object Extensions {
             |  coalesce(reb.text_dedup, '') AS text_dedup
             |FROM d LEFT JOIN reb ON reb.doc_id = d.doc_id
             |ORDER BY d.doc_id""".stripMargin))
+
+  // =====================================================================
+  // E56: incremental substring-dedup maintenance — the arrival
+  // contract (E35/E36/E39) applied to the newest family: the standing
+  // corpus's GRAM-COUNT table is the stored index (`substr-grams`,
+  // (g, cnt) — 60-bit hashes, index-sized, written once per corpus),
+  // and an arriving batch pays ONE O(batch) tokenize+gram scan: its
+  // gram counts merge with the stored counts by a plain join, a batch
+  // position is duplicated iff the MERGED total ≥ 2, and the coverage
+  // union runs over batch positions only. The corpus is never
+  // re-tokenized on arrival.
+  //
+  // Oracle-paired (the strongest gate an arrival op can have): a doc's
+  // dup flags depend only on GLOBAL gram counts, not on which split
+  // the other occurrences live in — so the incremental output EQUALS
+  // the monolithic E52 restricted to the batch split, and the oracle
+  // is E52's SQL with that WHERE clause.
+  // =====================================================================
+  /** (g, cnt): the corpus gram-count table — the substring-dedup
+    * family's stored index artifact. */
+  private[graft] def substringGramCounts(docs0: DataFrame): DataFrame =
+    substringGramPositions(substringDocs(docs0))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+
+  /** Batch stats against a standing (g, cnt) table: ONE O(batch)
+    * tokenize+gram scan; a batch position is duplicated iff the MERGED
+    * (batch + stored) total is ≥ 2. */
+  private[graft] def substrStatsAgainst(batch0: DataFrame,
+                                        stored: DataFrame): DataFrame = {
+    val docs = substringDocs(batch0)
+    val pos = substringGramPositions(docs)
+    val dupG = pos.groupBy("g").agg(count(lit(1)).as("bcnt"))
+      .join(stored, Seq("g"), "left")
+      .filter(col("bcnt") + coalesce(col("cnt"), lit(0L)) >= 2)
+      .select("g")
+    substringStatsFrom(docs, pos, dupG)
+  }
+
+  val substrIncremental: Q = Q("ext_substr_incremental",
+    (spark, sfDir) => {
+      val (corpus, batch) = incrementalDocSplit(spark, sfDir)
+      val corpusGrams0 = substringGramCounts(corpus)
+      val corpusGrams = parquetFixture(spark, "substr-grams",
+        s"$sfDir/documents.parquet",
+        s"w${SubstrDedupW}_inc$IncrementalCorpusPct",
+        corpusGrams0.queryExecution.logical.toString, corpusGrams0)
+      substrStatsAgainst(batch, corpusGrams)
+    },
+    Some(substrStatsSql(
+      s"WHERE ${duckHash60("CAST(g.doc_id AS VARCHAR)")} % 100 >= " +
+        s"$IncrementalCorpusPct")))
 
   // =====================================================================
   // E3: brute-force top-k cosine similarity search (the exact baseline;
@@ -6583,6 +6652,7 @@ object Extensions {
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, substringDedup, substringDedupRewriteQ,
+    substrIncremental,
     topkCosine, mmrRerank, annLsh, topkIvf, topkPq, annRecall,
     textStats,
     langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,

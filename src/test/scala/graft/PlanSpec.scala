@@ -263,6 +263,22 @@ class PlanSpec extends SparkSpec {
     } finally ext.Extensions.releaseCaches()
   }
 
+  test("incremental substring dedup: one raw documents scan, gram counts served") {
+    // the corpus gram-count table is the stored index — an arrival pays
+    // exactly one raw documents scan (the batch tokenize+gram pass);
+    // a second one means the corpus re-tokenize crept back in
+    val df = ext.Extensions.substrIncremental.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 1,
+        s"want exactly 1 raw documents scan (the batch), got $docScans in $paths")
+      assert(paths.exists(_.contains("substr-grams")),
+        s"corpus gram counts not served from the stored index: $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("incremental dedup/cluster maintenance: one raw documents scan, artifacts served") {
     // the corpus-side content hashes / signatures / capped band index /
     // cluster labels are STORED index tables — an arrival's plan pays
