@@ -967,19 +967,75 @@ object Extensions {
     substringStatsFrom(docs, pos, dupG)
   }
 
+  /** The stored corpus gram-count index, shared by E56 and E57 (same
+    * fixture key ⇒ one table serves both). */
+  private def substrGramsFixture(spark: SparkSession, sfDir: String,
+                                 corpus: DataFrame): DataFrame = {
+    val corpusGrams0 = substringGramCounts(corpus)
+    parquetFixture(spark, "substr-grams",
+      s"$sfDir/documents.parquet",
+      s"w${SubstrDedupW}_inc$IncrementalCorpusPct",
+      corpusGrams0.queryExecution.logical.toString, corpusGrams0)
+  }
+
   val substrIncremental: Q = Q("ext_substr_incremental",
     (spark, sfDir) => {
       val (corpus, batch) = incrementalDocSplit(spark, sfDir)
-      val corpusGrams0 = substringGramCounts(corpus)
-      val corpusGrams = parquetFixture(spark, "substr-grams",
-        s"$sfDir/documents.parquet",
-        s"w${SubstrDedupW}_inc$IncrementalCorpusPct",
-        corpusGrams0.queryExecution.logical.toString, corpusGrams0)
-      substrStatsAgainst(batch, corpusGrams)
+      substrStatsAgainst(batch, substrGramsFixture(spark, sfDir, corpus))
     },
     Some(substrStatsSql(
       s"WHERE ${duckHash60("CAST(g.doc_id AS VARCHAR)")} % 100 >= " +
         s"$IncrementalCorpusPct")))
+
+  // =====================================================================
+  // E57: substring-dedup index compaction — the settling verb (E45's
+  // contract) for the gram-count table, completing the family's
+  // lifecycle on day one: accumulated arrival counts fold into ONE
+  // fresh (g, cnt) table by the SAME groupBy-sum the build runs — over
+  // index rows + the batch's one-scan counts, never the raw corpus.
+  // Counts are additive, so the compacted table is row-identical to
+  // the monolithic count table over corpus ∪ day-1 (asserted), and a
+  // day-2 arrival against it is ORACLE-PAIRED exactly like E56: global
+  // counts are global counts, whichever tables they were folded from.
+  // =====================================================================
+  /** Fold stored corpus gram counts ∪ a batch's one-scan counts into a
+    * fresh stored (g, cnt) table — counts SUM per gram. Deterministic
+    * and idempotent (a pure aggregate of the inputs); fingerprint =
+    * merged plan + base scan paths, so a changed gram width or a
+    * different batch orphans the compact. */
+  def substrGramsCompacted(corpusGrams: DataFrame, batchCnt: DataFrame,
+                           src: String): DataFrame = {
+    val spark = corpusGrams.sparkSession
+    val merged = corpusGrams.unionByName(batchCnt)
+      .groupBy("g").agg(sum(col("cnt")).as("cnt"))
+    parquetFixture(spark, "substr-grams-compact", src,
+      s"w${SubstrDedupW}_compact1",
+      merged.queryExecution.logical.toString +
+        "\nscans:" + scanRootPaths(merged).mkString(","), merged)
+  }
+
+  /** Post-compaction day-2 arrival: corpus (<80) built, day-1 batch
+    * (80-89) folded in by [[substrGramsCompacted]], day-2 (≥90) stats
+    * served against the compacted table — one raw documents scan (the
+    * day-2 filter), no base-table read, no day-1 re-scan (PlanSpec
+    * gates the scan set). */
+  val substrCompact: Q = Q("ext_substr_compact",
+    (spark, sfDir) => {
+      val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      val corpus = base.filter(col("bucket") < IncrementalCorpusPct)
+        .select("doc_id", "text")
+      val day1 = base.filter(col("bucket") >= IncrementalCorpusPct &&
+          col("bucket") < 90).select("doc_id", "text")
+      val day2 = base.filter(col("bucket") >= 90).select("doc_id", "text")
+      val compacted = substrGramsCompacted(
+        substrGramsFixture(spark, sfDir, corpus),
+        substringGramCounts(day1), s"$sfDir/documents.parquet")
+      substrStatsAgainst(day2, compacted)
+    },
+    Some(substrStatsSql(
+      s"WHERE ${duckHash60("CAST(g.doc_id AS VARCHAR)")} % 100 >= 90")))
 
   // =====================================================================
   // E3: brute-force top-k cosine similarity search (the exact baseline;
@@ -6652,7 +6708,7 @@ object Extensions {
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, substringDedup, substringDedupRewriteQ,
-    substrIncremental,
+    substrIncremental, substrCompact,
     topkCosine, mmrRerank, annLsh, topkIvf, topkPq, annRecall,
     textStats,
     langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,

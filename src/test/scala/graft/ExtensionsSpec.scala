@@ -99,6 +99,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(6L) == ((3L, 0L, "")))
   }
 
+  test("substr compaction fold == monolithic gram counts (counts are additive)") {
+    import org.apache.spark.sql.functions.{col => c}
+    val bucket = pmod(
+      graft.expr.Scalars.hash60(c("doc_id").cast("string")), lit(100L))
+    val base = model.Tables.documents(spark, sf0001)
+      .select(c("doc_id"), c("text"), bucket.as("bucket"))
+    val corpus = base.filter(c("bucket") < 80).select("doc_id", "text")
+    val day1 = base.filter(c("bucket") >= 80 && c("bucket") < 90)
+      .select("doc_id", "text")
+    val folded = Extensions.substringGramCounts(corpus)
+      .unionByName(Extensions.substringGramCounts(day1))
+      .groupBy("g").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val mono = Extensions.substringGramCounts(
+        base.filter(c("bucket") < 90).select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(folded.toSeq == mono.toSeq)
+  }
+
   test("ext_mmr_rerank equals an independent in-memory MMR; rank 1 = exact NN") {
     val out = Extensions.mmrRerank.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),

@@ -279,6 +279,25 @@ class PlanSpec extends SparkSpec {
     } finally ext.Extensions.releaseCaches()
   }
 
+  test("compacted substring index: day-2 scan only, compacted table, no base read") {
+    // the settled debts as plan facts: the day-2 arrival reads ONE
+    // compacted count table (not the corpus base, not day-1 rows) plus
+    // exactly one raw documents scan — the day-2 batch itself
+    val df = ext.Extensions.substrCompact.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("substr-grams-compact")),
+        s"arrival not served from the compacted counts: $paths")
+      assert(!paths.exists(p => p.contains("substr-grams/") ||
+          p.contains("substr-grams\\")),
+        s"uncompacted base counts still in the plan: $paths")
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 1,
+        s"want exactly 1 raw documents scan (day-2), got $docScans in $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("incremental dedup/cluster maintenance: one raw documents scan, artifacts served") {
     // the corpus-side content hashes / signatures / capped band index /
     // cluster labels are STORED index tables — an arrival's plan pays
