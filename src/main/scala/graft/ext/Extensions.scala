@@ -948,9 +948,15 @@ object Extensions {
   // is E52's SQL with that WHERE clause.
   // =====================================================================
   /** (g, cnt): the corpus gram-count table — the substring-dedup
-    * family's stored index artifact. */
+    * family's stored index artifact. Deliberately UNCACHED (unlike the
+    * stats path's [[substringDocs]]): every consumer — the fixture
+    * build, the compaction fold, the streaming micro-batch append —
+    * reads the positions exactly once, and a cache here would pin
+    * executor memory across an index-maintenance stream's batches. */
   private[graft] def substringGramCounts(docs0: DataFrame): DataFrame =
-    substringGramPositions(substringDocs(docs0))
+    docs0.select(edgeTrim(lower(col("text"))).as("t"))
+      .select(graft.expr.ColumnOps.wordGramSha60(col("t"), SubstrDedupW).as("gh"))
+      .select(explode(col("gh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cnt"))
 
   /** Batch stats against a standing (g, cnt) table: ONE O(batch)

@@ -90,4 +90,44 @@ object IndexMaintenanceStream {
     * input of imipqTopK), batch column dropped. */
   def mergedImipqCodes(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(indexDir).select("cell", "corpus_id", "code")
+
+  // ---------------------------------------------------------------------
+  // The substring-dedup twin (E56's streaming form): documents arrive
+  // on a stream, each micro-batch pays ONE tokenize+gram scan and its
+  // (g, cnt) PARTIAL counts land in the batch-keyed partition. Counts
+  // are aggregates, not per-row facts, so — unlike postings — the
+  // merged read must SUM per gram across partitions (the same additive
+  // fold ext_substr_compact stores); the result is the monolithic
+  // count table by construction. Same idempotence discipline: a
+  // replayed batch rewrites its own partition byte-identically.
+  // ---------------------------------------------------------------------
+
+  /** One micro-batch's append: gram-count + write to the batch-keyed
+    * partition. `batch` carries (doc_id, text). Exposed for the
+    * idempotence test. */
+  def appendSubstrBatch(batch: DataFrame, indexDir: String,
+                        batchId: Long): Unit =
+    graft.ext.Extensions.substringGramCounts(batch)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Start the maintenance stream: `docs` must carry (doc_id, text). */
+  def startSubstrAppend(docs: DataFrame, indexDir: String,
+                        checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .queryName("graft-substr-append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) appendSubstrBatch(batch.toDF(), indexDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The merged (g, cnt) table arrivals probe (the `stored` input of
+    * substrStatsAgainst): per-gram SUM over the appended partial
+    * counts — counts are additive, so this equals the one-shot count
+    * of every streamed doc. */
+  def mergedSubstrGrams(spark: SparkSession, indexDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.sum
+    spark.read.parquet(indexDir).groupBy("g").agg(sum("cnt").as("cnt"))
+  }
 }

@@ -262,4 +262,43 @@ class StreamingSpec extends SparkSpec {
     assert(IndexMaintenanceStream.mergedImipqCodes(spark, dir).count() == before,
       "replayed micro-batch double-appended instead of rewriting its partition")
   }
+
+  test("streaming substr arrival: summed partial counts == one-shot; replay idempotent") {
+    // the substring-dedup twin (E56's streaming form): each micro-batch
+    // lands its PARTIAL (g, cnt) counts; counts are aggregates, so the
+    // merged read SUMS per gram — the fold must equal the one-shot
+    // count of every streamed doc, including a gram split ACROSS
+    // micro-batches (doc 1 and doc 3 share a whole-doc gram but arrive
+    // in different batches)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IndexMaintenanceStream
+    val docsAll = Seq(
+      (1L, "a b c d e f g h"), (2L, "p q r s t u v w x"),
+      (3L, "a b c d e f g h"), (4L, "k l m n o k l m n o"))
+    val dir = java.nio.file.Files.createTempDirectory("substridx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("substrckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = IndexMaintenanceStream.startSubstrAppend(
+      ms.toDF().toDF("doc_id", "text"), dir, ckpt)
+    try {
+      ms.addData(docsAll.take(2): _*); q.processAllAvailable()
+      ms.addData(docsAll.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val merged = IndexMaintenanceStream.mergedSubstrGrams(spark, dir)
+    val oneShot = graft.ext.Extensions.substringGramCounts(
+      docsAll.toDF("doc_id", "text"))
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "summed streamed counts diverged from the one-shot gram count")
+    // the cross-batch gram really merged: docs 1 and 3 are identical
+    // 8-token docs in different micro-batches → one gram with cnt 2
+    val dupTotal = merged.filter(col("cnt") >= 2).count()
+    assert(dupTotal >= 1, "cross-micro-batch duplicate gram not summed")
+    val before = merged.count()
+    IndexMaintenanceStream.appendSubstrBatch(
+      docsAll.take(2).toDF("doc_id", "text"), dir, 0L)
+    assert(IndexMaintenanceStream.mergedSubstrGrams(spark, dir).count() == before,
+      "replayed micro-batch double-appended instead of rewriting its partition")
+  }
 }
