@@ -63,6 +63,8 @@ object SparkEntry {
       "frozen-centroid model maintenance has no SQL analog (the quantizer is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test and PlanSpec's stored-stat gate (same encode shape as ext_pq_incremental)",
     "ext_mmr_rerank" ->
       "the k-step greedy selection is sequentially data-dependent (selection r depends on the max-similarity state of selections 1..r-1) and has no practical recursive-CTE SQL form; ExtensionsSpec recomputes the selection with an independent in-memory MMR over the same pool and requires identical (query, corpus, rank) triples plus score agreement, and asserts rank 1 equals the exact search's nearest neighbor",
+    "ext_mmr_rerank_ivfpq" ->
+      "inherits ext_mmr_rerank's no-oracle reason (the greedy has no SQL form) plus the approximate pool (ivfpq, gated by ext_ann_recall); ExtensionsSpec asserts routing-bound overlap >= 0.4 vs the exact-pool MMR (measured 0.59-0.64) and that rank 1 equals ext_topk_ivfpq's rank 1",
     "ext_bpe_merges" ->
       "K data-dependent argmax+rewrite rounds have no practical recursive-CTE SQL form; ExtensionsSpec recomputes the merge table with an independent in-memory BPE over the collected vocabulary and requires exact equality",
     "ext_bpe_token_count" ->

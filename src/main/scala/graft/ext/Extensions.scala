@@ -1183,6 +1183,37 @@ object Extensions {
     }, None)
 
   // =====================================================================
+  // E58: MMR over the INDEXED search — the composition a 100 TB
+  // deployment actually runs: E54's greedy diversification with the
+  // pool served by the cell-routed IVFPQ search (stored combined
+  // index, probed-cell partition pruning, int8 rerank) instead of the
+  // exact corpus scan, and the pool members' unit vectors fetched from
+  // the SAME 8×-smaller stored int8 table the searches rerank from.
+  // Per-search cost stops growing with the corpus; the greedy half is
+  // E54's unchanged flatMapGroups (shared mmrSelect — selection
+  // semantics cannot drift between the exact and indexed forms).
+  // =====================================================================
+  val mmrRerankIvfpq: Q = Q("ext_mmr_rerank_ivfpq",
+    (spark, sfDir) => {
+      val sp = spark
+      import sp.implicits._
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val src = Some(s"$sfDir/embeddings.parquet")
+      val pool0 = ivfpqTopK(emb, annQueryIds(emb), k = MmrPool, src = src)
+        .select(col("query_id"), col("corpus_id"), col("cos").as("rel"))
+      val pool = pool0.join(rerankVecs(emb, src), Seq("corpus_id"))
+        .select(col("query_id"), col("corpus_id"), col("rel"), col("cv"))
+      pool.as[(Long, Long, Double, Seq[Double])]
+        .groupByKey(_._1)
+        .flatMapGroups((qid: Long,
+            it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+          mmrSelect(qid, it.toSeq))
+        .toDF("query_id", "corpus_id", "rel", "mmr_score", "mmr_rank")
+        .orderBy("query_id", "mmr_rank")
+    }, None)
+
+  // =====================================================================
   // ANN via sign-random-hyperplane LSH (Spark-only; approximate, so no
   // SQL oracle — driver records the weaker rows-only check).
   // Planes are derived from sha256 so the index is deterministic.
@@ -6715,7 +6746,7 @@ object Extensions {
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, substringDedup, substringDedupRewriteQ,
     substrIncremental, substrCompact,
-    topkCosine, mmrRerank, annLsh, topkIvf, topkPq, annRecall,
+    topkCosine, mmrRerank, mmrRerankIvfpq, annLsh, topkIvf, topkPq, annRecall,
     textStats,
     langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,
     fingerprintWinnow,

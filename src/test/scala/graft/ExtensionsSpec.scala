@@ -175,6 +175,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(reordered > 0, "MMR output is pure relevance order for every query")
   }
 
+  test("ext_mmr_rerank_ivfpq: routing-bound overlap with the exact-pool MMR") {
+    // the indexed composition shares mmrSelect, so any divergence from
+    // ext_mmr_rerank is pool recall, not selection logic — overlap is
+    // bounded by ivfpq's own recall (0.63-0.675). Measured mean
+    // overlap@10: 0.59 at sf0.001, 0.64 at sf0.01; floor 0.4.
+    val ex = Extensions.mmrRerank.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+    val iv = Extensions.mmrRerankIvfpq.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+    val exBy = ex.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivBy = iv.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ovs = exBy.keys.toSeq.sorted
+      .map(q => (ivBy.getOrElse(q, Set.empty[Long]) & exBy(q)).size / 10.0)
+    assert(ovs.sum / ovs.size >= 0.4,
+      s"mean MMR overlap ${ovs.sum / ovs.size} below the 0.4 floor")
+    // rank 1 is the pool's pure-relevance argmax = ivfpq's rank 1
+    val ivfpqTop = Extensions.topkIvfpq.fn(spark, sf0001).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    iv.filter(_._3 == 1).foreach { case (q, c, _) =>
+      assert(ivfpqTop(q) == c, s"query $q: MMR rank 1 != ivfpq rank 1") }
+  }
+
   test("topk cosine: nearest neighbor of a vector family is its closest variant") {
     val df = Extensions.topkCosine.fn(spark, sf0001)
     // rank 1 must have the highest cos per query
