@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe compact [nVecs] [nCells]
   *        runMain graft.ScaleProbe lexcompact [nDocs]
   *        runMain graft.ScaleProbe substr [nDocs]
+  *        runMain graft.ScaleProbe cms [nDocs]
   *
   * The `skew` mode measures the connected-components loop on a planted
   * MEGA-COMPONENT (one hub star of `spokes` edges + a background of
@@ -644,6 +645,63 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** E53 CMS heavy hitters in the regime they exist for: a junk-tail
+    * vocabulary (each doc = 10 head tokens from a 200-token Zipf-ish
+    * head + 30 tail tokens from a 50M value space → tens of millions
+    * of distinct terms at 2M docs). Claims probed: (1) the exact
+    * path's shuffle carries the FULL distinct-term table while the
+    * sketch's carries ≤ d×w rows; (2) both return the same top-10.
+    * Usage: runMain graft.ScaleProbe cms [nDocs] */
+  private def cmsProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Zipf head: index log-uniform over [0, 200) → count(rank k) ∝ 1/k,
+    // the real shape of a stopword head (rank-1 ≈ 3.4M, rank-10 ≈ 340k
+    // at 2M docs — well-separated, unlike a flat head whose near-equal
+    // counts no sketch can rank through its own noise floor)
+    val head = (0 until 10).map { j =>
+      val u = pmod(hash(col("id"), lit(j)), lit(100000)).cast("double") / 100000.0
+      concat(lit("hh"), floor(pow(lit(200.0), u) - 1).cast("int"))
+    }
+    val tail = (0 until 30).map(j =>
+      concat(lit("jjj"), pmod(hash(col("id"), lit(100 + j)), lit(50000000L))))
+    val text = concat_ws(" ", (head ++ tail): _*)
+    val srcDir = s"target/tmp-cms/docs-$nDocs.parquet"
+    if (!new java.io.File(srcDir).exists())
+      spark.range(nDocs).select(col("id").as("doc_id"),
+        lit("xx").as("lang"), text.as("text"))
+        .write.mode("overwrite").parquet(srcDir)
+    val docs = spark.read.parquet(srcDir)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // structural shuffle volumes (one extra job each, reported once)
+    val distinctTerms = docs.select(explode(
+        split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .filter(length(col("t")) > 2).distinct().count()
+    val (ex, tExact) = Seq.fill(2)(timed(
+      ext.Extensions.topTermsExactFrom(docs).collect())).minBy(_._2)
+    val (cm, tCms) = Seq.fill(2)(timed(
+      ext.Extensions.topTermsCmsFrom(docs).collect())).minBy(_._2)
+    val exSet = ex.map(r => r.getString(1)).toSet
+    val cmSet = cm.map(r => r.getString(1)).toSet
+    println(f"PROBE cms: docs=$nDocs%d distinct_terms=$distinctTerms%d " +
+      f"(exact shuffle rows) vs sketch rows <= ${ext.Extensions.CmsDepth *
+        ext.Extensions.CmsWidth}%d")
+    println(f"PROBE cms: exact_wall=$tExact%.1f s cms_wall=$tCms%.1f s " +
+      f"top10_overlap=${(exSet & cmSet).size}%d/10")
+    spark.stop()
+  }
+
   private def lexCompactProbe(args: Array[String]): Unit = {
     val nDocs = if (args.length > 1) args(1).toLong else 2000000L
     val nBatch = math.max(1L, nDocs / 100L)
@@ -1040,6 +1098,7 @@ object ScaleProbe {
     if (args.headOption.contains("ivfpq")) { ivfpqProbe(args); return }
     if (args.headOption.contains("imi")) { imiProbe(args); return }
     if (args.headOption.contains("substr")) { substrProbe(args); return }
+    if (args.headOption.contains("cms")) { cmsProbe(args); return }
     if (args.headOption.contains("lexinc")) { lexIncProbe(args); return }
     if (args.headOption.contains("lexcompact")) { lexCompactProbe(args); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }

@@ -3770,19 +3770,24 @@ object Extensions {
   // instances), then a per-language top-k window over the (small)
   // aggregated frame. Deterministic tiebreak on the token itself.
   // =====================================================================
+  /** The exact per-lang top-10 over (lang, text) rows — shuffles the
+    * full distinct-term table (the cost E53 exists to cap). */
+  private[graft] def topTermsExactFrom(docs: DataFrame): DataFrame = {
+    val counted = docs
+      .select(col("lang"),
+        explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 2)
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("token").asc)
+    counted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy("lang", "rank")
+  }
+
   val topTerms: Q = Q("ext_top_terms",
-    (spark, sfDir) => {
-      val counted = Tables.documents(spark, sfDir)
-        .select(col("lang"),
-          explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("token"))
-        .filter(length(col("token")) > 2)
-        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("n").desc, col("token").asc)
-      counted.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .orderBy("lang", "rank")
-    },
+    (spark, sfDir) =>
+      topTermsExactFrom(Tables.documents(spark, sfDir)),
     Some("""WITH toks AS (
            |  SELECT lang,
            |    unnest(regexp_split_to_array(
@@ -3826,34 +3831,38 @@ object Extensions {
   final val CmsWidth = 4096
   final val CmsCandidateDocs = 256
 
+  /** The CMS top-10 over (doc_id, lang, text) rows — see the E53
+    * banner; the probe (`ScaleProbe cms`) measures this against
+    * [[topTermsExactFrom]] at a junk-tail vocabulary. */
+  private[graft] def topTermsCmsFrom(docs: DataFrame): DataFrame = {
+    def toks(d: DataFrame): DataFrame = d
+      .select(col("lang"),
+        explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 2)
+    def bucketed(d: DataFrame): DataFrame = d
+      .withColumn("h", Scalars.hash60(col("token")))
+      .select(col("*"), posexplode(array((0 until CmsDepth).map(i =>
+        shiftright(col("h"), 12 * i)
+          .bitwiseAND(lit((CmsWidth - 1).toLong))): _*)).as(Seq("i", "bucket")))
+    // the pre-agg ×d explode never reaches the wire: partial
+    // aggregation collapses each partition to ≤ d×w rows in-stage
+    val sketch = bucketed(toks(docs))
+      .groupBy("lang", "i", "bucket").agg(count(lit(1)).as("cnt"))
+    val cand = bucketed(
+      toks(hashOrderedSample(docs.select(col("doc_id"), col("lang"),
+        col("text")), "doc_id", CmsCandidateDocs))
+        .distinct())
+    val est = cand.join(sketch, Seq("lang", "i", "bucket"))
+      .groupBy("lang", "token").agg(min(col("cnt")).as("n_est"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_est").desc, col("token").asc)
+    est.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy("lang", "rank")
+  }
+
   val topTermsCms: Q = Q("ext_top_terms_cms",
-    (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir)
-      def toks(d: DataFrame): DataFrame = d
-        .select(col("lang"),
-          explode(split(edgeTrim(lower(col("text"))), "\\s+")).as("token"))
-        .filter(length(col("token")) > 2)
-      def bucketed(d: DataFrame): DataFrame = d
-        .withColumn("h", Scalars.hash60(col("token")))
-        .select(col("*"), posexplode(array((0 until CmsDepth).map(i =>
-          shiftright(col("h"), 12 * i)
-            .bitwiseAND(lit((CmsWidth - 1).toLong))): _*)).as(Seq("i", "bucket")))
-      // the pre-agg ×d explode never reaches the wire: partial
-      // aggregation collapses each partition to ≤ d×w rows in-stage
-      val sketch = bucketed(toks(docs))
-        .groupBy("lang", "i", "bucket").agg(count(lit(1)).as("cnt"))
-      val cand = bucketed(
-        toks(hashOrderedSample(docs.select(col("doc_id"), col("lang"),
-          col("text")), "doc_id", CmsCandidateDocs))
-          .distinct())
-      val est = cand.join(sketch, Seq("lang", "i", "bucket"))
-        .groupBy("lang", "token").agg(min(col("cnt")).as("n_est"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("n_est").desc, col("token").asc)
-      est.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .orderBy("lang", "rank")
-    },
+    (spark, sfDir) => topTermsCmsFrom(Tables.documents(spark, sfDir)),
     Some(s"""WITH toks AS (
             |  SELECT lang, unnest(regexp_split_to_array(
             |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS token
