@@ -572,11 +572,12 @@ object ScaleProbe {
     * ten-token boilerplate sentences appended to otherwise-unique
     * 40-token text — realistic web boilerplate fan-out (~14k copies per
     * sentence, 3 duplicated gram starts per carrier). Claims probed:
-    * (1) the gram-count shuffle is the plain wordcount shape at ~86M
-    * gram positions; (2) the dup-gram set feeding the semi-join probe
-    * is MODEL-sized (21 distinct grams here) no matter the corpus;
-    * (3) the per-doc coverage window runs over dup positions only
-    * (300k of 86M). Usage: runMain graft.ScaleProbe substr [nDocs] */
+    * (1) the gram-count shuffle is the plain wordcount shape at 67M
+    * gram positions (1.9M×33 + 100k×43); (2) the dup-gram set feeding
+    * the semi-join probe is MODEL-sized (21 distinct grams here) no
+    * matter the corpus; (3) the per-doc coverage window runs over dup
+    * positions only (300k of 67M — 0.45%).
+    * Usage: runMain graft.ScaleProbe substr [nDocs] */
   private def substrProbe(args: Array[String]): Unit = {
     val nDocs = if (args.length > 1) args(1).toLong else 2000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -922,8 +923,12 @@ object ScaleProbe {
       if (args.length > 2 && args(2) == "auto") ext.Extensions.autoKPerHalf(nVecs)
       else if (args.length > 2) args(2).toInt
       else 32 // → 1024 cells
-    val nProbe = if (args.length > 3 && args(3) != "auto") args(3).toInt
-      else math.max(4, math.round(kHalf.toLong * kHalf * 24 / 1024.0).toInt)
+    // skip "auto" AND the trailing noflat flag, which is documented to
+    // be usable in this position ("imi 2000000 auto noflat")
+    val nProbe = args.lift(3)
+      .filter(a => a != "auto" && !a.startsWith("no"))
+      .map(_.toInt)
+      .getOrElse(math.max(4, math.round(kHalf.toLong * kHalf * 24 / 1024.0).toInt))
     val probeA = if (args.length > 4 && !args(4).startsWith("no")) args(4).toInt
       else math.max(12, math.ceil(2 * math.sqrt(nProbe.toDouble)).toInt)
     val runFlat = !args.contains("noflat")

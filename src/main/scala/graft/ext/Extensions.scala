@@ -1027,9 +1027,7 @@ object Extensions {
     * gates the scan set). */
   val substrCompact: Q = Q("ext_substr_compact",
     (spark, sfDir) => {
-      val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
-      val base = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      val base = bucketedDocs(spark, sfDir)
       val corpus = base.filter(col("bucket") < IncrementalCorpusPct)
         .select("doc_id", "text")
       val day1 = base.filter(col("bucket") >= IncrementalCorpusPct &&
@@ -1119,7 +1117,12 @@ object Extensions {
     val n = cand.length
     val vecs = cand.map(_._4.toArray)
     val chosen = new Array[Boolean](n)
-    val maxSim = new Array[Double](n) // max cos to the selected set
+    // max cos to the selected set — NegativeInfinity, not 0: a
+    // candidate whose similarity to everything selected is NEGATIVE
+    // earns a diversity BONUS under the Carbonell & Goldstein formula
+    // (−(1−λ)·maxSim > 0); clamping at 0 would silently demote the
+    // most-diverse candidates
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
@@ -1140,6 +1143,10 @@ object Extensions {
         }
         i += 1
       }
+      // NaN scores (a zero embedding normalizes to NaN) never satisfy
+      // s > bestScore; stop selecting rather than index best = -1 —
+      // degrade like the sibling searches, don't fail the job
+      if (best < 0) return out.result().iterator
       chosen(best) = true
       out += ((qid, cand(best)._2, cand(best)._3,
         math.rint(bestScore * 1e6) / 1e6, r))
@@ -5343,11 +5350,20 @@ object Extensions {
 
   /** The deterministic corpus/batch split of `documents` shared by the
     * incremental document-maintenance queries. */
+  /** (doc_id, text, bucket): the ONE content-hash bucketing every
+    * incremental/compaction split derives from — a diverging copy of
+    * this expression would silently mismatch the stored fixtures keyed
+    * on it. */
+  private[graft] def bucketedDocs(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+  }
+
   private[graft] def incrementalDocSplit(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
-    val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+    val base = bucketedDocs(spark, sfDir)
     (base.filter(col("bucket") < IncrementalCorpusPct).select("doc_id", "text"),
       base.filter(col("bucket") >= IncrementalCorpusPct).select("doc_id", "text"))
   }

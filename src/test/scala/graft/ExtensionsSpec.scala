@@ -118,6 +118,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(folded.toSeq == mono.toSeq)
   }
 
+  test("mmrSelect: negative similarity is a diversity bonus; NaN pool degrades") {
+    // Carbonell & Goldstein: penalty = (1−λ)·max cos, which REWARDS a
+    // candidate anti-correlated with everything selected. A at rel 0.50
+    // / cos −0.4 to the first pick scores 0.7·0.50+0.3·0.4 = 0.47 and
+    // must beat B at rel 0.52 / cos 0.0 (0.364); a 0-clamped maxSim
+    // would pick B.
+    val first = Seq(1.0, 0.0, 0.0)
+    val a = Seq(-0.4, math.sqrt(1 - 0.16), 0.0)
+    val b = Seq(0.0, 0.0, 1.0)
+    val pool = Seq((9L, 1L, 0.9, first), (9L, 2L, 0.50, a), (9L, 3L, 0.52, b))
+    val got = Extensions.mmrSelect(9L, pool).toSeq
+    assert(got.map(_._2) == Seq(1L, 2L, 3L),
+      s"negative-cos candidate must be selected second, got ${got.map(_._2)}")
+    // all-NaN relevance (a zero embedding normalizes to NaN): no crash,
+    // empty selection — degrade like the sibling searches
+    val nan = Seq((9L, 1L, Double.NaN, first), (9L, 2L, Double.NaN, b))
+    assert(Extensions.mmrSelect(9L, nan).isEmpty)
+  }
+
   test("ext_mmr_rerank equals an independent in-memory MMR; rank 1 = exact NN") {
     val out = Extensions.mmrRerank.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
@@ -138,7 +157,9 @@ class ExtensionsSpec extends SparkSpec {
         .map { case (id, v) => (id, r6(dot(qv, v)), v) }
         .sortBy(t => (-t._2, t._1)).take(30).toArray
       var selected = List.empty[(Long, Double, Double, Int)]
-      var simState = pool.map(_ => 0.0)
+      // -inf, not 0: negative similarity to the selected set is a
+      // diversity BONUS under the paper's formula (matches mmrSelect)
+      var simState = pool.map(_ => Double.NegativeInfinity)
       val taken = pool.map(_ => false)
       for (r <- 1 to 10) {
         val scores = pool.indices.map { i =>
