@@ -4172,6 +4172,42 @@ object Extensions {
             |  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = c.doc_id)
             |ORDER BY c.doc_id""".stripMargin))
 
+  // =====================================================================
+  // E59: the funnel with the span-level dedup gate — what the full
+  // funnel (E24b) cannot see: a doc can pass quality, keep its exact-
+  // dup representative slot, and dodge contamination while STILL being
+  // ≥30% duplicated text at the span level (copied boilerplate inside
+  // otherwise-novel documents). Composition by library reuse, like
+  // every other funnel stage: E52's stats anti-join the full funnel;
+  // the oracle nests E52's verified SQL as a subquery CTE.
+  // =====================================================================
+  /** Span gate: a doc whose duplicated-token fraction reaches this is
+    * dropped regardless of its other gates (all copies, including the
+    * canonical — ≥30% boilerplate is junk wherever it appeared first). */
+  final val SubstrCurateMaxDupFrac = 0.3
+
+  val corpusCurateSpans: Q = Q("ext_corpus_curate_spans",
+    (spark, sfDir) => {
+      val spanHeavy = substringDedupStats(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+        .filter(col("dup_frac") >= SubstrCurateMaxDupFrac).select("doc_id")
+      corpusCurateFull.fn(spark, sfDir)
+        .join(spanHeavy, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $decontamSqlCtes,
+            |$curateSqlCtes,
+            |spanheavy AS (
+            |  SELECT doc_id FROM (${substrStatsSql("")})
+            |  WHERE dup_frac >= $SubstrCurateMaxDupFrac)
+            |SELECT c.doc_id, c.lang, c.score
+            |FROM cand c
+            |WHERE c.score >= 0.4
+            |  AND EXISTS (SELECT 1 FROM keepers k WHERE k.doc_id = c.doc_id)
+            |  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = c.doc_id)
+            |  AND NOT EXISTS (SELECT 1 FROM spanheavy s WHERE s.doc_id = c.doc_id)
+            |ORDER BY c.doc_id""".stripMargin))
+
   // (ext_corpus_curate_semantic — the funnel composed with embedding
   // near-dup — is defined AFTER the semantic blocking section below:
   // its oracle string is built eagerly at object init and must not
@@ -6785,6 +6821,7 @@ object Extensions {
     lshIncremental, ivfpqIncremental, ivfpqCompact, bm25Compact, lshCompact,
     imipqCompact, tfidfTerms, domainCap,
     unigramLogprob, perplexityBuckets, importanceResample, corpusCurateSemantic,
+    corpusCurateSpans,
     dedupChunk, dedupChunkRewrite, decontaminateBloom, bigramLogprob,
     temperatureSample, dedupIncremental, clustersIncremental,
     embeddingQuantize, winnowOverlap,
