@@ -586,6 +586,13 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "262144")
+      // A/B knob for the arrival's stored-count read: AQE's runtime
+      // bloom filter can inject a row-level filter from the batch's
+      // gram set onto the 67M-row index scan (SPARK_GRAFT_BLOOM=true)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BLOOM", "false"))
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
