@@ -109,7 +109,12 @@ object Bench {
         // (slightly) higher control
         val prevNQueries = prev.flatMap(s => """"queries":\{([^}]*)\}""".r
           .findFirstMatchIn(s).map(_.group(1).count(_ == ':'))).getOrElse(0)
-        if (prevControl.forall(controlSec < _) ||
+        // the control-improvement branch is gated on covering at least
+        // the previous anchor's registry: a control-ok PARTIAL run (a
+        // shrunken or reverted registry) must never supersede a fuller
+        // anchor and silently lose its per-query records
+        if ((prevControl.forall(controlSec < _) &&
+              results.size >= prevNQueries) ||
             results.size > prevNQueries)
           java.nio.file.Files.writeString(bestPath, line + "\n")
       }

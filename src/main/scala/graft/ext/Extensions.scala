@@ -1799,7 +1799,8 @@ object Extensions {
                   codebookSrc: Option[String] = None,
                   keyTag: String = "pq1",
                   frame0: Option[DataFrame] = None,
-                  l2Assign: Boolean = false): Array[Array[Array[Double]]] = {
+                  l2Assign: Boolean = false,
+                  planExtra: String = ""): Array[Array[Array[Double]]] = {
     val spark = emb.sparkSession
     // l2Assign: Lloyd assignment by nearest-codeword distance instead
     // of max dot — see [[argminDistCell]]; the residual family's
@@ -1864,7 +1865,10 @@ object Extensions {
         import spark.implicits._
         parquetFixture(spark, "pq-codebook", src,
           s"m${m}_k${kw}_i${iters}_t${trainPerCell}_$keyTag",
-          e.queryExecution.logical.toString, {
+          // planExtra: upstream-model literals a caller's frame0 plan
+          // does not render (LocalRelation data / the join branch of
+          // assignCells) — see [[pqrCodebooks]]
+          e.queryExecution.logical.toString + planExtra, {
             trainCodebooks().zipWithIndex.flatMap { case (cb, mi) =>
               cb.zipWithIndex.map { case (cwd, cell) => (mi, cell, cwd.toSeq) }
             }.toSeq.toDF("m", "cell", "c")
@@ -2349,10 +2353,11 @@ object Extensions {
     * merged rows. Post-compaction readers see a single pruned scan —
     * no union, no per-batch small files, cap discipline restored. */
   def ivfpqCompactedCodes(corpusCodes: DataFrame, batchCodes: DataFrame,
-                          src: String, nCells: Int = 16): DataFrame =
+                          src: String, nCells: Int = 16,
+                          totalRows: => Option[Long] = None): DataFrame =
     compactedCellCodes(corpusCodes.unionByName(batchCodes),
       "ivfpq-codes-compact", src,
-      s"auto${IvfpqCellSkewFactor}_c${nCells}_compact1", nCells)
+      s"auto${IvfpqCellSkewFactor}_c${nCells}_compact1", nCells, totalRows)
 
   /** The shared compaction fold for any (cell, corpus_id, code)
     * combined index — flat-IVF ([[ivfpqCompactedCodes]]) or product
@@ -2367,22 +2372,32 @@ object Extensions {
     * [[ivfpqCellCodes]] documents), so a retrained model or a
     * different batch orphans the compacted table. */
   private def compactedCellCodes(merged: DataFrame, family: String,
-      src: String, keyExtra: String, nCells: Int): DataFrame =
+      src: String, keyExtra: String, nCells: Int,
+      totalRows: => Option[Long] = None): DataFrame =
     parquetFixture(merged.sparkSession, family, src, keyExtra,
       merged.queryExecution.logical.toString +
         "\nscans:" + scanRootPaths(merged).mkString(","),
-      recapCellCodes(merged, nCells),
+      recapCellCodes(merged, nCells, totalRows),
       partitionCols = Seq("cell"))
       .select("cell", "corpus_id", "code")
 
   /** The compaction FOLD itself (also probed standalone by `ScaleProbe
     * compact`): re-resolve the relative hot-cell cap over the merged
     * (cell, corpus_id, code) rows. Deterministic salted order — same
-    * rows survive regardless of how many increments built the input. */
-  private[graft] def recapCellCodes(merged: DataFrame,
-      nCells: Int): DataFrame = {
+    * rows survive regardless of how many increments built the input.
+    *
+    * `totalRows` is the UNCAPPED logical row count (base ingested rows
+    * + batch rows) when the caller can supply it: the merged frame's
+    * own count undercounts wherever the base cap previously bound, so
+    * repeated arrive→compact cycles deriving the cap from counts of
+    * already-capped tables would ratchet it monotonically below the
+    * monolithic build's (round-10 ADVICE). By-name: only evaluated on
+    * a cold fixture build. */
+  private[graft] def recapCellCodes(merged: DataFrame, nCells: Int,
+      totalRows: => Option[Long] = None): DataFrame = {
     val cap = math.max(4096L,
-      IvfpqCellSkewFactor * merged.count() / math.max(1, nCells))
+      IvfpqCellSkewFactor * totalRows.getOrElse(merged.count()) /
+        math.max(1, nCells))
     val w = Window.partitionBy(col("cell"))
       .orderBy(Scalars.hash60(concat_ws(":", col("cell"),
         col("corpus_id").cast("string"))), col("corpus_id"))
@@ -2396,11 +2411,12 @@ object Extensions {
     * (cells = kPerHalf², the product grid). Same frozen-model
     * bit-identity argument, so search results are unchanged. */
   def imipqCompactedCodes(corpusCodes: DataFrame, batchCodes: DataFrame,
-                          src: String, kPerHalf: Int = ImiK): DataFrame =
+                          src: String, kPerHalf: Int = ImiK,
+                          totalRows: => Option[Long] = None): DataFrame =
     compactedCellCodes(corpusCodes.unionByName(batchCodes),
       "imipq-codes-compact", src,
       s"auto${IvfpqCellSkewFactor}_k${kPerHalf}x${kPerHalf}_compact1",
-      kPerHalf * kPerHalf)
+      kPerHalf * kPerHalf, totalRows)
 
   /** The post-compaction IMI-PQ search — [[imipqIncremental]]'s state
     * after the compaction job, served entirely from the compacted
@@ -2420,7 +2436,11 @@ object Extensions {
       else {
         val compacted = imipqCompactedCodes(
           imipqCellCodes(corpus, cbs, cs0, cs1, Some(src)),
-          imipqEncodeAssign(batch, cbs, cs0, cs1), src)
+          imipqEncodeAssign(batch, cbs, cs0, cs1), src,
+          // uncapped logical rows for the cap — see ivfpqCompact
+          totalRows = Some(
+            imiCellTable(corpus, cs0, cs1, Some(src)).count() +
+            imipqEncodeAssign(batch, cbs, cs0, cs1).count()))
         imipqTopK(emb, annQueryIds(emb), src = Some(src),
           codes0 = Some(compacted), cbs0 = Some(cbs),
           csH0 = Some(cs0), csH1 = Some(cs1))
@@ -2450,7 +2470,15 @@ object Extensions {
       else {
         val corpusCodes = ivfpqCellCodes(corpus, cbs, cs, Some(src))
         val compacted = ivfpqCompactedCodes(corpusCodes,
-          ivfpqEncodeAssign(batch, cbs, cs), src)
+          ivfpqEncodeAssign(batch, cbs, cs), src,
+          // the relative cap re-derives from the UNCAPPED logical row
+          // count (the stored per-vector cell table is the persisted
+          // ingested-rows stat — its fixture count is metadata-only),
+          // never from counts of already-capped tables (round-10
+          // ADVICE: that ratchets the cap across compactions).
+          // By-name: evaluated only on a cold compact build.
+          totalRows = Some(ivfCellTable(corpus, cs, Some(src)).count() +
+            ivfpqEncodeAssign(batch, cbs, cs).count()))
         ivfpqTopK(emb, annQueryIds(emb), src = Some(src),
           codes0 = Some(compacted), cbs0 = Some(cbs), cs0 = Some(cs))
       }
@@ -2549,7 +2577,15 @@ object Extensions {
     pqCodebooks(emb, codebookSrc = src, keyTag = "pqr3",
       frame0 = Some(withResiduals(emb, cs, ms)
         .select(col("vec_id"), col("rv").as("nv"))),
-      l2Assign = true)
+      l2Assign = true,
+      // BOTH coarse models appended explicitly: the means ride in a
+      // LocalRelation (data never rendered), and the centroids render
+      // only while assignCells takes its literal branch (cells×dim ≤
+      // IvfLiteralAssignMaxTerms) — past that a retrained coarse
+      // quantizer would otherwise not orphan this codebook (round-10
+      // ADVICE; same collision class the scanRootPaths fix addressed)
+      planExtra = "\ncentroids:" + cs.flatten.mkString(",") +
+        "\nmeans:" + ms.flatten.mkString(","))
 
   /** The combined residual index: (cell, corpus_id, code) with code =
     * the M residual-code argmaxes — ONE scan computes the assignment,
@@ -2718,7 +2754,15 @@ object Extensions {
             ivfpqrCellCodes(corpus, cbs, cs, ms, Some(src))
               .unionByName(ivfpqrEncodeAssign(batch, cbs, cs, ms)),
             "ivfpqr-codes-compact", src,
-            s"auto${IvfpqCellSkewFactor}_c16_compact1", 16)
+            s"auto${IvfpqCellSkewFactor}_c16_compact1", 16,
+            // uncapped logical rows for the cap — see ivfpqCompact.
+            // The residual index stores no uncapped per-vector table of
+            // its own, but its cells ARE the flat family's unit-centroid
+            // cells, so the flat stored cell table (same corpus split,
+            // same centroids, one row per ingested vector) is the
+            // persisted ingested-rows stat here too.
+            totalRows = Some(ivfCellTable(corpus, cs, Some(src)).count() +
+              ivfpqrEncodeAssign(batch, cbs, cs, ms).count()))
           ivfpqrTopK(emb, annQueryIds(emb), src = Some(src),
             codes0 = Some(compacted), cbs0 = Some(cbs),
             cs0 = Some(cs), ms0 = Some(ms))
@@ -2764,9 +2808,13 @@ object Extensions {
     * are NOT re-normalized, so the half dots sum to the full dot. */
   private def imiHalves(emb: DataFrame): DataFrame = {
     val hd = (size(col("nv")) / 2).cast("int")
+    // h1 takes the REMAINING length, not hd: for odd dims a
+    // floor(dim/2)-length tail slice would silently drop the last
+    // component from assignment and routing, breaking the "half dots
+    // sum to the full dot" invariant the product structure rests on
     pqNormalize(emb).select(col("vec_id"), col("nv"),
       slice(col("nv"), lit(1), hd).as("h0"),
-      slice(col("nv"), hd + 1, hd).as("h1"))
+      slice(col("nv"), hd + 1, size(col("nv")) - hd).as("h1"))
   }
 
   /** Train-or-load the per-half quantizer: [[ivfCentroids]] on the
@@ -2957,7 +3005,8 @@ object Extensions {
       .select(col("vec_id").as("query_id"), col("nv").as("qv"),
         lut.as("lut"),
         slice(col("nv"), lit(1), hd).as("h0"),
-        slice(col("nv"), hd + 1, hd).as("h1")))
+        // remaining length, not hd — odd dims (see [[imiHalves]])
+        slice(col("nv"), hd + 1, size(col("nv")) - hd).as("h1")))
     val queries = cacheTracked(imiRouteCells(q, "query_id", cs0, cs1,
       nProbe, probeA, payload = Seq("qv", "lut")))
     adcCellSearch(emb, queries, cellCodes, m, kw, rerank, k, src)
@@ -2989,7 +3038,8 @@ object Extensions {
     val hd = (size(col("nv")) / 2).cast("int")
     val halves = e
       .withColumn("h0", slice(col("nv"), lit(1), hd))
-      .withColumn("h1", slice(col("nv"), hd + 1, hd))
+      // remaining length, not hd — odd dims (see [[imiHalves]])
+      .withColumn("h1", slice(col("nv"), hd + 1, size(col("nv")) - hd))
     val assigned = assignCells(
       assignCells(halves, "vec_id", "h0", cs0)
         .withColumnRenamed("cell", "c0"),

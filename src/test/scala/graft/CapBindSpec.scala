@@ -268,6 +268,27 @@ class CapBindSpec extends SparkSpec {
       "the fold must be idempotent on its own output")
   }
 
+  test("compaction re-cap derives the cap from the UNCAPPED logical rows when supplied") {
+    // round-10 ADVICE: merged.count() re-derives the cap from a base
+    // that was already capped, so repeated arrive→compact cycles could
+    // ratchet the cap below the monolithic build's. With the true
+    // ingested-row count supplied, the cap matches what a monolithic
+    // build over the same logical rows would have resolved.
+    val merged = spark.range(5000).select(lit(3).as("cell"),
+      col("id").as("corpus_id"), array(lit(0), lit(1)).as("code"))
+    // nCells=9: merged-count cap = max(4096, 8·5000/9) = 4444 → binds
+    val fromMerged = Extensions.recapCellCodes(merged, nCells = 9).count()
+    assert(fromMerged == 4444L,
+      s"merged-count cap must keep 4444 rows, kept $fromMerged")
+    // the same fold told the true logical total (9000 ingested rows —
+    // as if 4000 base rows had been capped away upstream) must resolve
+    // cap = 8·9000/9 = 8000 and keep everything
+    val fromTotal = Extensions.recapCellCodes(merged, nCells = 9,
+      totalRows = Some(9000L)).count()
+    assert(fromTotal == 5000L,
+      s"uncapped-total cap must keep all 5000 rows, kept $fromTotal")
+  }
+
   test("ivfpq nProbe binds: candidates come only from the probed cells") {
     // four orthogonal clusters, ids interleaved so the 4 seed vectors
     // cover all clusters and Lloyd separates them. With nProbe=1 and

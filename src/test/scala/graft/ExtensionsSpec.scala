@@ -791,6 +791,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("IMI halves cover every component on odd-dimension vectors") {
+    // round-10 ADVICE: h1 sliced with length floor(dim/2) silently
+    // dropped the LAST component of odd-dim vectors from assignment
+    // and routing. Plant dim-5 vectors whose product cell is decided
+    // ONLY by that last component: after normalization h1 = the last
+    // three dims, and the two cs1 centroids differ only there.
+    val vecs = Seq(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0, 1.0),   // h1 ~ [0,0,+.707] → cs1 cell 0
+      2L -> Seq(1.0, 0.0, 0.0, 0.0, -1.0))  // h1 ~ [0,0,-.707] → cs1 cell 1
+    val emb = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val cs0 = Array(Array(1.0, 0.0))
+    val cs1 = Array(Array(0.0, 0.0, 1.0), Array(0.0, 0.0, -1.0))
+    val cells = Extensions.imiCellTable(emb, cs0, cs1, None)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == Map(1L -> 0, 2L -> 1),
+      s"odd-dim product cells must be decided by the last component, got $cells")
+  }
+
   test("pqTopK finds planted near-duplicates (codes + rerank have real recall)") {
     // a planted twin quantizes to the same M codes as its query, so it
     // survives the ADC cut and the exact rerank puts it at rank 1
