@@ -838,6 +838,16 @@ object Extensions {
       .filter(!(col("doc_id") === col("cdoc") && col("pos") === col("cpos")))
       .select(col("doc_id"), col("pos").as("s"),
         least(col("pos") + W, col("n_tokens")).as("e")))
+    substrRewriteFrom(docs, spans)
+  }
+
+  /** The span-removal fold shared by the monolithic (E55) and
+    * incremental (E60) rewrites: given the cached tokenized docs and
+    * their NON-canonical duplicated spans [s, e) (already cached,
+    * dup-fraction-bounded), fold coverage by the delta-row trick and
+    * rebuild each doc's text from its uncovered tokens. */
+  private def substrRewriteFrom(docs: DataFrame,
+                                spans: DataFrame): DataFrame = {
     // only span-CARRYING docs pay the token explode + window (5% of
     // docs at the probe's boilerplate rate); the untouched 95% rebuild
     // straight from their cached token arrays
@@ -878,10 +888,16 @@ object Extensions {
       .orderBy("doc_id")
   }
 
-  val substringDedupRewriteQ: Q = Q("ext_substring_dedup_rewrite",
-    (spark, sfDir) => substringDedupRewrite(
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))),
-    Some(s"""WITH d AS (
+  /** E55's oracle, with `where` (a full `WHERE ...` clause over the
+    * final select's `d` alias, or "") restricting the emitted docs —
+    * the incremental rewrite (E60) is EXACTLY this query filtered to
+    * the batch split: a batch token's removal depends only on the
+    * GLOBAL gram counts (dup-ness) and the GLOBAL canonical (min
+    * doc_id, pos over every occurrence, whichever split holds it), so
+    * the arrival output equals the monolithic rewrite restricted to
+    * the batch docs. */
+  private def substrRewriteSql(where: String): String =
+    s"""WITH d AS (
             |  SELECT doc_id, regexp_split_to_array(
             |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'),
             |    '\\s+') AS toks
@@ -928,7 +944,13 @@ object Extensions {
             |  CAST(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
             |  coalesce(reb.text_dedup, '') AS text_dedup
             |FROM d LEFT JOIN reb ON reb.doc_id = d.doc_id
-            |ORDER BY d.doc_id""".stripMargin))
+            |$where
+            |ORDER BY d.doc_id""".stripMargin
+
+  val substringDedupRewriteQ: Q = Q("ext_substring_dedup_rewrite",
+    (spark, sfDir) => substringDedupRewrite(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))),
+    Some(substrRewriteSql("")))
 
   // =====================================================================
   // E56: incremental substring-dedup maintenance — the arrival
@@ -959,6 +981,29 @@ object Extensions {
       .select(explode(col("gh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cnt"))
 
+  /** (g, cnt, cdoc, cpos): [[substringGramCounts]] grown with each
+    * gram's CANONICAL occurrence — its globally-first (min doc_id,
+    * then min pos) — the stored form of the family's index since the
+    * rewrite arrival (E60) landed. Counts decide dup-ness (E52/E56);
+    * the canonical decides the keep-one policy (E55/E60): an arriving
+    * batch position is removed iff the MERGED count is ≥ 2 AND the
+    * position is not the merged canonical, and the merged canonical is
+    * min(stored canon, batch canon) — both columns fold as monoids
+    * (sum / min-struct), so arrivals and compactions stay one
+    * partial-agg-friendly groupBy, exactly like the count-only form.
+    * Stats consumers keep reading (g, cnt) only; column pruning keeps
+    * their index I/O unchanged. */
+  private[graft] def substringGramIndex(docs0: DataFrame): DataFrame =
+    docs0.select(col("doc_id"), edgeTrim(lower(col("text"))).as("t"))
+      .select(col("doc_id"),
+        graft.expr.ColumnOps.wordGramSha60(col("t"), SubstrDedupW).as("gh"))
+      .select(col("doc_id"), posexplode(col("gh")).as(Seq("pos", "g")))
+      .groupBy("g").agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id").as("d"),
+          col("pos").cast("long").as("p"))).as("canon"))
+      .select(col("g"), col("cnt"),
+        col("canon.d").as("cdoc"), col("canon.p").as("cpos"))
+
   /** Batch stats against a standing (g, cnt) table: ONE O(batch)
     * tokenize+gram scan; a batch position is duplicated iff the MERGED
     * (batch + stored) total is ≥ 2. */
@@ -973,14 +1018,16 @@ object Extensions {
     substringStatsFrom(docs, pos, dupG)
   }
 
-  /** The stored corpus gram-count index, shared by E56 and E57 (same
-    * fixture key ⇒ one table serves both). */
+  /** The stored corpus gram index — (g, cnt, cdoc, cpos),
+    * [[substringGramIndex]] — shared by the stats arrival (E56), the
+    * compaction (E57), and the rewrite arrival (E60): same fixture key
+    * ⇒ one table serves all three. */
   private def substrGramsFixture(spark: SparkSession, sfDir: String,
                                  corpus: DataFrame): DataFrame = {
-    val corpusGrams0 = substringGramCounts(corpus)
+    val corpusGrams0 = substringGramIndex(corpus)
     parquetFixture(spark, "substr-grams",
       s"$sfDir/documents.parquet",
-      s"w${SubstrDedupW}_inc$IncrementalCorpusPct",
+      s"w${SubstrDedupW}_inc${IncrementalCorpusPct}_cn1",
       corpusGrams0.queryExecution.logical.toString, corpusGrams0)
   }
 
@@ -994,6 +1041,66 @@ object Extensions {
         s"$IncrementalCorpusPct")))
 
   // =====================================================================
+  // E60: incremental substring-dedup REWRITE — the arrival contract
+  // (E56) for the family's CONSUMER transformation: a daily batch is
+  // span-CLEANED against the standing corpus without re-running the
+  // full-corpus rewrite. The stored index ([[substringGramIndex]])
+  // carries each gram's count AND its canonical (globally-first)
+  // occurrence, so ONE O(batch) tokenize+gram scan decides everything:
+  // a batch position is a removal span iff the MERGED count (stored +
+  // batch) is ≥ 2 AND the position is not the MERGED canonical
+  // (min of the stored canon and the batch's own min — the keep-one
+  // policy is a function of global state, and min folds). The
+  // coverage union + text rebuild run over batch docs only, via the
+  // shared [[substrRewriteFrom]] — selection semantics cannot drift
+  // from the monolithic E55. The corpus is never re-tokenized on
+  // arrival (PlanSpec one-raw-scan + fixture-serve gates).
+  //
+  // Oracle-paired like E56: canonical-ness and dup-ness depend only on
+  // GLOBAL gram state, not on which split the other occurrences live
+  // in — so the arrival output EQUALS monolithic E55 restricted to the
+  // batch split, and the oracle is E55's SQL with that WHERE clause.
+  // =====================================================================
+  /** Span-clean a batch against a standing (g, cnt, cdoc, cpos) index:
+    * ONE O(batch) tokenize+gram scan; removal spans are the batch
+    * positions whose merged count is ≥ 2 and which are not the merged
+    * canonical. */
+  private[graft] def substrRewriteAgainst(batch0: DataFrame,
+                                          stored: DataFrame): DataFrame = {
+    val W = SubstrDedupW
+    val docs = substringDocs(batch0)
+    val pos = substringGramPositions(docs)
+    // per-gram batch summary folds BEFORE the index join — the join is
+    // distinct-gram-sized, never position-sized
+    val bat = pos.groupBy("g").agg(count(lit(1)).as("bcnt"),
+      min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("bcanon"))
+    val canon = bat.join(stored, Seq("g"), "left")
+      .filter(col("bcnt") + coalesce(col("cnt"), lit(0L)) >= 2)
+      .select(col("g"),
+        when(col("cdoc").isNull, col("bcanon"))
+          .otherwise(least(
+            struct(col("cdoc").as("d"), col("cpos").as("p")),
+            col("bcanon"))).as("mc"))
+      .select(col("g"), col("mc.d").as("cdoc"), col("mc.p").as("cpos"))
+    // non-canonical duplicated batch occurrences → removal spans;
+    // cached for the same three-consumer reason as the monolithic form
+    val spans = cacheTracked(pos.join(canon, Seq("g"))
+      .filter(!(col("doc_id") === col("cdoc") && col("pos") === col("cpos")))
+      .select(col("doc_id"), col("pos").as("s"),
+        least(col("pos") + W, col("n_tokens")).as("e")))
+    substrRewriteFrom(docs, spans)
+  }
+
+  val substrRewriteIncremental: Q = Q("ext_substr_rewrite_incremental",
+    (spark, sfDir) => {
+      val (corpus, batch) = incrementalDocSplit(spark, sfDir)
+      substrRewriteAgainst(batch, substrGramsFixture(spark, sfDir, corpus))
+    },
+    Some(substrRewriteSql(
+      s"WHERE ${duckHash60("CAST(d.doc_id AS VARCHAR)")} % 100 >= " +
+        s"$IncrementalCorpusPct")))
+
+  // =====================================================================
   // E57: substring-dedup index compaction — the settling verb (E45's
   // contract) for the gram-count table, completing the family's
   // lifecycle on day one: accumulated arrival counts fold into ONE
@@ -1004,18 +1111,24 @@ object Extensions {
   // day-2 arrival against it is ORACLE-PAIRED exactly like E56: global
   // counts are global counts, whichever tables they were folded from.
   // =====================================================================
-  /** Fold stored corpus gram counts ∪ a batch's one-scan counts into a
-    * fresh stored (g, cnt) table — counts SUM per gram. Deterministic
-    * and idempotent (a pure aggregate of the inputs); fingerprint =
-    * merged plan + base scan paths, so a changed gram width or a
-    * different batch orphans the compact. */
-  def substrGramsCompacted(corpusGrams: DataFrame, batchCnt: DataFrame,
+  /** Fold the stored corpus gram index ∪ a batch's one-scan index rows
+    * into a fresh stored (g, cnt, cdoc, cpos) table — counts SUM per
+    * gram, canonicals take the min (doc, pos) struct: both monoid
+    * folds, so the compacted table is row-identical to the monolithic
+    * index over corpus ∪ batch. Deterministic and idempotent (a pure
+    * aggregate of the inputs); fingerprint = merged plan + base scan
+    * paths, so a changed gram width or a different batch orphans the
+    * compact. */
+  def substrGramsCompacted(corpusGrams: DataFrame, batchIdx: DataFrame,
                            src: String): DataFrame = {
     val spark = corpusGrams.sparkSession
-    val merged = corpusGrams.unionByName(batchCnt)
-      .groupBy("g").agg(sum(col("cnt")).as("cnt"))
+    val merged = corpusGrams.unionByName(batchIdx)
+      .groupBy("g").agg(sum(col("cnt")).as("cnt"),
+        min(struct(col("cdoc").as("d"), col("cpos").as("p"))).as("canon"))
+      .select(col("g"), col("cnt"),
+        col("canon.d").as("cdoc"), col("canon.p").as("cpos"))
     parquetFixture(spark, "substr-grams-compact", src,
-      s"w${SubstrDedupW}_compact1",
+      s"w${SubstrDedupW}_compact2",
       merged.queryExecution.logical.toString +
         "\nscans:" + scanRootPaths(merged).mkString(","), merged)
   }
@@ -1035,7 +1148,7 @@ object Extensions {
       val day2 = base.filter(col("bucket") >= 90).select("doc_id", "text")
       val compacted = substrGramsCompacted(
         substrGramsFixture(spark, sfDir, corpus),
-        substringGramCounts(day1), s"$sfDir/documents.parquet")
+        substringGramIndex(day1), s"$sfDir/documents.parquet")
       substrStatsAgainst(day2, compacted)
     },
     Some(substrStatsSql(
@@ -6856,7 +6969,7 @@ object Extensions {
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters,
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, substringDedup, substringDedupRewriteQ,
-    substrIncremental, substrCompact,
+    substrIncremental, substrRewriteIncremental, substrCompact,
     topkCosine, mmrRerank, mmrRerankIvfpq, annLsh, topkIvf, topkPq, annRecall,
     textStats,
     langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,

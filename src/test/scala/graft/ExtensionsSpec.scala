@@ -99,7 +99,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(6L) == ((3L, 0L, "")))
   }
 
-  test("substr compaction fold == monolithic gram counts (counts are additive)") {
+  test("substr compaction fold == monolithic gram index (counts AND canonicals fold)") {
     import org.apache.spark.sql.functions.{col => c}
     val bucket = pmod(
       graft.expr.Scalars.hash60(c("doc_id").cast("string")), lit(100L))
@@ -108,14 +108,62 @@ class ExtensionsSpec extends SparkSpec {
     val corpus = base.filter(c("bucket") < 80).select("doc_id", "text")
     val day1 = base.filter(c("bucket") >= 80 && c("bucket") < 90)
       .select("doc_id", "text")
-    val folded = Extensions.substringGramCounts(corpus)
-      .unionByName(Extensions.substringGramCounts(day1))
-      .groupBy("g").agg(sum("cnt").as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    val mono = Extensions.substringGramCounts(
-        base.filter(c("bucket") < 90).select("doc_id", "text"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    assert(folded.toSeq == mono.toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    // the same monoid fold substrGramsCompacted runs: sum the counts,
+    // min-struct the canonicals
+    val folded = rows(Extensions.substringGramIndex(corpus)
+      .unionByName(Extensions.substringGramIndex(day1))
+      .groupBy("g").agg(sum("cnt").as("cnt"),
+        min(struct(c("cdoc").as("d"), c("cpos").as("p"))).as("canon"))
+      .select(c("g"), c("cnt"), c("canon.d"), c("canon.p")))
+    val mono = rows(Extensions.substringGramIndex(
+      base.filter(c("bucket") < 90).select("doc_id", "text")))
+    assert(folded == mono)
+  }
+
+  test("substrRewriteAgainst: cross-split canonicals (corpus-held, batch-held, self-repeat)") {
+    // the keep-one policy is GLOBAL min (doc_id, pos): the arrival must
+    // honor a canonical wherever it lives. Corpus doc 10 owns the
+    // s-span; batch doc 5 (lowest id anywhere) owns the t-span even
+    // though corpus doc 30 also carries it; batch doc 40 self-repeats.
+    val corpus = Seq(
+      (10L, "u1 u2 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 u3 u4"),
+      (30L, "z1 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 z2")).toDF("doc_id", "text")
+    val batch = Seq(
+      (5L,  "q1 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 q2"),
+      (20L, "v1 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 v2 v3 v4 v5"),
+      (40L, "r1 r2 r3 r4 r5 r6 r7 r8 x r1 r2 r3 r4 r5 r6 r7 r8"),
+      (50L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val got = Extensions.substrRewriteAgainst(batch,
+        Extensions.substringGramIndex(corpus)).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(5L, 20L, 40L, 50L),
+      "arrival output must cover exactly the batch docs")
+    // batch-held canonical: doc 5 < corpus doc 30 → the batch keeps its span
+    assert(got(5L) == ((12L, 12L, "q1 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 q2")))
+    // corpus-held canonical: merged count 1+1 ≥ 2, doc 10 is first → doc 20
+    // loses the whole span
+    assert(got(20L) == ((15L, 5L, "v1 v2 v3 v4 v5")))
+    // self-repeat within the batch: the first occurrence is the canonical
+    assert(got(40L) == ((17L, 9L, "r1 r2 r3 r4 r5 r6 r7 r8 x")))
+    // clean doc passes through untouched
+    assert(got(50L) == ((9L, 9L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+    Extensions.releaseCaches()
+  }
+
+  test("ext_substr_rewrite_incremental == monolithic rewrite restricted to the batch split") {
+    val inc = Extensions.substrRewriteIncremental.fn(spark, sf0001)
+    val bucket = pmod(
+      graft.expr.Scalars.hash60(col("doc_id").cast("string")), lit(100L))
+    val mono = Extensions.substringDedupRewrite(
+        model.Tables.documents(spark, sf0001).select(col("doc_id"), col("text")))
+      .filter(bucket >= Extensions.IncrementalCorpusPct)
+    assert(inc.exceptAll(mono).count() == 0 &&
+      mono.exceptAll(inc).count() == 0,
+      "arrival rewrite must equal the monolithic rewrite on the batch split")
+    Extensions.releaseCaches()
   }
 
   test("mmrSelect: negative similarity is a diversity bonus; NaN pool degrades") {

@@ -279,6 +279,22 @@ class PlanSpec extends SparkSpec {
     } finally ext.Extensions.releaseCaches()
   }
 
+  test("incremental substring rewrite: one raw documents scan, gram index served") {
+    // the rewrite arrival (E60) shares the stats arrival's contract:
+    // exactly one raw documents scan (the batch tokenize+gram pass),
+    // counts AND canonicals served from the stored gram index
+    val df = ext.Extensions.substrRewriteIncremental.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 1,
+        s"want exactly 1 raw documents scan (the batch), got $docScans in $paths")
+      assert(paths.exists(_.contains("substr-grams")),
+        s"corpus gram index not served from the stored fixture: $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("compacted substring index: day-2 scan only, compacted table, no base read") {
     // the settled debts as plan facts: the day-2 arrival reads ONE
     // compacted count table (not the corpus base, not day-1 rows) plus
