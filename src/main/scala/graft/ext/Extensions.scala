@@ -141,6 +141,18 @@ object Extensions {
   def annQueryIds(emb: DataFrame): DataFrame =
     hashOrderedSample(emb.select("vec_id"), "vec_id", AnnQueryCount)
 
+  /** The (emb, query-ids) pair every registered search path derives.
+    * `qids0` lets ext_ann_recall inject ONE shared cached query-id
+    * frame across its paths — each path otherwise re-pays the corpus
+    * TakeOrdered for the identical 16-row set (9× per recall run);
+    * standalone registered runs derive it live. */
+  private def annInputs(spark: SparkSession, sfDir: String,
+      qids0: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    (emb, qids0.getOrElse(annQueryIds(emb)))
+  }
+
   /** The `n` rows with the smallest (hash60(id), id) — one TakeOrdered
     * pass (O(corpus · log n), executor-side top-n merge, no driver
     * collect), deterministic for any id distribution. */
@@ -1483,14 +1495,14 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  private[graft] def annLshSearch(spark: SparkSession, sfDir: String,
+      qids0: Option[DataFrame] = None): DataFrame = {
+    val (emb, qids) = annInputs(spark, sfDir, qids0)
+    annTopK(emb, qids, indexSrc = Some(s"$sfDir/embeddings.parquet"))
+  }
+
   val annLsh: Q = Q("ext_ann_lsh",
-    (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      annTopK(emb, annQueryIds(emb),
-        indexSrc = Some(s"$sfDir/embeddings.parquet"))
-    },
-    None)
+    (spark, sfDir) => annLshSearch(spark, sfDir), None)
 
   // =====================================================================
   // E3c: IVF (inverted-file) ANN — the coarse-quantizer scale path.
@@ -1798,14 +1810,14 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  private[graft] def ivfSearch(spark: SparkSession, sfDir: String,
+      qids0: Option[DataFrame] = None): DataFrame = {
+    val (emb, qids) = annInputs(spark, sfDir, qids0)
+    ivfTopK(emb, qids, centroidSrc = Some(s"$sfDir/embeddings.parquet"))
+  }
+
   val topkIvf: Q = Q("ext_topk_ivf",
-    (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      ivfTopK(emb, annQueryIds(emb),
-        centroidSrc = Some(s"$sfDir/embeddings.parquet"))
-    },
-    None)
+    (spark, sfDir) => ivfSearch(spark, sfDir), None)
 
   // =====================================================================
   // E3f: PQ (product-quantization) ANN — the CODE-COMPRESSED scale path
@@ -2119,14 +2131,14 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  private[graft] def pqSearch(spark: SparkSession, sfDir: String,
+      qids0: Option[DataFrame] = None): DataFrame = {
+    val (emb, qids) = annInputs(spark, sfDir, qids0)
+    pqTopK(emb, qids, codebookSrc = Some(s"$sfDir/embeddings.parquet"))
+  }
+
   val topkPq: Q = Q("ext_topk_pq",
-    (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      pqTopK(emb, annQueryIds(emb),
-        codebookSrc = Some(s"$sfDir/embeddings.parquet"))
-    },
-    None)
+    (spark, sfDir) => pqSearch(spark, sfDir), None)
 
   // =====================================================================
   // E3g: IVFPQ — cell-routed ADC search (the FAISS IVFPQ composition;
@@ -2355,14 +2367,14 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  private[graft] def ivfpqSearch(spark: SparkSession, sfDir: String,
+      qids0: Option[DataFrame] = None): DataFrame = {
+    val (emb, qids) = annInputs(spark, sfDir, qids0)
+    ivfpqTopK(emb, qids, src = Some(s"$sfDir/embeddings.parquet"))
+  }
+
   val topkIvfpq: Q = Q("ext_topk_ivfpq",
-    (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      ivfpqTopK(emb, annQueryIds(emb),
-        src = Some(s"$sfDir/embeddings.parquet"))
-    },
-    None)
+    (spark, sfDir) => ivfpqSearch(spark, sfDir), None)
 
   // =====================================================================
   // Incremental maintenance for the COMBINED ivfpq-codes index — the
@@ -2801,14 +2813,14 @@ object Extensions {
       adcExtra = col("cdot"))
   }
 
+  private[graft] def ivfpqrSearch(spark: SparkSession, sfDir: String,
+      qids0: Option[DataFrame] = None): DataFrame = {
+    val (emb, qids) = annInputs(spark, sfDir, qids0)
+    ivfpqrTopK(emb, qids, src = Some(s"$sfDir/embeddings.parquet"))
+  }
+
   val topkIvfpqr: Q = Q("ext_topk_ivfpqr",
-    (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      ivfpqrTopK(emb, annQueryIds(emb),
-        src = Some(s"$sfDir/embeddings.parquet"))
-    },
-    None)
+    (spark, sfDir) => ivfpqrSearch(spark, sfDir), None)
 
   /** The frozen full-corpus residual-model triple (centroids, cell
     * means, residual codebook) shared by the residual maintenance
@@ -3018,14 +3030,14 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  private[graft] def imiSearch(spark: SparkSession, sfDir: String,
+      qids0: Option[DataFrame] = None): DataFrame = {
+    val (emb, qids) = annInputs(spark, sfDir, qids0)
+    imiTopK(emb, qids, src = Some(s"$sfDir/embeddings.parquet"))
+  }
+
   val topkImi: Q = Q("ext_topk_imi",
-    (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      imiTopK(emb, annQueryIds(emb),
-        src = Some(s"$sfDir/embeddings.parquet"))
-    },
-    None)
+    (spark, sfDir) => imiSearch(spark, sfDir), None)
 
   // =====================================================================
   // E42: IMI-PQ — the production composition at 100 TB: product-cell
@@ -3125,14 +3137,14 @@ object Extensions {
     adcCellSearch(emb, queries, cellCodes, m, kw, rerank, k, src)
   }
 
+  private[graft] def imipqSearch(spark: SparkSession, sfDir: String,
+      qids0: Option[DataFrame] = None): DataFrame = {
+    val (emb, qids) = annInputs(spark, sfDir, qids0)
+    imipqTopK(emb, qids, src = Some(s"$sfDir/embeddings.parquet"))
+  }
+
   val topkImipq: Q = Q("ext_topk_imipq",
-    (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      imipqTopK(emb, annQueryIds(emb),
-        src = Some(s"$sfDir/embeddings.parquet"))
-    },
-    None)
+    (spark, sfDir) => imipqSearch(spark, sfDir), None)
 
   /** One-scan encode+assign of a vector frame against all THREE frozen
     * models (two half quantizers + the codebook) → (cell, corpus_id,
@@ -3539,17 +3551,24 @@ object Extensions {
             col("recall_at_10"),
             (col("recall_at_10") >= threshold).as("pass"))
       }
-      recallOf(annLsh.fn(spark, sfDir), "ann_lsh", AnnLshRecallFloor)
-        .unionByName(recallOf(topkIvf.fn(spark, sfDir), "ivf", IvfRecallFloor))
-        .unionByName(recallOf(topkPq.fn(spark, sfDir), "pq", PqRecallFloor))
+      // ONE cached query-id frame across every path: the 16-row set is
+      // identical per path, and each path's own derivation pays a
+      // corpus TakeOrdered — 7× wasted scans this metric doesn't need
+      // (the paths' search semantics are untouched; qids is the same
+      // frame they would derive)
+      val qids = Some(cacheTracked(annQueryIds(
+        Tables.embeddings(spark, sfDir).select(col("vec_id")))))
+      recallOf(annLshSearch(spark, sfDir, qids), "ann_lsh", AnnLshRecallFloor)
+        .unionByName(recallOf(ivfSearch(spark, sfDir, qids), "ivf", IvfRecallFloor))
+        .unionByName(recallOf(pqSearch(spark, sfDir, qids), "pq", PqRecallFloor))
         .unionByName(
-          recallOf(topkIvfpq.fn(spark, sfDir), "ivfpq", IvfpqRecallFloor))
+          recallOf(ivfpqSearch(spark, sfDir, qids), "ivfpq", IvfpqRecallFloor))
         .unionByName(
-          recallOf(topkImi.fn(spark, sfDir), "imi", ImiRecallFloor))
+          recallOf(imiSearch(spark, sfDir, qids), "imi", ImiRecallFloor))
         .unionByName(
-          recallOf(topkImipq.fn(spark, sfDir), "imipq", ImiRecallFloor))
+          recallOf(imipqSearch(spark, sfDir, qids), "imipq", ImiRecallFloor))
         .unionByName(
-          recallOf(topkIvfpqr.fn(spark, sfDir), "ivfpqr", IvfpqRecallFloor))
+          recallOf(ivfpqrSearch(spark, sfDir, qids), "ivfpqr", IvfpqRecallFloor))
         .orderBy("method")
     },
     None)
@@ -4805,16 +4824,25 @@ object Extensions {
   // query runs BM25 over it and shares ext_bm25_search's DuckDB oracle,
   // the strongest gate available for a maintenance op.
   // =====================================================================
+  /** The stored standing-corpus postings table — ONE fixture shared by
+    * the arrival (E35), the compaction (E46), and the cadence report
+    * (E61); a diverging inline copy of this read would silently fork
+    * the fixture key. */
+  private def bm25PostingsFixture(spark: SparkSession, sfDir: String,
+                                  corpus: DataFrame): DataFrame = {
+    val corpusPostings0 = postingsOf(corpus)
+    parquetFixture(spark, "bm25-postings",
+      s"$sfDir/documents.parquet", s"tok1_inc$IncrementalCorpusPct",
+      corpusPostings0.queryExecution.logical.toString, corpusPostings0)
+  }
+
   val bm25Incremental: Q = Q("ext_bm25_incremental",
     (spark, sfDir) => {
       // ONE definition of the corpus/batch split across the whole
       // incremental family — a diverging copy here would silently
       // break the merged == monolithic invariant
       val (corpus, batch) = incrementalDocSplit(spark, sfDir)
-      val corpusPostings0 = postingsOf(corpus)
-      val corpusPostings = parquetFixture(spark, "bm25-postings",
-        s"$sfDir/documents.parquet", s"tok1_inc$IncrementalCorpusPct",
-        corpusPostings0.queryExecution.logical.toString, corpusPostings0)
+      val corpusPostings = bm25PostingsFixture(spark, sfDir, corpus)
       // ONE O(batch) tokenize scan — the only live corpus-data work
       val merged = corpusPostings.unionByName(postingsOf(batch))
       bm25From(corpus, postings0 = Some(merged)).orderBy("query_id", "rank")
@@ -4833,15 +4861,23 @@ object Extensions {
   // query's output EQUALS ext_ann_lsh's — asserted in ExtensionsSpec;
   // no oracle for the same reason ext_ann_lsh has none.
   // =====================================================================
+  /** The stored standing-corpus capped bucket table — ONE fixture
+    * shared by the arrival (E36), the compaction (E47), and the
+    * cadence report (E61). */
+  private def lshBucketsFixture(spark: SparkSession, sfDir: String,
+                                corpus: DataFrame): DataFrame = {
+    val corpusBuckets0 = lshBucketRows(corpus, Some(256))
+    parquetFixture(spark, "lsh-buckets",
+      s"$sfDir/embeddings.parquet", s"t3_b6_c256_lshinc90",
+      corpusBuckets0.queryExecution.logical.toString, corpusBuckets0)
+  }
+
   val lshIncremental: Q = Q("ext_lsh_incremental",
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val (corpus, batch) = incrementalSplit(emb)
-      val corpusBuckets0 = lshBucketRows(corpus, Some(256))
-      val corpusBuckets = parquetFixture(spark, "lsh-buckets",
-        s"$sfDir/embeddings.parquet", s"t3_b6_c256_lshinc90",
-        corpusBuckets0.queryExecution.logical.toString, corpusBuckets0)
+      val corpusBuckets = lshBucketsFixture(spark, sfDir, corpus)
       // ONE O(batch) hash scan for the arrival, appended at read time.
       // The per-bucket cap is RE-applied to the merged table: the cap
       // is the search-shuffle skew guard, and a stored-capped ∪
@@ -4901,11 +4937,8 @@ object Extensions {
   val bm25Compact: Q = Q("ext_bm25_compact",
     (spark, sfDir) => {
       val (corpus, batch) = incrementalDocSplit(spark, sfDir)
-      val corpusPostings0 = postingsOf(corpus)
-      val corpusPostings = parquetFixture(spark, "bm25-postings",
-        s"$sfDir/documents.parquet", s"tok1_inc$IncrementalCorpusPct",
-        corpusPostings0.queryExecution.logical.toString, corpusPostings0)
-      val compacted = postingsCompacted(corpusPostings, postingsOf(batch),
+      val compacted = postingsCompacted(
+        bm25PostingsFixture(spark, sfDir, corpus), postingsOf(batch),
         s"$sfDir/documents.parquet")
       bm25From(corpus, postings0 = Some(compacted)).orderBy("query_id", "rank")
     },
@@ -4938,13 +4971,98 @@ object Extensions {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val (corpus, batch) = incrementalSplit(emb)
-      val corpusBuckets0 = lshBucketRows(corpus, Some(256))
-      val corpusBuckets = parquetFixture(spark, "lsh-buckets",
-        s"$sfDir/embeddings.parquet", s"t3_b6_c256_lshinc90",
-        corpusBuckets0.queryExecution.logical.toString, corpusBuckets0)
-      val compacted = lshCompactedBuckets(corpusBuckets,
+      val compacted = lshCompactedBuckets(
+        lshBucketsFixture(spark, sfDir, corpus),
         lshBucketRows(batch, None), s"$sfDir/embeddings.parquet")
       annTopK(emb, annQueryIds(emb), buckets0 = Some(compacted))
+    },
+    None)
+
+  // =====================================================================
+  // E61: compaction-cadence report — the operational gap the lifecycle
+  // verbs left open: every stored index family has arrive (E35/E36/
+  // E39/E43/E49/E56) and compact (E45-E48/E50/E57) operators, and the
+  // drift rule (E32/E33) owns RETRAIN, but nothing REPORTS when to run
+  // the compaction. Accumulated arrival rows erode the cap disciplines
+  // (LSH re-caps per search; code indexes ride uncapped) and pile
+  // per-batch part files onto every search's file listing — both debts
+  // grow with batches-since-compaction, not with data, so the trigger
+  // is a metadata fact: per family, the stored base's row/file counts
+  // vs the accumulated arrival rows. All inputs are index-sized
+  // (stored-fixture metadata counts) or O(batch); the three code
+  // tables share ONE batch count (their arrivals write exactly one row
+  // per vector by construction, so re-running three identical encodes
+  // to count them would buy nothing).
+  // =====================================================================
+  /** Accumulated-arrival fraction of the stored base that recommends a
+    * compaction: a quarter of the base re-paid per search (union scan
+    * + re-cap work) is the documented operating point; the drift rule
+    * fires retrain far earlier when the DISTRIBUTION moves — this
+    * threshold is about volume, not drift. */
+  final val CompactBatchRatio = 0.25
+  /** Part-file count that recommends compaction regardless of ratio:
+    * daily appends × part files per batch land on every search's file
+    * listing (the small-files debt E45 documents). */
+  final val CompactPartFiles = 64
+
+  /** One report row: (family, base_rows, batch_rows, batch_ratio,
+    * part_files, compact_recommended). Exposed for the threshold spec;
+    * an empty base with arrivals reports ratio = ∞ → compact (fold the
+    * arrivals into a real base), never a silent 0. */
+  private[graft] def compactReportRow(family: String, baseRows: Long,
+      batchRows: Long, partFiles: Long):
+      (String, Long, Long, Double, Long, Boolean) = {
+    val ratio =
+      if (baseRows > 0) math.rint(batchRows.toDouble / baseRows * 1e4) / 1e4
+      else if (batchRows > 0) Double.PositiveInfinity
+      else 0.0
+    (family, baseRows, batchRows, ratio, partFiles,
+      ratio >= CompactBatchRatio || partFiles >= CompactPartFiles)
+  }
+
+  val compactReport: Q = Q("ext_compact_report",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val src = s"$sfDir/embeddings.parquet"
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (vCorpus, vBatch) = incrementalSplit(emb)
+      val (dCorpus, dBatch) = incrementalDocSplit(spark, sfDir)
+      // ONE batch count serves every 1-row-per-vector arrival (code
+      // tables); postings / buckets / grams count their real arrival
+      // frames (their row-per-input mapping is data-dependent)
+      val batchVecs = vBatch.count()
+      def row(family: String, base: DataFrame, batchRows: Long) =
+        compactReportRow(family, base.count(), batchRows,
+          base.inputFiles.length.toLong)
+      val cbs = pqCodebooks(emb, codebookSrc = Some(src))
+      val cs = ivfCentroids(emb, centroidSrc = Some(src))
+      val cs0 = imiCentroids(emb, 0, ImiK, Some(src))
+      val cs1 = imiCentroids(emb, 1, ImiK, Some(src))
+      val vecRows =
+        if (cbs.isEmpty || cs.isEmpty || cs0.isEmpty || cs1.isEmpty)
+          Seq.empty[(String, Long, Long, Double, Long, Boolean)]
+        else {
+          val ms = ivfCellMeans(emb, cs, Some(src))
+          val cbsR = pqrCodebooks(emb, cs, ms, Some(src))
+          Seq(
+            row("ivfpq-codes",
+              ivfpqCellCodes(vCorpus, cbs, cs, Some(src)), batchVecs),
+            row("imipq-codes",
+              imipqCellCodes(vCorpus, cbs, cs0, cs1, Some(src)), batchVecs)) ++
+            (if (cbsR.isEmpty) Seq.empty
+             else Seq(row("ivfpqr-codes",
+               ivfpqrCellCodes(vCorpus, cbsR, cs, ms, Some(src)), batchVecs)))
+        }
+      val rows = vecRows ++ Seq(
+        row("bm25-postings", bm25PostingsFixture(spark, sfDir, dCorpus),
+          postingsOf(dBatch).count()),
+        row("lsh-buckets", lshBucketsFixture(spark, sfDir, vCorpus),
+          lshBucketRows(vBatch, None).count()),
+        row("substr-grams", substrGramsFixture(spark, sfDir, dCorpus),
+          substringGramIndex(dBatch).count()))
+      rows.toDF("family", "base_rows", "batch_rows", "batch_ratio",
+        "part_files", "compact_recommended").orderBy("family")
     },
     None)
 
@@ -6982,6 +7100,7 @@ object Extensions {
     topkIvfpq,
     dedupSemantic, semanticClusters, bm25Search, bm25Incremental,
     lshIncremental, ivfpqIncremental, ivfpqCompact, bm25Compact, lshCompact,
+    compactReport,
     imipqCompact, tfidfTerms, domainCap,
     unigramLogprob, perplexityBuckets, importanceResample, corpusCurateSemantic,
     corpusCurateSpans,

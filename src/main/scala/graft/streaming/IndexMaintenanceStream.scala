@@ -92,6 +92,45 @@ object IndexMaintenanceStream {
     spark.read.parquet(indexDir).select("cell", "corpus_id", "code")
 
   // ---------------------------------------------------------------------
+  // The FLAT-IVF vector twin (E39's streaming form): identical contract
+  // to the product-quantizer stream above with the coarse quantizer
+  // swapped — each micro-batch runs ivfpqEncodeAssign's one-scan
+  // encode+assign against the frozen (codebook, centroid) pair and
+  // appends to the batch-keyed layout.
+  // ---------------------------------------------------------------------
+
+  /** One micro-batch's append for the flat combined index. `batch`
+    * carries (vec_id, v). Exposed for the idempotence test. */
+  def appendIvfpqBatch(batch: DataFrame,
+                       cbs: Array[Array[Array[Double]]],
+                       cs: Array[Array[Double]],
+                       indexDir: String, batchId: Long): Unit =
+    graft.ext.Extensions.ivfpqEncodeAssign(batch, cbs, cs)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Start the flat-IVF maintenance stream: `vecs` must carry
+    * (vec_id, v) with v the embedding array. */
+  def startIvfpqAppend(vecs: DataFrame,
+                       cbs: Array[Array[Array[Double]]],
+                       cs: Array[Array[Double]],
+                       indexDir: String,
+                       checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .queryName("graft-ivfpq-append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          appendIvfpqBatch(batch.toDF(), cbs, cs, indexDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The merged flat combined-index table (the `codes0` input of
+    * ivfpqTopK), batch column dropped. */
+  def mergedIvfpqCodes(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir).select("cell", "corpus_id", "code")
+
+  // ---------------------------------------------------------------------
   // The substring-dedup twin (E56's streaming form): documents arrive
   // on a stream, each micro-batch pays ONE tokenize+gram scan and its
   // (g, cnt) PARTIAL counts land in the batch-keyed partition. Counts
@@ -102,12 +141,16 @@ object IndexMaintenanceStream {
   // replayed batch rewrites its own partition byte-identically.
   // ---------------------------------------------------------------------
 
-  /** One micro-batch's append: gram-count + write to the batch-keyed
-    * partition. `batch` carries (doc_id, text). Exposed for the
+  /** One micro-batch's append: gram-index + write to the batch-keyed
+    * partition. `batch` carries (doc_id, text). Partials carry the
+    * batch's own counts AND its canonical (min doc_id, pos) per gram
+    * — both monoid folds, so the merged read reconstructs the full
+    * index exactly (E60's rewrite arrival can probe a streamed index
+    * the same way it probes the batch-built fixture). Exposed for the
     * idempotence test. */
   def appendSubstrBatch(batch: DataFrame, indexDir: String,
                         batchId: Long): Unit =
-    graft.ext.Extensions.substringGramCounts(batch)
+    graft.ext.Extensions.substringGramIndex(batch)
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
 
   /** Start the maintenance stream: `docs` must carry (doc_id, text). */
@@ -122,12 +165,17 @@ object IndexMaintenanceStream {
       }
       .start()
 
-  /** The merged (g, cnt) table arrivals probe (the `stored` input of
-    * substrStatsAgainst): per-gram SUM over the appended partial
-    * counts — counts are additive, so this equals the one-shot count
-    * of every streamed doc. */
+  /** The merged (g, cnt, cdoc, cpos) index arrivals probe (the
+    * `stored` input of substrStatsAgainst AND substrRewriteAgainst):
+    * per-gram SUM of the partial counts + MIN of the partial
+    * canonicals — both monoids, so the fold equals the one-shot index
+    * over every streamed doc. */
   def mergedSubstrGrams(spark: SparkSession, indexDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.sum
-    spark.read.parquet(indexDir).groupBy("g").agg(sum("cnt").as("cnt"))
+    import org.apache.spark.sql.functions.{col, min, struct, sum}
+    spark.read.parquet(indexDir).groupBy("g")
+      .agg(sum("cnt").as("cnt"),
+        min(struct(col("cdoc").as("d"), col("cpos").as("p"))).as("canon"))
+      .select(col("g"), col("cnt"),
+        col("canon.d").as("cdoc"), col("canon.p").as("cpos"))
   }
 }

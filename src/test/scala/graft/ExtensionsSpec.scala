@@ -153,6 +153,43 @@ class ExtensionsSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("ext_compact_report: per-family coverage, exact counts, threshold rule") {
+    val got = Extensions.compactReport.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.keySet == Set("ivfpq-codes", "imipq-codes", "ivfpqr-codes",
+      "bm25-postings", "lsh-buckets", "substr-grams"),
+      s"report must cover every stored index family, got ${got.keySet}")
+    got.foreach { case (f, (base, batch, ratio, files, _)) =>
+      assert(base > 0 && batch > 0 && files > 0, s"$f reports empty state")
+      assert(ratio == math.rint(batch.toDouble / base * 1e4) / 1e4,
+        s"$f ratio $ratio is not batch/base rounded")
+    }
+    // exact arrival rows: the code tables write 1 row/vector, the
+    // bucket table 3 (nTables) rows/vector — the report's derived
+    // counts must equal the real batch cardinalities
+    val batchVecs = model.Tables.embeddings(spark, sf0001)
+      .filter(pmod(graft.expr.Scalars.hash60(col("vec_id").cast("string")),
+        lit(100L)) >= 90).count()
+    assert(got("ivfpq-codes")._2 == batchVecs)
+    assert(got("imipq-codes")._2 == batchVecs)
+    assert(got("ivfpqr-codes")._2 == batchVecs)
+    assert(got("lsh-buckets")._2 == 3 * batchVecs)
+    // the threshold rule, pinned on planted states the driver SFs
+    // never reach: ratio binds at CompactBatchRatio, files at
+    // CompactPartFiles, an empty base with arrivals always recommends
+    assert(!Extensions.compactReportRow("x", 1000, 100, 2)._6,
+      "under both thresholds must not recommend")
+    assert(Extensions.compactReportRow("x", 1000, 250, 2)._6,
+      "ratio at threshold must recommend")
+    assert(Extensions.compactReportRow("x", 1000, 100, 64)._6,
+      "part files at threshold must recommend")
+    assert(Extensions.compactReportRow("x", 0, 5, 1)._6,
+      "arrivals with no base must recommend (fold into a real base)")
+    assert(!Extensions.compactReportRow("x", 0, 0, 1)._6)
+    Extensions.releaseCaches()
+  }
+
   test("ext_substr_rewrite_incremental == monolithic rewrite restricted to the batch split") {
     val inc = Extensions.substrRewriteIncremental.fn(spark, sf0001)
     val bucket = pmod(

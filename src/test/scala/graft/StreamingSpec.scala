@@ -263,6 +263,40 @@ class StreamingSpec extends SparkSpec {
       "replayed micro-batch double-appended instead of rewriting its partition")
   }
 
+  test("streaming ivfpq arrival: appended micro-batches == one-shot encode; replay idempotent") {
+    // the flat-IVF vector twin — E39's contract with checkpoint-owned
+    // progress: same discipline as the imipq stream with the coarse
+    // quantizer swapped
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IndexMaintenanceStream
+    val rnd = new scala.util.Random(37)
+    val vecsAll = (1L to 12L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian())))
+    val allDf = vecsAll.toDF("vec_id", "v")
+    val cbs = graft.ext.Extensions.pqCodebooks(allDf)
+    val cs = graft.ext.Extensions.ivfCentroids(allDf, nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpqckpt").toString
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = IndexMaintenanceStream.startIvfpqAppend(
+      ms.toDF().toDF("vec_id", "v"), cbs, cs, dir, ckpt)
+    try {
+      ms.addData(vecsAll.take(6): _*); q.processAllAvailable()
+      ms.addData(vecsAll.drop(6): _*); q.processAllAvailable()
+    } finally q.stop()
+    val merged = IndexMaintenanceStream.mergedIvfpqCodes(spark, dir)
+    val oneShot = graft.ext.Extensions.ivfpqEncodeAssign(allDf, cbs, cs)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "streamed combined-index rows diverged from the one-shot encode")
+    val before = merged.count()
+    IndexMaintenanceStream.appendIvfpqBatch(
+      vecsAll.take(6).toDF("vec_id", "v"), cbs, cs, dir, 0L)
+    assert(IndexMaintenanceStream.mergedIvfpqCodes(spark, dir).count() == before,
+      "replayed micro-batch double-appended instead of rewriting its partition")
+  }
+
   test("streaming substr arrival: summed partial counts == one-shot; replay idempotent") {
     // the substring-dedup twin (E56's streaming form): each micro-batch
     // lands its PARTIAL (g, cnt) counts; counts are aggregates, so the
@@ -286,11 +320,20 @@ class StreamingSpec extends SparkSpec {
       ms.addData(docsAll.drop(2): _*); q.processAllAvailable()
     } finally q.stop()
     val merged = IndexMaintenanceStream.mergedSubstrGrams(spark, dir)
-    val oneShot = graft.ext.Extensions.substringGramCounts(
+    val oneShot = graft.ext.Extensions.substringGramIndex(
       docsAll.toDF("doc_id", "text"))
     assert(merged.exceptAll(oneShot).count() == 0 &&
       oneShot.exceptAll(merged).count() == 0,
-      "summed streamed counts diverged from the one-shot gram count")
+      "folded streamed index diverged from the one-shot gram index " +
+        "(counts or canonicals)")
+    // the streamed index serves the rewrite arrival exactly like the
+    // batch-built fixture: a later batch repeating doc 1's text loses
+    // it (the canonical lives in the streamed corpus)
+    val rewritten = graft.ext.Extensions.substrRewriteAgainst(
+        Seq((9L, "a b c d e f g h")).toDF("doc_id", "text"), merged)
+      .collect()
+    assert(rewritten.length == 1 && rewritten(0).getLong(2) == 0L,
+      "batch copy of a streamed-corpus span must lose it entirely")
     // the cross-batch gram really merged: docs 1 and 3 are identical
     // 8-token docs in different micro-batches → one gram with cnt 2
     val dupTotal = merged.filter(col("cnt") >= 2).count()
