@@ -69,6 +69,10 @@ object SparkEntry {
       "K data-dependent argmax+rewrite rounds have no practical recursive-CTE SQL form; ExtensionsSpec recomputes the merge table with an independent in-memory BPE over the collected vocabulary and requires exact equality",
     "ext_bpe_token_count" ->
       "the apply side of ext_bpe_merges inherits its no-oracle reason (the merge table is the K-round trained model; a SQL twin would need the same argmax loop plus a fixpoint rewrite per merge); ExtensionsSpec applies the collected merges with an independent in-memory BPE to every document and requires exact per-doc ws/bpe token counts",
+    "ext_pagerank_converged" ->
+      "convergence-mode centrality: the iteration count is a runtime property (L1 delta vs tol), so no fixed-depth SQL unrolling can express it; GraphConvergenceSpec pins pageRankConverged's fixpoint against a dense in-memory reference, and the registered form cuts top-K on rounded scores with id tiebreaks",
+    "ext_hits_converged" ->
+      "convergence-mode centrality, same no-oracle reason as ext_pagerank_converged; GraphConvergenceSpec pins hitsConverged's hubs/authorities against a dense in-memory reference",
     "ext_compact_report" ->
       "operational metadata report: the inputs are stored-index layout facts (fixture row counts, part-file counts) DuckDB cannot see; the threshold rule is pinned by ExtensionsSpec's planted over/under-threshold cases and the registered run asserts per-family coverage with exact base/batch row counts",
     "stream_sync_microbatch" ->

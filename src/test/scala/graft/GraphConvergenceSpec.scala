@@ -132,4 +132,31 @@ class GraphConvergenceSpec extends SparkSpec {
     }
     Extensions.releaseCaches()
   }
+
+  test("registered convergence queries: deterministic top-K, consistent iteration count") {
+    val sf = "/root/testdata/sf0.001"
+    val pr = Extensions.pagerankConverged.fn(spark, sf).collect()
+    assert(pr.nonEmpty && pr.length <= Extensions.CentralityTopK)
+    val prIters = pr.map(_.getInt(3)).toSet
+    assert(prIters.size == 1 && prIters.head > 1,
+      s"iteration count must be one converged value > 1, got $prIters")
+    val prScores = pr.map(_.getDouble(2))
+    assert(prScores.zip(prScores.tail).forall { case (a, b) => a >= b },
+      "pagerank top-K not non-increasing")
+    info(s"pagerank converged in ${prIters.head} iterations")
+
+    val ht = Extensions.hitsConvergedQ.fn(spark, sf).collect()
+    assert(ht.count(_.getString(0) == "s") <= Extensions.CentralityTopK)
+    assert(ht.count(_.getString(0) == "c") <= Extensions.CentralityTopK)
+    val htIters = ht.map(_.getInt(3)).toSet
+    assert(htIters.size == 1 && htIters.head > 1)
+    info(s"hits converged in ${htIters.head} iterations")
+
+    // run-to-run determinism of the rounded-score cut (the registry's
+    // rank-query discipline, checked here at the source)
+    val pr2 = Extensions.pagerankConverged.fn(spark, sf).collect()
+    assert(pr.map(_.toSeq).toSeq == pr2.map(_.toSeq).toSeq,
+      "converged pagerank top-K must be run-to-run deterministic")
+    Extensions.releaseCaches()
+  }
 }
