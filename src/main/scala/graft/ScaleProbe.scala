@@ -650,6 +650,32 @@ object ScaleProbe {
     println(f"PROBE substr: arrival (1%% batch=$nBatch%d) stored-index " +
       f"$tArr%.1f s vs corpus re-count $tMono%.1f s -> ${tMono / tArr}%.1fx " +
       f"(index build $tIdx%.1f s; batch dup_grams=${ai.getLong(0)}%d)")
+    // EXPLICIT-bloom A/B (round-10 directive 7, after the AQE conf flip
+    // measured no-op): E10c's machinery — a BloomFilterAggregate over
+    // the batch's distinct grams, collected as a model parameter and
+    // probed as a codegen'd scan-side predicate on the STORED index
+    // read before the count-merge join. Semantics identical by
+    // construction (FPs die in the join, FNs impossible — asserted).
+    // The mechanism it tests: the arrival's left-outer join cannot
+    // broadcast its corpus-sized right side, so BOTH sides shuffle —
+    // the prefilter would cut the stored side's exchange from all
+    // grams to (batch matches + FP rows). Bloom build time is charged
+    // to the bloom path.
+    val bloomArrival = () => {
+      val bf = ext.Extensions.substringGramCounts(batch).select("g")
+        .agg(graft.expr.ColumnOps.bloomFilterAgg(col("g"),
+          1000000L, 8388608L).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      arrivalStats(stored.filter(
+        graft.expr.ColumnOps.bloomMightContain(lit(bf), col("g"))), batch)
+    }
+    val (ab, tBloom) = Seq.fill(2)(timed(bloomArrival())).minBy(_._2)
+    require(ab.getLong(0) == ai.getLong(0) && ab.getLong(1) == ai.getLong(1),
+      s"bloom-prefiltered arrival changed results: $ab vs $ai")
+    println(f"PROBE substr: arrival with explicit batch-gram bloom " +
+      f"prefilter $tBloom%.1f s vs unfiltered $tArr%.1f s -> " +
+      f"${tArr / tBloom}%.2fx (build+collect charged to the bloom path; " +
+      "results asserted identical)")
     spark.stop()
   }
 

@@ -1016,15 +1016,52 @@ object Extensions {
       .select(col("g"), col("cnt"),
         col("canon.d").as("cdoc"), col("canon.p").as("cpos"))
 
-  /** Batch stats against a standing (g, cnt) table: ONE O(batch)
+  /** Arrival-side index reads above this many rows take the bloom
+    * prefilter ([[substrBloomPrefilter]]); below it, the build+collect
+    * overhead exceeds the exchange saved and arrivals take the plain
+    * path (driver SFs sit far below — bench plans unchanged). */
+  final val SubstrBloomMinIndexRows = 16000000L
+
+  /** The 100 TB fast path for the arrival's count-merge join: that
+    * join is LEFT OUTER with the corpus-sized index on the RIGHT, so
+    * it cannot broadcast — both sides shuffle, and the index side's
+    * exchange carries every stored gram. A Bloom filter over the
+    * BATCH's grams (E10c's machinery: distributed
+    * BloomFilterAggregate, ~1 MiB collected as a model parameter,
+    * codegen'd might_contain scan predicate) cuts that exchange to
+    * matches + false positives — measured 1.42× on the 2M-doc/67M-gram
+    * probe (`ScaleProbe substr`, bloom build charged to the fast
+    * path). Results identical BY CONSTRUCTION: a false positive
+    * survives the prefilter only to miss the join; false negatives
+    * cannot exist. An overloaded filter (batch gram sets ≫
+    * [[BloomExpectedItems]]) degrades FPP gracefully — less pruning,
+    * never wrongness. */
+  private def substrBloomPrefiltered(stored: DataFrame,
+                                     pos: DataFrame): DataFrame = {
+    import graft.expr.ColumnOps
+    val bf = pos.select("g")
+      .agg(ColumnOps.bloomFilterAgg(col("g"),
+        BloomExpectedItems, BloomNumBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bf == null) stored.filter(lit(false)) // empty batch: no probes
+    else stored.filter(ColumnOps.bloomMightContain(lit(bf), col("g")))
+  }
+
+  /** Batch stats against a standing (g, cnt, ...) table: ONE O(batch)
     * tokenize+gram scan; a batch position is duplicated iff the MERGED
-    * (batch + stored) total is ≥ 2. */
+    * (batch + stored) total is ≥ 2. `indexRows` (when the caller has a
+    * cheap count — fixture reads count from parquet metadata) arms the
+    * bloom prefilter above [[SubstrBloomMinIndexRows]]. */
   private[graft] def substrStatsAgainst(batch0: DataFrame,
-                                        stored: DataFrame): DataFrame = {
+      stored: DataFrame, indexRows: Option[Long] = None): DataFrame = {
     val docs = substringDocs(batch0)
     val pos = substringGramPositions(docs)
+    val served =
+      if (indexRows.exists(_ >= SubstrBloomMinIndexRows))
+        substrBloomPrefiltered(stored, pos)
+      else stored
     val dupG = pos.groupBy("g").agg(count(lit(1)).as("bcnt"))
-      .join(stored, Seq("g"), "left")
+      .join(served, Seq("g"), "left")
       .filter(col("bcnt") + coalesce(col("cnt"), lit(0L)) >= 2)
       .select("g")
     substringStatsFrom(docs, pos, dupG)
@@ -1046,7 +1083,9 @@ object Extensions {
   val substrIncremental: Q = Q("ext_substr_incremental",
     (spark, sfDir) => {
       val (corpus, batch) = incrementalDocSplit(spark, sfDir)
-      substrStatsAgainst(batch, substrGramsFixture(spark, sfDir, corpus))
+      val idx = substrGramsFixture(spark, sfDir, corpus)
+      // metadata-only count arms the bloom prefilter at scale
+      substrStatsAgainst(batch, idx, indexRows = Some(idx.count()))
     },
     Some(substrStatsSql(
       s"WHERE ${duckHash60("CAST(g.doc_id AS VARCHAR)")} % 100 >= " +
@@ -1078,15 +1117,19 @@ object Extensions {
     * positions whose merged count is ≥ 2 and which are not the merged
     * canonical. */
   private[graft] def substrRewriteAgainst(batch0: DataFrame,
-                                          stored: DataFrame): DataFrame = {
+      stored: DataFrame, indexRows: Option[Long] = None): DataFrame = {
     val W = SubstrDedupW
     val docs = substringDocs(batch0)
     val pos = substringGramPositions(docs)
+    val served =
+      if (indexRows.exists(_ >= SubstrBloomMinIndexRows))
+        substrBloomPrefiltered(stored, pos)
+      else stored
     // per-gram batch summary folds BEFORE the index join — the join is
     // distinct-gram-sized, never position-sized
     val bat = pos.groupBy("g").agg(count(lit(1)).as("bcnt"),
       min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("bcanon"))
-    val canon = bat.join(stored, Seq("g"), "left")
+    val canon = bat.join(served, Seq("g"), "left")
       .filter(col("bcnt") + coalesce(col("cnt"), lit(0L)) >= 2)
       .select(col("g"),
         when(col("cdoc").isNull, col("bcanon"))
@@ -1106,7 +1149,8 @@ object Extensions {
   val substrRewriteIncremental: Q = Q("ext_substr_rewrite_incremental",
     (spark, sfDir) => {
       val (corpus, batch) = incrementalDocSplit(spark, sfDir)
-      substrRewriteAgainst(batch, substrGramsFixture(spark, sfDir, corpus))
+      val idx = substrGramsFixture(spark, sfDir, corpus)
+      substrRewriteAgainst(batch, idx, indexRows = Some(idx.count()))
     },
     Some(substrRewriteSql(
       s"WHERE ${duckHash60("CAST(d.doc_id AS VARCHAR)")} % 100 >= " +
@@ -1161,7 +1205,8 @@ object Extensions {
       val compacted = substrGramsCompacted(
         substrGramsFixture(spark, sfDir, corpus),
         substringGramIndex(day1), s"$sfDir/documents.parquet")
-      substrStatsAgainst(day2, compacted)
+      substrStatsAgainst(day2, compacted,
+        indexRows = Some(compacted.count()))
     },
     Some(substrStatsSql(
       s"WHERE ${duckHash60("CAST(g.doc_id AS VARCHAR)")} % 100 >= 90")))

@@ -153,6 +153,33 @@ class ExtensionsSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("substr arrival bloom prefilter: forced-on path output-identical to plain") {
+    // the ≥ SubstrBloomMinIndexRows branch never fires at driver SFs
+    // (its win is the index-side exchange at scale — ScaleProbe substr
+    // measures 1.42×), so the correctness claim — FPs die in the join,
+    // FNs impossible — gets direct coverage by forcing the branch
+    val bucket = pmod(
+      graft.expr.Scalars.hash60(col("doc_id").cast("string")), lit(100L))
+    val base = model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+    val corpus = base.filter(col("bucket") < 80).select("doc_id", "text")
+    val batch = base.filter(col("bucket") >= 80).select("doc_id", "text")
+    val idx = Extensions.substringGramIndex(corpus)
+    val plainStats = Extensions.substrStatsAgainst(batch, idx)
+    val bloomStats = Extensions.substrStatsAgainst(batch, idx,
+      indexRows = Some(Long.MaxValue))
+    assert(plainStats.exceptAll(bloomStats).count() == 0 &&
+      bloomStats.exceptAll(plainStats).count() == 0,
+      "bloom-prefiltered stats arrival diverged from the plain path")
+    val plainRw = Extensions.substrRewriteAgainst(batch, idx)
+    val bloomRw = Extensions.substrRewriteAgainst(batch, idx,
+      indexRows = Some(Long.MaxValue))
+    assert(plainRw.exceptAll(bloomRw).count() == 0 &&
+      bloomRw.exceptAll(plainRw).count() == 0,
+      "bloom-prefiltered rewrite arrival diverged from the plain path")
+    Extensions.releaseCaches()
+  }
+
   test("ext_compact_report: per-family coverage, exact counts, threshold rule") {
     val got = Extensions.compactReport.fn(spark, sf0001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
