@@ -459,11 +459,17 @@ object ScaleProbe {
     // per-compaction cost)
     val (_, tBase) = timed(ext.Extensions
       .ivfpqCellCodes(corpus, cbs, cs, Some(src), nCells = nCells).count())
+    // totalRows mirrors production (ivfpqCompact): the cap derives from
+    // the UNCAPPED logical rows — stored cell-table count + batch
+    // vectors — never from counts of already-capped tables; without it
+    // the probe would measure a fold the shipped path no longer runs
     def compactLive = ext.Extensions.recapCellCodes(
       ext.Extensions.ivfpqCellCodes(corpus, cbs, cs, Some(src),
         nCells = nCells)
         .unionByName(ext.Extensions.ivfpqEncodeAssign(batch, cbs, cs)),
-      nCells)
+      nCells,
+      totalRows = Some(ext.Extensions
+        .ivfCellTable(corpus, cs, Some(src), nCells = nCells).count() + batchN))
     def monoLive = ext.Extensions.ivfpqCellCodes(emb, cbs, cs, None,
       nCells = nCells)
     // min of 2 reps per the host-noise discipline
@@ -628,14 +634,17 @@ object ScaleProbe {
     // E56 arrival: stored corpus gram counts (built once per corpus =
     // the retrain cost), a 1% batch pays one O(batch) gram scan + a
     // count-merge join; the alternative re-runs the corpus gram count
-    val gramDir = s"target/tmp-substr/grams-$nDocs.parquet"
+    // the PRODUCTION index shape: (g, cnt, cdoc, cpos) — stats paths
+    // prune to (g, cnt) at the scan, the rewrite arrival reads all four
+    val gramDir = s"target/tmp-substr/gramsidx-$nDocs.parquet"
     val tIdx =
       if (new java.io.File(gramDir).exists()) 0.0
       else timed {
-        ext.Extensions.substringGramCounts(docs)
+        ext.Extensions.substringGramIndex(docs)
           .write.mode("overwrite").parquet(gramDir)
       }._2
     val stored = spark.read.parquet(gramDir)
+    val storedRows = stored.count() // parquet metadata
     val nBatch = math.max(1L, nDocs / 100L)
     val batch = spark.range(nDocs, nDocs + nBatch)
       .select(col("id").as("doc_id"), text.as("text"))
@@ -662,9 +671,12 @@ object ScaleProbe {
     // grams to (batch matches + FP rows). Bloom build time is charged
     // to the bloom path.
     val bloomArrival = () => {
+      // the SHIPPED filter parameters — a retune of the production
+      // constants must re-measure through this same probe
       val bf = ext.Extensions.substringGramCounts(batch).select("g")
         .agg(graft.expr.ColumnOps.bloomFilterAgg(col("g"),
-          1000000L, 8388608L).as("bf"))
+          ext.Extensions.BloomExpectedItems,
+          ext.Extensions.BloomNumBits).as("bf"))
         .head().getAs[Array[Byte]](0)
       arrivalStats(stored.filter(
         graft.expr.ColumnOps.bloomMightContain(lit(bf), col("g"))), batch)
@@ -676,6 +688,16 @@ object ScaleProbe {
       f"prefilter $tBloom%.1f s vs unfiltered $tArr%.1f s -> " +
       f"${tArr / tBloom}%.2fx (build+collect charged to the bloom path; " +
       "results asserted identical)")
+    // E60 at scale: the REWRITE arrival through the production gate
+    // (indexRows arms the bloom above SubstrBloomMinIndexRows)
+    val rewriteArr = () => ext.Extensions
+      .substrRewriteAgainst(batch, stored, indexRows = Some(storedRows))
+      .agg(sum("n_tokens"), sum("kept_tokens")).collect()(0)
+    val (ra, tRa) = Seq.fill(2)(timed(rewriteArr())).minBy(_._2)
+    println(f"PROBE substr: rewrite ARRIVAL (1%% batch) $tRa%.1f s, " +
+      f"kept ${ra.getLong(1)}%d of ${ra.getLong(0)}%d batch tokens " +
+      f"(bloom armed=${storedRows >= ext.Extensions.SubstrBloomMinIndexRows}; " +
+      f"monolithic rewrite over the corpus was $tRw%.1f s)")
     spark.stop()
   }
 

@@ -1029,13 +1029,20 @@ object Extensions {
     * BATCH's grams (E10c's machinery: distributed
     * BloomFilterAggregate, ~1 MiB collected as a model parameter,
     * codegen'd might_contain scan predicate) cuts that exchange to
-    * matches + false positives — measured 1.42× on the 2M-doc/67M-gram
-    * probe (`ScaleProbe substr`, bloom build charged to the fast
-    * path). Results identical BY CONSTRUCTION: a false positive
-    * survives the prefilter only to miss the join; false negatives
-    * cannot exist. An overloaded filter (batch gram sets ≫
-    * [[BloomExpectedItems]]) degrades FPP gracefully — less pruning,
-    * never wrongness. */
+    * matches + false positives. MEASURED HONESTLY (`ScaleProbe
+    * substr`, 2M docs / 67M stored grams, production index shape,
+    * bloom build charged to the fast path): 1.02× — NEUTRAL at this
+    * scale, the per-row might_contain CPU eating what the smaller
+    * exchange saves (exactly the bound round 10 predicted; an earlier
+    * 1.42× was an artifact of probing a counts-only layout production
+    * does not store). The gate keeps driver plans clear of it; at
+    * scales where the stored exchange SPILLS, the balance shifts
+    * toward the filter — unverified, and the probe is the tool to
+    * re-check before trusting that. Results identical BY CONSTRUCTION
+    * either way: a false positive survives the prefilter only to miss
+    * the join; false negatives cannot exist. An overloaded filter
+    * (batch gram sets ≫ [[BloomExpectedItems]]) degrades FPP
+    * gracefully — less pruning, never wrongness. */
   private def substrBloomPrefiltered(stored: DataFrame,
                                      pos: DataFrame): DataFrame = {
     import graft.expr.ColumnOps
@@ -2527,7 +2534,11 @@ object Extensions {
                           totalRows: => Option[Long] = None): DataFrame =
     compactedCellCodes(corpusCodes.unionByName(batchCodes),
       "ivfpq-codes-compact", src,
-      s"auto${IvfpqCellSkewFactor}_c${nCells}_compact1", nCells, totalRows)
+      // compact2: the cap now derives from the caller-supplied UNCAPPED
+      // logical row count (round-10 ADVICE) — an input the fixture key
+      // could not see, so the key itself is bumped to orphan fixtures
+      // capped by the old merged-count rule
+      s"auto${IvfpqCellSkewFactor}_c${nCells}_compact2", nCells, totalRows)
 
   /** The shared compaction fold for any (cell, corpus_id, code)
     * combined index — flat-IVF ([[ivfpqCompactedCodes]]) or product
@@ -2585,7 +2596,8 @@ object Extensions {
                           totalRows: => Option[Long] = None): DataFrame =
     compactedCellCodes(corpusCodes.unionByName(batchCodes),
       "imipq-codes-compact", src,
-      s"auto${IvfpqCellSkewFactor}_k${kPerHalf}x${kPerHalf}_compact1",
+      // compact2: cap-derivation change — see ivfpqCompactedCodes
+      s"auto${IvfpqCellSkewFactor}_k${kPerHalf}x${kPerHalf}_compact2",
       kPerHalf * kPerHalf, totalRows)
 
   /** The post-compaction IMI-PQ search — [[imipqIncremental]]'s state
@@ -2610,7 +2622,7 @@ object Extensions {
           // uncapped logical rows for the cap — see ivfpqCompact
           totalRows = Some(
             imiCellTable(corpus, cs0, cs1, Some(src)).count() +
-            imipqEncodeAssign(batch, cbs, cs0, cs1).count()))
+            batch.count())) // 1 encode row per vector — see ivfpqCompact
         imipqTopK(emb, annQueryIds(emb), src = Some(src),
           codes0 = Some(compacted), cbs0 = Some(cbs),
           csH0 = Some(cs0), csH1 = Some(cs1))
@@ -2647,8 +2659,11 @@ object Extensions {
           // never from counts of already-capped tables (round-10
           // ADVICE: that ratchets the cap across compactions).
           // By-name: evaluated only on a cold compact build.
+          // batch rows = batch VECTORS (the encode writes exactly one
+          // row per vector by construction — compactReport pins this),
+          // so the count never pays the encode's model FLOPs
           totalRows = Some(ivfCellTable(corpus, cs, Some(src)).count() +
-            ivfpqEncodeAssign(batch, cbs, cs).count()))
+            batch.count()))
         ivfpqTopK(emb, annQueryIds(emb), src = Some(src),
           codes0 = Some(compacted), cbs0 = Some(cbs), cs0 = Some(cs))
       }
@@ -2924,7 +2939,7 @@ object Extensions {
             ivfpqrCellCodes(corpus, cbs, cs, ms, Some(src))
               .unionByName(ivfpqrEncodeAssign(batch, cbs, cs, ms)),
             "ivfpqr-codes-compact", src,
-            s"auto${IvfpqCellSkewFactor}_c16_compact1", 16,
+            s"auto${IvfpqCellSkewFactor}_c16_compact2", 16, // cap-derivation bump
             // uncapped logical rows for the cap — see ivfpqCompact.
             // The residual index stores no uncapped per-vector table of
             // its own, but its cells ARE the flat family's unit-centroid
@@ -2932,7 +2947,7 @@ object Extensions {
             // same centroids, one row per ingested vector) is the
             // persisted ingested-rows stat here too.
             totalRows = Some(ivfCellTable(corpus, cs, Some(src)).count() +
-              ivfpqrEncodeAssign(batch, cbs, cs, ms).count()))
+              batch.count())) // 1 encode row per vector — see ivfpqCompact
           ivfpqrTopK(emb, annQueryIds(emb), src = Some(src),
             codes0 = Some(compacted), cbs0 = Some(cbs),
             cs0 = Some(cs), ms0 = Some(ms))
@@ -5045,15 +5060,20 @@ object Extensions {
     * fires retrain far earlier when the DISTRIBUTION moves — this
     * threshold is about volume, not drift. */
   final val CompactBatchRatio = 0.25
-  /** Part-file count that recommends compaction regardless of ratio:
-    * daily appends × part files per batch land on every search's file
-    * listing (the small-files debt E45 documents). */
-  final val CompactPartFiles = 64
 
   /** One report row: (family, base_rows, batch_rows, batch_ratio,
     * part_files, compact_recommended). Exposed for the threshold spec;
     * an empty base with arrivals reports ratio = ∞ → compact (fold the
-    * arrivals into a real base), never a silent 0. */
+    * arrivals into a real base), never a silent 0.
+    *
+    * The flag derives from the RATIO alone. `part_files` is reported
+    * as operator context, not thresholded: a fresh base's file count
+    * is cells × writer parallelism (a hive-partitioned imipq base
+    * legitimately holds ≥ 64 files on day one — one per product
+    * cell), so no universal count separates healthy layout from
+    * small-files debt; the debt signal is this count GROWING against
+    * the family's own post-compaction baseline, a trend the operator
+    * reads across report runs. */
   private[graft] def compactReportRow(family: String, baseRows: Long,
       batchRows: Long, partFiles: Long):
       (String, Long, Long, Double, Long, Boolean) = {
@@ -5062,7 +5082,7 @@ object Extensions {
       else if (batchRows > 0) Double.PositiveInfinity
       else 0.0
     (family, baseRows, batchRows, ratio, partFiles,
-      ratio >= CompactBatchRatio || partFiles >= CompactPartFiles)
+      ratio >= CompactBatchRatio)
   }
 
   val compactReport: Q = Q("ext_compact_report",
@@ -6236,7 +6256,10 @@ object Extensions {
 
   val pagerankConverged: Q = Q("ext_pagerank_converged",
     (spark, sfDir) => {
-      val edges = transactionEdgesBidirected(spark, sfDir)
+      // cached: the node-count job below AND pageRankConverged's
+      // degEdges build both read the edge join — uncached, the
+      // lineitem⋈orders build would run twice per query
+      val edges = cacheTracked(transactionEdgesBidirected(spark, sfDir))
       val nNodes = edges.select(col("src").as("id"))
         .unionByName(edges.select(col("dst").as("id"))).distinct().count()
       if (nNodes == 0)
@@ -6263,7 +6286,8 @@ object Extensions {
 
   val hitsConvergedQ: Q = Q("ext_hits_converged",
     (spark, sfDir) => {
-      val edges = transactionEdgesDirected(spark, sfDir)
+      // cached for the same two-consumer reason as the pageRank twin
+      val edges = cacheTracked(transactionEdgesDirected(spark, sfDir))
       // HITS iterates L1-NORMALIZED vectors (total mass 1 at any node
       // count), so the absolute delta threshold is already the
       // scale-free form — no node-count scaling, unlike pageRank's

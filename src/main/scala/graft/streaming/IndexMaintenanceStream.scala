@@ -169,12 +169,30 @@ object IndexMaintenanceStream {
     * `stored` input of substrStatsAgainst AND substrRewriteAgainst):
     * per-gram SUM of the partial counts + MIN of the partial
     * canonicals — both monoids, so the fold equals the one-shot index
-    * over every streamed doc. */
+    * over every streamed doc.
+    *
+    * SCHEMA MIGRATION: partitions appended before the canon columns
+    * existed carry (g, cnt) only. The fold reads with mergeSchema and
+    * takes the canonical MIN over canon-CARRYING partials only (a
+    * legacy partition's nulls must never win the min — null struct
+    * fields sort first). Counts stay exact on any mix; canonicals are
+    * exact once every partial carries them. A dir with legacy
+    * partials therefore serves STATS exactly but cannot drive the
+    * rewrite's keep-one policy (its canonical facts were never
+    * recorded) — re-append or rebuild those batches before serving
+    * E60 from it; a null `cdoc` makes the rewrite treat the batch
+    * occurrence as canonical, which KEEPS spans it should remove. */
   def mergedSubstrGrams(spark: SparkSession, indexDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, min, struct, sum}
-    spark.read.parquet(indexDir).groupBy("g")
+    import org.apache.spark.sql.functions.{col, lit, min, struct, sum, when}
+    val raw = spark.read.option("mergeSchema", "true").parquet(indexDir)
+    val typed =
+      if (raw.columns.contains("cdoc")) raw
+      else raw.withColumn("cdoc", lit(null).cast("long"))
+        .withColumn("cpos", lit(null).cast("long"))
+    typed.groupBy("g")
       .agg(sum("cnt").as("cnt"),
-        min(struct(col("cdoc").as("d"), col("cpos").as("p"))).as("canon"))
+        min(when(col("cdoc").isNotNull,
+          struct(col("cdoc").as("d"), col("cpos").as("p")))).as("canon"))
       .select(col("g"), col("cnt"),
         col("canon.d").as("cdoc"), col("canon.p").as("cpos"))
   }

@@ -203,14 +203,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(got("ivfpqr-codes")._2 == batchVecs)
     assert(got("lsh-buckets")._2 == 3 * batchVecs)
     // the threshold rule, pinned on planted states the driver SFs
-    // never reach: ratio binds at CompactBatchRatio, files at
-    // CompactPartFiles, an empty base with arrivals always recommends
+    // never reach: the flag derives from the RATIO alone (a fresh
+    // hive-partitioned base legitimately holds cells × writers files,
+    // so no universal file count separates layout from debt); an
+    // empty base with arrivals always recommends
     assert(!Extensions.compactReportRow("x", 1000, 100, 2)._6,
-      "under both thresholds must not recommend")
+      "under the ratio threshold must not recommend")
     assert(Extensions.compactReportRow("x", 1000, 250, 2)._6,
       "ratio at threshold must recommend")
-    assert(Extensions.compactReportRow("x", 1000, 100, 64)._6,
-      "part files at threshold must recommend")
+    assert(!Extensions.compactReportRow("x", 1000, 100, 10000)._6,
+      "file count alone must not trip the flag (layout-relative metric)")
     assert(Extensions.compactReportRow("x", 0, 5, 1)._6,
       "arrivals with no base must recommend (fold into a real base)")
     assert(!Extensions.compactReportRow("x", 0, 0, 1)._6)

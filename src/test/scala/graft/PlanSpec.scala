@@ -165,6 +165,7 @@ class PlanSpec extends SparkSpec {
       "ext_importance_resample", // 1-row tr/tt totals ride the ≤4096-row feature model
       "ext_domain_kl",       // 1-row corpus-total broadcast onto the vocab frame
       "ext_hits",            // 1-row L1-normalization broadcast, 2× per run (end-normalize)
+      "ext_hits_converged",  // same 1-row L1 broadcast, once per half-step (the converged mode normalizes every step for delta comparability)
       "ext_quality_classifier", // 1-row smoothing totals + class priors
       "ext_hybrid_search",   // broadcast query slice × corpus (dense tower) + 1-row bm25 stats
       "ext_hybrid_search_pq", // composes ext_hybrid_search + ext_topk_pq shapes above

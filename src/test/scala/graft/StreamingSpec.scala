@@ -344,4 +344,36 @@ class StreamingSpec extends SparkSpec {
     assert(IndexMaintenanceStream.mergedSubstrGrams(spark, dir).count() == before,
       "replayed micro-batch double-appended instead of rewriting its partition")
   }
+
+  test("streamed substr index with legacy (g,cnt)-only partitions: counts exact, canon from new partials only") {
+    // schema migration: batches appended before the canon columns
+    // existed carry (g, cnt) only — the fold must keep counts exact on
+    // any mix and must never let a legacy partition's nulls win the
+    // canonical min
+    import spark.implicits._
+    import graft.streaming.IndexMaintenanceStream
+    val dir = java.nio.file.Files.createTempDirectory("substrmix").toString
+    val oldDocs = Seq((1L, "a b c d e f g h"))
+    val newDocs = Seq((3L, "a b c d e f g h"))
+    // legacy partition: counts-only schema, written as the old append did
+    graft.ext.Extensions.substringGramCounts(oldDocs.toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/batch=0")
+    IndexMaintenanceStream.appendSubstrBatch(
+      newDocs.toDF("doc_id", "text"), dir, 1L)
+    val merged = IndexMaintenanceStream.mergedSubstrGrams(spark, dir).collect()
+    assert(merged.length == 1)
+    val r = merged(0)
+    assert(r.getLong(1) == 2L, "counts must sum across old and new partials")
+    assert(!r.isNullAt(2) && r.getLong(2) == 3L && r.getLong(3) == 0L,
+      "canonical must come from the canon-carrying partial (doc 3), " +
+        s"not a legacy null: $r")
+    // all-legacy dir: stats-serving fold still works, canon is null
+    val dirOld = java.nio.file.Files.createTempDirectory("substrold").toString
+    graft.ext.Extensions.substringGramCounts(oldDocs.toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dirOld/batch=0")
+    val legacy = IndexMaintenanceStream.mergedSubstrGrams(spark, dirOld).collect()
+    assert(legacy.length == 1 && legacy(0).getLong(1) == 1L &&
+      legacy(0).isNullAt(2),
+      "all-legacy dir must fold counts with null canonicals")
+  }
 }
