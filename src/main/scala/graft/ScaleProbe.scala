@@ -755,6 +755,55 @@ object ScaleProbe {
         ext.Extensions.CmsWidth}%d")
     println(f"PROBE cms: exact_wall=$tExact%.1f s cms_wall=$tCms%.1f s " +
       f"top10_overlap=${(exSet & cmSet).size}%d/10")
+    // FLAT head — the measured CMS failure mode (near-equal true
+    // counts separated by less than the collision noise floor, so the
+    // one-sided min's overestimates reorder the top-k): 14 head terms
+    // with counts within ~1% of each other over a junk tail. Both
+    // estimators measured on the SAME corpus; the count-mean-min's
+    // debiased median is the fix under test (E63).
+    // term hhfK appears in (9000+K)/10000 of docs: counts flat to
+    // ~0.01% (200-count gaps at 2M docs) — far inside the sketch's
+    // collision-noise VARIANCE, the regime where estimator noise must
+    // reorder the top-k and only a lower-variance estimator can rank
+    val flatHead = (0 until 10).map(j =>
+      when(pmod(hash(col("id"), lit(200 + j)), lit(10000)) < 9000 + j,
+        concat(lit("hhf"), lit(j))).otherwise(lit("")))
+    val flatText = concat_ws(" ", (flatHead ++ tail): _*)
+    val flatDir = s"target/tmp-cms/flatpm2-$nDocs.parquet"
+    if (!new java.io.File(flatDir).exists())
+      spark.range(nDocs).select(col("id").as("doc_id"),
+        lit("xx").as("lang"), flatText.as("text"))
+        .write.mode("overwrite").parquet(flatDir)
+    val flat = spark.read.parquet(flatDir)
+    val fExact = ext.Extensions.topTermsExactFrom(flat).collect()
+      .map(r => r.getString(1) -> r.getLong(2))
+    val fEx = fExact.map(_._1).toSet
+    val trueOf = fExact.toMap
+    val (fCm, tFCms) = Seq.fill(2)(timed(
+      ext.Extensions.topTermsCmsFrom(flat).collect())).minBy(_._2)
+    val (fMm, tFCmm) = Seq.fill(2)(timed(
+      ext.Extensions.topTermsCmmFrom(flat).collect())).minBy(_._2)
+    val fCmSet = fCm.map(r => r.getString(1)).toSet
+    val fMmSet = fMm.map(r => r.getString(1)).toSet
+    // ORDER agreement (exact rank sequence, not just set overlap) and
+    // VALUE error: the min is one-sided-high by the collision mass,
+    // the debiased median should sit on the truth
+    val fExOrder = fExact.map(_._1).toSeq
+    val cmOrder = fCm.sortBy(_.getInt(3)).map(_.getString(1)).toSeq
+    val mmOrder = fMm.sortBy(_.getInt(4)).map(_.getString(1)).toSeq
+    def meanRelErr(rows: Seq[(String, Double)]): Double = {
+      val es = rows.collect { case (t, v) if trueOf.contains(t) =>
+        math.abs(v - trueOf(t)) / trueOf(t) }
+      if (es.isEmpty) -1 else es.sum / es.size
+    }
+    val cmErr = meanRelErr(fCm.toSeq.map(r =>
+      r.getString(1) -> r.getLong(2).toDouble))
+    val mmErr = meanRelErr(fMm.toSeq.map(r =>
+      r.getString(1) -> r.getDouble(3)))
+    println(f"PROBE cms: FLAT(0.01%%) head top10 — cms ${(fEx & fCmSet).size}%d/10 " +
+      f"order_exact=${cmOrder == fExOrder}%b err=${100 * cmErr}%.2f%% ($tFCms%.1f s) " +
+      f"vs count-mean-min ${(fEx & fMmSet).size}%d/10 " +
+      f"order_exact=${mmOrder == fExOrder}%b err=${100 * mmErr}%.2f%% ($tFCmm%.1f s)")
     spark.stop()
   }
 

@@ -76,6 +76,33 @@ class ExtensionsSpec extends SparkSpec {
       assert(hit >= 9, s"lang $l: only $hit/10 CMS top terms match exact") }
   }
 
+  test("ext_top_terms_cmm: debiased median clamped by the CMS min, top-10 agrees with exact") {
+    val cmm = Extensions.topTermsCmm.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val trueN = model.Tables.documents(spark, sf0001)
+      .select(col("lang"),
+        explode(split(Extensions.edgeTrim(lower(col("text"))), "\\s+")).as("t"))
+      .filter(length(col("t")) > 2)
+      .groupBy("lang", "t").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    cmm.foreach { case (l, t, nEst, nCmm) =>
+      // the carried CMS min keeps its one-sided guarantee...
+      assert(nEst >= trueN((l, t)), s"CMS min underestimates ($l,$t)")
+      // ...and the debiased median sits inside [0, CMS min] — it may
+      // under- OR over-shoot the truth (it traded one-sidedness for a
+      // centered estimate), but never escapes the clamp
+      assert(nCmm >= 0.0 && nCmm <= nEst.toDouble,
+        s"debiased estimate outside [0, min] for ($l,$t): $nCmm vs $nEst")
+    }
+    val exSet = Extensions.topTerms.fn(spark, sf0001)
+      .select("lang", "token").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    cmm.groupBy(_._1).foreach { case (l, rows) =>
+      val hit = rows.count(r => exSet.contains((r._1, r._2)))
+      assert(hit >= 9, s"lang $l: only $hit/10 CMM top terms match exact")
+    }
+  }
+
   test("substringDedupRewrite: canonical occurrence kept, every copy removed") {
     // same planted corpus as the stats test. Canonical = global first
     // (min doc, then min pos): doc1 owns the shared 10-token span so it
