@@ -89,34 +89,68 @@ object Bench {
       // picks this file up, making the full per-query record durable.
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_last_full.json"), line + "\n")
-      // the CLEAN-ANCHOR record: keep the control-ok run with the
-      // LOWEST control seen so far in its own committed file, so
-      // per-query comparisons across rounds anchor on the cleanest
-      // host state instead of whatever ran last (round-9's committed
-      // mirror was an 18%-elevated run while the true anchor lived
-      // only as a BASELINE.md total)
-      if (controlOk) {
+      // the CLEAN-ANCHOR record: a PER-QUERY MINIMA LEDGER across
+      // control-ok runs. The old semantics replaced the whole file
+      // when a run posted a lower control, which (a) lost the
+      // superseded run's per-query records (round-11's committed
+      // anchor held a 147 s run over a recorded 138.5 s one) and
+      // (b) let one noisy query in an otherwise-clean run set the
+      // cross-round reference — ten phantom-uptick triages across
+      // r5-r11 trace to exactly that. Minima make the anchor
+      // MONOTONE per query: a value only moves down, so any uptick
+      // against it is a real code change, never host noise. The
+      // ledger's query SET is the current registry (this run names
+      // every registered query, -1 on failure): renamed/removed
+      // queries drop out, new ones enter at this run's value, a
+      // failed rep keeps the prior minimum. Deliberate slowdowns
+      // (accepted costs of a semantics change) need a keyed entry:
+      // rename the query or reset the ledger — BASELINE.md records
+      // this contract.
+      // SF guard: minima are only comparable within one scale factor —
+      // a local sf0.001 smoke run merging into (or replacing) the
+      // committed sf0.1 anchor would corrupt every cross-round
+      // comparison. A mismatched-sf control-ok run leaves the ledger
+      // untouched.
+      val prevSfMatches = {
         val bestPath = java.nio.file.Paths.get("BENCH_best_full.json")
-        val prev =
-          if (java.nio.file.Files.exists(bestPath))
-            Some(java.nio.file.Files.readString(bestPath))
-          else None
-        val prevControl = prev.flatMap(""""control_sec":([0-9.]+)""".r
-          .findFirstMatchIn(_).map(_.group(1).toDouble))
-        // a GROWN registry also re-anchors: a stale best that lacks
-        // the new queries can't serve cross-round comparison, so any
-        // control-ok run with more queries supersedes it even at a
-        // (slightly) higher control
-        val prevNQueries = prev.flatMap(s => """"queries":\{([^}]*)\}""".r
-          .findFirstMatchIn(s).map(_.group(1).count(_ == ':'))).getOrElse(0)
-        // the control-improvement branch is gated on covering at least
-        // the previous anchor's registry: a control-ok PARTIAL run (a
-        // shrunken or reverted registry) must never supersede a fuller
-        // anchor and silently lose its per-query records
-        if ((prevControl.forall(controlSec < _) &&
-              results.size >= prevNQueries) ||
-            results.size > prevNQueries)
-          java.nio.file.Files.writeString(bestPath, line + "\n")
+        if (!java.nio.file.Files.exists(bestPath)) true
+        else """"sf":"([^"]*)"""".r
+          .findFirstMatchIn(java.nio.file.Files.readString(bestPath))
+          .forall(_.group(1) == sfDir)
+      }
+      if (controlOk && prevSfMatches) {
+        val bestPath = java.nio.file.Paths.get("BENCH_best_full.json")
+        val prevQ: Map[String, Double] =
+          (if (java.nio.file.Files.exists(bestPath))
+             Some(java.nio.file.Files.readString(bestPath))
+           else None)
+            .flatMap(s => """"queries":\{([^}]*)\}""".r
+              .findFirstMatchIn(s).map(_.group(1)))
+            .map(body => """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+            .getOrElse(Map.empty)
+        val prevRuns =
+          (if (java.nio.file.Files.exists(bestPath))
+             """"n_runs":([0-9]+)""".r
+               .findFirstMatchIn(java.nio.file.Files.readString(bestPath))
+               .map(_.group(1).toInt)
+           else None).getOrElse(if (prevQ.nonEmpty) 1 else 0)
+        val merged = results.map { case (name, cur) =>
+          val prev = prevQ.get(name).filter(_ > 0)
+          val best = (Seq(cur).filter(_ > 0) ++ prev)
+            .minOption.getOrElse(-1.0)
+          name -> best
+        }
+        val mergedQs = merged.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
+          .mkString("{", ",", "}")
+        val mergedTotal = ms3(merged.map(_._2).filter(_ > 0).sum)
+        val ledger = s"""{"metric":"total","value":$mergedTotal,"unit":"sec",""" +
+          s""""anchor":"per-query minima across control-ok runs",""" +
+          s""""n_runs":${prevRuns + 1},"queries":$mergedQs,""" +
+          s""""control_query":"fn_epoch_millis","control_sec":${ms3(controlSec)},""" +
+          s""""control_steady_sec":${ms3(controlSteady)},"control_ok":true,""" +
+          s""""sf":"$sfDir"}"""
+        java.nio.file.Files.writeString(bestPath, ledger + "\n")
       }
     } catch { case _: Exception => () } // artifact is best-effort
     println(line)

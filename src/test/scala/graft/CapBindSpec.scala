@@ -346,4 +346,76 @@ class CapBindSpec extends SparkSpec {
       .select("band", "bk").distinct().count())
     Extensions.releaseCaches()
   }
+
+  test("IMI odd-dim lock: dim-63 tail component decides assignment; imi == imipq routing end-to-end") {
+    // Locks the round-10 odd-dimension fix (`size(nv) - hd` tail
+    // slices in imiHalves, imipqEncodeAssign, and imipqTopK's query
+    // side): at dim 63 the halves split 31/32, and a regression back
+    // to a floor(dim/2)-length tail slice drops the LAST component
+    // from assignment and routing. The plant makes that component
+    // DECISIVE, not tie-breaking: every vector's h1 carries a weak
+    // +0.3 on its first h1 dim (dim 31) and a strong ±1 on its last
+    // dim (dim 62); the half-1 centroids are e_dim31 and e_dim62, so
+    // the full dot picks the cell by the ±1 tail while a truncated
+    // slice would flip every +1 vector to the weak-signal cell.
+    // Cells matching the full-63-dim argmax reference is exactly the
+    // "half dots sum to the full dot" invariant: the halves the code
+    // sliced must concatenate back to the whole vector.
+    val dim = 63
+    val hd = dim / 2 // 31; tail half carries dim - hd = 32 components
+    def vec(jit: Double, s: Double): Seq[Double] =
+      Seq.tabulate(dim) {
+        case 0 => 1.0
+        case 1 => jit
+        case 31 => 0.3
+        case 62 => s
+        case _ => 0.0
+      }
+    // group A (+1 tail) → half-1 cell 1; group B (−1 tail) → cell 0
+    val rows = Seq(
+      (1L, vec(0.01, 1.0)), (2L, vec(0.02, 1.0)), (3L, vec(0.03, 1.0)),
+      (4L, vec(0.01, -1.0)), (5L, vec(0.02, -1.0)), (6L, vec(0.03, -1.0)))
+    val emb = rows.toDF("vec_id", "v")
+    def unit(i: Int, d: Int): Array[Double] =
+      Array.tabulate(d)(j => if (j == i) 1.0 else 0.0)
+    val cs0 = Array(unit(0, hd), unit(1, hd))            // all pick c0 = 0
+    val cs1 = Array(unit(0, dim - hd), unit(31, dim - hd)) // e_dim31, e_dim62
+    // reference: argmax dot over the FULL 63-dim vector halves
+    // (normalization rescales both dots equally — argmax invariant)
+    def refCell(v: Seq[Double]): Int = {
+      def am(h: Seq[Double], cs: Array[Array[Double]]): Int =
+        cs.map(c => h.zip(c).map { case (a, b) => a * b }.sum)
+          .zipWithIndex.maxBy { case (d, i) => (d, -i) }._2
+      am(v.take(hd), cs0) * cs1.length + am(v.drop(hd), cs1)
+    }
+    val expected = rows.map { case (id, v) => id -> refCell(v) }.toMap
+    assert(expected.values.toSet == Set(0, 1),
+      "plant must separate the groups for the lock to bite")
+
+    val imiCells = Extensions.imiCellTable(emb, cs0, cs1, None)
+      .select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(imiCells == expected,
+      s"imiCellTable dropped or misread the dim-63 tail: $imiCells vs $expected")
+
+    val cbs = Extensions.pqCodebooks(emb, m = 7, kw = 4) // 63 = 7 × 9
+    val encCells = Extensions.imipqEncodeAssign(emb, cbs, cs0, cs1)
+      .select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(encCells == expected,
+      s"imipqEncodeAssign diverged from imiCellTable on odd dims: $encCells")
+
+    // end-to-end query routing (imipqTopK's own inline slice): with
+    // nProbe=1/probeA=1 a group-A query probes exactly its own product
+    // cell — a truncated query slice would route it to the group-B
+    // cell and return only group-B neighbors
+    val hits = Extensions.imipqTopK(emb,
+        Seq(1L).toDF("vec_id"), k = 2, kPerHalf = 2,
+        nProbe = 1, probeA = 1, rerank = 4,
+        cbs0 = Some(cbs), csH0 = Some(cs0), csH1 = Some(cs1))
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.subsetOf(Set(2L, 3L)),
+      s"odd-dim query routing left group A: probed the wrong cell ($hits)")
+    Extensions.releaseCaches()
+  }
 }
