@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe bloom [nTrainDocs]
   *        runMain graft.ScaleProbe winnow [nDocs]
   *        runMain graft.ScaleProbe pagerank [nNodes]
+  *        runMain graft.ScaleProbe prwarm [nNodes]
   *        runMain graft.ScaleProbe pq [nVecs]
   *        runMain graft.ScaleProbe imi [nVecs] [kPerHalf|auto] [nProbe|auto] [probeA] [noflat]
   *        runMain graft.ScaleProbe compact [nVecs] [nCells]
@@ -353,6 +354,80 @@ object ScaleProbe {
     println(f"PRPROBE n_nodes=$nNodes%d edges~${nNodes * 8}%d " +
       f"wall{half=$tHalf%.1fs full=$tFull%.1fs ratio=${tFull / tHalf}%.2f} " +
       f"mass=$mass%.3f vs n=$nOut%d (bidirected: conserved exactly)")
+    spark.stop()
+  }
+
+  /** `prwarm` mode: the warm-start cadence claim, measured. Converge
+    * PageRank cold on a day-0 arithmetic graph (pagerankProbe's shape,
+    * per-node tolerance like the registered query), perturb ~1% of the
+    * hash edges (the marginal day-over-day graph change), then
+    * converge on day-1 BOTH ways — cold from 1.0 and warm from the
+    * day-0 scores. Reports iterations + wall per run and the L1 gap
+    * between the warm and cold day-1 results (the fixpoint is unique,
+    * so the gap must sit inside the 2·d·tol/(1−d) contraction bound —
+    * checked here, not just asserted in the unit spec). */
+  private def prWarmProbe(args: Array[String]): Unit = {
+    val nNodes = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // pagerankProbe's graph, salted: nodes ≡ 0 (mod driftMod) re-derive
+    // their k=0 hash edge from `salt` — ~1/driftMod of the 3n hash
+    // edges move between day 0 and day 1, the slowly-changing-graph
+    // premise (default 0.3% of nodes ≈ 0.1% of edges/day)
+    val driftMod = if (args.length > 3) args(3).toLong else 300L
+    def graph(n: Long, salt: Int) = {
+      val ids = spark.range(n)
+      val hashed = ids.select(col("id").as("src"), explode(array(
+        (0 until 3).map { k =>
+          val h = if (k == 0)
+            when(pmod(col("id"), lit(driftMod)) === 0, hash(col("id"), lit(k), lit(salt)))
+              .otherwise(hash(col("id"), lit(k)))
+          else hash(col("id"), lit(k))
+          pmod(h.cast("long"), lit(n))
+        }: _*)).as("dst"))
+      val ring = ids.select(col("id").as("src"), pmod(col("id") + 1, lit(n)).as("dst"))
+      val hub = ids.filter(pmod(col("id"), lit(100)) === 0)
+        .select(col("id").as("src"), lit(0L).as("dst"))
+      val e = hashed.unionByName(ring).unionByName(hub)
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+    }
+    // the ring guarantees every id is a node, so the per-node
+    // tolerance scales on nNodes like the registered query — but this
+    // uniform-degree arithmetic graph MIXES much faster than the
+    // skewed transaction graph (cold hits the registered 0.02/node in
+    // 4 iterations vs 28 at sf0.1), so the default tolDiv tightens the
+    // per-node tol 100× to put the cold run in the production mode's
+    // ~25-iteration regime; the warm-vs-cold iteration cut is then a
+    // measurement of the cadence contract, not of the deltaEvery floor
+    val tolDiv = if (args.length > 2) args(2).toDouble else 100.0
+    val tol = ext.Extensions.CentralityNodeTol * nNodes / tolDiv
+    def timed(g: org.apache.spark.sql.DataFrame,
+              init: Option[org.apache.spark.sql.DataFrame]) = {
+      val t0 = System.nanoTime()
+      val (pr, iters) = ext.Extensions.pageRankConverged(g, tol = tol,
+        deltaEvery = ext.Extensions.CentralityDeltaEvery, init = init)
+      (pr, iters, (System.nanoTime() - t0) / 1e9)
+    }
+    val (pr0, it0, t0) = timed(graph(nNodes, 0), None)
+    val (prC, itC, tC) = timed(graph(nNodes, 1), None)
+    val (prW, itW, tW) = timed(graph(nNodes, 1), Some(pr0))
+    val gap = prC.select(col("id"), col("pr").as("a"))
+      .join(prW.select(col("id"), col("pr").as("b")), Seq("id"))
+      .agg(sum(abs(col("a") - col("b")))).head().getDouble(0)
+    val d = ext.Extensions.PrDamping.toDouble
+    val bound = 2 * d * tol / (1 - d)
+    println(f"PRWARMPROBE n_nodes=$nNodes%d tol=$tol%.1f " +
+      f"day0{iters=$it0%d wall=$t0%.1fs} " +
+      f"day1_cold{iters=$itC%d wall=$tC%.1fs} " +
+      f"day1_warm{iters=$itW%d wall=$tW%.1fs} " +
+      f"speedup=${tC / tW}%.2fx iter_cut=${itC.toDouble / itW}%.1fx " +
+      f"l1_gap=$gap%.4f bound=$bound%.2f ok=${gap < bound}%b")
     spark.stop()
   }
 
@@ -1211,6 +1286,7 @@ object ScaleProbe {
     if (args.headOption.contains("lexinc")) { lexIncProbe(args); return }
     if (args.headOption.contains("lexcompact")) { lexCompactProbe(args); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
+    if (args.headOption.contains("prwarm")) { prWarmProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }
     if (args.headOption.contains("semantic")) { semanticProbe(args); return }
     if (args.headOption.contains("bm25")) { bm25Probe(args); return }

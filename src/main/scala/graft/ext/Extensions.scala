@@ -6263,11 +6263,24 @@ object Extensions {
     * `ops.Graph.connectedComponents`: partial centrality silently
     * reweighting a corpus is worse than a loud failure.
     *
+    * WARM START (`init`): a previous run's (id, pr) scores seed the
+    * iteration instead of the cold 1.0 vector — the arrival contract
+    * for centrality. A daily cadence over a slowly-changing 100 TB
+    * graph re-pays ~28 structure-bound iterations from cold; seeded
+    * from yesterday's scores it converges in a few, and the damped
+    * fixpoint is UNIQUE (the iteration is a ‖·‖₁-contraction with
+    * factor d < 1), so the warm result equals the cold one to within
+    * the tolerance by construction — GraphConvergenceSpec asserts it.
+    * Seeds are joined onto the CURRENT node set: nodes new since the
+    * seed start at the cold 1.0, departed nodes drop out, so any seed
+    * vintage is safe (staler just converges slower).
+    *
     * @return (ranks(id, pr), iterations actually run) */
   def pageRankConverged(edges: DataFrame, tol: Double, maxIters: Int = 100,
       checkpointEvery: Int = 10,
       checkpointDir: Option[String] = None,
-      deltaEvery: Int = 1): (DataFrame, Int) = {
+      deltaEvery: Int = 1,
+      init: Option[DataFrame] = None): (DataFrame, Int) = {
     require(tol > 0 && maxIters > 0 && checkpointEvery > 0 && deltaEvery > 0)
     val ck = graft.ops.Graph.checkpointer(edges.sparkSession, checkpointDir)
     val e = edges.select(col("src"), col("dst"))
@@ -6277,7 +6290,17 @@ object Extensions {
     val nodes = cacheTracked(
       degEdges.select(col("src").as("id"))
         .unionByName(degEdges.select(col("dst").as("id"))).distinct())
-    var pr = nodes.withColumn("pr", lit(1.0))
+    var pr = init match {
+      case Some(seed) =>
+        // localCheckpoint: the seed frame's lineage (often a prior
+        // run's full iteration chain) must not be re-evaluated every
+        // iteration this loop references pr
+        nodes.join(seed.select(col("id"), col("pr").as("__seed")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("__seed"), lit(1.0)).as("pr"))
+          .localCheckpoint()
+      case None => nodes.withColumn("pr", lit(1.0))
+    }
     var iter = 0
     var delta = Double.MaxValue
     while (iter < maxIters && delta >= tol) {
@@ -6687,10 +6710,21 @@ object Extensions {
     * `ops.Graph.checkpointer`; THROWS on hitting `maxIters`
     * unconverged, like `ops.Graph.connectedComponents`.
     *
+    * WARM START (`init`): a previous run's (s, hub) scores seed the
+    * iteration — [[pageRankConverged]]'s arrival contract for the
+    * HITS geometry. The principal eigenvector power iteration
+    * converges to is unique up to the L1 normalization this loop
+    * applies (spectral gap of AᵀA on this graph class), so warm ==
+    * cold within tol — GraphConvergenceSpec asserts it. Hubs new
+    * since the seed enter at the seed's MEAN mass (a handful of
+    * arrivals must not dominate the normalized start), departed hubs
+    * drop out via the join on the current hub set.
+    *
     * @return (hubs(s, hub), auths(c, auth), iterations actually run) */
   def hitsConverged(edges: DataFrame, tol: Double, maxIters: Int = 50,
       checkpointEvery: Int = 10,
-      checkpointDir: Option[String] = None): (DataFrame, DataFrame, Int) = {
+      checkpointDir: Option[String] = None,
+      init: Option[DataFrame] = None): (DataFrame, DataFrame, Int) = {
     require(tol > 0 && maxIters > 0 && checkpointEvery > 0)
     val ck = graft.ops.Graph.checkpointer(edges.sparkSession, checkpointDir)
     val e = cacheTracked(edges.select(col("s"), col("c")))
@@ -6700,7 +6734,20 @@ object Extensions {
         .withColumn(scoreCol, col(scoreCol) / col("_l1"))
         .drop("_l1")
     }
-    var hubs = l1(e.select(col("s")).distinct().withColumn("hub", lit(1.0)), "hub")
+    var hubs = init match {
+      case Some(seed) =>
+        val s = seed.select(col("s"), col("hub").as("__seed"))
+        val seeded = e.select(col("s")).distinct()
+          .join(s, Seq("s"), "left")
+          .crossJoin(broadcast(s.agg(avg(col("__seed")).as("__mean"))))
+          .select(col("s"),
+            coalesce(col("__seed"), col("__mean"), lit(1.0)).as("hub"))
+        // localCheckpoint: never re-evaluate the seed's lineage per
+        // iteration (it is often a prior run's full chain)
+        l1(seeded, "hub").localCheckpoint()
+      case None =>
+        l1(e.select(col("s")).distinct().withColumn("hub", lit(1.0)), "hub")
+    }
     var auths: DataFrame = e.select(col("c")).distinct().withColumn("auth", lit(0.0))
     var iter = 0
     var delta = Double.MaxValue

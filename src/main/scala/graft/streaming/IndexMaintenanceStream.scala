@@ -131,6 +131,48 @@ object IndexMaintenanceStream {
     spark.read.parquet(indexDir).select("cell", "corpus_id", "code")
 
   // ---------------------------------------------------------------------
+  // The RESIDUAL vector twin (E49's streaming form): identical contract
+  // to the flat-IVF stream above with the encoder swapped — each
+  // micro-batch runs ivfpqrEncodeAssign's one-scan assign + residual +
+  // L2-nearest-code pass against the frozen (centroids, cell means,
+  // residual codebook) triple and appends to the batch-keyed layout.
+  // This was the only stored index family without a streaming arrival.
+  // ---------------------------------------------------------------------
+
+  /** One micro-batch's append for the residual combined index. `batch`
+    * carries (vec_id, v). Exposed for the idempotence test. */
+  def appendIvfpqrBatch(batch: DataFrame,
+                        cbs: Array[Array[Array[Double]]],
+                        cs: Array[Array[Double]],
+                        ms: Array[Array[Double]],
+                        indexDir: String, batchId: Long): Unit =
+    graft.ext.Extensions.ivfpqrEncodeAssign(batch, cbs, cs, ms)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Start the residual-index maintenance stream: `vecs` must carry
+    * (vec_id, v) with v the embedding array. */
+  def startIvfpqrAppend(vecs: DataFrame,
+                        cbs: Array[Array[Array[Double]]],
+                        cs: Array[Array[Double]],
+                        ms: Array[Array[Double]],
+                        indexDir: String,
+                        checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .queryName("graft-ivfpqr-append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          appendIvfpqrBatch(batch.toDF(), cbs, cs, ms, indexDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The merged residual combined-index table (the `codes0` input of
+    * ivfpqrTopK), batch column dropped. */
+  def mergedIvfpqrCodes(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir).select("cell", "corpus_id", "code")
+
+  // ---------------------------------------------------------------------
   // The substring-dedup twin (E56's streaming form): documents arrive
   // on a stream, each micro-batch pays ONE tokenize+gram scan and its
   // (g, cnt) PARTIAL counts land in the batch-keyed partition. Counts

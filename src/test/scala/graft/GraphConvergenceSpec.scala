@@ -133,6 +133,86 @@ class GraphConvergenceSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("pageRankConverged warm start: same fixpoint, fewer iterations, new/departed nodes handled") {
+    // the arrival contract for centrality: seed from a previous run's
+    // scores. The damped iteration is an L1-contraction (factor d<1),
+    // so the fixpoint is unique and warm == cold within tolerance by
+    // construction — this asserts that, plus the cadence win (fewer
+    // iterations) and the seed-join semantics on a CHANGED graph.
+    val edges = planted.toDF("src", "dst")
+    val tol = 1e-9
+    val (cold, coldIters) = Extensions.pageRankConverged(edges, tol = tol,
+      maxIters = 200)
+    val seed = cold.localCheckpoint()
+    // warm on the SAME graph: converges at (or near) the first check
+    val (warm, warmIters) = Extensions.pageRankConverged(edges, tol = tol,
+      maxIters = 200, init = Some(seed))
+    val gotC = cold.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gotW = warm.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotW.keySet == gotC.keySet)
+    // both iterates sit within d·tol/(1−d) of the unique fixpoint
+    // (L1 contraction bound), so their L1 distance is < 2·d·tol/(1−d)
+    val bound = 2 * Extensions.PrDamping.toDouble * tol /
+      (1 - Extensions.PrDamping.toDouble)
+    val l1 = gotC.keys.map(n => math.abs(gotC(n) - gotW(n))).sum
+    assert(l1 < math.max(bound, 1e-9), s"warm drifted from cold: L1 $l1")
+    assert(warmIters <= coldIters,
+      s"warm start must not iterate more than cold ($warmIters vs $coldIters)")
+    info(s"cold $coldIters iters, warm $warmIters")
+
+    // changed graph: new node 6 enters, node 5's edge departs — the
+    // warm run must converge to the NEW graph's cold fixpoint, with
+    // the new node seeded at the cold 1.0 and 5 dropped by the join
+    val changed = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (6L, 2L))
+    val (cold2, _) = Extensions.pageRankConverged(
+      changed.toDF("src", "dst"), tol = tol, maxIters = 200)
+    val (warm2, warm2Iters) = Extensions.pageRankConverged(
+      changed.toDF("src", "dst"), tol = tol, maxIters = 200,
+      init = Some(seed))
+    val gotC2 = cold2.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gotW2 = warm2.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotW2.keySet == gotC2.keySet && gotW2.contains(6L) &&
+      !gotW2.contains(5L),
+      "warm node set must follow the current graph, not the seed")
+    val l12 = gotC2.keys.map(n => math.abs(gotC2(n) - gotW2(n))).sum
+    assert(l12 < math.max(bound, 1e-9),
+      s"warm-on-changed-graph drifted from its cold fixpoint: L1 $l12")
+    info(s"changed-graph warm converged in $warm2Iters iters")
+    Extensions.releaseCaches()
+  }
+
+  test("hitsConverged warm start: same normalized fixpoint, fewer iterations") {
+    val biEdges = Seq((1L, 11L), (2L, 11L), (2L, 12L), (3L, 12L), (1L, 13L))
+    val tol = 1e-9
+    val (coldH, coldA, coldIters) = Extensions.hitsConverged(
+      biEdges.toDF("s", "c"), tol = tol, maxIters = 200)
+    val seed = coldH.localCheckpoint()
+    val (warmH, warmA, warmIters) = Extensions.hitsConverged(
+      biEdges.toDF("s", "c"), tol = tol, maxIters = 200, init = Some(seed))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (ch, wh, ca, wa) = (m(coldH), m(warmH), m(coldA), m(warmA))
+    assert(wh.keySet == ch.keySet && wa.keySet == ca.keySet)
+    for ((n, v) <- ch) assert(math.abs(wh(n) - v) < 1e-6, s"hub $n drifted")
+    for ((n, v) <- ca) assert(math.abs(wa(n) - v) < 1e-6, s"auth $n drifted")
+    assert(warmIters <= coldIters)
+    // L1 normalization survives the seeded start
+    assert(math.abs(wh.values.sum - 1.0) < 1e-9)
+    info(s"cold $coldIters iters, warm $warmIters")
+
+    // a new hub entering at the seed's mean mass: warm run on the
+    // grown graph still reaches that graph's own fixpoint
+    val grown = biEdges :+ (4L, 13L)
+    val (coldH2, _, _) = Extensions.hitsConverged(
+      grown.toDF("s", "c"), tol = tol, maxIters = 200)
+    val (warmH2, _, _) = Extensions.hitsConverged(
+      grown.toDF("s", "c"), tol = tol, maxIters = 200, init = Some(seed))
+    val (c2, w2) = (m(coldH2), m(warmH2))
+    assert(w2.keySet == c2.keySet && w2.contains(4L))
+    for ((n, v) <- c2) assert(math.abs(w2(n) - v) < 1e-6, s"hub $n drifted")
+    Extensions.releaseCaches()
+  }
+
   test("registered convergence queries: deterministic top-K, consistent iteration count") {
     val sf = "/root/testdata/sf0.001"
     val pr = Extensions.pagerankConverged.fn(spark, sf).collect()

@@ -297,6 +297,43 @@ class StreamingSpec extends SparkSpec {
       "replayed micro-batch double-appended instead of rewriting its partition")
   }
 
+  test("streaming ivfpqr arrival: appended micro-batches == one-shot encode; replay idempotent") {
+    // the RESIDUAL vector twin — E49's contract with checkpoint-owned
+    // progress: same discipline as the ivfpq stream with the encoder
+    // swapped for the residual triple (centroids + cell means +
+    // L2-trained residual codebook). The last stored index family
+    // without a streaming arrival.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IndexMaintenanceStream
+    val rnd = new scala.util.Random(41)
+    val vecsAll = (1L to 12L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian())))
+    val allDf = vecsAll.toDF("vec_id", "v")
+    val cs = graft.ext.Extensions.ivfCentroids(allDf, nCells = 4)
+    val ms = graft.ext.Extensions.ivfCellMeans(allDf, cs, None)
+    val cbs = graft.ext.Extensions.pqrCodebooks(allDf, cs, ms, None)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqridx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpqrckpt").toString
+    val ms2 = MemoryStream[(Long, Seq[Double])]
+    val q = IndexMaintenanceStream.startIvfpqrAppend(
+      ms2.toDF().toDF("vec_id", "v"), cbs, cs, ms, dir, ckpt)
+    try {
+      ms2.addData(vecsAll.take(6): _*); q.processAllAvailable()
+      ms2.addData(vecsAll.drop(6): _*); q.processAllAvailable()
+    } finally q.stop()
+    val merged = IndexMaintenanceStream.mergedIvfpqrCodes(spark, dir)
+    val oneShot = graft.ext.Extensions.ivfpqrEncodeAssign(allDf, cbs, cs, ms)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "streamed residual-index rows diverged from the one-shot encode")
+    val before = merged.count()
+    IndexMaintenanceStream.appendIvfpqrBatch(
+      vecsAll.take(6).toDF("vec_id", "v"), cbs, cs, ms, dir, 0L)
+    assert(IndexMaintenanceStream.mergedIvfpqrCodes(spark, dir).count() == before,
+      "replayed micro-batch double-appended instead of rewriting its partition")
+  }
+
   test("streaming substr arrival: summed partial counts == one-shot; replay idempotent") {
     // the substring-dedup twin (E56's streaming form): each micro-batch
     // lands its PARTIAL (g, cnt) counts; counts are aggregates, so the
