@@ -23,13 +23,24 @@ object Profile {
     val wanted =
       if (args.length > 2) args(2).split(",").toSeq
       else SparkEntry.queries.keys.toSeq
+    // SPARK_GRAFT_PROFILE_SPLIT=1 additionally reports the frame
+    // CONSTRUCTION time (the eager driver-side part: model fixture
+    // loads, routing collects) apart from the noop-write execution —
+    // the split that tells serial fixed costs from data-sized work
+    val split = sys.env.get("SPARK_GRAFT_PROFILE_SPLIT").contains("1")
     for (name <- wanted; fn = SparkEntry.queries(name); r <- 1 to reps) {
       val t0 = System.nanoTime()
       // full materialization (see Bench): count() would let the
       // optimizer time a smaller query than the one users run
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val df = fn(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      df.write.format("noop").mode("overwrite").save()
       spark.sqlContext.clearCache()
-      println(f"PROFILE $name rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val total = (System.nanoTime() - t0) / 1e9
+      if (split)
+        println(f"PROFILE $name rep$r $total%.3f s (build $tBuild%.3f s, exec ${total - tBuild}%.3f s)")
+      else
+        println(f"PROFILE $name rep$r $total%.3f s")
     }
     spark.stop()
   }

@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe pq [nVecs]
   *        runMain graft.ScaleProbe imi [nVecs] [kPerHalf|auto] [nProbe|auto] [probeA] [noflat]
   *        runMain graft.ScaleProbe compact [nVecs] [nCells]
+  *        runMain graft.ScaleProbe capcycle [nVecs] [cycles]
   *        runMain graft.ScaleProbe lexcompact [nDocs]
   *        runMain graft.ScaleProbe substr [nDocs]
   *        runMain graft.ScaleProbe cms [nDocs]
@@ -354,6 +355,77 @@ object ScaleProbe {
     println(f"PRPROBE n_nodes=$nNodes%d edges~${nNodes * 8}%d " +
       f"wall{half=$tHalf%.1fs full=$tFull%.1fs ratio=${tFull / tHalf}%.2f} " +
       f"mass=$mass%.3f vs n=$nOut%d (bidirected: conserved exactly)")
+    spark.stop()
+  }
+
+  /** `capcycle` mode: multi-cycle compaction cap stability at a scale
+    * where the cap BINDS (the round-10 cap-ratchet fix, probed through
+    * repeated cycles instead of one unit-tested step). Synthesizes the
+    * fold's own input shape — (cell, corpus_id, code) with a hot cell
+    * holding 50% of rows (boilerplate skew) — and runs ≥3
+    * arrive→compact cycles through the REAL `recapCellCodes`, deriving
+    * each cycle's cap from the true uncapped ingested-row count the
+    * shipped compaction queries supply. Asserts per cycle that the
+    * hot-cell survivor count equals the cap the monolithic build would
+    * resolve at that ingested volume (a ratcheting cap — the round-10
+    * bug class, where caps derive from already-capped counts — fails
+    * this on cycle 2), that the final cycle's cap equals the
+    * monolithic build's over the same rows, and that re-compacting
+    * the settled state is bit-identical (idempotence). */
+  private def capCycleProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.length > 1) args(1).toLong else 400000L
+    val cycles = if (args.length > 2) args(2).toInt else 4
+    val nCells = 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // even ids → hot cell 0 (50% share); odd ids → uniform over the
+    // other 63 cells. cap = 8·ingested/64 = ingested/8, so the hot
+    // cell (ingested/2 rows) binds from the first cycle on
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      when(pmod(col("id"), lit(2)) === 0, lit(0))
+        .otherwise(pmod(hash(col("id")), lit(nCells - 1)) + 1)
+        .cast("int").as("cell"),
+      col("id").as("corpus_id"),
+      array(lit(1), lit(2)).as("code"))
+    val chunk = nVecs / cycles
+    var state = rows(0L, 0L)
+    var ingested = 0L
+    var ok = true
+    val f = ext.Extensions.IvfpqCellSkewFactor
+    for (k <- 0 until cycles) {
+      val t0 = System.nanoTime()
+      ingested += chunk
+      state = ext.Extensions.recapCellCodes(
+        state.unionByName(rows(k * chunk, (k + 1) * chunk)), nCells,
+        Some(ingested)).localCheckpoint()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cap = math.max(4096L, f * ingested / nCells)
+      val hot = state.filter(col("cell") === 0).count()
+      val cycleOk = hot == cap
+      ok &= cycleOk
+      println(f"CAPCYCLE cycle=${k + 1}%d ingested=$ingested%d cap=$cap%d " +
+        f"hot_survivors=$hot%d ok=$cycleOk%b wall=$wall%.1fs")
+    }
+    // monolithic reference over the same rows: same cap, same hot count
+    val mono = ext.Extensions.recapCellCodes(rows(0L, ingested), nCells, None)
+    val monoHot = mono.filter(col("cell") === 0).count()
+    val finalHot = state.filter(col("cell") === 0).count()
+    val monoOk = monoHot == finalHot
+    // idempotence: compacting the settled state again at the same
+    // ingested count must be a bit-identical no-op
+    val again = ext.Extensions.recapCellCodes(state, nCells, Some(ingested))
+    val idemOk = again.exceptAll(state).count() == 0 &&
+      state.exceptAll(again).count() == 0
+    println(f"CAPCYCLE summary n=$ingested%d cycles=$cycles%d " +
+      f"final_hot=$finalHot%d mono_hot=$monoHot%d mono_ok=$monoOk%b " +
+      f"idempotent=$idemOk%b all_cycles_ok=$ok%b")
+    assert(ok && monoOk && idemOk,
+      "cap-cycle invariants violated — see CAPCYCLE lines above")
     spark.stop()
   }
 
@@ -1279,6 +1351,7 @@ object ScaleProbe {
     if (args.headOption.contains("skewsweep")) { skewSweep(args); return }
     if (args.headOption.contains("pqinc")) { pqIncProbe(args); return }
     if (args.headOption.contains("compact")) { compactProbe(args); return }
+    if (args.headOption.contains("capcycle")) { capCycleProbe(args); return }
     if (args.headOption.contains("ivfpq")) { ivfpqProbe(args); return }
     if (args.headOption.contains("imi")) { imiProbe(args); return }
     if (args.headOption.contains("substr")) { substrProbe(args); return }

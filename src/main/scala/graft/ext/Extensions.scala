@@ -3525,6 +3525,28 @@ object Extensions {
     * key on the identical identity; None when the source is
     * unreadable or fixtures are forced live (the same conditions under
     * which parquetFixture serves the live recompute). */
+  /** Fingerprint the DATA, not the directory inode: a directory's own
+    * length() is unspecified (essentially constant) and mtime has 1s
+    * filesystem granularity, so a regeneration inside the same tick
+    * would silently serve stale fixtures. Key on an aggregate over the
+    * parquet part-files inside instead — count + total bytes + max
+    * part mtime. Also used to embed SECONDARY inputs in a fixture's
+    * plan string (a fixture fingerprints only its primary `srcPath`;
+    * a derivation over two tables appends the other's fingerprint —
+    * the same honesty discipline as the appended model literals). */
+  private def dataFingerprint(src: java.io.File): String = {
+    val parts: Array[java.io.File] =
+      if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      else Array(src)
+    s"${parts.length}_${parts.map(_.length()).sum}_" +
+      parts.map(_.lastModified()).foldLeft(0L)(math.max)
+  }
+  private[graft] def dataFingerprint(path: String): String =
+    try dataFingerprint(new java.io.File(path))
+    catch { case _: Exception => "unreadable" }
+
   private def fixtureDirOf(family: String, srcPath: String,
       keyExtra: String, planOf: => String): Option[String] = {
     if (sys.env.get("SPARK_GRAFT_FIXTURES").contains("live")) return None
@@ -3544,19 +3566,7 @@ object Extensions {
           // distinguishes plans
           .replaceAll("\\blambda '?([a-z]+)_[0-9]+", "lambda $1_").getBytes("UTF-8"))
         .take(6).map(b => f"$b%02x").mkString
-      // fingerprint the DATA, not the directory inode: a directory's
-      // own length() is unspecified (essentially constant) and mtime
-      // has 1s filesystem granularity, so a regeneration inside the
-      // same tick would silently serve stale fixtures. Key on an
-      // aggregate over the parquet part-files inside instead —
-      // count + total bytes + max part mtime
-      val parts: Array[java.io.File] =
-        if (src.isDirectory)
-          Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
-            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        else Array(src)
-      val dataFp = s"${parts.length}_${parts.map(_.length()).sum}_" +
-        parts.map(_.lastModified()).foldLeft(0L)(math.max)
+      val dataFp = dataFingerprint(src)
       // "fx" prefix: an absolute srcPath sanitizes to a LEADING
       // UNDERSCORE, and Spark's file index treats `_*` / `.*` paths as
       // hidden — the read of such a fixture dir warns "All paths were
@@ -3583,22 +3593,64 @@ object Extensions {
     * cleared past a backstop size no real session reaches. Unlike a
     * Spark cache, the memo survives sqlContext.clearCache() — it holds
     * plain driver arrays, not storage blocks. */
-  private val modelMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[AnyRef]]()
   private final val ModelMemoMax = 512
 
+  /** The memo holds FUTURES so concurrent consumers of one model (the
+    * parallel-built search paths of ext_ann_recall share the IVF
+    * centroids three ways) dedupe the load instead of racing it: the
+    * first caller loads, the rest block on its future — a Spark job
+    * is orders of magnitude above a lock wait. A failed load removes
+    * its entry so later calls retry instead of caching the failure. */
   private def memoizedModel[A <: AnyRef](key: Option[String])(
       load: => A): A = key match {
     case Some(k) =>
       val hit = modelMemo.get(k)
-      if (hit != null) hit.asInstanceOf[A]
+      if (hit != null) unwrapExecution(hit.get()).asInstanceOf[A]
       else {
-        val v = load
         if (modelMemo.size >= ModelMemoMax) modelMemo.clear()
-        modelMemo.put(k, v)
-        v
+        val mine = new java.util.concurrent.CompletableFuture[AnyRef]()
+        val prior = modelMemo.putIfAbsent(k, mine)
+        if (prior != null) unwrapExecution(prior.get()).asInstanceOf[A]
+        else
+          try { val v = load; mine.complete(v); v }
+          catch {
+            case e: Throwable =>
+              mine.completeExceptionally(e); modelMemo.remove(k, mine); throw e
+          }
       }
     case None => load
+  }
+
+  /** CompletableFuture.get wraps the loader's exception — rethrow the
+    * cause so waiters see the same failure type the loader threw. */
+  private def unwrapExecution[A](f: => A): A =
+    try f catch {
+      case e: java.util.concurrent.ExecutionException
+          if e.getCause != null => throw e.getCause
+    }
+
+  /** Run independent frame CONSTRUCTIONS concurrently — each thunk's
+    * eager driver-side work (model fixture loads, routing collects,
+    * cache fills) submits Spark jobs, and Spark's scheduler is
+    * thread-safe, so overlapping them turns a serial sum of fixed
+    * costs into the max of one path (ext_ann_recall's seven search
+    * paths paid ~7 s serially at sf0.1; the slowest single path is
+    * ~1.5 s). A dedicated pool sized to the task list, torn down on
+    * exit: job submission BLOCKS, so a shared CPU-sized pool could
+    * deadlock under nesting. Any thunk failure propagates with its
+    * original exception — same semantics as the serial construction. */
+  private def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
+    if (thunks.sizeIs <= 1) return thunks.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try {
+      val futs = thunks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[A] {
+          def call(): A = t()
+        }))
+      futs.map(f => unwrapExecution(f.get()))
+    } finally pool.shutdown()
   }
 
   private[graft] def parquetFixture(spark: SparkSession, family: String,
@@ -3672,19 +3724,34 @@ object Extensions {
       // corpus TakeOrdered — 7× wasted scans this metric doesn't need
       // (the paths' search semantics are untouched; qids is the same
       // frame they would derive)
-      val qids = Some(cacheTracked(annQueryIds(
-        Tables.embeddings(spark, sfDir).select(col("vec_id")))))
-      recallOf(annLshSearch(spark, sfDir, qids), "ann_lsh", AnnLshRecallFloor)
-        .unionByName(recallOf(ivfSearch(spark, sfDir, qids), "ivf", IvfRecallFloor))
-        .unionByName(recallOf(pqSearch(spark, sfDir, qids), "pq", PqRecallFloor))
-        .unionByName(
-          recallOf(ivfpqSearch(spark, sfDir, qids), "ivfpq", IvfpqRecallFloor))
-        .unionByName(
-          recallOf(imiSearch(spark, sfDir, qids), "imi", ImiRecallFloor))
-        .unionByName(
-          recallOf(imipqSearch(spark, sfDir, qids), "imipq", ImiRecallFloor))
-        .unionByName(
-          recallOf(ivfpqrSearch(spark, sfDir, qids), "ivfpqr", IvfpqRecallFloor))
+      val qidsDf = cacheTracked(annQueryIds(
+        Tables.embeddings(spark, sfDir).select(col("vec_id"))))
+      // materialized BEFORE the parallel section: all seven paths'
+      // eager routing collects force this cache — racing threads
+      // would each recompute the TakeOrdered into it
+      qidsDf.count()
+      val qids = Some(qidsDf)
+      // CONCURRENT path construction: each search path's construction
+      // runs eager driver-side jobs (model fixture loads, probed-cell
+      // routing collects) that are independent across paths — serially
+      // they summed to ~7 s at sf0.1, ~70% of this metric's cost. The
+      // recall VALUES are untouched: the same seven frames feed the
+      // same union; shared models dedupe through the future-based memo.
+      val paths = inParallel[DataFrame](Seq(
+        () => annLshSearch(spark, sfDir, qids),
+        () => ivfSearch(spark, sfDir, qids),
+        () => pqSearch(spark, sfDir, qids),
+        () => ivfpqSearch(spark, sfDir, qids),
+        () => imiSearch(spark, sfDir, qids),
+        () => imipqSearch(spark, sfDir, qids),
+        () => ivfpqrSearch(spark, sfDir, qids)))
+      recallOf(paths(0), "ann_lsh", AnnLshRecallFloor)
+        .unionByName(recallOf(paths(1), "ivf", IvfRecallFloor))
+        .unionByName(recallOf(paths(2), "pq", PqRecallFloor))
+        .unionByName(recallOf(paths(3), "ivfpq", IvfpqRecallFloor))
+        .unionByName(recallOf(paths(4), "imi", ImiRecallFloor))
+        .unionByName(recallOf(paths(5), "imipq", ImiRecallFloor))
+        .unionByName(recallOf(paths(6), "ivfpqr", IvfpqRecallFloor))
         .orderBy("method")
     },
     None)
@@ -4510,6 +4577,63 @@ object Extensions {
            |SELECT doc_id, lang, n_tok,
            |  CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
            |FROM c ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // E64: deterministic shard writer — the trainer-facing step between
+  // packing (E7) and storage: land the corpus in N output shards,
+  // hash-ASSIGNED by content and content-hash ORDERED within each
+  // shard. Content (not doc_id, not arrival order) drives both the
+  // assignment and the intra-shard rank, so a re-ingested copy of the
+  // same corpus — re-crawled, re-partitioned, shuffled — produces
+  // byte-identical shards: the property that makes a training run
+  // reproducible from raw data and makes shard-level diffing
+  // meaningful. No global sort anywhere: assignment is a linear
+  // projection, the per-shard order is one hash-partitioned window
+  // (rank within shard), and hash assignment balances shard sizes to
+  // within sampling noise at any corpus size. The registered query
+  // emits the assignment facts (doc_id, shard, shard_rank) — the
+  // oracle-checkable contract; [[writeShards]] is the one-pass
+  // physical write of the same facts.
+  // =====================================================================
+  final val ShardCount = 8
+
+  val shardAssign: Q = Q("ext_shard_assign",
+    (spark, sfDir) => {
+      val h = Scalars.hash60(col("text"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("__h"), col("doc_id"))
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), h.as("__h"),
+          pmod(h, lit(ShardCount.toLong)).cast("int").as("shard"))
+        .withColumn("shard_rank", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("shard_rank"))
+        .orderBy("shard", "shard_rank")
+    },
+    Some(s"""WITH h AS (SELECT doc_id, ${duckHash60("text")} AS hh FROM documents)
+            |SELECT doc_id, CAST(hh % $ShardCount AS INT) AS shard,
+            |  CAST(row_number() OVER (PARTITION BY hh % $ShardCount
+            |    ORDER BY hh, doc_id) AS INT) AS shard_rank
+            |FROM h ORDER BY shard, shard_rank""".stripMargin))
+
+  /** The physical write of [[shardAssign]]'s contract: ONE pass —
+    * project (shard, content hash), repartition on the shard id (each
+    * shard's rows land in one task), sort within partitions by
+    * (shard, hash, doc_id), write hive-partitioned by shard. Every
+    * shard directory then holds its documents in the content-hash
+    * order `ext_shard_assign` ranks, independent of input partitioning
+    * or row order (asserted in ExtensionsSpec by writing a shuffled
+    * re-ingestion and comparing per-shard sequences). The content
+    * hash rides along as `content_hash` — the per-row receipt that
+    * makes shard-level integrity checks one aggregation. */
+  def writeShards(docs: DataFrame, outDir: String,
+                  n: Int = ShardCount): Unit = {
+    val h = Scalars.hash60(col("text"))
+    docs.select(col("doc_id"), col("text"), h.as("content_hash"),
+        pmod(h, lit(n.toLong)).cast("int").as("shard"))
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("shard"), col("content_hash"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 
   // =====================================================================
   // END-TO-END corpus curation — the query a user of this engine
@@ -6934,8 +7058,10 @@ object Extensions {
     * for why a corpus-fraction slice is forbidden here). */
   final val HybridQueryCount = 8
 
-  /** Normalized embedding frame (vec_id, v, nrm) for the hybrid towers. */
-  private def hybridEmb(spark: SparkSession, sfDir: String): DataFrame =
+  /** Normalized embedding frame (vec_id, v, nrm) for the hybrid towers.
+    * private[graft]: RetrievalStatsSpec builds the live twin of the
+    * fixture-served overlap reference from it. */
+  private[graft] def hybridEmb(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
@@ -7117,13 +7243,37 @@ object Extensions {
     // fusions — without it each consumer re-runs the corpus
     // TakeOrdered that defines the workload
     val q = cacheTracked(hybridQueries(spark, sfDir))
-    // ONE sparse tower feeds both fusions (cached): the towers differ
-    // only on the dense side, so recomputing BM25 per fusion would
-    // double the postings work the comparison doesn't need
-    val sparse = cacheTracked(hybridSparseTop(spark, sfDir, q))
-    val exact = hybridFuse(hybridDenseExact(hybridEmb(spark, sfDir), q), sparse)
+    // the REFERENCE side of this metric — the sparse tower and the
+    // exact fusion — is a deterministic pure function of (data, code),
+    // exactly [[annExactBaseline]]'s situation, so it gets the same
+    // fixture discipline: stored once per (data fingerprint, plan
+    // fingerprint), served thereafter. Re-deriving the exact ground
+    // truth per run is the metric's cost, never the indexed path's —
+    // and it is exactly what a 100 TB deployment would NOT re-pay per
+    // search. Both frames derive from documents ⋈ embeddings, and a
+    // fixture fingerprints only its primary source, so the embeddings
+    // fingerprint is appended to the plan string (the appended-model-
+    // literal honesty discipline): regenerating either table orphans
+    // the fixtures. Overlap values are unchanged — the fixture holds
+    // the identical rows the live derivation produces.
+    val docsPath = s"$sfDir/documents.parquet"
+    val embFp = "\nemb:" + dataFingerprint(s"$sfDir/embeddings.parquet")
+    val sparseLive = hybridSparseTop(spark, sfDir, q)
+    val sparse = parquetFixture(spark, "hybrid-sparse", docsPath, "hs1",
+      sparseLive.queryExecution.logical.toString + embFp, sparseLive)
+    val exactLive = hybridFuse(
+        hybridDenseExact(hybridEmb(spark, sfDir), q), sparse)
       .select(col("query_id"), col("doc_id"))
-    val idx = indexed(spark, sfDir, sparse, q)
+    // CONCURRENT: the exact-fusion fixture (a read when warm, the
+    // one-time dense-tower job when cold) overlaps the indexed build's
+    // eager work (model loads + probed-cell routing collect, ~2 s for
+    // the ivfpq tower) — the two sides are independent by definition.
+    val built = inParallel[DataFrame](Seq(
+      () => indexed(spark, sfDir, sparse, q),
+      () => parquetFixture(spark, "hybrid-exact", docsPath, s"he1_$method",
+        exactLive.queryExecution.logical.toString + embFp, exactLive)))
+    val exact = built(1)
+    val idx = built(0)
       .select(col("query_id"), col("doc_id"))
     val exactN = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     val hits = idx.join(exact, Seq("query_id", "doc_id"), "left_semi")
@@ -7514,5 +7664,5 @@ object Extensions {
     ivfpqrIncremental, ivfpqrCompact,
     knnLabelAudit,
     clusterCentroids, bpePairStats, bpeMerges, bpeTokenCount,
-    pqIncremental, ivfIncremental)
+    pqIncremental, ivfIncremental, shardAssign)
 }

@@ -2042,6 +2042,54 @@ class ExtensionsSpec extends SparkSpec {
       s"hub(${maxDeg})=${hubScore(maxDeg)} not above hub(${minDeg})=${hubScore(minDeg)}")
   }
 
+  test("shard writer: re-ingestion-stable shards, content-hash order, query facts match the files") {
+    import spark.implicits._
+    val docs = (1L to 64L).map(i => (i, s"document body number $i with words"))
+      .toDF("doc_id", "text")
+    val dir1 = java.nio.file.Files.createTempDirectory("shards1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    Extensions.writeShards(docs, dir1, n = 4)
+    // re-ingestion: same corpus, shuffled row order, different
+    // partitioning — the shards must come out byte-identical
+    Extensions.writeShards(
+      docs.orderBy(desc("doc_id")).repartition(7, col("doc_id")), dir2, n = 4)
+    def shardSeqs(dir: String): Map[Int, Seq[(Long, Long)]] =
+      (0 until 4).flatMap { s =>
+        val p = new java.io.File(s"$dir/shard=$s")
+        if (!p.exists()) None
+        else Some(s -> spark.read.parquet(p.toString)
+          .select("doc_id", "content_hash").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      }.toMap
+    val s1 = shardSeqs(dir1)
+    val s2 = shardSeqs(dir2)
+    assert(s1 == s2, "re-ingested corpus produced different shards")
+    assert(s1.values.map(_.size).sum == 64 && s1.nonEmpty)
+    // within-shard order is (content_hash, doc_id) ascending
+    s1.foreach { case (s, rows) =>
+      val sorted = rows.sortBy { case (id, h) => (h, id) }
+      assert(rows == sorted, s"shard $s not in content-hash order: $rows")
+    }
+    // the registered query's facts describe exactly these files:
+    // shard membership and rank order agree (on the documents table)
+    val facts = Extensions.shardAssign.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byShard = facts.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until Extensions.ShardCount).toSet))
+    byShard.foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length),
+        "shard ranks must be contiguous from 1")
+    }
+    // balance: hash assignment keeps every shard within sampling noise
+    // of the mean (generous 3x bound — this guards gross skew, e.g. a
+    // constant-key regression assigning everything to one shard)
+    val sizes = byShard.values.map(_.length)
+    assert(sizes.max <= 3 * (facts.length / Extensions.ShardCount),
+      s"shard sizes grossly unbalanced: $sizes")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir1))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")

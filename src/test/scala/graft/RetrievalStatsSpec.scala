@@ -119,6 +119,39 @@ class RetrievalStatsSpec extends SparkSpec {
     Extensions.releaseCaches()
   }
 
+  test("hybrid overlap metrics: fixture-served reference equals the live derivation to 4dp") {
+    // round 12 moved the metric's REFERENCE side (sparse tower + exact
+    // fusion) into parquet fixtures — the annExactBaseline discipline.
+    // This pins the reported overlap to a twin computed LIVE from the
+    // public tower builders, so a stale or corrupted fixture (or any
+    // drift in the fixture keying) fails loudly instead of silently
+    // shifting the metric.
+    def liveOverlap(indexedRanking: org.apache.spark.sql.DataFrame): Double = {
+      val q = Extensions.hybridQueries(spark, sf0001)
+      val sparse = Extensions.hybridSparseTop(spark, sf0001, q)
+      val exact = Extensions.hybridFuse(
+          Extensions.hybridDenseExact(Extensions.hybridEmb(spark, sf0001), q), sparse)
+        .select("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val idx = indexedRanking.select("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val byQ = exact.groupBy(_._1)
+      val overlaps = byQ.values.map(ps => ps.count(idx.contains).toDouble / ps.length)
+      math.rint(overlaps.sum / overlaps.size * 1e4) / 1e4
+    }
+    val reportedPq = Extensions.hybridSearchPq.fn(spark, sf0001)
+      .collect()(0).getDouble(2)
+    val livePq = liveOverlap(Extensions.hybridSearchPqRanking(spark, sf0001))
+    assert(reportedPq == livePq,
+      s"fixture-served pq overlap $reportedPq != live twin $livePq")
+    val reportedIvfpq = Extensions.hybridSearchIvfpq.fn(spark, sf0001)
+      .collect()(0).getDouble(2)
+    val liveIvfpq = liveOverlap(Extensions.hybridSearchIvfpqRanking(spark, sf0001))
+    assert(reportedIvfpq == liveIvfpq,
+      s"fixture-served ivfpq overlap $reportedIvfpq != live twin $liveIvfpq")
+    Extensions.releaseCaches()
+  }
+
   test("hybrid RRF: rank-1 fused score requires presence in a top list; bounds hold") {
     val rows = Extensions.hybridSearch.fn(spark, sf0001).collect()
     assert(rows.nonEmpty)
