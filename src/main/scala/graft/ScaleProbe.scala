@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe bloom [nTrainDocs]
   *        runMain graft.ScaleProbe winnow [nDocs]
   *        runMain graft.ScaleProbe pagerank [nNodes]
-  *        runMain graft.ScaleProbe prwarm [nNodes]
+  *        runMain graft.ScaleProbe prwarm [nNodes] [tolDiv] [driftMod]
   *        runMain graft.ScaleProbe pq [nVecs]
   *        runMain graft.ScaleProbe imi [nVecs] [kPerHalf|auto] [nProbe|auto] [probeA] [noflat]
   *        runMain graft.ScaleProbe compact [nVecs] [nCells]

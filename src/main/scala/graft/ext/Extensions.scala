@@ -3544,8 +3544,21 @@ object Extensions {
       parts.map(_.lastModified()).foldLeft(0L)(math.max)
   }
   private[graft] def dataFingerprint(path: String): String =
-    try dataFingerprint(new java.io.File(path))
-    catch { case _: Exception => "unreadable" }
+    try {
+      val f = new java.io.File(path)
+      // a MISSING path must never fingerprint to a stable constant —
+      // that would silently disable the staleness invalidation this
+      // exists for (fixtures keyed on it would survive a regeneration
+      // of the real table). A per-call nonce keeps correctness (every
+      // run re-derives) and the warning makes the misconfiguration
+      // loud; the query itself will fail on the missing read anyway.
+      if (!f.exists()) {
+        System.err.println(
+          s"[graft] WARN dataFingerprint: $path does not exist — " +
+            "fixtures keyed on it will not be reused")
+        s"missing_${java.util.UUID.randomUUID()}"
+      } else dataFingerprint(f)
+    } catch { case _: Exception => s"unreadable_${java.util.UUID.randomUUID()}" }
 
   private def fixtureDirOf(family: String, srcPath: String,
       keyExtra: String, planOf: => String): Option[String] = {
@@ -7259,18 +7272,33 @@ object Extensions {
     val docsPath = s"$sfDir/documents.parquet"
     val embFp = "\nemb:" + dataFingerprint(s"$sfDir/embeddings.parquet")
     val sparseLive = hybridSparseTop(spark, sfDir, q)
-    val sparse = parquetFixture(spark, "hybrid-sparse", docsPath, "hs1",
-      sparseLive.queryExecution.logical.toString + embFp, sparseLive)
+    // cacheTracked OUTSIDE the fixture: in live/fallback mode (forced
+    // live, read-only cwd, publish-race fallout) the returned frame is
+    // the raw derivation consumed by BOTH fusions — uncached, the BM25
+    // postings pass would run twice, the exact double-work the old
+    // cached tower existed to prevent; on the fixture path it merely
+    // caches a small parquet read
+    val sparse = cacheTracked(parquetFixture(spark, "hybrid-sparse",
+      docsPath, "hs1",
+      sparseLive.queryExecution.logical.toString + embFp, sparseLive))
     val exactLive = hybridFuse(
         hybridDenseExact(hybridEmb(spark, sfDir), q), sparse)
       .select(col("query_id"), col("doc_id"))
+    // materialize q BEFORE the parallel section: on a cold exact
+    // fixture both thunks force the query-set cache concurrently and
+    // would each recompute the TakeOrdered into it (the same race
+    // ext_ann_recall pre-empts with qids.count()); warm or cold, q is
+    // computed exactly once either way
+    q.count()
     // CONCURRENT: the exact-fusion fixture (a read when warm, the
     // one-time dense-tower job when cold) overlaps the indexed build's
     // eager work (model loads + probed-cell routing collect, ~2 s for
     // the ivfpq tower) — the two sides are independent by definition.
+    // The exact fixture is METHOD-INDEPENDENT (same reference fusion
+    // for every indexed tower), so both metrics share one "he1" entry.
     val built = inParallel[DataFrame](Seq(
       () => indexed(spark, sfDir, sparse, q),
-      () => parquetFixture(spark, "hybrid-exact", docsPath, s"he1_$method",
+      () => parquetFixture(spark, "hybrid-exact", docsPath, "he1",
         exactLive.queryExecution.logical.toString + embFp, exactLive)))
     val exact = built(1)
     val idx = built(0)

@@ -168,9 +168,11 @@ object IndexMaintenanceStream {
       .start()
 
   /** The merged residual combined-index table (the `codes0` input of
-    * ivfpqrTopK), batch column dropped. */
+    * ivfpqrTopK) — the (cell, corpus_id, code) merged read is the
+    * SAME contract as the flat index's, so it delegates: a future
+    * change to the merged-read shape applies to both families once. */
   def mergedIvfpqrCodes(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(indexDir).select("cell", "corpus_id", "code")
+    mergedIvfpqCodes(spark, indexDir)
 
   // ---------------------------------------------------------------------
   // The substring-dedup twin (E56's streaming form): documents arrive
