@@ -3616,7 +3616,7 @@ object Extensions {
     * first caller loads, the rest block on its future — a Spark job
     * is orders of magnitude above a lock wait. A failed load removes
     * its entry so later calls retry instead of caching the failure. */
-  private def memoizedModel[A <: AnyRef](key: Option[String])(
+  private[graft] def memoizedModel[A <: AnyRef](key: Option[String])(
       load: => A): A = key match {
     case Some(k) =>
       val hit = modelMemo.get(k)
@@ -3654,7 +3654,7 @@ object Extensions {
     * exit: job submission BLOCKS, so a shared CPU-sized pool could
     * deadlock under nesting. Any thunk failure propagates with its
     * original exception — same semantics as the serial construction. */
-  private def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
+  private[graft] def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
     if (thunks.sizeIs <= 1) return thunks.map(_())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
     try {
@@ -4637,7 +4637,16 @@ object Extensions {
     * or row order (asserted in ExtensionsSpec by writing a shuffled
     * re-ingestion and comparing per-shard sequences). The content
     * hash rides along as `content_hash` — the per-row receipt that
-    * makes shard-level integrity checks one aggregation. */
+    * makes shard-level integrity checks one aggregation.
+    *
+    * SCALE: one task writes one shard, so `n` IS the parallelism knob
+    * — size shards to the task (the usual ~1 GB training shard means
+    * n ≈ corpus/1 GB, i.e. ~100k tasks at 100 TB, far above any
+    * executor count). That keeps every shard a single file in strict
+    * content-hash order; a multi-file-per-shard range layout would
+    * parallelize WITHIN a shard but makes file boundaries depend on
+    * range sampling, trading away the byte-identical re-ingestion
+    * property this writer exists for. */
   def writeShards(docs: DataFrame, outDir: String,
                   n: Int = ShardCount): Unit = {
     val h = Scalars.hash60(col("text"))

@@ -2042,6 +2042,43 @@ class ExtensionsSpec extends SparkSpec {
       s"hub(${maxDeg})=${hubScore(maxDeg)} not above hub(${minDeg})=${hubScore(minDeg)}")
   }
 
+  test("model memo: concurrent loads dedupe; a failed load retries instead of caching the failure") {
+    // the round-12 future-holding memo: first caller loads, waiters
+    // block on the future; a loader failure removes the entry so the
+    // NEXT call retries — a cached exception would wedge every search
+    // path sharing that model for the session
+    val key = Some(s"memo-spec-${java.util.UUID.randomUUID()}")
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[IllegalStateException] {
+      Extensions.memoizedModel[Integer](key) {
+        loads.incrementAndGet()
+        throw new IllegalStateException("planted load failure")
+      }
+    }
+    val v = Extensions.memoizedModel[Integer](key) {
+      Integer.valueOf(loads.incrementAndGet())
+    }
+    assert(loads.get() == 2 && v == 2,
+      "failed load must not be cached; the retry must run the loader")
+    // dedupe: 8 concurrent consumers of one fresh key → one load
+    val key2 = Some(s"memo-spec-${java.util.UUID.randomUUID()}")
+    val loads2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val got = Extensions.inParallel((1 to 8).map(_ => () =>
+      Extensions.memoizedModel[Integer](key2) {
+        Thread.sleep(50) // widen the race window
+        Integer.valueOf(loads2.incrementAndGet())
+      }))
+    assert(loads2.get() == 1 && got.forall(_ == 1),
+      s"concurrent loads must dedupe to one (got ${loads2.get()})")
+    // waiters see the loader's ORIGINAL exception type, not the
+    // ExecutionException wrapper
+    intercept[IllegalArgumentException] {
+      Extensions.inParallel(Seq(
+        () => 1,
+        () => throw new IllegalArgumentException("planted thunk failure")))
+    }
+  }
+
   test("shard writer: re-ingestion-stable shards, content-hash order, query facts match the files") {
     import spark.implicits._
     val docs = (1L to 64L).map(i => (i, s"document body number $i with words"))
