@@ -4628,6 +4628,38 @@ object Extensions {
             |    ORDER BY hh, doc_id) AS INT) AS shard_rank
             |FROM h ORDER BY shard, shard_rank""".stripMargin))
 
+  /** The shard MANIFEST — the receipt a pipeline publishes alongside
+    * the shards: per-shard document count, byte volume, the hash range
+    * the shard covers, and a content checksum (sum of bounded hash
+    * residues — order-insensitive, but the shard ORDER is a pure
+    * function of content, so content identity implies file identity).
+    * One aggregation over the assignment projection; a consumer
+    * re-derives it from the written shards and diffs — the integrity
+    * check that makes re-ingestion verification O(manifest). The
+    * checksum residue keeps the sum far from int64 overflow at any
+    * plausible shard size (1e11 docs × 1e5 bound ≈ 1e16 << 2^63). */
+  val shardManifest: Q = Q("ext_shard_manifest",
+    (spark, sfDir) => {
+      val h = Scalars.hash60(col("text"))
+      Tables.documents(spark, sfDir)
+        .select(pmod(h, lit(ShardCount.toLong)).cast("int").as("shard"),
+          h.as("hh"), col("n_chars"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("hh")).as("min_hash"),
+          max(col("hh")).as("max_hash"),
+          sum(pmod(col("hh"), lit(100003L))).as("checksum"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH h AS (SELECT ${duckHash60("text")} AS hh, n_chars FROM documents)
+            |SELECT CAST(hh % $ShardCount AS INT) AS shard,
+            |  count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            |  min(hh) AS min_hash, max(hh) AS max_hash,
+            |  CAST(sum(hh % 100003) AS BIGINT) AS checksum
+            |FROM h GROUP BY 1 ORDER BY shard""".stripMargin))
+
   /** The physical write of [[shardAssign]]'s contract: ONE pass —
     * project (shard, content hash), repartition on the shard id (each
     * shard's rows land in one task), sort within partitions by
@@ -7701,5 +7733,5 @@ object Extensions {
     ivfpqrIncremental, ivfpqrCompact,
     knnLabelAudit,
     clusterCentroids, bpePairStats, bpeMerges, bpeTokenCount,
-    pqIncremental, ivfIncremental, shardAssign)
+    pqIncremental, ivfIncremental, shardAssign, shardManifest)
 }
