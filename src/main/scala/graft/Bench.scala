@@ -144,6 +144,21 @@ object Bench {
           .flatMap(""""n_runs":([0-9]+)""".r.findFirstMatchIn(_)
             .map(_.group(1).toInt))
           .getOrElse(if (prevQ.nonEmpty) 1 else 0)
+        // self-flagging upticks: on a control-ok run, a query >25% AND
+        // >0.3 s above its ledger minimum is printed. ONE flag is a
+        // HYPOTHESIS, not a verdict — the control certifies the run's
+        // average host state, not every second of it, and the ledger
+        // min tightens with every contributing run, so bursty steal
+        // lands a handful of flags on a perfectly clean diff (observed:
+        // 5 flags at +26-28% on an untouched registry). The reading:
+        // a flag that REPEATS across control-ok runs is a code-change
+        // signal (the ledger only ever moves down, so noise cannot
+        // sustain it); a one-off clears itself on the next run.
+        for ((name, cur) <- results; prev <- prevQ.get(name)
+             if prev > 0 && cur > prev * 1.25 && cur - prev > 0.3)
+          System.err.println(f"[bench] UPTICK $name%s: $cur%.3f s vs " +
+            f"ledger min $prev%.3f s (+${(cur / prev - 1) * 100}%.0f%% — " +
+            "hypothesis; re-run to confirm, see ledger comment)")
         val merged = results.map { case (name, cur) =>
           val prev = prevQ.get(name).filter(_ > 0)
           val best = (Seq(cur).filter(_ > 0) ++ prev)
