@@ -4607,6 +4607,14 @@ object Extensions {
   // emits the assignment facts (doc_id, shard, shard_rank) — the
   // oracle-checkable contract; [[writeShards]] is the one-pass
   // physical write of the same facts.
+  //
+  // ShardCount is the DEPLOYMENT knob, pinned to 8 here only so the
+  // oracle is stable at driver SFs: the rank window partitions BY
+  // SHARD, so N sets both the shard size and the operator's
+  // parallelism — at 100 TB a trainer runs N ≈ corpus / 1 GB (~100k),
+  // which makes every window partition task-sized. N=8 over 100 TB
+  // would be an 8-way sort bottleneck; nobody shards 100 TB into 8
+  // files, and the knob exists precisely so they don't.
   // =====================================================================
   final val ShardCount = 8
 
