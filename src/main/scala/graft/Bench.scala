@@ -154,8 +154,12 @@ object Bench {
         // a flag that REPEATS across control-ok runs is a code-change
         // signal (the ledger only ever moves down, so noise cannot
         // sustain it); a one-off clears itself on the next run.
+        // the control query is excluded: its pass bar is 1.25× steady,
+        // so a barely-passing run would flag its own control every
+        // time — a structurally recurring false flag
         for ((name, cur) <- results; prev <- prevQ.get(name)
-             if prev > 0 && cur > prev * 1.25 && cur - prev > 0.3)
+             if name != "fn_epoch_millis" &&
+               prev > 0 && cur > prev * 1.25 && cur - prev > 0.3)
           System.err.println(f"[bench] UPTICK $name%s: $cur%.3f s vs " +
             f"ledger min $prev%.3f s (+${(cur / prev - 1) * 100}%.0f%% — " +
             "hypothesis; re-run to confirm, see ledger comment)")

@@ -3543,22 +3543,28 @@ object Extensions {
     s"${parts.length}_${parts.map(_.length()).sum}_" +
       parts.map(_.lastModified()).foldLeft(0L)(math.max)
   }
-  private[graft] def dataFingerprint(path: String): String =
+  /** Fingerprint a SECONDARY fixture input, or None when the path is
+    * missing/unreadable or holds no parquet parts. None means "do not
+    * fixture at all": a missing path must never fingerprint to a
+    * stable constant (staleness invalidation silently disabled — two
+    * regeneration windows would share a key), and a per-call nonce is
+    * no better (every call would mint, cold-build, and WRITE a fresh
+    * never-served fixture dir). The caller serves the live derivation
+    * instead; the warning makes the misconfiguration loud. */
+  private[graft] def dataFingerprintOpt(path: String): Option[String] =
     try {
       val f = new java.io.File(path)
-      // a MISSING path must never fingerprint to a stable constant —
-      // that would silently disable the staleness invalidation this
-      // exists for (fixtures keyed on it would survive a regeneration
-      // of the real table). A per-call nonce keeps correctness (every
-      // run re-derives) and the warning makes the misconfiguration
-      // loud; the query itself will fail on the missing read anyway.
-      if (!f.exists()) {
-        System.err.println(
-          s"[graft] WARN dataFingerprint: $path does not exist — " +
-            "fixtures keyed on it will not be reused")
-        s"missing_${java.util.UUID.randomUUID()}"
-      } else dataFingerprint(f)
-    } catch { case _: Exception => s"unreadable_${java.util.UUID.randomUUID()}" }
+      val fp = if (f.exists()) Some(dataFingerprint(f)) else None
+      // '0_0_0' = an existing but part-less directory (regeneration
+      // window): as unstable an identity as a missing path
+      fp.filter(v => !v.startsWith("0_"))
+        .orElse {
+          System.err.println(
+            s"[graft] WARN dataFingerprint: $path missing or empty — " +
+              "fixtures depending on it are disabled for this call")
+          None
+        }
+    } catch { case _: Exception => None }
 
   private def fixtureDirOf(family: String, srcPath: String,
       keyExtra: String, planOf: => String): Option[String] = {
@@ -3579,7 +3585,13 @@ object Extensions {
           // distinguishes plans
           .replaceAll("\\blambda '?([a-z]+)_[0-9]+", "lambda $1_").getBytes("UTF-8"))
         .take(6).map(b => f"$b%02x").mkString
+      // a missing or part-less primary source has no stable identity
+      // to key on — '1_0_0' / '0_0_0' would be shared across distinct
+      // regeneration windows. No fixture then: serve live (the same
+      // contract dataFingerprintOpt applies to secondary inputs).
+      if (!src.exists()) return None
       val dataFp = dataFingerprint(src)
+      if (dataFp.startsWith("0_")) return None
       // "fx" prefix: an absolute srcPath sanitizes to a LEADING
       // UNDERSCORE, and Spark's file index treats `_*` / `.*` paths as
       // hidden — the read of such a fixture dir warns "All paths were
@@ -7319,7 +7331,17 @@ object Extensions {
     // the fixtures. Overlap values are unchanged — the fixture holds
     // the identical rows the live derivation produces.
     val docsPath = s"$sfDir/documents.parquet"
-    val embFp = "\nemb:" + dataFingerprint(s"$sfDir/embeddings.parquet")
+    // None (embeddings missing/empty/unreadable) disables BOTH
+    // reference fixtures for this call — live derivations instead of
+    // nonce-keyed never-served fixture writes piling up in target/
+    val embFpOpt = dataFingerprintOpt(s"$sfDir/embeddings.parquet")
+      .map("\nemb:" + _)
+    def fixtureOr(family: String, key: String, planOf: => String,
+                  live: DataFrame): DataFrame = embFpOpt match {
+      case Some(embFp) =>
+        parquetFixture(spark, family, docsPath, key, planOf + embFp, live)
+      case None => live
+    }
     val sparseLive = hybridSparseTop(spark, sfDir, q)
     // cacheTracked OUTSIDE the fixture: in live/fallback mode (forced
     // live, read-only cwd, publish-race fallout) the returned frame is
@@ -7327,9 +7349,8 @@ object Extensions {
     // postings pass would run twice, the exact double-work the old
     // cached tower existed to prevent; on the fixture path it merely
     // caches a small parquet read
-    val sparse = cacheTracked(parquetFixture(spark, "hybrid-sparse",
-      docsPath, "hs1",
-      sparseLive.queryExecution.logical.toString + embFp, sparseLive))
+    val sparse = cacheTracked(fixtureOr("hybrid-sparse", "hs1",
+      sparseLive.queryExecution.logical.toString, sparseLive))
     val exactLive = hybridFuse(
         hybridDenseExact(hybridEmb(spark, sfDir), q), sparse)
       .select(col("query_id"), col("doc_id"))
@@ -7347,8 +7368,8 @@ object Extensions {
     // for every indexed tower), so both metrics share one "he1" entry.
     val built = inParallel[DataFrame](Seq(
       () => indexed(spark, sfDir, sparse, q),
-      () => parquetFixture(spark, "hybrid-exact", docsPath, "he1",
-        exactLive.queryExecution.logical.toString + embFp, exactLive)))
+      () => fixtureOr("hybrid-exact", "he1",
+        exactLive.queryExecution.logical.toString, exactLive)))
     val exact = built(1)
     val idx = built(0)
       .select(col("query_id"), col("doc_id"))
