@@ -729,6 +729,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shard writer: assignment and manifest are each ONE documents pass; scan prunes to the used columns") {
+    // the E64 contract: sharding 100 TB must read it once. The
+    // assignment query is scan → project → rank window → order; the
+    // manifest is scan → project → one aggregation. Neither may scan
+    // documents twice or drag unused columns through the exchange.
+    for ((df, used) <- Seq(
+        (ext.Extensions.shardAssign.fn(spark, sf0001), Seq("doc_id", "text")),
+        (ext.Extensions.shardManifest.fn(spark, sf0001),
+          Seq("text", "n_chars")))) {
+      val paths = scanNodePaths(df)
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 1, s"must be one documents pass, got $paths")
+      // column pruning reached the scan: ReadSchema carries only the
+      // columns the operator uses
+      val scan = physical(df).linesIterator
+        .filter(_.contains("ReadSchema")).mkString
+      assert(used.forall(scan.contains) && !scan.contains("lang"),
+        s"scan must prune to $used: $scan")
+    }
+  }
+
   test("fixture filters fold into scans, not post-filters (optimizer visibility)") {
     // Fixtures.patients is a projection over customer: the optimized plan
     // must be Project→Relation with no intermediate barriers
