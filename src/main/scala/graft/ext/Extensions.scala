@@ -4710,6 +4710,247 @@ object Extensions {
   }
 
   // =====================================================================
+  // E66: shard-store lifecycle — the arrival + settling verbs (the
+  // E39/E45 contract) applied to the LAST stored artifact without them:
+  // the written training shards. A daily 100 TB ingest cannot re-run
+  // the full-corpus shard write per batch; it lands each batch as
+  // per-shard DELTA files (content-hash assignment is stateless, so a
+  // batch doc's shard is decided by ONE O(batch) projection — no
+  // standing-corpus read at all) and folds base ∪ deltas into fresh
+  // strict-order shards at compaction cadence. The published integrity
+  // receipt (the manifest, E64) is a MONOID: counts/volumes/checksums
+  // add, hash ranges combine by min/max — so maintaining it on arrival
+  // costs O(manifest ⊕ batch), never a store read. The registered fold
+  // query's oracle is the MONOLITHIC full-corpus manifest SQL verbatim
+  // — folded receipts and rebuilt-from-scratch receipts must be
+  // bit-identical, the same "global counts are global counts" gate the
+  // substring-dedup arrivals carry.
+  // =====================================================================
+  /** Batch-side shard arrival: the ≥[[IncrementalCorpusPct]] split
+    * assigned + delta-ranked with ZERO standing-corpus input —
+    * assignment is pure content-hash arithmetic and the delta rank
+    * orders within the batch's own (shard, hash) groups (the order
+    * the delta FILE stores; base-relative ranks would force a store
+    * read and are re-derived at compaction anyway). */
+  val shardIncremental: Q = Q("ext_shard_incremental",
+    (spark, sfDir) => {
+      val (_, batch) = incrementalDocSplit(spark, sfDir)
+      val h = Scalars.hash60(col("text"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("__h"), col("doc_id"))
+      batch.select(col("doc_id"), h.as("__h"),
+          pmod(h, lit(ShardCount.toLong)).cast("int").as("shard"))
+        .withColumn("delta_rank", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("delta_rank"))
+        .orderBy("shard", "delta_rank")
+    },
+    Some(s"""WITH h AS (SELECT doc_id, ${duckHash60("text")} AS hh FROM documents
+            |  WHERE ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 >= $IncrementalCorpusPct)
+            |SELECT doc_id, CAST(hh % $ShardCount AS INT) AS shard,
+            |  CAST(row_number() OVER (PARTITION BY hh % $ShardCount
+            |    ORDER BY hh, doc_id) AS INT) AS delta_rank
+            |FROM h ORDER BY shard, delta_rank""".stripMargin))
+
+  /** The corpus-split manifest as a STORED fixture (≤ [[ShardCount]]
+    * rows) — the receipt the fold below maintains without reading the
+    * store. */
+  private def shardManifestFixture(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    val live = shardManifestOf(
+      incrementalDocSplitChars(spark, sfDir)._1)
+    parquetFixture(spark, "shard-manifest", s"$sfDir/documents.parquet",
+      s"n${ShardCount}_inc$IncrementalCorpusPct",
+      live.queryExecution.logical.toString, live)
+  }
+
+  /** [[incrementalDocSplit]] carrying `n_chars` (the manifest's byte
+    * column) — same content split, one extra pruned column. */
+  private def incrementalDocSplitChars(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        bucket.as("bucket"))
+    (base.filter(col("bucket") < IncrementalCorpusPct)
+       .select("doc_id", "text", "n_chars"),
+     base.filter(col("bucket") >= IncrementalCorpusPct)
+       .select("doc_id", "text", "n_chars"))
+  }
+
+  /** One manifest aggregation — shared by the monolithic query
+    * (E64), the stored fixture, and the fold's batch side, so the
+    * receipt's definition cannot drift between producers. */
+  private def shardManifestOf(docs: DataFrame): DataFrame = {
+    val h = Scalars.hash60(col("text"))
+    docs.select(pmod(h, lit(ShardCount.toLong)).cast("int").as("shard"),
+        h.as("hh"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("hh")).as("min_hash"),
+        max(col("hh")).as("max_hash"),
+        sum(pmod(col("hh"), lit(100003L))).as("checksum"))
+  }
+
+  /** Manifest monoid fold: stored corpus receipt ⊕ batch partial →
+    * the post-compaction receipt. Every column is a monoid (sum /
+    * sum / min / max / sum), so the fold is one union + one
+    * ≤ 2·[[ShardCount]]-row groupBy — O(manifest ⊕ batch) with no
+    * store read (PlanSpec gates the scan set: ONE raw documents scan,
+    * the batch filter). */
+  val shardManifestFold: Q = Q("ext_shard_manifest_fold",
+    (spark, sfDir) => {
+      val stored = shardManifestFixture(spark, sfDir)
+      val batchPart = shardManifestOf(
+        incrementalDocSplitChars(spark, sfDir)._2)
+      stored.unionByName(batchPart)
+        .groupBy("shard")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_chars")).as("total_chars"),
+          min(col("min_hash")).as("min_hash"),
+          max(col("max_hash")).as("max_hash"),
+          sum(col("checksum")).as("checksum"))
+        .orderBy("shard")
+    },
+    // the MONOLITHIC manifest SQL verbatim (E64's oracle): folded
+    // receipts must equal the rebuilt-from-scratch receipt
+    Some(s"""WITH h AS (SELECT ${duckHash60("text")} AS hh, n_chars FROM documents)
+            |SELECT CAST(hh % $ShardCount AS INT) AS shard,
+            |  count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            |  min(hh) AS min_hash, max(hh) AS max_hash,
+            |  CAST(sum(hh % 100003) AS BIGINT) AS checksum
+            |FROM h GROUP BY 1 ORDER BY shard""".stripMargin))
+
+  /** Physical delta landing: the batch written as per-shard delta
+    * files — the same (shard, content_hash, doc_id) order discipline
+    * as [[writeShards]], hive-partitioned by shard under `deltaDir`,
+    * so compaction is a union of two already-shard-partitioned stores
+    * + one re-sort. The base store is NEVER rewritten on arrival. */
+  def writeShardDelta(docs: DataFrame, deltaDir: String,
+                      n: Int = ShardCount): Unit =
+    writeShards(docs, deltaDir, n)
+
+  /** Shard compaction: fold base-store rows ∪ delta rows into fresh
+    * strict-order shards. Reads the STORES (doc_id, text,
+    * content_hash, shard — the store IS the corpus copy), never the
+    * raw source table; output is byte-identical to a monolithic
+    * [[writeShards]] over the union because assignment and order are
+    * pure functions of content (asserted in ExtensionsSpec). */
+  def compactShards(spark: SparkSession, baseDir: String,
+                    deltaDir: String, outDir: String,
+                    n: Int = ShardCount): Unit = {
+    val merged = spark.read.parquet(baseDir)
+      .unionByName(spark.read.parquet(deltaDir))
+      .select("doc_id", "text")
+    writeShards(merged, outDir, n)
+  }
+
+  // =====================================================================
+  // E65: domain-mixture materializer — the step that turns trained
+  // mixture weights (DoReMi / manual domain reweighting) into an actual
+  // training corpus: given per-language target weights and a global
+  // token budget, SELECT the documents that fill each language's share,
+  // deterministically. Selection order within a language is content-hash
+  // order (never doc_id or arrival order), so a re-ingested copy of the
+  // corpus materializes the identical mixture — the same re-ingestion
+  // contract as the shard writer (E64).
+  //
+  // SCALE — the distributed prefix sum: the naive form is one running-
+  // sum window per language, i.e. `langs` partitions total — a 5-way
+  // sort bottleneck at 100 TB (the whole corpus funnels through 5
+  // tasks). Instead the cumulative sum is decomposed two-level: docs
+  // hash into [[MixturePrefixBuckets]] buckets per language, the
+  // running sum windows over (lang, bucket) — langs × B task-sized
+  // partitions — and each bucket adds the exclusive prefix of earlier
+  // buckets' totals via a broadcast of the langs × B bucket-total
+  // frame. The selection order becomes (bucket, hash, doc_id): a
+  // different but equally content-deterministic permutation, and the
+  // ORACLE computes the identical cumsum with one flat window over
+  // that order — the decomposition is an execution strategy, not a
+  // semantics change. Budgets are exact integer arithmetic
+  // (total·w/200 floored) so both engines agree bit-for-bit.
+  // =====================================================================
+  /** Per-language mixture weights in integer percent (sum 100) — the
+    * deployment input a DoReMi-style reweighting run produces; pinned
+    * here so the oracle is stable. Languages not in the map get budget
+    * 0 (excluded from the mixture) by the inner weight join. */
+  final val MixtureWeights: Seq[(String, Long)] =
+    Seq("en" -> 40L, "zh" -> 20L, "es" -> 20L, "de" -> 10L, "fr" -> 10L)
+
+  /** Global mixture budget = corpus tokens / [[MixtureBudgetDiv]]. */
+  final val MixtureBudgetDiv = 2L
+
+  /** Prefix-sum fan-out per language: window parallelism is
+    * langs × this. Pinned small so driver SFs exercise multi-bucket
+    * offsets; a 100 TB run sizes it to the cluster (each (lang,
+    * bucket) partition should be task-sized). */
+  final val MixturePrefixBuckets = 32L
+
+  val mixtureSample: Q = Q("ext_mixture_sample",
+    (spark, sfDir) => {
+      val h = Scalars.hash60(col("text"))
+      val toks = size(split(edgeTrim(col("text")), "\\s+")).cast("long")
+      // one corpus scan: tokens + content hash + bucket in a single
+      // projection (CACHED — the global total and the windowed
+      // selection both read it)
+      val t = cacheTracked(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), toks.as("n_tok"), h.as("h"),
+          pmod(h, lit(MixturePrefixBuckets)).as("bucket")))
+      // per-language budget: total · w / 200 in ONE floored integer
+      // division (two nested floors would diverge from the oracle)
+      val total = t.agg(sum(col("n_tok")).as("total"))
+      val weights = {
+        import spark.implicits._
+        MixtureWeights.toDF("lang", "w")
+      }
+      val budgets = broadcast(weights.crossJoin(broadcast(total))
+        .select(col("lang"),
+          floor(col("total") * col("w") / lit(100L * MixtureBudgetDiv))
+            .cast("long").as("budget")))
+      // two-level prefix sum: running sum WITHIN (lang, bucket) +
+      // broadcast exclusive bucket-total offsets
+      val wIn = Window.partitionBy(col("lang"), col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = broadcast(
+        t.groupBy(col("lang"), col("bucket"))
+          .agg(sum(col("n_tok")).as("btot"))
+          .select(col("lang"), col("bucket"),
+            coalesce(sum(col("btot")).over(wOff), lit(0L)).as("off")))
+      t.withColumn("cumb", sum(col("n_tok")).over(wIn))
+        .join(offsets, Seq("lang", "bucket"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          (col("off") + col("cumb")).as("cum_tok"))
+        .join(budgets, Seq("lang"))
+        .filter(col("cum_tok") <= col("budget"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+        .orderBy("lang", "cum_tok")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, lang,
+            |    CAST(len(regexp_split_to_array(
+            |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS BIGINT) AS n_tok,
+            |    ${duckHash60("text")} AS h
+            |  FROM documents),
+            |tot AS (SELECT sum(n_tok) AS total FROM t),
+            |w(lang, w) AS (VALUES ${MixtureWeights.map {
+              case (l, p) => s"('$l', $p)" }.mkString(", ")}),
+            |b AS (SELECT lang,
+            |        CAST(total * w // ${100L * MixtureBudgetDiv} AS BIGINT) AS budget
+            |      FROM w, tot),
+            |c AS (SELECT doc_id, lang, n_tok,
+            |    CAST(sum(n_tok) OVER (PARTITION BY lang
+            |      ORDER BY h % $MixturePrefixBuckets, h, doc_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+            |  FROM t)
+            |SELECT c.doc_id, c.lang, c.n_tok, c.cum_tok
+            |FROM c JOIN b USING (lang) WHERE c.cum_tok <= b.budget
+            |ORDER BY lang, cum_tok""".stripMargin))
+
+  // =====================================================================
   // END-TO-END corpus curation — the query a user of this engine
   // actually runs: quality gate ∧ language gate ∧ dedup representative
   // (normalized-fingerprint group min) ∧ train split, composed from the
@@ -7762,5 +8003,6 @@ object Extensions {
     ivfpqrIncremental, ivfpqrCompact,
     knnLabelAudit,
     clusterCentroids, bpePairStats, bpeMerges, bpeTokenCount,
-    pqIncremental, ivfIncremental, shardAssign, shardManifest)
+    pqIncremental, ivfIncremental, shardAssign, shardManifest,
+    mixtureSample, shardIncremental, shardManifestFold)
 }

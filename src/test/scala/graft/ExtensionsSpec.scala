@@ -2127,6 +2127,87 @@ class ExtensionsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
   }
 
+  test("mixture sample: two-level prefix sum == flat in-memory cumsum; budgets exact and maximal") {
+    // in-memory twin of the whole selection: flat cumulative sum per
+    // lang over (bucket, hash, doc_id) order — the semantics the
+    // distributed two-level decomposition must reproduce exactly
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, lang, text) =>
+      val h = h60(text)
+      (id, lang, text.trim.split("\\s+").length.toLong, h,
+        h % Extensions.MixturePrefixBuckets)
+    }
+    val total = toks.map(_._3).sum
+    val weights = Extensions.MixtureWeights.toMap
+    val expected = toks.groupBy(_._2).flatMap { case (lang, rows) =>
+      val budget = total * weights.getOrElse(lang, 0L) /
+        (100L * Extensions.MixtureBudgetDiv)
+      val ordered = rows.sortBy { case (id, _, _, h, b) => (b, h, id) }
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      val kept = ordered.zip(cums).takeWhile(_._2 <= budget)
+      // maximality: the first EXCLUDED doc (if any) must overflow
+      ordered.zip(cums).drop(kept.length).headOption.foreach {
+        case (_, cum) => assert(cum > budget,
+          s"$lang: selection stopped before the budget was full")
+      }
+      kept.map { case ((id, l, n, _, _), cum) => (id, l, n, cum) }.toSeq
+    }.toSet
+    val got = Extensions.mixtureSample.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"mixture selection diverged: extra=${got -- expected} missing=${expected -- got}")
+    // the mixture is a real cut: nonempty and a strict subset
+    assert(got.nonEmpty && got.size < docs.length)
+  }
+
+  test("shard lifecycle: delta landing + compaction byte-identical to the monolithic write; manifest folds") {
+    import spark.implicits._
+    val base = (1L to 80L).map(i => (i, s"standing corpus document $i body"))
+      .toDF("doc_id", "text")
+    val batch = (81L to 100L).map(i => (i, s"arriving batch document $i body"))
+      .toDF("doc_id", "text")
+    val dirs = Seq("sbase", "sdelta", "scomp", "smono")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+    val Seq(baseDir, deltaDir, compDir, monoDir) = dirs
+    Extensions.writeShards(base, baseDir, n = 4)
+    Extensions.writeShardDelta(batch, deltaDir, n = 4)
+    // compaction reads the STORES (never the source frames)…
+    Extensions.compactShards(spark, baseDir, deltaDir, compDir, n = 4)
+    // …and must land byte-identical to the monolithic write over the union
+    Extensions.writeShards(base.unionByName(batch), monoDir, n = 4)
+    def shardSeqs(dir: String): Map[Int, Seq[(Long, Long)]] =
+      (0 until 4).flatMap { s =>
+        val p = new java.io.File(s"$dir/shard=$s")
+        if (!p.exists()) None
+        else Some(s -> spark.read.parquet(p.toString)
+          .select("doc_id", "content_hash").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      }.toMap
+    assert(shardSeqs(compDir) == shardSeqs(monoDir),
+      "compacted shards diverge from the monolithic write")
+    assert(shardSeqs(compDir).values.map(_.size).sum == 100)
+    // manifest monoid: the registered fold's receipt == the monolithic
+    // manifest receipt on the documents table (the oracle asserts this
+    // against DuckDB; here the two REGISTERED paths are pinned to each
+    // other so a drifting fold shows up in-suite)
+    val folded = Extensions.shardManifestFold.fn(spark, sf0001).collect()
+      .map(_.toSeq).toSeq
+    val mono = Extensions.shardManifest.fn(spark, sf0001).collect()
+      .map(_.toSeq).toSeq
+    assert(folded == mono, "folded manifest != monolithic manifest")
+    dirs.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
