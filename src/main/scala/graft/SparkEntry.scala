@@ -61,6 +61,8 @@ object SparkEntry {
       "frozen-codebook model maintenance has no SQL analog (the codebook is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test, the O(batch) encode by ScaleProbe pqinc, and PlanSpec asserts the train distortion is read from the stored model stat (one corpus scan: the batch filter)",
     "ext_ivf_incremental" ->
       "frozen-centroid model maintenance has no SQL analog (the quantizer is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test and PlanSpec's stored-stat gate (same encode shape as ext_pq_incremental)",
+    "ext_topk_ivfpq_filtered" ->
+      "approximate (cell-routed product-quantized) FILTERED search by design — the exact filtered ground truth is the oracle-paired ext_topk_filtered; ExtensionsSpec floor-gates recall vs that ground truth, asserts every result satisfies the label constraint, and PlanSpec gates the attributed-index serve (stored ivfpq-codes-attr, label PushedFilter + probed-cell PartitionFilters, label equi-join)",
     "ext_mmr_rerank" ->
       "the k-step greedy selection is sequentially data-dependent (selection r depends on the max-similarity state of selections 1..r-1) and has no practical recursive-CTE SQL form; ExtensionsSpec recomputes the selection with an independent in-memory MMR over the same pool and requires identical (query, corpus, rank) triples plus score agreement, and asserts rank 1 equals the exact search's nearest neighbor",
     "ext_mmr_rerank_ivfpq" ->

@@ -1261,6 +1261,57 @@ object Extensions {
            |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin))
 
   // =====================================================================
+  // E67: FILTERED vector search — the attribute-constrained form every
+  // production vector store serves ("nearest neighbors WHERE label =
+  // …": search within a category, a language, a licence class). The
+  // exact form is the oracle-paired ground truth; the indexed form
+  // (ext_topk_ivfpq_filtered below) is the 100 TB path. Constraint
+  // here: corpus label == the query's own label (the classic
+  // same-category search), ~1/nLabels selectivity on this corpus.
+  // =====================================================================
+  val topkFiltered: Q = Q("ext_topk_filtered",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+      val q = hashOrderedSample(e, "vec_id", AnnQueryCount)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("label"))
+      val c = e.select(col("vec_id").as("corpus_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("label"))
+      val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("corpus_id").asc)
+      // label EQUI-join (the filter as a join key — never a cross join
+      // plus a post-predicate) with the O(1) query side broadcast
+      c.join(broadcast(q), Seq("label"))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("label"), col("corpus_id"),
+          cos.as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= AnnK)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+           |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, label FROM e
+           |      ORDER BY ${duckHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+           |      LIMIT $AnnQueryCount),
+           |scored AS (
+           |  SELECT q.query_id, q.label, e.vec_id AS corpus_id,
+           |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cos
+           |  FROM q JOIN e ON e.label = q.label AND e.vec_id <> q.query_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, corpus_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, label, corpus_id, cos, rank FROM ranked
+           |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin))
+
+  // =====================================================================
   // E54: MMR diversified top-k (Carbonell & Goldstein 1998) — rerank
   // the exact top-R pool so the returned k cover the query's
   // neighborhood instead of repeating near-duplicates of the top hit:
@@ -2391,12 +2442,23 @@ object Extensions {
   private def adcCellSearch(emb: DataFrame, queries: DataFrame,
       cellCodes: DataFrame, m: Int, kw: Int, rerank: Int, k: Int,
       src: Option[String],
+      filterCols: Seq[String] = Nil,
       adcExtra: Column = lit(0.0)): DataFrame = {
     // adcExtra: a per-(query, cell) score term from the `queries`
     // frame, added to the ADC sum BEFORE the top-R cut. The residual
     // variant passes dot(q, centroid): its codes quantize x − c, so
     // the ADC approximates dot(q, x − c) and candidates from DIFFERENT
     // cells are only comparable after adding the cell's own dot back.
+    //
+    // filterCols: FILTERED search (the attribute-constrained form every
+    // vector store serves) — extra equi-join keys between the query
+    // frame and the code table. The attributes live IN the stored
+    // index rows (joined once at index-build time), so the filter is
+    // also pushed as a query-batch literal predicate on the code
+    // SCAN (a data-column PushedFilter, the analog of the probed-cell
+    // PartitionFilter) — candidates shrink at the scan, the PRE-filter
+    // discipline; a post-filter over unconstrained top-k would lose
+    // results exactly when the filter is selective.
     val adc = adcSum(m, kw)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("corpus_id").asc)
@@ -2404,9 +2466,17 @@ object Extensions {
       .collect().map(_.getInt(0)).sorted
     if (probedCells.isEmpty)
       return emptyTopK(pqNormalize(emb))
-    val candidates = cellCodes
-      .filter(col("cell").isin(probedCells.toSeq: _*))
-      .join(broadcast(queries), Seq("cell"))
+    // query-batch literal prefilters: each filter column's distinct
+    // query-side values (a ≤ nQueries-sized collect, same contract as
+    // the probed-cell set)
+    val prefiltered = filterCols.foldLeft(
+        cellCodes.filter(col("cell").isin(probedCells.toSeq: _*))) {
+      (df, c) =>
+        val vals = queries.select(col(c)).distinct().collect().map(_.get(0))
+        df.filter(col(c).isin(vals.toSeq: _*))
+    }
+    val candidates = prefiltered
+      .join(broadcast(queries), Seq("cell") ++ filterCols)
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("qv"), col("corpus_id"),
         round(adc + adcExtra, 6).as("adc"))
@@ -2431,6 +2501,76 @@ object Extensions {
 
   val topkIvfpq: Q = Q("ext_topk_ivfpq",
     (spark, sfDir) => ivfpqSearch(spark, sfDir), None)
+
+  // =====================================================================
+  // E67 (indexed): FILTERED IVFPQ search — attributes-IN-index. The
+  // 100 TB form of ext_topk_filtered: the filter attribute is joined
+  // into the stored code table ONCE at index-build time (the build
+  // already scans the corpus; the label is a column of the same rows),
+  // so at query time the constraint is (a) a literal predicate on the
+  // code SCAN — a data-column PushedFilter beside the probed-cell
+  // PartitionFilter, candidates shrink at the scan — and (b) an extra
+  // equi-join key against the query frame. This is the PRE-filter
+  // discipline: a post-filter over the unconstrained top-k returns
+  // < k (or nothing) exactly when the filter is selective. The price
+  // of selectivity is thinner cells: at ~1/nLabels ≈ 10% selectivity
+  // each probed cell contributes ~10× fewer candidates, so the
+  // filtered path probes [[FilteredNProbe]] = 2× the unfiltered
+  // routing to rebuild the finalist pool (recall vs the exact
+  // filtered ground truth is floor-gated in ExtensionsSpec).
+  // =====================================================================
+  final val FilteredNProbe = 12
+
+  private[graft] def ivfpqFilteredSearch(spark: SparkSession,
+                                         sfDir: String): DataFrame = {
+    val srcPath = s"$sfDir/embeddings.parquet"
+    val src = Some(srcPath)
+    val embL = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val emb = embL.select("vec_id", "v")
+    val qids = broadcast(annQueryIds(emb))
+    val cbs = pqCodebooks(emb, codebookSrc = src)
+    val cs = ivfCentroids(emb, centroidSrc = src)
+    if (cbs.isEmpty || cs.isEmpty) return emptyTopK(pqNormalize(emb))
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val kw = cbs(0).length
+    // the ATTRIBUTED index: stored (cell, label, corpus_id, code) —
+    // the label join happens here, at build time, never per search.
+    // Fingerprint discipline: plan string + scan root paths (the base
+    // codes fixture renders pathless in plan strings; its path carries
+    // the model fingerprints, so a retrain orphans this table too).
+    val baseCodes = ivfpqCellCodes(emb, cbs, cs, src)
+    val liveAttr = baseCodes.join(
+        embL.select(col("vec_id").as("corpus_id"), col("label")),
+        Seq("corpus_id"))
+      .select("cell", "label", "corpus_id", "code")
+    val codesAttr = parquetFixture(spark, "ivfpq-codes-attr", srcPath,
+      "attr1_c16",
+      liveAttr.queryExecution.logical.toString +
+        "\nscans:" + scanRootPaths(liveAttr).mkString(","),
+      liveAttr, partitionCols = Seq("cell"))
+    // query side: ivfpqTopK's routing + LUT, with the query's own
+    // label carried as routing payload (normalize inline so the label
+    // survives — pqNormalize projects it away)
+    val eL = embL.select(col("vec_id"),
+      transform(col("v"), x => x / sqrt(dotD(col("v"), col("v")))).as("nv"),
+      col("label"))
+    val lut = array((0 until m).flatMap(mi =>
+      cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
+    val queries = cacheTracked(routeCells(
+      pqWithSubs(eL.join(qids, Seq("vec_id")), m, ds)
+        .select(col("vec_id").as("query_id"), col("nv").as("qv"),
+          lut.as("lut"), col("label")),
+      "query_id", "qv", cs, FilteredNProbe,
+      payload = Seq("qv", "lut", "label")))
+    adcCellSearch(emb, queries, codesAttr, m, kw, PqRerank, AnnK, src,
+      filterCols = Seq("label"))
+  }
+
+  val topkIvfpqFiltered: Q = Q("ext_topk_ivfpq_filtered",
+    (spark, sfDir) => ivfpqFilteredSearch(spark, sfDir), None)
 
   // =====================================================================
   // Incremental maintenance for the COMBINED ivfpq-codes index — the
@@ -8004,5 +8144,6 @@ object Extensions {
     knnLabelAudit,
     clusterCentroids, bpePairStats, bpeMerges, bpeTokenCount,
     pqIncremental, ivfIncremental, shardAssign, shardManifest,
-    mixtureSample, shardIncremental, shardManifestFold)
+    mixtureSample, shardIncremental, shardManifestFold,
+    topkFiltered, topkIvfpqFiltered)
 }

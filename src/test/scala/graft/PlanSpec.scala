@@ -396,6 +396,34 @@ class PlanSpec extends SparkSpec {
       s"ivfpq-codes scan has no probed-cell PartitionFilters — routing is not pruning files:\n$plan")
   }
 
+  test("filtered ivfpq: stored attributed index, label PushedFilter beside probed-cell PartitionFilters") {
+    // the filtered form's whole contract: the label lives IN the
+    // stored index rows, so the constraint cuts candidates AT THE
+    // SCAN — a data-column PushedFilter next to the partition pruning
+    // — and then joins exactly (cell AND label), never a cross join
+    // with a post-predicate
+    val df = ext.Extensions.topkIvfpqFiltered.fn(spark, sf0001)
+    try {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"filtered ADC must stay a (cell, label) equi-join:\n$plan")
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("ivfpq-codes-attr")),
+        s"not served from the stored attributed index: $paths")
+      val pruned = "(?s)PartitionFilters: \\[[^\\]]*cell[^\\]]*(?i:in)[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined
+      assert(pruned,
+        s"attributed-index scan has no probed-cell PartitionFilters:\n$plan")
+      // the query batch's label set must reach the code scan as a
+      // pushed data-column predicate
+      val labelPushed = "(?s)PushedFilters: \\[[^\\]]*(?i:in)\\(label[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined
+      assert(labelPushed,
+        s"label constraint not pushed to the attributed-index scan:\n$plan")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("ivfpqr ADC scan: stored ivfpqr-codes serve, cell equi-join, probed-cell PartitionFilters") {
     // the residual variant shares adcCellSearch, so the same three
     // guarantees must hold over its own stored combined index
