@@ -63,6 +63,8 @@ object SparkEntry {
       "frozen-centroid model maintenance has no SQL analog (the quantizer is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test and PlanSpec's stored-stat gate (same encode shape as ext_pq_incremental)",
     "ext_topk_ivfpq_filtered" ->
       "approximate (cell-routed product-quantized) FILTERED search by design — the exact filtered ground truth is the oracle-paired ext_topk_filtered; ExtensionsSpec floor-gates recall vs that ground truth, asserts every result satisfies the label constraint, and PlanSpec gates the attributed-index serve (stored ivfpq-codes-attr, label PushedFilter + probed-cell PartitionFilters, label equi-join)",
+    "ext_prototype_prune" ->
+      "the prototypes are the stored k-means centroid MODEL (no SQL analog — same reason class as ext_ivf_incremental); ExtensionsSpec recomputes assignment, prototypicality score, per-cell rank, and the cut with an independent in-memory twin over the same frozen model and requires exact row equality",
     "ext_mmr_rerank" ->
       "the k-step greedy selection is sequentially data-dependent (selection r depends on the max-similarity state of selections 1..r-1) and has no practical recursive-CTE SQL form; ExtensionsSpec recomputes the selection with an independent in-memory MMR over the same pool and requires identical (query, corpus, rank) triples plus score agreement, and asserts rank 1 equals the exact search's nearest neighbor",
     "ext_mmr_rerank_ivfpq" ->

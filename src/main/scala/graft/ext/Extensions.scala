@@ -6726,6 +6726,58 @@ object Extensions {
            |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin))
 
   // =====================================================================
+  // E68: prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+  // scaling laws" — SSL-prototypes): in the abundant-data regime,
+  // pruning the EASIEST examples beats random subsetting, and "easy" =
+  // closest to the example's cluster prototype. The stored IVF
+  // centroids ARE the prototypes (the same frozen k-means model every
+  // cell-routed search assigns against — one model, no drift between
+  // the search and the pruner), prototypicality = cos(v, assigned
+  // centroid) on unit vectors, and the cut drops each cell's top
+  // 1/[[PrototypePruneDen]] most-prototypical vectors by rounded-score
+  // rank with id tiebreak (the deterministic-cut discipline of every
+  // rank query here; integer rank·den > n arithmetic, no float
+  // thresholds).
+  //
+  // SCALE: one assignment scan (the shared [[assignCells]] expression)
+  // + one rank window per cell. The per-cell window is NOT a fixed-
+  // width bottleneck like a per-language window would be: nCells
+  // grows with the corpus (~√N for IVF), so cell partitions stay
+  // task-sized at any scale — the same argument the cell-routed
+  // searches rest on.
+  // =====================================================================
+  final val PrototypePruneDen = 4L
+
+  val prototypePrune: Q = Q("ext_prototype_prune",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cs = ivfCentroids(emb, centroidSrc = Some(s"$sfDir/embeddings.parquet"))
+      if (cs.isEmpty)
+        emb.select(col("vec_id"), lit(0).as("cell"), lit(0.0).as("proto"),
+            lit(0).as("cell_rank"), lit(true).as("keep"))
+          .filter(lit(false))
+      else {
+        val assigned = assignCells(pqNormalize(emb), "vec_id", "nv", cs)
+        val proto = assigned
+          .join(broadcast(centroidFrame(spark, cs)), Seq("cell"))
+          .select(col("vec_id"), col("cell"),
+            round(dotD(col("nv"), col("cv")), 6).as("proto"))
+        val w = Window.partitionBy(col("cell"))
+          .orderBy(col("proto").desc, col("vec_id").asc)
+        val wc = Window.partitionBy(col("cell"))
+        proto.withColumn("cell_rank", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(wc))
+          // keep iff rank > floor(n/den): rank·den > n in exact
+          // integer arithmetic — drops floor(n/den) per cell
+          .select(col("vec_id"), col("cell"), col("proto"), col("cell_rank"),
+            (col("cell_rank") * lit(PrototypePruneDen) > col("__n")).as("keep"))
+          .orderBy("cell", "cell_rank")
+      }
+    },
+    None)
+
+  // =====================================================================
   // Winnow-overlap pairs — what winnowing fingerprints are FOR (the
   // MOSS contract): doc pairs sharing ≥ WinnowSharedMin selected
   // fingerprints are plagiarism/boilerplate-overlap candidates. The
@@ -8145,5 +8197,5 @@ object Extensions {
     clusterCentroids, bpePairStats, bpeMerges, bpeTokenCount,
     pqIncremental, ivfIncremental, shardAssign, shardManifest,
     mixtureSample, shardIncremental, shardManifestFold,
-    topkFiltered, topkIvfpqFiltered)
+    topkFiltered, topkIvfpqFiltered, prototypePrune)
 }

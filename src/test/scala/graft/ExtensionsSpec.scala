@@ -2247,6 +2247,49 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("prototype pruning: in-memory twin equality (assignment, score, rank, cut)") {
+    import org.apache.spark.sql.functions.{col => c}
+    val path = s"$sf0001/embeddings.parquet"
+    val emb = model.Tables.embeddings(spark, sf0001)
+      .select(c("vec_id"), c("embedding").cast("array<double>").as("v"))
+    val cs = ext.Extensions.ivfCentroids(emb, centroidSrc = Some(path))
+    assert(cs.nonEmpty)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = spark.read.parquet(path).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val scored = rows.map { case (id, v) =>
+      val n = math.sqrt(dot(v, v))
+      val nv = v.map(_ / n)
+      val dots = cs.map(cw => dot(nv, cw))
+      val cell = dots.indexOf(dots.max) // FIRST max — argmaxCell's tiebreak
+      (id, cell, r6(dots(cell)))
+    }
+    val expected = scored.groupBy(_._2).flatMap { case (cell, xs) =>
+      val ordered = xs.sortBy { case (id, _, p) => (-p, id) }
+      ordered.zipWithIndex.map { case ((id, _, p), i) =>
+        val rank = i + 1
+        (id, cell, p, rank,
+          rank * ext.Extensions.PrototypePruneDen > ordered.length)
+      }.toSeq
+    }.toSet
+    val got = ext.Extensions.prototypePrune.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
+        r.getBoolean(4)))
+      .toSet
+    assert(got == expected,
+      s"prototype pruning diverged from the in-memory twin: " +
+        s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    // the cut is real: every cell with ≥ den vectors drops some
+    val dropped = got.count(!_._5)
+    assert(dropped > 0 && dropped < got.size)
+  }
+
   test("lang_id predicts en for english marker text") {
     val got = Seq((1L, "the cat and the dog of the house"))
       .toDF("doc_id", "text").createOrReplaceTempView("ignored")
