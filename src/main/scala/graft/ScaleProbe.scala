@@ -863,6 +863,137 @@ object ScaleProbe {
     * path's shuffle carries the FULL distinct-term table while the
     * sketch's carries ≤ d×w rows; (2) both return the same top-10.
     * Usage: runMain graft.ScaleProbe cms [nDocs] */
+  /** E67's indexed path probed at index scale: filtered IVFPQ over the
+    * attributed stored index vs the exact filtered ground truth — the
+    * recall and per-search wall of the attributes-in-index design at
+    * 2M vectors (10 labels ≈ 10% selectivity, the registered shape).
+    * Shares the ivfpq probe's corpus parquet so the PQ/IVF model
+    * fixtures are reused across probes.
+    * Usage: runMain graft.ScaleProbe filtered [nVecs] [nCells|auto] [nProbe] */
+  private def filteredProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.length > 1) args(1).toLong else 2000000L
+    val nCellsArg = if (args.length > 2) args(2) else "16"
+    val nCells = if (nCellsArg == "auto") ext.Extensions.autoNCells(nVecs)
+                 else nCellsArg.toInt
+    val nProbe = if (args.length > 3) args(3).toInt
+                 else ext.Extensions.FilteredNProbe
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val v = transform(sequence(lit(0), lit(63)),
+      j => pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0 - 1.0)
+    val src = s"target/tmp-ivfpqprobe/embeddings-$nVecs.parquet"
+    if (!new java.io.File(src).exists())
+      spark.range(nVecs).select(col("id").as("vec_id"), v.as("v"))
+        .write.mode("overwrite").parquet(src)
+    val emb = spark.read.parquet(src)
+    val embL = emb.withColumn("label",
+      pmod(hash(col("vec_id")), lit(10)).cast("int"))
+    val qids = emb.select("vec_id").orderBy("vec_id").limit(16)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // exact filtered ground truth — the corpus-scan price a deployment
+    // would pay WITHOUT the index (also the recall denominator)
+    val (exact, tExact) = timed(
+      ext.Extensions.topkFilteredFrom(embL, Some(qids)).collect())
+    // indexed: cold = model + base index + attributed-join build
+    // (one-time, fixture-served afterwards); warm = steady search
+    val (got0, tCold) = timed(
+      ext.Extensions.ivfpqFilteredTopK(embL, src, nProbe = nProbe,
+        nCells = nCells, qids0 = Some(qids)).collect())
+    ext.Extensions.releaseCaches()
+    val (got, tWarm) = Seq.fill(2)(timed {
+      val r = ext.Extensions.ivfpqFilteredTopK(embL, src, nProbe = nProbe,
+        nCells = nCells, qids0 = Some(qids)).collect()
+      ext.Extensions.releaseCaches(); r
+    }).minBy(_._2)
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val byQ = exact.groupBy(_.getLong(0))
+    val recalls = byQ.map { case (q, rows) =>
+      got.count(r => r.getLong(0) == q &&
+        exactSet((q, r.getLong(1)))).toDouble / rows.length
+    }
+    val recall = recalls.sum / recalls.size
+    // constraint exactness over the result ids (≤ 2·16·k row lookup)
+    val ids = (exact.map(_.getLong(2)) ++ got.map(_.getLong(1)) ++
+      byQ.keys).distinct.toSeq
+    val labelOf = embL.filter(col("vec_id").isin(ids: _*))
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val leaks = got.count(r => labelOf(r.getLong(1)) != labelOf(r.getLong(0)))
+    println(f"FILTEREDPROBE n=$nVecs%d nCells=$nCells%d nProbe=$nProbe%d " +
+      f"labels=10 queries=${byQ.size}%d got=${got0.length}%d")
+    println(f"FILTEREDPROBE exact_wall=$tExact%.1fs indexed{cold=$tCold%.1fs " +
+      f"warm=$tWarm%.1fs} speedup_warm=${tExact / tWarm}%.1fx " +
+      f"recall@10=$recall%.3f leaks=$leaks%d")
+    require(leaks == 0, "filtered search leaked off-label neighbors")
+    spark.stop()
+  }
+
+  /** E65's scale claim, probed where it bites: the domain-mixture
+    * materializer's per-language running sum as a FLAT window
+    * (parallelism = number of languages — 5 tasks carry the whole
+    * corpus) vs the registered TWO-LEVEL decomposition (langs ×
+    * MixturePrefixBuckets task-sized windows + broadcast offsets).
+    * Selections must be IDENTICAL (the decomposition is an execution
+    * strategy, not a semantics change); the walls are the finding.
+    * Usage: runMain graft.ScaleProbe mixture [nDocs] */
+  private def mixtureProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // ~40-token docs over the five weighted languages (hash-assigned
+    // so every lang's volume is proportional at any nDocs)
+    val langs = array(ext.Extensions.MixtureWeights.map(t => lit(t._1)): _*)
+    val words = (0 until 40).map(j =>
+      concat(lit("w"), pmod(hash(col("id"), lit(j)), lit(5000))))
+    val srcDir = s"target/tmp-mixture/docs-$nDocs.parquet"
+    if (!new java.io.File(srcDir).exists())
+      spark.range(nDocs).select(col("id").as("doc_id"),
+        element_at(langs, pmod(hash(col("id")), lit(5)).cast("int") + 1)
+          .as("lang"),
+        concat_ws(" ", words: _*).as("text"))
+        .write.mode("overwrite").parquet(srcDir)
+    val docs = spark.read.parquet(srcDir)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(f: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val (n, w) = Seq.fill(2)(timed {
+        val c = f.count(); ext.Extensions.releaseCaches(); c
+      }).minBy(_._2)
+      (n, w)
+    }
+    val (nTwo, tTwo) = run(ext.Extensions.mixtureSampleFrom(docs))
+    val (nFlat, tFlat) = run(ext.Extensions.mixtureSampleFlat(docs))
+    // equality: the decomposition must select the identical mixture
+    val two = ext.Extensions.mixtureSampleFrom(docs)
+    val flat = ext.Extensions.mixtureSampleFlat(docs)
+    val diverged = two.exceptAll(flat).count() + flat.exceptAll(two).count()
+    ext.Extensions.releaseCaches()
+    println(f"MIXTUREPROBE docs=$nDocs%d langs=${ext.Extensions.MixtureWeights.size}%d " +
+      f"buckets=${ext.Extensions.MixturePrefixBuckets}%d selected=$nTwo%d")
+    println(f"MIXTUREPROBE two_level_wall=$tTwo%.1fs flat_wall=$tFlat%.1fs " +
+      f"speedup=${tFlat / tTwo}%.2fx identical=${diverged == 0 && nTwo == nFlat}%b")
+    require(diverged == 0 && nTwo == nFlat,
+      "two-level mixture selection diverged from the flat window")
+    spark.stop()
+  }
+
   private def cmsProbe(args: Array[String]): Unit = {
     val nDocs = if (args.length > 1) args(1).toLong else 2000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1366,6 +1497,8 @@ object ScaleProbe {
     if (args.headOption.contains("cms")) { cmsProbe(args); return }
     if (args.headOption.contains("lexinc")) { lexIncProbe(args); return }
     if (args.headOption.contains("lexcompact")) { lexCompactProbe(args); return }
+    if (args.headOption.contains("mixture")) { mixtureProbe(args); return }
+    if (args.headOption.contains("filtered")) { filteredProbe(args); return }
     if (args.headOption.contains("pagerank")) { pagerankProbe(args); return }
     if (args.headOption.contains("prwarm")) { prWarmProbe(args); return }
     if (args.headOption.contains("skew")) { skewProbe(args); return }

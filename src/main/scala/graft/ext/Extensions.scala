@@ -1269,30 +1269,38 @@ object Extensions {
   // here: corpus label == the query's own label (the classic
   // same-category search), ~1/nLabels selectivity on this corpus.
   // =====================================================================
+  /** Exact filtered top-k over `embL` = (vec_id, v: array<double>,
+    * label), query set = [[annQueryIds]] over the same frame. The
+    * From-form exists so the `filtered` ScaleProbe drives the exact
+    * ground truth the registered query serves. */
+  def topkFilteredFrom(embL: DataFrame,
+                       qids0: Option[DataFrame] = None): DataFrame = {
+    val e = embL.withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    val q = qids0.map(ids => e.join(broadcast(ids.select("vec_id")), Seq("vec_id")))
+      .getOrElse(hashOrderedSample(e, "vec_id", AnnQueryCount))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label"))
+    val c = e.select(col("vec_id").as("corpus_id"), col("v").as("cv"),
+      col("nrm").as("cn"), col("label"))
+    val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    // label EQUI-join (the filter as a join key — never a cross join
+    // plus a post-predicate) with the O(1) query side broadcast
+    c.join(broadcast(q), Seq("label"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("label"), col("corpus_id"),
+        cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnK)
+      .orderBy("query_id", "rank")
+  }
+
   val topkFiltered: Q = Q("ext_topk_filtered",
-    (spark, sfDir) => {
-      val e = Tables.embeddings(spark, sfDir)
+    (spark, sfDir) => topkFilteredFrom(
+      Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-          col("label"))
-        .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-      val q = hashOrderedSample(e, "vec_id", AnnQueryCount)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("label"))
-      val c = e.select(col("vec_id").as("corpus_id"), col("v").as("cv"),
-        col("nrm").as("cn"), col("label"))
-      val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("corpus_id").asc)
-      // label EQUI-join (the filter as a join key — never a cross join
-      // plus a post-predicate) with the O(1) query side broadcast
-      c.join(broadcast(q), Seq("label"))
-        .filter(col("query_id") =!= col("corpus_id"))
-        .select(col("query_id"), col("label"), col("corpus_id"),
-          cos.as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= AnnK)
-        .orderBy("query_id", "rank")
-    },
+          col("label"))),
     Some(s"""WITH e AS (
            |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
            |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -2522,16 +2530,26 @@ object Extensions {
   final val FilteredNProbe = 12
 
   private[graft] def ivfpqFilteredSearch(spark: SparkSession,
-                                         sfDir: String): DataFrame = {
-    val srcPath = s"$sfDir/embeddings.parquet"
+                                         sfDir: String): DataFrame =
+    ivfpqFilteredTopK(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label")),
+      s"$sfDir/embeddings.parquet")
+
+  /** Filtered IVFPQ search over `embL` = (vec_id, v, label). The
+    * From-form exists for the `filtered` ScaleProbe (same reason as
+    * [[topkFilteredFrom]]). */
+  def ivfpqFilteredTopK(embL: DataFrame, srcPath: String,
+                        nProbe: Int = FilteredNProbe,
+                        nCells: Int = 16,
+                        qids0: Option[DataFrame] = None): DataFrame = {
+    val spark = embL.sparkSession
     val src = Some(srcPath)
-    val embL = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-        col("label"))
     val emb = embL.select("vec_id", "v")
-    val qids = broadcast(annQueryIds(emb))
+    val qids = broadcast(qids0.getOrElse(annQueryIds(emb)))
     val cbs = pqCodebooks(emb, codebookSrc = src)
-    val cs = ivfCentroids(emb, centroidSrc = src)
+    val cs = ivfCentroids(emb, nCells = nCells, centroidSrc = src)
     if (cbs.isEmpty || cs.isEmpty) return emptyTopK(pqNormalize(emb))
     val m = cbs.length
     val ds = cbs(0)(0).length
@@ -2541,13 +2559,13 @@ object Extensions {
     // Fingerprint discipline: plan string + scan root paths (the base
     // codes fixture renders pathless in plan strings; its path carries
     // the model fingerprints, so a retrain orphans this table too).
-    val baseCodes = ivfpqCellCodes(emb, cbs, cs, src)
+    val baseCodes = ivfpqCellCodes(emb, cbs, cs, src, nCells = nCells)
     val liveAttr = baseCodes.join(
         embL.select(col("vec_id").as("corpus_id"), col("label")),
         Seq("corpus_id"))
       .select("cell", "label", "corpus_id", "code")
     val codesAttr = parquetFixture(spark, "ivfpq-codes-attr", srcPath,
-      "attr1_c16",
+      s"attr1_c$nCells",
       liveAttr.queryExecution.logical.toString +
         "\nscans:" + scanRootPaths(liveAttr).mkString(","),
       liveAttr, partitionCols = Seq("cell"))
@@ -2563,7 +2581,7 @@ object Extensions {
       pqWithSubs(eL.join(qids, Seq("vec_id")), m, ds)
         .select(col("vec_id").as("query_id"), col("nv").as("qv"),
           lut.as("lut"), col("label")),
-      "query_id", "qv", cs, FilteredNProbe,
+      "query_id", "qv", cs, nProbe,
       payload = Seq("qv", "lut", "label")))
     adcCellSearch(emb, queries, codesAttr, m, kw, PqRerank, AnnK, src,
       filterCols = Seq("label"))
@@ -5027,48 +5045,75 @@ object Extensions {
     * bucket) partition should be task-sized). */
   final val MixturePrefixBuckets = 32L
 
+  /** The single-projection (doc_id, lang, n_tok, h, bucket) frame plus
+    * the broadcast per-language budget frame — shared by the two-level
+    * path and the probe's flat reference so neither the tokenization
+    * nor the budget arithmetic can drift between them. */
+  private def mixtureInputs(docs: DataFrame): (DataFrame, DataFrame) = {
+    val h = Scalars.hash60(col("text"))
+    val toks = size(split(edgeTrim(col("text")), "\\s+")).cast("long")
+    // one corpus scan: tokens + content hash + bucket in a single
+    // projection (CACHED — the global total and the windowed
+    // selection both read it)
+    val t = cacheTracked(docs
+      .select(col("doc_id"), col("lang"), toks.as("n_tok"), h.as("h"),
+        pmod(h, lit(MixturePrefixBuckets)).as("bucket")))
+    // per-language budget: total · w / 200 in ONE floored integer
+    // division (two nested floors would diverge from the oracle)
+    val total = t.agg(sum(col("n_tok")).as("total"))
+    val weights = {
+      import docs.sparkSession.implicits._
+      MixtureWeights.toDF("lang", "w")
+    }
+    val budgets = broadcast(weights.crossJoin(broadcast(total))
+      .select(col("lang"),
+        floor(col("total") * col("w") / lit(100L * MixtureBudgetDiv))
+          .cast("long").as("budget")))
+    (t, budgets)
+  }
+
+  def mixtureSampleFrom(docs: DataFrame): DataFrame = {
+    val (t, budgets) = mixtureInputs(docs)
+    // two-level prefix sum: running sum WITHIN (lang, bucket) +
+    // broadcast exclusive bucket-total offsets
+    val wIn = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = broadcast(
+      t.groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("n_tok")).as("btot"))
+        .select(col("lang"), col("bucket"),
+          coalesce(sum(col("btot")).over(wOff), lit(0L)).as("off")))
+    t.withColumn("cumb", sum(col("n_tok")).over(wIn))
+      .join(offsets, Seq("lang", "bucket"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("off") + col("cumb")).as("cum_tok"))
+      .join(budgets, Seq("lang"))
+      .filter(col("cum_tok") <= col("budget"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+      .orderBy("lang", "cum_tok")
+  }
+
+  /** The NAIVE per-language flat window — parallelism = number of
+    * languages, the bottleneck the two-level decomposition exists to
+    * remove. Kept ONLY as the equality/wall reference for the
+    * `mixture` ScaleProbe; never called by a registered query. */
+  private[graft] def mixtureSampleFlat(docs: DataFrame): DataFrame = {
+    val (t, budgets) = mixtureInputs(docs)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("bucket"), col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .join(budgets, Seq("lang"))
+      .filter(col("cum_tok") <= col("budget"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+      .orderBy("lang", "cum_tok")
+  }
+
   val mixtureSample: Q = Q("ext_mixture_sample",
-    (spark, sfDir) => {
-      val h = Scalars.hash60(col("text"))
-      val toks = size(split(edgeTrim(col("text")), "\\s+")).cast("long")
-      // one corpus scan: tokens + content hash + bucket in a single
-      // projection (CACHED — the global total and the windowed
-      // selection both read it)
-      val t = cacheTracked(Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("lang"), toks.as("n_tok"), h.as("h"),
-          pmod(h, lit(MixturePrefixBuckets)).as("bucket")))
-      // per-language budget: total · w / 200 in ONE floored integer
-      // division (two nested floors would diverge from the oracle)
-      val total = t.agg(sum(col("n_tok")).as("total"))
-      val weights = {
-        import spark.implicits._
-        MixtureWeights.toDF("lang", "w")
-      }
-      val budgets = broadcast(weights.crossJoin(broadcast(total))
-        .select(col("lang"),
-          floor(col("total") * col("w") / lit(100L * MixtureBudgetDiv))
-            .cast("long").as("budget")))
-      // two-level prefix sum: running sum WITHIN (lang, bucket) +
-      // broadcast exclusive bucket-total offsets
-      val wIn = Window.partitionBy(col("lang"), col("bucket"))
-        .orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wOff = Window.partitionBy(col("lang")).orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = broadcast(
-        t.groupBy(col("lang"), col("bucket"))
-          .agg(sum(col("n_tok")).as("btot"))
-          .select(col("lang"), col("bucket"),
-            coalesce(sum(col("btot")).over(wOff), lit(0L)).as("off")))
-      t.withColumn("cumb", sum(col("n_tok")).over(wIn))
-        .join(offsets, Seq("lang", "bucket"))
-        .select(col("doc_id"), col("lang"), col("n_tok"),
-          (col("off") + col("cumb")).as("cum_tok"))
-        .join(budgets, Seq("lang"))
-        .filter(col("cum_tok") <= col("budget"))
-        .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
-        .orderBy("lang", "cum_tok")
-    },
+    (spark, sfDir) => mixtureSampleFrom(Tables.documents(spark, sfDir)),
     Some(s"""WITH t AS (
             |  SELECT doc_id, lang,
             |    CAST(len(regexp_split_to_array(

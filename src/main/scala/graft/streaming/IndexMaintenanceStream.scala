@@ -175,6 +175,42 @@ object IndexMaintenanceStream {
     mergedIvfpqCodes(spark, indexDir)
 
   // ---------------------------------------------------------------------
+  // The LSH-bucket twin (E36's streaming form) — the last stored index
+  // family without one: each micro-batch pays the one O(batch) sign-
+  // hash scan (lshBucketRows UNCAPPED — the hot-bucket cap is the
+  // SEARCH-side skew guard and must be re-resolved over the merged
+  // table, exactly like the batch arrival re-caps stored∪batch per
+  // search; a capped append would freeze per-batch caps that erode as
+  // increments accumulate) and appends to the batch-keyed layout.
+  // ---------------------------------------------------------------------
+
+  /** One micro-batch's append for the bucket index. `batch` carries
+    * (vec_id, v). Exposed for the idempotence test. */
+  def appendLshBatch(batch: DataFrame, indexDir: String,
+                     batchId: Long): Unit =
+    graft.ext.Extensions.lshBucketRows(batch, cap = None)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Start the bucket-index maintenance stream: `vecs` must carry
+    * (vec_id, v) with v the embedding array. */
+  def startLshAppend(vecs: DataFrame, indexDir: String,
+                     checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .queryName("graft-lsh-append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) appendLshBatch(batch.toDF(), indexDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The merged UNCAPPED bucket table (the pre-cap input of annTopK's
+    * `buckets0` — callers re-apply the hot-bucket cap over it, the
+    * same per-search discipline as the batch arrival). */
+  def mergedLshBuckets(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir).select("corpus_id", "c_bucket")
+
+  // ---------------------------------------------------------------------
   // The substring-dedup twin (E56's streaming form): documents arrive
   // on a stream, each micro-batch pays ONE tokenize+gram scan and its
   // (g, cnt) PARTIAL counts land in the batch-keyed partition. Counts

@@ -334,6 +334,37 @@ class StreamingSpec extends SparkSpec {
       "replayed micro-batch double-appended instead of rewriting its partition")
   }
 
+  test("streaming lsh arrival: appended micro-batches == one-shot hash scan; replay idempotent") {
+    // the bucket-index twin — appends are UNCAPPED by design (the
+    // hot-bucket cap is re-resolved over the merged table per search,
+    // the same discipline as the batch arrival)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IndexMaintenanceStream
+    val rnd = new scala.util.Random(41)
+    val vecsAll = (1L to 12L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian())))
+    val allDf = vecsAll.toDF("vec_id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lshckpt").toString
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = IndexMaintenanceStream.startLshAppend(
+      ms.toDF().toDF("vec_id", "v"), dir, ckpt)
+    try {
+      ms.addData(vecsAll.take(6): _*); q.processAllAvailable()
+      ms.addData(vecsAll.drop(6): _*); q.processAllAvailable()
+    } finally q.stop()
+    val merged = IndexMaintenanceStream.mergedLshBuckets(spark, dir)
+    val oneShot = graft.ext.Extensions.lshBucketRows(allDf, cap = None)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "streamed bucket rows diverged from the one-shot hash scan")
+    val before = merged.count()
+    IndexMaintenanceStream.appendLshBatch(
+      vecsAll.take(6).toDF("vec_id", "v"), dir, 0L)
+    assert(IndexMaintenanceStream.mergedLshBuckets(spark, dir).count() == before,
+      "replayed micro-batch double-appended instead of rewriting its partition")
+  }
+
   test("streaming substr arrival: summed partial counts == one-shot; replay idempotent") {
     // the substring-dedup twin (E56's streaming form): each micro-batch
     // lands its PARTIAL (g, cnt) counts; counts are aggregates, so the
