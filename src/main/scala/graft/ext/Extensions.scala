@@ -5049,7 +5049,10 @@ object Extensions {
     * the broadcast per-language budget frame — shared by the two-level
     * path and the probe's flat reference so neither the tokenization
     * nor the budget arithmetic can drift between them. */
-  private def mixtureInputs(docs: DataFrame): (DataFrame, DataFrame) = {
+  private def mixtureInputs(docs: DataFrame,
+                            budNum: Long = 1L,
+                            budDen: Long = MixtureBudgetDiv)
+      : (DataFrame, DataFrame) = {
     val h = Scalars.hash60(col("text"))
     val toks = size(split(edgeTrim(col("text")), "\\s+")).cast("long")
     // one corpus scan: tokens + content hash + bucket in a single
@@ -5058,8 +5061,9 @@ object Extensions {
     val t = cacheTracked(docs
       .select(col("doc_id"), col("lang"), toks.as("n_tok"), h.as("h"),
         pmod(h, lit(MixturePrefixBuckets)).as("bucket")))
-    // per-language budget: total · w / 200 in ONE floored integer
-    // division (two nested floors would diverge from the oracle)
+    // per-language budget: total · w · num / (100 · den) in ONE
+    // floored integer division (two nested floors would diverge from
+    // the oracle)
     val total = t.agg(sum(col("n_tok")).as("total"))
     val weights = {
       import docs.sparkSession.implicits._
@@ -5067,15 +5071,17 @@ object Extensions {
     }
     val budgets = broadcast(weights.crossJoin(broadcast(total))
       .select(col("lang"),
-        floor(col("total") * col("w") / lit(100L * MixtureBudgetDiv))
+        floor(col("total") * col("w") * lit(budNum) / lit(100L * budDen))
           .cast("long").as("budget")))
     (t, budgets)
   }
 
-  def mixtureSampleFrom(docs: DataFrame): DataFrame = {
-    val (t, budgets) = mixtureInputs(docs)
-    // two-level prefix sum: running sum WITHIN (lang, bucket) +
-    // broadcast exclusive bucket-total offsets
+  /** The two-level distributed prefix sum over `t` = (doc_id, lang,
+    * n_tok, h, bucket): running sum WITHIN (lang, bucket) + broadcast
+    * exclusive bucket-total offsets → (doc_id, lang, n_tok, cum_tok).
+    * Shared by the budget cut (E65) and the epoch materializer so the
+    * cumulative-order semantics cannot drift between them. */
+  private def withCumTok(t: DataFrame): DataFrame = {
     val wIn = Window.partitionBy(col("lang"), col("bucket"))
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -5090,6 +5096,11 @@ object Extensions {
       .join(offsets, Seq("lang", "bucket"))
       .select(col("doc_id"), col("lang"), col("n_tok"),
         (col("off") + col("cumb")).as("cum_tok"))
+  }
+
+  def mixtureSampleFrom(docs: DataFrame): DataFrame = {
+    val (t, budgets) = mixtureInputs(docs)
+    withCumTok(t)
       .join(budgets, Seq("lang"))
       .filter(col("cum_tok") <= col("budget"))
       .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
@@ -5134,6 +5145,73 @@ object Extensions {
             |SELECT c.doc_id, c.lang, c.n_tok, c.cum_tok
             |FROM c JOIN b USING (lang) WHERE c.cum_tok <= b.budget
             |ORDER BY lang, cum_tok""".stripMargin))
+
+  // =====================================================================
+  // E69: mixture EPOCHS — the upsampling half of mixture
+  // materialization the budget cut (E65) cannot express: a trained
+  // weight can demand MORE tokens than a language has (the standard
+  // case for rare languages/domains — DoReMi weights routinely
+  // upsample the tail), and real pipelines materialize that as E full
+  // repetitions of the domain plus a fractional epoch. copies(doc) =
+  // floor(budget/supply) + (1 if the doc falls inside the
+  // remainder's content-hash cut) — the fractional epoch reuses E65's
+  // deterministic cumulative order, so "which docs repeat once more"
+  // is re-ingestion-stable exactly like the base selection. The
+  // registered budget is 2× corpus tokens (epochs 1-4 per language at
+  // the pinned weights) so the epoch path is actually exercised; all
+  // arithmetic is exact integers — epochs, remainder, and the cut are
+  // DuckDB-identical.
+  // =====================================================================
+  /** Epoch-budget multiplier: budget_l = total · w_l · this / 100. */
+  final val MixtureEpochsMul = 2L
+
+  val mixtureEpochs: Q = Q("ext_mixture_epochs",
+    (spark, sfDir) => {
+      val (t, budgets) = mixtureInputs(Tables.documents(spark, sfDir),
+        budNum = MixtureEpochsMul, budDen = 1L)
+      val supply = t.groupBy("lang").agg(sum(col("n_tok")).as("supply"))
+      val perLang = broadcast(budgets.join(supply, Seq("lang"))
+        .select(col("lang"),
+          floor(col("budget") / col("supply")).cast("long").as("epochs"),
+          (col("budget") - floor(col("budget") / col("supply"))
+            .cast("long") * col("supply")).as("remainder")))
+      withCumTok(t)
+        .join(perLang, Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          (col("epochs") +
+            when(col("cum_tok") <= col("remainder"), lit(1L))
+              .otherwise(lit(0L))).as("copies"))
+        .filter(col("copies") >= 1)
+        .orderBy("lang", "doc_id")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, lang,
+            |    CAST(len(regexp_split_to_array(
+            |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS BIGINT) AS n_tok,
+            |    ${duckHash60("text")} AS h
+            |  FROM documents),
+            |tot AS (SELECT sum(n_tok) AS total FROM t),
+            |w(lang, w) AS (VALUES ${MixtureWeights.map {
+              case (l, p) => s"('$l', $p)" }.mkString(", ")}),
+            |b AS (SELECT lang,
+            |        CAST(total * w * $MixtureEpochsMul // 100 AS BIGINT) AS budget
+            |      FROM w, tot),
+            |s AS (SELECT lang, sum(n_tok) AS supply FROM t GROUP BY lang),
+            |pl AS (SELECT lang, CAST(budget // supply AS BIGINT) AS epochs,
+            |         CAST(budget - (budget // supply) * supply AS BIGINT) AS remainder
+            |       FROM b JOIN s USING (lang)),
+            |c AS (SELECT doc_id, lang, n_tok,
+            |    CAST(sum(n_tok) OVER (PARTITION BY lang
+            |      ORDER BY h % $MixturePrefixBuckets, h, doc_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+            |  FROM t)
+            |SELECT c.doc_id, c.lang, c.n_tok,
+            |  CAST(pl.epochs + CASE WHEN c.cum_tok <= pl.remainder
+            |    THEN 1 ELSE 0 END AS BIGINT) AS copies
+            |FROM c JOIN pl USING (lang)
+            |WHERE pl.epochs + CASE WHEN c.cum_tok <= pl.remainder
+            |    THEN 1 ELSE 0 END >= 1
+            |ORDER BY lang, doc_id""".stripMargin))
 
   // =====================================================================
   // END-TO-END corpus curation — the query a user of this engine
@@ -8242,5 +8320,5 @@ object Extensions {
     clusterCentroids, bpePairStats, bpeMerges, bpeTokenCount,
     pqIncremental, ivfIncremental, shardAssign, shardManifest,
     mixtureSample, shardIncremental, shardManifestFold,
-    topkFiltered, topkIvfpqFiltered, prototypePrune)
+    topkFiltered, topkIvfpqFiltered, prototypePrune, mixtureEpochs)
 }

@@ -2247,6 +2247,31 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("mixture epochs: per-language token fill lands in (budget - max_doc, budget]") {
+    // the oracle hash-gates the rows; this pins the SEMANTIC claim —
+    // copies·n_tok per language fills the 2x budget to within one
+    // document (epochs·supply + a maximal fractional cut)
+    val docs = model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+    val toksOf = docs.map(r => (r.getLong(0), r.getString(1),
+      r.getString(2).trim.split("\\s+").length.toLong))
+    val total = toksOf.map(_._3).sum
+    val got = ext.Extensions.mixtureEpochs.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val weights = ext.Extensions.MixtureWeights.toMap
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val budget = total * weights(lang) * ext.Extensions.MixtureEpochsMul / 100L
+      val filled = rows.map(r => r._3 * r._4).sum
+      val supply = toksOf.filter(_._2 == lang).map(_._3)
+      assert(filled <= budget, s"$lang overfilled: $filled > $budget")
+      assert(filled > budget - supply.max,
+        s"$lang underfilled: $filled vs budget $budget (max doc ${supply.max})")
+      // the registered 2x budget must actually exercise repetition
+      assert(rows.forall(_._4 >= 1))
+    }
+    assert(got.exists(_._4 >= 2), "no language upsampled — epoch path unexercised")
+  }
+
   test("prototype pruning: in-memory twin equality (assignment, score, rank, cut)") {
     import org.apache.spark.sql.functions.{col => c}
     val path = s"$sf0001/embeddings.parquet"
