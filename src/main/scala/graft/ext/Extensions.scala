@@ -5214,6 +5214,51 @@ object Extensions {
             |ORDER BY lang, doc_id""".stripMargin))
 
   // =====================================================================
+  // E70: concat-and-slice pack spans — the packing layout pretraining
+  // actually uses, which the whole-doc binning (E7) cannot express:
+  // the per-language token stream is CONCATENATED and sliced at fixed
+  // [[PackSeqLen]] boundaries, so a document can SPAN sequences — the
+  // operator emits each doc's (first sequence, offset within it, last
+  // sequence), the facts a data loader needs to reassemble or mask
+  // across boundaries. Stream order is the shared content-hash
+  // cumulative order (withCumTok): re-ingestion-stable — doc_id order
+  // is arrival-dependent and would re-layout the corpus on every
+  // re-crawl — and computed by the same two-level distributed prefix
+  // sum, so the layout job carries no per-language window bottleneck.
+  // All arithmetic exact integers (floor-div/mod on token offsets).
+  // =====================================================================
+  final val PackSeqLen = 2048L
+
+  val packSpans: Q = Q("ext_pack_spans",
+    (spark, sfDir) => {
+      val (t, _) = mixtureInputs(Tables.documents(spark, sfDir))
+      val start = col("cum_tok") - col("n_tok")
+      withCumTok(t)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          floor(start / lit(PackSeqLen)).cast("long").as("seq_start"),
+          pmod(start, lit(PackSeqLen)).as("offset_in_seq"),
+          floor((col("cum_tok") - 1) / lit(PackSeqLen)).cast("long")
+            .as("seq_end"))
+        .orderBy("lang", "seq_start", "offset_in_seq", "doc_id")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, lang,
+            |    CAST(len(regexp_split_to_array(
+            |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS BIGINT) AS n_tok,
+            |    ${duckHash60("text")} AS h
+            |  FROM documents),
+            |c AS (SELECT doc_id, lang, n_tok,
+            |    CAST(sum(n_tok) OVER (PARTITION BY lang
+            |      ORDER BY h % $MixturePrefixBuckets, h, doc_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+            |  FROM t)
+            |SELECT doc_id, lang, n_tok,
+            |  CAST((cum_tok - n_tok) // $PackSeqLen AS BIGINT) AS seq_start,
+            |  CAST((cum_tok - n_tok) % $PackSeqLen AS BIGINT) AS offset_in_seq,
+            |  CAST((cum_tok - 1) // $PackSeqLen AS BIGINT) AS seq_end
+            |FROM c ORDER BY lang, seq_start, offset_in_seq, doc_id""".stripMargin))
+
+  // =====================================================================
   // END-TO-END corpus curation — the query a user of this engine
   // actually runs: quality gate ∧ language gate ∧ dedup representative
   // (normalized-fingerprint group min) ∧ train split, composed from the
@@ -8320,5 +8365,6 @@ object Extensions {
     clusterCentroids, bpePairStats, bpeMerges, bpeTokenCount,
     pqIncremental, ivfIncremental, shardAssign, shardManifest,
     mixtureSample, shardIncremental, shardManifestFold,
-    topkFiltered, topkIvfpqFiltered, prototypePrune, mixtureEpochs)
+    topkFiltered, topkIvfpqFiltered, prototypePrune, mixtureEpochs,
+    packSpans)
 }

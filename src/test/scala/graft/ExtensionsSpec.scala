@@ -2272,6 +2272,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.exists(_._4 >= 2), "no language upsampled — epoch path unexercised")
   }
 
+  test("pack spans: docs tile the per-language token stream exactly; boundary docs span sequences") {
+    // the semantic claim behind the oracle rows: consecutive docs in
+    // the content-hash stream are CONTIGUOUS (each starts where the
+    // previous ended) and a doc's last sequence is its absolute end's
+    // slice — i.e. the output really is concat-and-slice packing
+    val got = ext.Extensions.packSpans.fn(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val B = ext.Extensions.PackSeqLen
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._5, r._2))
+      var cursor = 0L
+      ordered.foreach { case (_, id, n, s0, off, s1) =>
+        assert(s0 * B + off == cursor,
+          s"$lang doc $id starts at ${s0 * B + off}, stream cursor $cursor")
+        cursor += n
+        assert(s1 == (cursor - 1) / B,
+          s"$lang doc $id seq_end $s1 != ${(cursor - 1) / B}")
+      }
+    }
+    assert(got.exists(r => r._6 > r._4),
+      "no document spans a sequence boundary — the slice semantics are unexercised")
+  }
+
   test("prototype pruning: in-memory twin equality (assignment, score, rank, cut)") {
     import org.apache.spark.sql.functions.{col => c}
     val path = s"$sf0001/embeddings.parquet"
