@@ -1960,9 +1960,15 @@ object Extensions {
 
   /** Normalized (vec_id, nv) frame shared by PQ training / encode /
     * search — cosine over unit vectors = dot product. */
-  private def pqNormalize(emb: DataFrame): DataFrame = {
+  private def pqNormalize(emb: DataFrame,
+                          keep: Seq[String] = Nil): DataFrame = {
     val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
-    emb.select(col("vec_id"), nv.as("nv"))
+    // keep = Nil is the historical projection (fixture fingerprints
+    // depend on it); `keep` lets callers carry payload columns (the
+    // filtered search's label) through the ONE normalization
+    // expression instead of inlining a copy that could drift from the
+    // expression the stored models were built with
+    emb.select(Seq(col("vec_id"), nv.as("nv")) ++ keep.map(col): _*)
   }
   /** The (empty) top-k result shape every vector search returns for a
     * degenerate input (empty corpus / empty query set) — ONE
@@ -2470,17 +2476,19 @@ object Extensions {
     val adc = adcSum(m, kw)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("corpus_id").asc)
-    val probedCells = queries.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted
+    // ONE query-sized collect serves the probed-cell literal AND every
+    // filter column's value set (a second driver job per filter column
+    // would double the routing's fixed cost for no information)
+    val probeRows = queries
+      .select((col("cell") +: filterCols.map(col)): _*)
+      .distinct().collect()
+    val probedCells = probeRows.map(_.getInt(0)).distinct.sorted
     if (probedCells.isEmpty)
       return emptyTopK(pqNormalize(emb))
-    // query-batch literal prefilters: each filter column's distinct
-    // query-side values (a ≤ nQueries-sized collect, same contract as
-    // the probed-cell set)
-    val prefiltered = filterCols.foldLeft(
+    val prefiltered = filterCols.zipWithIndex.foldLeft(
         cellCodes.filter(col("cell").isin(probedCells.toSeq: _*))) {
-      (df, c) =>
-        val vals = queries.select(col(c)).distinct().collect().map(_.get(0))
+      case (df, (c, i)) =>
+        val vals = probeRows.map(_.get(i + 1)).distinct
         df.filter(col(c).isin(vals.toSeq: _*))
     }
     val candidates = prefiltered
@@ -2570,11 +2578,8 @@ object Extensions {
         "\nscans:" + scanRootPaths(liveAttr).mkString(","),
       liveAttr, partitionCols = Seq("cell"))
     // query side: ivfpqTopK's routing + LUT, with the query's own
-    // label carried as routing payload (normalize inline so the label
-    // survives — pqNormalize projects it away)
-    val eL = embL.select(col("vec_id"),
-      transform(col("v"), x => x / sqrt(dotD(col("v"), col("v")))).as("nv"),
-      col("label"))
+    // label carried through the shared normalization as a kept column
+    val eL = pqNormalize(embL, keep = Seq("label"))
     val lut = array((0 until m).flatMap(mi =>
       cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
     val queries = cacheTracked(routeCells(
@@ -4817,19 +4822,11 @@ object Extensions {
     * checksum residue keeps the sum far from int64 overflow at any
     * plausible shard size (1e11 docs × 1e5 bound ≈ 1e16 << 2^63). */
   val shardManifest: Q = Q("ext_shard_manifest",
-    (spark, sfDir) => {
-      val h = Scalars.hash60(col("text"))
-      Tables.documents(spark, sfDir)
-        .select(pmod(h, lit(ShardCount.toLong)).cast("int").as("shard"),
-          h.as("hh"), col("n_chars"))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"),
-          min(col("hh")).as("min_hash"),
-          max(col("hh")).as("max_hash"),
-          sum(pmod(col("hh"), lit(100003L))).as("checksum"))
-        .orderBy("shard")
-    },
+    // delegates to the ONE manifest aggregation (shardManifestOf) so
+    // the published monolithic receipt and the lifecycle fold cannot
+    // drift — the helper's whole reason to exist
+    (spark, sfDir) => shardManifestOf(Tables.documents(spark, sfDir))
+      .orderBy("shard"),
     Some(s"""WITH h AS (SELECT ${duckHash60("text")} AS hh, n_chars FROM documents)
             |SELECT CAST(hh % $ShardCount AS INT) AS shard,
             |  count(*) AS n_docs,
@@ -4922,13 +4919,11 @@ object Extensions {
   }
 
   /** [[incrementalDocSplit]] carrying `n_chars` (the manifest's byte
-    * column) — same content split, one extra pruned column. */
+    * column) — the SAME bucketedDocs projection (one bucket
+    * expression in the library), one extra pruned column. */
   private def incrementalDocSplitChars(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
-    val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), col("n_chars"),
-        bucket.as("bucket"))
+    val base = bucketedDocs(spark, sfDir, extraCols = Seq("n_chars"))
     (base.filter(col("bucket") < IncrementalCorpusPct)
        .select("doc_id", "text", "n_chars"),
      base.filter(col("bucket") >= IncrementalCorpusPct)
@@ -6647,11 +6642,17 @@ object Extensions {
     * incremental/compaction split derives from — a diverging copy of
     * this expression would silently mismatch the stored fixtures keyed
     * on it. */
-  private[graft] def bucketedDocs(spark: SparkSession,
-                                  sfDir: String): DataFrame = {
+  private[graft] def bucketedDocs(spark: SparkSession, sfDir: String,
+                                  extraCols: Seq[String] = Nil): DataFrame = {
     val bucket = pmod(Scalars.hash60(col("doc_id").cast("string")), lit(100L))
+    // extraCols = Nil keeps the projection (and so every fixture
+    // fingerprint derived from it) bit-identical to the historical
+    // form; callers needing more columns extend THIS projection rather
+    // than re-deriving the bucket expression (a diverging copy would
+    // silently mismatch the stored fixtures keyed on it)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      .select(Seq(col("doc_id"), col("text"), bucket.as("bucket")) ++
+        extraCols.map(col): _*)
   }
 
   private[graft] def incrementalDocSplit(spark: SparkSession,

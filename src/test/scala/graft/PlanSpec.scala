@@ -173,7 +173,8 @@ class PlanSpec extends SparkSpec {
       "ext_pq_incremental",  // 1-row train-distortion broadcast onto the 1-row batch agg
       "ext_ivf_incremental", // same 1-row drift broadcast shape as ext_pq_incremental
       "ext_knn_label_audit", // broadcast query slice × corpus — topk_cosine shape
-      "ext_mixture_sample")  // 1-row corpus-token total × the 5-row weight table (budget arithmetic)
+      "ext_mixture_sample",  // 1-row corpus-token total × the 5-row weight table (budget arithmetic)
+      "ext_mixture_epochs")  // same 1-row total × weight-table budget shape as ext_mixture_sample
     // fn runs an entire streaming lifecycle eagerly just to build its
     // (trivial ledger-rollup) frame — a static plan audit shouldn't
     // execute a pipeline; its join surface is covered by PipelineSpec
