@@ -1960,14 +1960,17 @@ object Extensions {
 
   /** Normalized (vec_id, nv) frame shared by PQ training / encode /
     * search — cosine over unit vectors = dot product. */
+  /** Unit-normalize `emb`'s `v` → (vec_id, nv, keep...): the ONE
+    * normalization expression every PQ/IVF consumer shares. Output is
+    * exactly (vec_id, nv) when `keep` is empty — the historical
+    * projection fixture fingerprints depend on — plus the named
+    * payload columns otherwise (the filtered search carries its label
+    * through here rather than inlining a copy that could drift from
+    * the expression the stored models were built with). Callers must
+    * select by NAME, never position. */
   private def pqNormalize(emb: DataFrame,
                           keep: Seq[String] = Nil): DataFrame = {
     val nv = transform(col("v"), x => x / sqrt(dotD(col("v"), col("v"))))
-    // keep = Nil is the historical projection (fixture fingerprints
-    // depend on it); `keep` lets callers carry payload columns (the
-    // filtered search's label) through the ONE normalization
-    // expression instead of inlining a copy that could drift from the
-    // expression the stored models were built with
     emb.select(Seq(col("vec_id"), nv.as("nv")) ++ keep.map(col): _*)
   }
   /** The (empty) top-k result shape every vector search returns for a
