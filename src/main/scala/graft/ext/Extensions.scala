@@ -4938,15 +4938,23 @@ object Extensions {
     * receipt's definition cannot drift between producers. */
   private def shardManifestOf(docs: DataFrame): DataFrame = {
     val h = Scalars.hash60(col("text"))
-    docs.select(pmod(h, lit(ShardCount.toLong)).cast("int").as("shard"),
-        h.as("hh"), col("n_chars"))
-      .groupBy("shard")
+    manifestAggOf(
+      docs.select(pmod(h, lit(ShardCount.toLong)).cast("int").as("shard"),
+        h.as("hh"), col("n_chars")))
+  }
+
+  /** The manifest GROUP over already-derived receipt columns
+    * (shard, hh, n_chars) — split out of [[shardManifestOf]] so the
+    * purge verb (E71) can recompute affected shards from the stored
+    * shard INDEX rows (which carry hh/n_chars but no text) with the
+    * exact same aggregation expressions. */
+  private[graft] def manifestAggOf(rows: DataFrame): DataFrame =
+    rows.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         min(col("hh")).as("min_hash"),
         max(col("hh")).as("max_hash"),
         sum(pmod(col("hh"), lit(100003L))).as("checksum"))
-  }
 
   /** Manifest monoid fold: stored corpus receipt ⊕ batch partial →
     * the post-compaction receipt. Every column is a monoid (sum /
@@ -4996,11 +5004,200 @@ object Extensions {
   def compactShards(spark: SparkSession, baseDir: String,
                     deltaDir: String, outDir: String,
                     n: Int = ShardCount): Unit = {
-    val merged = spark.read.parquet(baseDir)
-      .unionByName(spark.read.parquet(deltaDir))
-      .select("doc_id", "text")
+    // project BEFORE the union: streamed deltas carry an extra
+    // batch=<id> partition column the batch-landed ones don't
+    val merged = spark.read.parquet(baseDir).select("doc_id", "text")
+      .unionByName(spark.read.parquet(deltaDir).select("doc_id", "text"))
     writeShards(merged, outDir, n)
   }
+
+  // =====================================================================
+  // E71: PURGE — the takedown verb, the one lifecycle verb no stored
+  // artifact had. Every family here has build → arrive → compact →
+  // retrain; all of them are ADDITIVE. A real corpus also shrinks:
+  // takedown requests, licence revocations, opt-outs — and the contract
+  // that matters at 100 TB is that deletion costs O(purged ⊕ artifact),
+  // never a corpus rebuild. Three artifact classes, three purge shapes:
+  //
+  //  * lexical postings (ext_bm25_purge): postings are per-doc facts,
+  //    so purge is ONE broadcast anti-join on the stored index — and
+  //    because BM25's corpus stats (n_docs, avgdl, df) derive from the
+  //    postings table itself, the purged index reproduces the
+  //    filtered-corpus search EXACTLY. That makes the purge verb
+  //    ORACLE-PAIRED (full BM25 SQL over `documents WHERE NOT purged`)
+  //    — the strongest gate any maintenance op here carries.
+  //  * vector codes (ext_ivfpq_purge): code rows are per-vector pure
+  //    functions of the frozen models, so purge is the same anti-join
+  //    on the stored cell-partitioned codes; results can never contain
+  //    a purged id (the candidate set is the code table). The one open
+  //    semantic: the hot-cell cap was resolved over the pre-purge
+  //    count, so a bound cap can leave a purged cell slightly UNDER
+  //    the rows a from-scratch build would keep — exactly the debt the
+  //    compaction verb (E45) settles on its next cadence; at driver
+  //    SFs the cap has asserted headroom and equality is exact.
+  //  * the shard store + its receipt (ext_shard_purge): the manifest
+  //    is only HALF a group — counts, volumes and checksums have
+  //    inverses (subtract), but min/max hash ranges do NOT, so a purge
+  //    receipt cannot be maintained by pure fold the way the arrival
+  //    receipt (E66) is. The honest cost: recompute ONLY the affected
+  //    shards (takedown content hashes name their shards — a
+  //    purge-sized driver collect turns them into a partition-pruned
+  //    literal on the stored shard index), pass every untouched
+  //    shard's row through from the stored receipt. Deletion's receipt
+  //    is O(affected shards), vs arrival's O(batch) — the asymmetry IS
+  //    the design note.
+  //
+  // The purge SET at driver SFs is the deterministic content bucket
+  // ≥ [[PurgeBucketFrom]] (~3% of docs/vectors) — in deployment it
+  // arrives as the takedown request list; both engines state the same
+  // predicate, so every purge query with SQL-expressible semantics is
+  // hash-matched end to end.
+  // =====================================================================
+  final val PurgeBucketFrom = 97
+
+  /** The doc-side purge list (doc_id only — the scan prunes text). */
+  private def purgeDocIds(spark: SparkSession, sfDir: String): DataFrame =
+    bucketedDocs(spark, sfDir)
+      .filter(col("bucket") >= PurgeBucketFrom).select("doc_id")
+
+  /** (shard, doc_id, hh, n_chars): the queryable receipt-column twin
+    * of the written shard store — what a deployment's shard files
+    * already carry (writeShards stores content_hash per row), stored
+    * hive-partitioned by shard so a purge touching k shards reads k
+    * directories, never the corpus. */
+  private def shardIndexFixture(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val h = Scalars.hash60(col("text"))
+    val live = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), h.as("hh"), col("n_chars"),
+        pmod(h, lit(ShardCount.toLong)).cast("int").as("shard"))
+    parquetFixture(spark, "shard-index", s"$sfDir/documents.parquet",
+      s"n$ShardCount", live.queryExecution.logical.toString, live,
+      partitionCols = Seq("shard"))
+  }
+
+  /** The FULL-corpus manifest as a stored ≤ [[ShardCount]]-row fixture
+    * — the receipt the purge passes untouched shards through from. */
+  private def shardManifestFullFixture(spark: SparkSession,
+                                       sfDir: String): DataFrame = {
+    val live = shardManifestOf(Tables.documents(spark, sfDir))
+    parquetFixture(spark, "shard-manifest-all",
+      s"$sfDir/documents.parquet", s"n$ShardCount",
+      live.queryExecution.logical.toString, live)
+  }
+
+  /** Post-purge manifest from (stored receipt, stored shard index,
+    * purge rows = (doc_id, hh, n_chars, shard)): affected shards —
+    * named by the purge rows' own content hashes — are recomputed
+    * from the partition-pruned index minus the purged ids; untouched
+    * shards pass through. Exposed package-private so the spec can
+    * drive it at a shard count where the pass-through path actually
+    * carries rows (at ShardCount=8 a spread purge touches every
+    * shard). */
+  private[graft] def shardPurgeManifestFrom(stored: DataFrame,
+      idx: DataFrame, purge: DataFrame): DataFrame = {
+    // purge-sized collect (deployment: the takedown request list) —
+    // the literal below partition-prunes the stored index to the
+    // affected shard directories at plan time
+    val affected = purge.select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return stored.orderBy("shard")
+    val untouched = stored
+      .filter(!col("shard").isin(affected.map(Int.box): _*))
+      .select("shard", "n_docs", "total_chars", "min_hash", "max_hash",
+        "checksum")
+    val recomputed = manifestAggOf(
+      idx.filter(col("shard").isin(affected.map(Int.box): _*))
+        .join(broadcast(purge.select("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("shard"), col("hh"), col("n_chars")))
+    untouched.unionByName(recomputed).orderBy("shard")
+  }
+
+  val shardPurge: Q = Q("ext_shard_purge",
+    (spark, sfDir) => {
+      // CACHED (tracked): the purge frame feeds the affected-shard
+      // collect AND the anti-join — without the cache the purge-list
+      // derivation (the query's one raw documents scan) runs twice
+      val h = Scalars.hash60(col("text"))
+      val purge = cacheTracked(
+        bucketedDocs(spark, sfDir, extraCols = Seq("n_chars"))
+          .filter(col("bucket") >= PurgeBucketFrom)
+          .select(col("doc_id"), h.as("hh"), col("n_chars"),
+            pmod(h, lit(ShardCount.toLong)).cast("int").as("shard")))
+      shardPurgeManifestFrom(shardManifestFullFixture(spark, sfDir),
+        shardIndexFixture(spark, sfDir), purge)
+    },
+    // the monolithic manifest SQL over the filtered corpus: purged
+    // receipts must equal rebuilt-from-scratch receipts — the same
+    // "global counts are global counts" gate the fold (E66) carries
+    Some(s"""WITH h AS (SELECT ${duckHash60("text")} AS hh, n_chars FROM documents
+            |  WHERE NOT (${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 >= $PurgeBucketFrom))
+            |SELECT CAST(hh % $ShardCount AS INT) AS shard,
+            |  count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            |  min(hh) AS min_hash, max(hh) AS max_hash,
+            |  CAST(sum(hh % 100003) AS BIGINT) AS checksum
+            |FROM h GROUP BY 1 ORDER BY shard""".stripMargin))
+
+  /** Physical store purge: rewrite ONLY the affected shard
+    * directories (dynamic partition overwrite) without the purged
+    * rows; untouched shard files are never opened. The rewritten
+    * shards keep writeShards' strict (content_hash, doc_id) order, so
+    * the purged store is byte-identical to a monolithic write over
+    * the filtered corpus (asserted in ExtensionsSpec). */
+  def purgeShardStore(spark: SparkSession, storeDir: String,
+                      purgedDocIds: DataFrame): Unit = {
+    val store = spark.read.parquet(storeDir)
+    // purge-sized: which shard directories actually hold purged rows
+    val affected = store.join(broadcast(purgedDocIds), Seq("doc_id"))
+      .select("shard").distinct().collect().map(_.getInt(0))
+    if (affected.isEmpty) return
+    // stage the rewritten shards out-of-place (Spark refuses an
+    // overwrite of a path it is reading — and the staging write is
+    // also the crash-safe shape: a failed purge leaves the store
+    // intact), then swap ONLY the affected directories
+    val tmp = java.nio.file.Files.createTempDirectory("shard-purge").toString
+    store.filter(col("shard").isin(affected.map(Int.box): _*))
+      .join(broadcast(purgedDocIds), Seq("doc_id"), "left_anti")
+      .repartition(affected.length, col("shard"))
+      .sortWithinPartitions(col("shard"), col("content_hash"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    affected.foreach { s =>
+      val dst = java.nio.file.Paths.get(storeDir, s"shard=$s")
+      val src = java.nio.file.Paths.get(tmp, s"shard=$s")
+      org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+      // a shard whose every row was purged vanishes from the store
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.move(src, dst)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  /** IVFPQ purge: the stored cell-partitioned code table minus the
+    * purged ids (one broadcast anti-join — code-row I/O, models
+    * untouched), served to the exact ivfpq search path. See the E71
+    * section note for the cap semantics compaction settles. */
+  private[graft] def ivfpqPurgeSearch(spark: SparkSession,
+                                      sfDir: String): DataFrame = {
+    val (emb, qids) = annInputs(spark, sfDir, None)
+    val src = Some(s"$sfDir/embeddings.parquet")
+    val cbs = pqCodebooks(emb, codebookSrc = src)
+    val cs = ivfCentroids(emb, centroidSrc = src)
+    if (cbs.isEmpty || cs.isEmpty)
+      return ivfpqTopK(emb, qids, src = src) // empty-corpus guard
+    val purgedVecIds = Tables.embeddings(spark, sfDir)
+      .filter(pmod(Scalars.hash60(col("vec_id").cast("string")),
+        lit(100L)) >= PurgeBucketFrom)
+      .select("vec_id")
+    val codes = ivfpqCellCodes(emb, cbs, cs, src)
+      .join(broadcast(purgedVecIds),
+        col("corpus_id") === col("vec_id"), "left_anti")
+    ivfpqTopK(emb, qids, src = src, codes0 = Some(codes),
+      cbs0 = Some(cbs), cs0 = Some(cs))
+  }
+
+  val ivfpqPurge: Q = Q("ext_ivfpq_purge",
+    (spark, sfDir) => ivfpqPurgeSearch(spark, sfDir), None)
 
   // =====================================================================
   // E65: domain-mixture materializer — the step that turns trained
@@ -5255,6 +5452,215 @@ object Extensions {
             |  CAST((cum_tok - n_tok) % $PackSeqLen AS BIGINT) AS offset_in_seq,
             |  CAST((cum_tok - 1) // $PackSeqLen AS BIGINT) AS seq_end
             |FROM c ORDER BY lang, seq_start, offset_in_seq, doc_id""".stripMargin))
+
+  // =====================================================================
+  // E74: pack report — the packing-efficiency receipt a trainer reads
+  // before launching a run over E70's layout: per language, how many
+  // fixed-length sequences the stream fills, how many documents span a
+  // sequence boundary (the loader's cross-boundary masking workload),
+  // and the only waste the concat-and-slice layout has — the tail of
+  // the final partial sequence. One aggregation over the shared
+  // cumulative-order frame (the same two-level prefix sum, no extra
+  // scan shape); all counts exact integers, the fill ratio one rounded
+  // division.
+  // =====================================================================
+  val packReport: Q = Q("ext_pack_report",
+    (spark, sfDir) => {
+      val (t, _) = mixtureInputs(Tables.documents(spark, sfDir))
+      val spans = sum(
+        when(floor((col("cum_tok") - 1) / lit(PackSeqLen)) >
+             floor((col("cum_tok") - col("n_tok")) / lit(PackSeqLen)), 1L)
+          .otherwise(0L))
+      withCumTok(t)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tok"),
+          (floor((max(col("cum_tok")) - 1) / lit(PackSeqLen)) + 1)
+            .cast("long").as("n_seqs"),
+          spans.as("n_spanning"))
+        .withColumn("tail_waste",
+          col("n_seqs") * lit(PackSeqLen) - col("total_tok"))
+        .withColumn("fill_pct",
+          round(col("total_tok").cast("double") /
+            (col("n_seqs") * lit(PackSeqLen)).cast("double"), 6))
+        .orderBy("lang")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, lang,
+            |    CAST(len(regexp_split_to_array(
+            |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS BIGINT) AS n_tok,
+            |    ${duckHash60("text")} AS h
+            |  FROM documents),
+            |c AS (SELECT doc_id, lang, n_tok,
+            |    CAST(sum(n_tok) OVER (PARTITION BY lang
+            |      ORDER BY h % $MixturePrefixBuckets, h, doc_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+            |  FROM t),
+            |g AS (SELECT lang, count(*) AS n_docs,
+            |    CAST(sum(n_tok) AS BIGINT) AS total_tok,
+            |    CAST((max(cum_tok) - 1) // $PackSeqLen + 1 AS BIGINT) AS n_seqs,
+            |    CAST(sum(CASE WHEN (cum_tok - 1) // $PackSeqLen >
+            |        (cum_tok - n_tok) // $PackSeqLen THEN 1 ELSE 0 END) AS BIGINT)
+            |      AS n_spanning
+            |  FROM c GROUP BY lang)
+            |SELECT lang, n_docs, total_tok, n_seqs, n_spanning,
+            |  CAST(n_seqs * $PackSeqLen - total_tok AS BIGINT) AS tail_waste,
+            |  round(CAST(total_tok AS DOUBLE) / (n_seqs * $PackSeqLen), 6) AS fill_pct
+            |FROM g ORDER BY lang""".stripMargin))
+
+  // =====================================================================
+  // E72: crawl snapshot diff — the operator that PRODUCES the batches
+  // the incremental contracts consume: two corpus snapshots (the
+  // previous crawl and today's), keyed by doc_id (the stable URL-like
+  // identity), content compared by hash. `added` ∪ `changed` is the
+  // arrival batch for every maintenance verb here; `removed` is the
+  // purge list for E71 — the diff closes the lifecycle loop. Shape: two
+  // hash projections + ONE doc_id equi-join (full outer) — at 100 TB
+  // the join is the operator, and both sides arrive hash-partitioned by
+  // doc_id if snapshots are stored bucketed on it (the storage layout a
+  // recurring-crawl pipeline would choose); content hashes travel as
+  // 60-bit longs, never text. Driver SFs derive the two snapshots
+  // deterministically from the one documents table (A = buckets < 90,
+  // B = buckets ≥ 10, with B's text revised on bucket % 7 = 0), so all
+  // four statuses are exercised and both engines state the same
+  // predicate.
+  // =====================================================================
+  final val SnapABelow = 90
+  final val SnapBFrom = 10
+  final val SnapRevMod = 7
+
+  val snapshotDiff: Q = Q("ext_snapshot_diff",
+    (spark, sfDir) => {
+      val d = bucketedDocs(spark, sfDir)
+      val a = d.filter(col("bucket") < SnapABelow)
+        .select(col("doc_id"), Scalars.hash60(col("text")).as("ha"))
+      val revised = when(pmod(col("bucket"), lit(SnapRevMod.toLong)) === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+      val b = d.filter(col("bucket") >= SnapBFrom)
+        .select(col("doc_id"), Scalars.hash60(revised).as("hb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("hb").isNull, lit("removed"))
+            .when(col("ha").isNull, lit("added"))
+            .when(col("ha") === col("hb"), lit("unchanged"))
+            .otherwise(lit("changed")).as("status"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, text,
+            |    ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+            |  FROM documents),
+            |a AS (SELECT doc_id, ${duckHash60("text")} AS ha FROM d
+            |      WHERE bucket < $SnapABelow),
+            |b AS (SELECT doc_id, ${duckHash60(
+                s"CASE WHEN bucket % $SnapRevMod = 0 THEN text || ' rev2' ELSE text END")} AS hb
+            |      FROM d WHERE bucket >= $SnapBFrom)
+            |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+            |  CASE WHEN b.doc_id IS NULL THEN 'removed'
+            |       WHEN a.doc_id IS NULL THEN 'added'
+            |       WHEN ha = hb THEN 'unchanged' ELSE 'changed' END AS status
+            |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            |ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // E73: Gopher rules — the NAMED hard-bound document filter set (Rae
+  // et al. 2021, Gopher appendix A1.1, the MassiveWeb heuristics) that
+  // curated-web pipelines cite and compose: word count in [50, 100k],
+  // mean word length in [3, 10], symbol-to-word ratio (# and …) < 0.1,
+  // bullet-started lines ≤ 90%, ellipsis-ended lines ≤ 30%, ≥ 80% of
+  // words containing an alphabetic character, and ≥ 2 distinct core
+  // stopwords present. Distinct from the soft composite score (E4c):
+  // these are per-rule booleans a pipeline audits individually — WHICH
+  // rule rejects a domain is the actionable fact, and a composite
+  // score can't answer it. One projection, all rules in a single pass;
+  // every ratio is the same IEEE division in both engines so the
+  // decisions hash-match exactly.
+  // =====================================================================
+  /** The Gopher "required words" list (Rae et al. 2021 A1.1): a doc
+    * must contain ≥ 2 of these space-delimited. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The rule projection over any (doc_id, text) frame — exposed so
+    * the spec can plant one violating document per rule and assert
+    * exactly that rule flips (the oracle hash-match proves engine
+    * parity, not that each bound binds where it should). */
+  private[graft] def gopherRulesFrom(docs: DataFrame): DataFrame = {
+      val txt = col("text")
+      val toks = split(edgeTrim(txt), "\\s+")
+      val nTok = size(toks).cast("double")
+      val meanLen =
+        length(regexp_replace(txt, "\\s", "")).cast("double") / nTok
+      val nHash =
+        (length(txt) - length(regexp_replace(txt, "#", ""))).cast("double")
+      val nEll =
+        ((length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3)
+          .cast("double")
+      val lines = split(txt, "\n")
+      val nLines = size(lines).cast("double")
+      val bulletFrac =
+        size(filter(lines, l => l.rlike("^\\s*[-*]"))).cast("double") / nLines
+      val ellEndFrac =
+        size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("double") / nLines
+      val alphaFrac =
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok
+      val padded = concat(lit(" "), lower(txt), lit(" "))
+      val stopHits = GopherStopwords.map(sw =>
+        when(padded.contains(s" $sw "), 1).otherwise(0))
+        .reduce(_ + _)
+      docs
+        .select(col("doc_id"), nTok.cast("long").as("n_tok"),
+          (nTok >= 50 && nTok <= 100000).as("r_words"),
+          (meanLen >= 3 && meanLen <= 10).as("r_mean_len"),
+          (nHash + nEll < nTok * 0.1).as("r_symbols"),
+          (bulletFrac <= 0.9).as("r_bullets"),
+          (ellEndFrac <= 0.3).as("r_ellipsis"),
+          (alphaFrac >= 0.8).as("r_alpha"),
+          (stopHits >= 2).as("r_stopwords"))
+        .withColumn("keep",
+          col("r_words") && col("r_mean_len") && col("r_symbols") &&
+            col("r_bullets") && col("r_ellipsis") && col("r_alpha") &&
+            col("r_stopwords"))
+        .orderBy("doc_id")
+  }
+
+  val gopherRules: Q = Q("ext_gopher_rules",
+    (spark, sfDir) => gopherRulesFrom(Tables.documents(spark, sfDir)),
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, text,
+            |    regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks,
+            |    regexp_split_to_array(text, '\\n') AS lines,
+            |    concat(' ', lower(text), ' ') AS p
+            |  FROM documents),
+            |m AS (
+            |  SELECT doc_id,
+            |    CAST(len(toks) AS DOUBLE) AS n_tok,
+            |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks) AS mean_len,
+            |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS n_hash,
+            |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) AS n_ell,
+            |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]'))) AS DOUBLE)
+            |      / len(lines) AS bullet_frac,
+            |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE)
+            |      / len(lines) AS ell_end_frac,
+            |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+            |      / len(toks) AS alpha_frac,
+            |    ${GopherStopwords.map(sw =>
+                 s"CASE WHEN contains(p, ' $sw ') THEN 1 ELSE 0 END")
+                 .mkString(" + ")} AS stop_hits
+            |  FROM t)
+            |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+            |  (n_tok >= 50 AND n_tok <= 100000) AS r_words,
+            |  (mean_len >= 3 AND mean_len <= 10) AS r_mean_len,
+            |  (n_hash + n_ell < n_tok * 0.1) AS r_symbols,
+            |  (bullet_frac <= 0.9) AS r_bullets,
+            |  (ell_end_frac <= 0.3) AS r_ellipsis,
+            |  (alpha_frac >= 0.8) AS r_alpha,
+            |  (stop_hits >= 2) AS r_stopwords,
+            |  (n_tok >= 50 AND n_tok <= 100000) AND
+            |  (mean_len >= 3 AND mean_len <= 10) AND
+            |  (n_hash + n_ell < n_tok * 0.1) AND
+            |  (bullet_frac <= 0.9) AND (ell_end_frac <= 0.3) AND
+            |  (alpha_frac >= 0.8) AND (stop_hits >= 2) AS keep
+            |FROM m ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
   // END-TO-END corpus curation — the query a user of this engine
@@ -5742,12 +6148,12 @@ object Extensions {
       .filter(col("rank") <= k)
   }
 
-  val bm25Search: Q = Q("ext_bm25_search",
-    (spark, sfDir) =>
-      bm25From(Tables.documents(spark, sfDir),
-        postings0 = Some(bm25Postings(spark, sfDir)))
-        .orderBy("query_id", "rank"),
-    Some {
+  /** The full BM25 oracle SQL, parameterized by a WHERE clause on the
+    * documents scan — shared by the monolithic search (empty filter)
+    * and the purge verb (E71: `WHERE NOT purged`), so "the purged
+    * index reproduces the filtered-corpus search" is stated with the
+    * SAME oracle text, not a re-derivation that could drift. */
+  private def bm25OracleSql(docsWhere: String): String = {
       val values = Bm25Queries
         .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
       s"""WITH q(query_id, qtext) AS (VALUES $values),
@@ -5756,7 +6162,7 @@ object Extensions {
          |d AS (
          |  SELECT doc_id, regexp_split_to_array(
          |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
-         |  FROM documents),
+         |  FROM documents $docsWhere),
          |dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
          |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dd),
          |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
@@ -5778,7 +6184,31 @@ object Extensions {
          |        ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
          |SELECT query_id, doc_id, score, rank FROM r
          |WHERE rank <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
-    })
+  }
+
+  val bm25Search: Q = Q("ext_bm25_search",
+    (spark, sfDir) =>
+      bm25From(Tables.documents(spark, sfDir),
+        postings0 = Some(bm25Postings(spark, sfDir)))
+        .orderBy("query_id", "rank"),
+    Some(bm25OracleSql("")))
+
+  /** E71 (lexical): BM25 over the PURGED stored postings — one
+    * broadcast anti-join on the index (postings are per-doc facts;
+    * the corpus is never re-tokenized), and because the search derives
+    * n_docs/avgdl/df from the postings themselves, the purged index
+    * reproduces the filtered-corpus ranking EXACTLY. Oracle-paired on
+    * the full BM25 SQL over `documents WHERE NOT purged` — stats,
+    * scores, ranks all hash-matched. */
+  val bm25Purge: Q = Q("ext_bm25_purge",
+    (spark, sfDir) => {
+      val purged = bm25Postings(spark, sfDir)
+        .join(broadcast(purgeDocIds(spark, sfDir)), Seq("doc_id"), "left_anti")
+      bm25From(Tables.documents(spark, sfDir), postings0 = Some(purged))
+        .orderBy("query_id", "rank")
+    },
+    Some(bm25OracleSql(
+      s"WHERE NOT (${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 >= $PurgeBucketFrom)")))
 
   // =====================================================================
   // Incremental LEXICAL index maintenance — ext_dedup_incremental's
@@ -8370,5 +8800,7 @@ object Extensions {
     pqIncremental, ivfIncremental, shardAssign, shardManifest,
     mixtureSample, shardIncremental, shardManifestFold,
     topkFiltered, topkIvfpqFiltered, prototypePrune, mixtureEpochs,
-    packSpans)
+    packSpans,
+    bm25Purge, ivfpqPurge, shardPurge, snapshotDiff, gopherRules,
+    packReport)
 }

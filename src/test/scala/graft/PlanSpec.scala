@@ -159,6 +159,7 @@ class PlanSpec extends SparkSpec {
       "ext_bm25_search",
       "ext_bm25_incremental", // same 1-row corpus-stats broadcast as ext_bm25_search
       "ext_bm25_compact",    // same 1-row corpus-stats broadcast as ext_bm25_search
+      "ext_bm25_purge",      // same 1-row corpus-stats broadcast, derived from the PURGED postings
       "ext_tfidf_terms",
       "ext_unigram_logprob", // 1-row token total rides the vocab-sized count frame
       "ext_perplexity_buckets", // composes ext_unigram_logprob (same 1-row total)
@@ -787,5 +788,66 @@ class PlanSpec extends SparkSpec {
     val p = model.Fixtures.patients(spark, sf0001)
     val opt = optimized(p.select(col("c_custkey"), col("patient_id")))
     assert(opt.linesIterator.size <= 3, s"projection should collapse:\n$opt")
+  }
+
+  test("bm25 purge: stored postings anti-joined, corpus never re-tokenized") {
+    // deletion is O(purged ⊕ index): ONE raw documents scan (the
+    // purge-list derivation — in deployment, the takedown request
+    // itself), the postings from the stored index, removal as an anti
+    // join
+    val df = ext.Extensions.bm25Purge.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 1,
+        s"want exactly 1 raw documents scan (the purge list), got $docScans in $paths")
+      assert(paths.exists(_.contains("bm25-postings")),
+        s"purge not applied to the stored postings index: $paths")
+      assert(physical(df).contains("LeftAnti"),
+        "purge must plan as an anti join on the index")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("shard purge: receipt from the stored manifest + partition-pruned shard index") {
+    // the purge receipt reads the ≤N-row stored manifest, the AFFECTED
+    // shards' index partitions (pruned by the purge rows' own content
+    // hashes), and ONE raw documents scan (the purge-list derivation);
+    // the corpus text is never re-hashed
+    val df = ext.Extensions.shardPurge.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 1,
+        s"want exactly 1 raw documents scan (the purge list), got $docScans in $paths")
+      assert(paths.exists(_.contains("shard-manifest-all")),
+        s"untouched shards not passed through from the stored receipt: $paths")
+      assert(paths.exists(_.contains("shard-index")),
+        s"affected shards not recomputed from the stored shard index: $paths")
+      val plan = physical(df)
+      val pruned = "(?s)PartitionFilters: \\[[^\\]]*shard[^\\]]*(?i:in)[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined
+      assert(pruned,
+        s"shard-index scan has no affected-shard PartitionFilters:\n$plan")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("ivfpq purge: stored codes anti-joined; raw vectors only on the query + purge sides") {
+    val df = ext.Extensions.ivfpqPurge.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("ivfpq-codes")),
+        s"purge not applied to the stored combined index: $paths")
+      // raw embedding scans, enumerated: the query-id TakeOrdered, the
+      // query-vector/LUT fetch, and the purge-list projection — the
+      // corpus encode must NOT reappear
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 3,
+        s"raw embedding scans drifted from the three enumerated fetches ($embScans): $paths")
+      assert(physical(df).contains("LeftAnti"),
+        "purge must plan as an anti join on the stored codes")
+    } finally ext.Extensions.releaseCaches()
   }
 }

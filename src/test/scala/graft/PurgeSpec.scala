@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Extensions
+
+/** E71-E74: the takedown (purge) lifecycle verb, the snapshot diff
+  * that produces arrival/purge batches, the Gopher rule set, and the
+  * pack report. The oracle hash-matches prove cross-engine parity;
+  * these tests pin the semantics the hashes can't — purge equality to
+  * a rebuilt-from-filtered artifact, the pass-through path at a shard
+  * count where it carries rows, and each Gopher bound flipping on its
+  * planted violator. */
+class PurgeSpec extends SparkSpec {
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("bm25 purge: purged stored index reproduces the filtered-corpus search exactly") {
+    val purgedIds = model.Tables.documents(spark, sf0001)
+      .filter(pmod(graft.expr.Scalars.hash60(col("doc_id").cast("string")),
+        lit(100L)) >= Extensions.PurgeBucketFrom)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(purgedIds.nonEmpty, "purge set empty — the verb is unexercised")
+    try {
+      val got = Extensions.bm25Purge.fn(spark, sf0001).collect()
+        .map(_.toSeq).toSeq
+      // zero purged docs can rank: the postings anti-join removes them
+      // from the only candidate source
+      got.foreach(r => assert(!purgedIds(r(1).asInstanceOf[Long]),
+        s"purged doc ranked: $r"))
+      // the purged index == a from-scratch build over the filtered
+      // corpus (BM25 derives n_docs/avgdl/df from the postings, so
+      // this pins the stats, the scores, and the ranks)
+      val twin = Extensions.bm25From(
+        model.Tables.documents(spark, sf0001)
+          .filter(pmod(graft.expr.Scalars.hash60(col("doc_id").cast("string")),
+            lit(100L)) < Extensions.PurgeBucketFrom))
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(got == twin, "purged-index search != filtered-corpus rebuild")
+    } finally Extensions.releaseCaches()
+  }
+
+  test("ivfpq purge: no purged id can appear; equals the filtered build under the same frozen models") {
+    val sf = sf0001
+    val purged = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(graft.expr.Scalars.hash60(col("vec_id").cast("string")),
+        lit(100L)) >= Extensions.PurgeBucketFrom)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(purged.nonEmpty, "purge set empty — the verb is unexercised")
+    try {
+      val got = Extensions.ivfpqPurge.fn(spark, sf).collect()
+        .map(_.toSeq).toSeq
+      got.foreach(r => assert(!purged(r(1).asInstanceOf[Long]),
+        s"purged vector returned as a neighbor: $r"))
+      // from-scratch twin: SAME frozen models, code table rebuilt over
+      // the filtered corpus (at driver SFs the hot-cell cap has
+      // headroom, so the anti-join and the rebuild keep identical
+      // rows; at a bound cap the compaction cadence re-resolves — the
+      // documented E71 semantics)
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val src = Some(s"$sf/embeddings.parquet")
+      val cbs = Extensions.pqCodebooks(emb, codebookSrc = src)
+      val cs = Extensions.ivfCentroids(emb, centroidSrc = src)
+      val filtered = emb.filter(
+        !col("vec_id").isin(purged.toSeq.map(Long.box): _*))
+      val codes = Extensions.ivfpqCellCodes(filtered, cbs, cs, None)
+      val twin = Extensions.ivfpqTopK(emb, Extensions.annQueryIds(emb),
+        src = src, codes0 = Some(codes), cbs0 = Some(cbs), cs0 = Some(cs))
+        .collect().map(_.toSeq).toSeq
+      assert(got == twin, "purged-index search != filtered-corpus rebuild")
+    } finally Extensions.releaseCaches()
+  }
+
+  test("shard purge: untouched shards pass through verbatim; receipt equals rebuilt-from-filtered; store rewrite touches only affected dirs") {
+    import spark.implicits._
+    // 64 shards, 2 purged docs: the pass-through path carries ≥ 62
+    // rows (at the registered ShardCount=8 a spread purge touches
+    // every shard and only the recompute path runs)
+    val n = 64
+    val docs = (1L to 200L)
+      .map(i => (i, s"purge receipt doc $i body", 20L + i % 7))
+      .toDF("doc_id", "text", "n_chars")
+    val h = graft.expr.Scalars.hash60(col("text"))
+    val idx = docs.select(col("doc_id"), h.as("hh"), col("n_chars"),
+      pmod(h, lit(n.toLong)).cast("int").as("shard"))
+    val stored = Extensions.manifestAggOf(
+      idx.select("shard", "hh", "n_chars"))
+    val purge = idx.filter(col("doc_id").isin(3L, 77L))
+    val affected = purge.select("shard").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(affected.nonEmpty && affected.size <= 2)
+    val out = Extensions.shardPurgeManifestFrom(stored, idx, purge)
+      .collect()
+    // equality to the monolithic receipt over the filtered rows —
+    // min/max included, the columns subtraction cannot maintain
+    val twin = Extensions.manifestAggOf(
+      idx.filter(!col("doc_id").isin(3L, 77L))
+        .select("shard", "hh", "n_chars")).orderBy("shard").collect()
+    assert(out.map(_.toSeq).toSeq == twin.map(_.toSeq).toSeq,
+      "purged receipt != rebuilt-from-filtered receipt")
+    // pass-through rows are the STORED rows verbatim, not recomputes
+    val storedRows = stored.collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    val passedThrough = out.filter(r => !affected(r.getInt(0)))
+    // every occupied-and-unaffected shard passes through (some of the
+    // 64 shards hold no docs at 200 rows — they have no receipt row on
+    // either side)
+    assert(passedThrough.length == storedRows.size - affected.size &&
+      passedThrough.length >= 50)
+    passedThrough.foreach(r =>
+      assert(storedRows(r.getInt(0)) == r.toSeq,
+        s"untouched shard ${r.getInt(0)} row diverges from the stored receipt"))
+
+    // physical store purge: only affected shard dirs are rewritten,
+    // and the purged store == a monolithic write over the filtered docs
+    val plain = docs.select("doc_id", "text")
+    val storeDir = java.nio.file.Files.createTempDirectory("pstore").toString
+    val monoDir = java.nio.file.Files.createTempDirectory("pmono").toString
+    Extensions.writeShards(plain, storeDir)
+    val before = (0 until Extensions.ShardCount).flatMap { s =>
+      val d = new java.io.File(s"$storeDir/shard=$s")
+      if (!d.exists()) None
+      else Some(s -> d.listFiles().map(f => f.getName -> f.lastModified()).toMap)
+    }.toMap
+    val purgedIdsDf = Seq(3L, 77L).toDF("doc_id")
+    val affected8 = plain.filter(col("doc_id").isin(3L, 77L))
+      .select(pmod(graft.expr.Scalars.hash60(col("text")),
+        lit(Extensions.ShardCount.toLong)).cast("int").as("s"))
+      .collect().map(_.getInt(0)).toSet
+    Extensions.purgeShardStore(spark, storeDir, purgedIdsDf)
+    Extensions.writeShards(plain.filter(!col("doc_id").isin(3L, 77L)), monoDir)
+    def shardSeqs(dir: String): Map[Int, Seq[(Long, Long)]] =
+      (0 until Extensions.ShardCount).flatMap { s =>
+        val p = new java.io.File(s"$dir/shard=$s")
+        if (!p.exists()) None
+        else Some(s -> spark.read.parquet(p.toString)
+          .select("doc_id", "content_hash").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      }.toMap
+    assert(shardSeqs(storeDir) == shardSeqs(monoDir),
+      "purged store diverges from the monolithic filtered write")
+    before.filterNot { case (s, _) => affected8(s) }.foreach { case (s, files) =>
+      val now = new java.io.File(s"$storeDir/shard=$s").listFiles()
+        .map(f => f.getName -> f.lastModified()).toMap
+      assert(now == files, s"untouched shard dir $s was rewritten")
+    }
+    Seq(storeDir, monoDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("snapshot diff: all four statuses, each exactly the predicate-derived set") {
+    val got = Extensions.snapshotDiff.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ids = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    // in-memory twin of the snapshot derivation
+    val expected = ids.map { id =>
+      val b = h60(id.toString) % 100
+      val status =
+        if (b < Extensions.SnapBFrom) "removed"
+        else if (b >= Extensions.SnapABelow) "added"
+        else if (b % Extensions.SnapRevMod == 0) "changed"
+        else "unchanged"
+      (id, status)
+    }
+    assert(got.sorted.toSeq == expected.sorted.toSeq)
+    val byStatus = got.groupBy(_._2)
+    Seq("removed", "added", "changed", "unchanged").foreach(s =>
+      assert(byStatus.getOrElse(s, Array.empty).nonEmpty,
+        s"status '$s' unexercised at sf0.001 — the diff's planted corpus is broken"))
+  }
+
+  test("gopher rules: each bound flips on its planted violator") {
+    import spark.implicits._
+    val good = Seq.fill(6)("the quick brown fox jumps over and lazy dogs near")
+      .mkString(" ")
+    val docs = Seq(
+      1L -> good,
+      2L -> "the cat and dog",                                    // r_words
+      3L -> Seq.fill(60)("extraordinarilylong").mkString(" "),    // r_mean_len
+      4L -> (Seq.fill(50)("word") ++ Seq.fill(10)("#")).mkString(" "), // r_symbols
+      5L -> Seq.fill(10)("- item").mkString("\n"),                // r_bullets
+      6L -> "so it goes...\nand more...",                         // r_ellipsis
+      7L -> Seq.fill(60)("12345").mkString(" "),                  // r_alpha
+      8L -> Seq.fill(60)("zebra").mkString(" ")                   // r_stopwords
+    ).toDF("doc_id", "text")
+    val out = Extensions.gopherRulesFrom(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean = {
+      val r = out(id)
+      r.getBoolean(r.fieldIndex(name))
+    }
+    assert(flag(1L, "keep"), "the clean document must pass every rule")
+    assert(!flag(2L, "r_words") && !flag(2L, "keep"))
+    assert(!flag(3L, "r_mean_len"))
+    assert(!flag(4L, "r_symbols"))
+    assert(!flag(5L, "r_bullets"))
+    assert(!flag(6L, "r_ellipsis"))
+    assert(!flag(7L, "r_alpha"))
+    assert(!flag(8L, "r_stopwords"))
+  }
+
+  test("pack report: the receipt agrees with the spans layout it reports on") {
+    val spans = Extensions.packSpans.fn(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    try {
+      val rep = Extensions.packReport.fn(spark, sf0001).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      spans.groupBy(_._1).foreach { case (lang, rows) =>
+        val (nDocs, totalTok, nSeqs, nSpanning, tailWaste) = rep(lang)
+        assert(nDocs == rows.length)
+        assert(totalTok == rows.map(_._2).sum)
+        assert(nSeqs == rows.map(_._4).max + 1,
+          s"$lang: n_seqs != max(seq_end)+1")
+        assert(nSpanning == rows.count(r => r._4 > r._3),
+          s"$lang: spanning-doc count diverges from the spans")
+        assert(tailWaste >= 0 && tailWaste < Extensions.PackSeqLen,
+          s"$lang: tail waste $tailWaste outside [0, seqLen)")
+      }
+    } finally Extensions.releaseCaches()
+  }
+}
