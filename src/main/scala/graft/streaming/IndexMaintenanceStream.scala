@@ -276,4 +276,38 @@ object IndexMaintenanceStream {
       .select(col("g"), col("cnt"),
         col("canon.d").as("cdoc"), col("canon.p").as("cpos"))
   }
+
+  // ---------------------------------------------------------------------
+  // The SHARD-STORE twin (E66's streaming form), closing the streaming
+  // arrival set for the LAST stored artifact without one: documents
+  // arrive on a stream, each micro-batch lands as per-shard delta
+  // files in writeShards' strict (shard, content_hash, doc_id) order —
+  // assignment is STATELESS content-hash arithmetic, so the stream
+  // needs no standing-corpus read, no frozen model, no state store at
+  // all: the simplest twin in the set, because the artifact's arrival
+  // contract is itself stateless. Same idempotence discipline: a
+  // batch-keyed directory with overwrite semantics, so an
+  // at-least-once replay rewrites byte-identically. compactShards
+  // folds base ∪ streamed deltas exactly like batch-landed deltas —
+  // the store cannot tell how a delta arrived.
+  // ---------------------------------------------------------------------
+
+  /** One micro-batch's delta landing — writeShards under the
+    * batch-keyed dir. Exposed for the idempotence test. */
+  def appendShardDeltaBatch(batch: DataFrame, deltaDir: String,
+                            batchId: Long): Unit =
+    graft.ext.Extensions.writeShards(
+      batch.select("doc_id", "text"), s"$deltaDir/batch=$batchId")
+
+  /** Start the delta stream: `docs` must carry (doc_id, text). */
+  def startShardDeltaAppend(docs: DataFrame, deltaDir: String,
+                            checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .queryName("graft-shard-delta-append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) appendShardDeltaBatch(batch.toDF(), deltaDir, batchId)
+        ()
+      }
+      .start()
 }

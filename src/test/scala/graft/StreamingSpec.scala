@@ -444,4 +444,51 @@ class StreamingSpec extends SparkSpec {
       legacy(0).isNullAt(2),
       "all-legacy dir must fold counts with null canonicals")
   }
+
+  test("streaming shard-delta arrival: compacted base ∪ streamed deltas == monolithic write; replay idempotent") {
+    // E66's streaming form, the last stored artifact's twin: docs
+    // arrive on a stream, each micro-batch lands as per-shard delta
+    // files (stateless content-hash assignment — no standing-corpus
+    // read, no model, no state store), and compaction folds base ∪
+    // streamed deltas byte-identically to a monolithic write over
+    // everything — the store cannot tell how a delta arrived
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IndexMaintenanceStream
+    val base = (1L to 40L).map(i => (i, s"standing shard doc $i body"))
+    val arriving = (41L to 60L).map(i => (i, s"streamed shard doc $i body"))
+    val dirs = Seq("sbase", "sdelta", "sckpt", "scomp", "smono")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+    val Seq(baseDir, deltaDir, ckpt, compDir, monoDir) = dirs
+    graft.ext.Extensions.writeShards(base.toDF("doc_id", "text"), baseDir)
+    val ms = MemoryStream[(Long, String)]
+    val q = IndexMaintenanceStream.startShardDeltaAppend(
+      ms.toDF().toDF("doc_id", "text"), deltaDir, ckpt)
+    try {
+      ms.addData(arriving.take(10): _*); q.processAllAvailable()
+      ms.addData(arriving.drop(10): _*); q.processAllAvailable()
+    } finally q.stop()
+    graft.ext.Extensions.compactShards(spark, baseDir, deltaDir, compDir)
+    graft.ext.Extensions.writeShards(
+      (base ++ arriving).toDF("doc_id", "text"), monoDir)
+    def shardSeqs(dir: String): Map[Int, Seq[(Long, Long)]] =
+      (0 until graft.ext.Extensions.ShardCount).flatMap { s =>
+        val p = new java.io.File(s"$dir/shard=$s")
+        if (!p.exists()) None
+        else Some(s -> spark.read.parquet(p.toString)
+          .select("doc_id", "content_hash").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      }.toMap
+    assert(shardSeqs(compDir) == shardSeqs(monoDir),
+      "compacted streamed deltas diverge from the monolithic write")
+    assert(shardSeqs(compDir).values.map(_.size).sum == 60)
+    // at-least-once replay: re-running a batch id overwrites in place
+    val before = spark.read.parquet(deltaDir).count()
+    IndexMaintenanceStream.appendShardDeltaBatch(
+      arriving.take(10).toDF("doc_id", "text"), deltaDir, 0L)
+    assert(spark.read.parquet(deltaDir).count() == before,
+      "replayed micro-batch double-appended instead of rewriting its partition")
+    dirs.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
 }
