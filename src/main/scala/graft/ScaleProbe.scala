@@ -1486,7 +1486,110 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** E71's scale claim, probed where it bites: deletion must cost
+    * O(purged ⊕ artifact), never the rebuild a purge-less system pays.
+    * Two family representatives: the POSTINGS purge (stored-index
+    * anti-join vs re-tokenizing the filtered corpus — the clean-death
+    * shape every per-row artifact shares) and the SHARD RECEIPT purge
+    * (affected-shard recompute behind partition pruning vs the
+    * full-manifest rebuild — the half-monoid shape). Outputs must be
+    * identical both ways; the walls are the finding.
+    * Usage: runMain graft.ScaleProbe purge [nDocs] [nShards] [nPurge] */
+  private def purgeProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+    val nShards = if (args.length > 2) args(2).toInt else 512
+    val nPurge = if (args.length > 3) args(3).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // ~40-token docs (the mixture probe's generator shape)
+    val words = (0 until 40).map(j =>
+      concat(lit("w"), pmod(hash(col("id"), lit(j)), lit(5000))))
+    val srcDir = s"target/tmp-purge/docs-$nDocs.parquet"
+    if (!new java.io.File(srcDir).exists())
+      spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+        .write.mode("overwrite").parquet(srcDir)
+    val docs = spark.read.parquet(srcDir)
+    // the takedown list: a fixed absolute count — requests don't grow
+    // with the corpus
+    val purgeIds = (0 until nPurge).map(i => i.toLong * 97 + 13)
+      .filter(_ < nDocs)
+
+    // ---- postings family: stored-index anti-join vs corpus rebuild
+    val idxDir = s"target/tmp-purge/postings-$nDocs.parquet"
+    if (!new java.io.File(idxDir).exists())
+      ext.Extensions.postingsOf(docs).write.mode("overwrite").parquet(idxDir)
+    val postings = spark.read.parquet(idxDir)
+    import spark.implicits._
+    val purgeDf = broadcast(purgeIds.toDF("doc_id"))
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(pmod(xxhash64(df.columns.map(col): _*), lit(1000003L)))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (purgedSig, tPurge) = timed(sig(
+      postings.join(purgeDf, Seq("doc_id"), "left_anti")))
+    val (rebuiltSig, tRebuild) = timed(sig(ext.Extensions.postingsOf(
+      docs.join(purgeDf, Seq("doc_id"), "left_anti"))))
+    println(f"PURGEPROBE postings docs=$nDocs%d purged=${purgeIds.size}%d " +
+      f"rows=${purgedSig._1}%d identical=${purgedSig == rebuiltSig}%b " +
+      f"purge_wall=$tPurge%.1fs rebuild_wall=$tRebuild%.1fs " +
+      f"speedup=${tRebuild / tPurge}%.1fx")
+    require(purgedSig == rebuiltSig,
+      "purged postings diverged from the filtered-corpus rebuild")
+
+    // ---- shard receipt: affected-shard recompute vs full rebuild
+    val h = graft.expr.Scalars.hash60(col("text"))
+    val sIdxDir = s"target/tmp-purge/shardidx-$nDocs-$nShards"
+    if (!new java.io.File(sIdxDir).exists())
+      docs.select(col("doc_id"), h.as("hh"),
+          length(col("text")).cast("long").as("n_chars"),
+          pmod(h, lit(nShards.toLong)).cast("int").as("shard"))
+        .repartition(cpus.toInt, col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(sIdxDir)
+    val sIdx = spark.read.parquet(sIdxDir)
+    val manDir = s"target/tmp-purge/manifest-$nDocs-$nShards"
+    if (!new java.io.File(manDir).exists())
+      ext.Extensions.manifestAggOf(sIdx.select("shard", "hh", "n_chars"))
+        .write.mode("overwrite").parquet(manDir)
+    val stored = spark.read.parquet(manDir)
+    val purgeRows = sIdx.join(purgeDf, Seq("doc_id"), "left_semi")
+      .select("doc_id", "hh", "n_chars", "shard").cache()
+    val nAffected = purgeRows.select("shard").distinct().count()
+    val (receipt, tReceipt) = timed(
+      ext.Extensions.shardPurgeManifestFrom(stored, sIdx, purgeRows)
+        .collect().map(_.toSeq).toSeq)
+    val (full, tFull) = timed(
+      ext.Extensions.manifestAggOf(
+        sIdx.join(purgeDf, Seq("doc_id"), "left_anti")
+          .select("shard", "hh", "n_chars"))
+        .orderBy("shard").collect().map(_.toSeq).toSeq)
+    // the receipt's scale fact is I/O, not wall at toy sizes: the
+    // pruned recompute reads only the affected shards' rows (from the
+    // stored manifest — no extra scan), the rebuild reads the index
+    val affectedRows = stored
+      .join(purgeRows.select("shard").distinct(), Seq("shard"), "left_semi")
+      .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    println(f"PURGEPROBE receipt shards=$nShards%d affected=$nAffected%d " +
+      f"identical=${receipt == full}%b recompute_wall=$tReceipt%.1fs " +
+      f"rebuild_wall=$tFull%.1fs rows_read=$affectedRows%d vs $nDocs%d " +
+      f"(${nDocs.toDouble / affectedRows}%.0fx less index I/O)")
+    require(receipt == full,
+      "purged receipt diverged from the rebuilt-from-filtered manifest")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("purge")) { purgeProbe(args); return }
     if (args.headOption.contains("skewsweep")) { skewSweep(args); return }
     if (args.headOption.contains("pqinc")) { pqIncProbe(args); return }
     if (args.headOption.contains("compact")) { compactProbe(args); return }
