@@ -61,6 +61,8 @@ object SparkEntry {
       "frozen-codebook model maintenance has no SQL analog (the codebook is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test, the O(batch) encode by ScaleProbe pqinc, and PlanSpec asserts the train distortion is read from the stored model stat (one corpus scan: the batch filter)",
     "ext_ivf_incremental" ->
       "frozen-centroid model maintenance has no SQL analog (the quantizer is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test and PlanSpec's stored-stat gate (same encode shape as ext_pq_incremental)",
+    "ext_hard_negatives_ivfpq" ->
+      "approximate (attributed cell-routed) search by design, same no-oracle reason as ext_topk_ivfpq_filtered; ExtensionsSpec asserts zero same-label results and a recall floor vs the oracle-paired exact ext_hard_negatives; PlanSpec gates the stored attributed-index serve and the label-expansion join",
     "ext_ivfpq_purge" ->
       "approximate index maintenance (same no-oracle reason as ext_topk_ivfpq); ExtensionsSpec asserts zero purged ids can appear in any result and that the purged-index search equals a from-scratch build over the filtered corpus under the same frozen models (cap headroom asserted); PlanSpec gates the stored-code serve + one purge-list scan",
     "ext_topk_ivfpq_filtered" ->

@@ -2599,6 +2599,127 @@ object Extensions {
     (spark, sfDir) => ivfpqFilteredSearch(spark, sfDir), None)
 
   // =====================================================================
+  // E75: hard-negative mining — the contrastive-training data op (DPR,
+  // Karpukhin et al. 2020 §3.2): for each query, the nearest vectors
+  // with a DIFFERENT label — near-misses the trainer contrasts
+  // against. The inverse of the filtered search (E67): there the label
+  // constrains candidates TO the query's class, here it EXCLUDES it.
+  // The exact form is the topk_cosine shape (broadcast O(1) query set
+  // over one corpus scan) with the label-inequality filter — an
+  // inequality cannot be an equi-join key, and against a broadcast
+  // 16-row side the scan-side filter IS the right plan. The indexed
+  // form turns the inequality back INTO equalities: each routed
+  // (query, cell) row expands to one row per non-query label (a
+  // ≤nLabels-row broadcast join against the label vocabulary read
+  // from the stored attributed index — never a corpus scan), and the
+  // shared adcCellSearch machinery then serves it as a plain (cell,
+  // label) equi-join over the stored attributed codes, label
+  // PushedFilters and all. At ~90% selectivity the unfiltered routing
+  // width is the right operating point (E67's 2× widening exists for
+  // ~10% selectivity).
+  // =====================================================================
+  def hardNegativesFrom(embL: DataFrame,
+                        qids0: Option[DataFrame] = None): DataFrame = {
+    val e = embL.withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    val q = qids0.map(ids => e.join(broadcast(ids.select("vec_id")), Seq("vec_id")))
+      .getOrElse(hashOrderedSample(e, "vec_id", AnnQueryCount))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val c = e.select(col("vec_id").as("corpus_id"), col("v").as("cv"),
+      col("nrm").as("cn"), col("label"))
+    val cos = round(dotD(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    c.crossJoin(broadcast(q)) // O(1) query set — the topk_cosine shape
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("qlabel"), col("corpus_id"),
+        col("label"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnK)
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegatives: Q = Q("ext_hard_negatives",
+    (spark, sfDir) => hardNegativesFrom(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))),
+    Some(s"""WITH e AS (
+           |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+           |        label AS qlabel FROM e
+           |      ORDER BY ${duckHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+           |      LIMIT $AnnQueryCount),
+           |scored AS (
+           |  SELECT q.query_id, q.qlabel, e.vec_id AS corpus_id, e.label,
+           |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cos
+           |  FROM q JOIN e ON e.label <> q.qlabel),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, corpus_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, qlabel, corpus_id, label, cos, rank FROM ranked
+           |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin))
+
+  /** Indexed hard negatives over the stored attributed codes. */
+  def hardNegIvfpqTopK(embL: DataFrame, srcPath: String,
+                       nProbe: Int = IvfpqNProbe,
+                       nCells: Int = 16,
+                       qids0: Option[DataFrame] = None): DataFrame = {
+    val spark = embL.sparkSession
+    val src = Some(srcPath)
+    val emb = embL.select("vec_id", "v")
+    val qids = broadcast(qids0.getOrElse(annQueryIds(emb)))
+    val cbs = pqCodebooks(emb, codebookSrc = src)
+    val cs = ivfCentroids(emb, nCells = nCells, centroidSrc = src)
+    if (cbs.isEmpty || cs.isEmpty) return emptyTopK(pqNormalize(emb))
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val kw = cbs(0).length
+    // the SAME stored attributed table the filtered search serves from
+    // (one artifact, two consumers — the label join stays a build-time
+    // fact)
+    val baseCodes = ivfpqCellCodes(emb, cbs, cs, src, nCells = nCells)
+    val liveAttr = baseCodes.join(
+        embL.select(col("vec_id").as("corpus_id"), col("label")),
+        Seq("corpus_id"))
+      .select("cell", "label", "corpus_id", "code")
+    val codesAttr = parquetFixture(spark, "ivfpq-codes-attr", srcPath,
+      s"attr1_c$nCells",
+      liveAttr.queryExecution.logical.toString +
+        "\nscans:" + scanRootPaths(liveAttr).mkString(","),
+      liveAttr, partitionCols = Seq("cell"))
+    val eL = pqNormalize(embL, keep = Seq("label"))
+    val lut = array((0 until m).flatMap(mi =>
+      cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
+    val queries = cacheTracked(routeCells(
+      pqWithSubs(eL.join(qids, Seq("vec_id")), m, ds)
+        .select(col("vec_id").as("query_id"), col("nv").as("qv"),
+          lut.as("lut"), col("label").as("qlabel")),
+      "query_id", "qv", cs, nProbe,
+      payload = Seq("qv", "lut", "qlabel")))
+    // the inequality becomes equalities: one routed row per NON-query
+    // label, against the ≤nLabels-row vocabulary read from the stored
+    // index (never a raw corpus scan); the ≤nLabels-row broadcast
+    // nested-loop is the right plan for a theta-join this small
+    val labels = broadcast(codesAttr.select(col("label").as("neg_label"))
+      .distinct())
+    val queriesNeg = queries.join(labels, col("neg_label") =!= col("qlabel"))
+      .drop("qlabel").withColumnRenamed("neg_label", "label")
+    adcCellSearch(emb, queriesNeg, codesAttr, m, kw, PqRerank, AnnK, src,
+      filterCols = Seq("label"))
+  }
+
+  val hardNegativesIvfpq: Q = Q("ext_hard_negatives_ivfpq",
+    (spark, sfDir) => hardNegIvfpqTopK(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label")),
+      s"$sfDir/embeddings.parquet"), None)
+
+  // =====================================================================
   // Incremental maintenance for the COMBINED ivfpq-codes index — the
   // last stored index without an O(batch) arrival path (every other
   // artifact — postings, buckets, band index, labels, model stats —
@@ -5198,6 +5319,87 @@ object Extensions {
 
   val ivfpqPurge: Q = Q("ext_ivfpq_purge",
     (spark, sfDir) => ivfpqPurgeSearch(spark, sfDir), None)
+
+  // =====================================================================
+  // E71b: substring-index purge — the fourth artifact class, and the
+  // one where deletion SPLITS the stored columns: gram COUNTS have an
+  // inverse (subtract the purge batch's own O(purge) gram counts —
+  // surviving counts are exact, so every stats consumer is served
+  // exactly), but the CANONICAL (min doc_id) does not — a gram whose
+  // canonical doc was taken down cannot learn its new canonical from
+  // the index alone (the index stores one witness, not all
+  // occurrences). The honest semantics, shared with the streamed
+  // legacy-partition discipline in IndexMaintenanceStream: the purge
+  // TOMBSTONES those canonicals (`tombstoned` column). A tombstoned
+  // index serves stats exactly but must not drive the keep-one
+  // rewrite (E55/E60) until the next compaction rebuilds canonicals
+  // from the surviving corpus — serving a purged doc as canonical
+  // would KEEP spans the rewrite should remove, the exact failure the
+  // legacy-schema nulls document. Non-tombstoned canonicals stay
+  // valid by construction: the canonical is the global min doc_id,
+  // and a surviving min of a superset is the min of the subset.
+  // Oracle-paired: counts and tombstone flags are both pure functions
+  // of (full corpus, purge predicate) DuckDB can state.
+  // =====================================================================
+  /** The FULL-corpus gram index as a stored fixture — the purge
+    * target (the incremental fixtures cover the 80% split). */
+  private def substrGramsFullFixture(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    val live = substringGramIndex(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    parquetFixture(spark, "substr-grams", s"$sfDir/documents.parquet",
+      s"w${SubstrDedupW}_full_cn1",
+      live.queryExecution.logical.toString, live)
+  }
+
+  /** The purge fold over any stored (g, cnt, cdoc, cpos) index:
+    * subtract the purge rows' own gram counts (their gram pass is the
+    * O(purge) cost), tombstone canonicals owned by a purged doc.
+    * `isPurged` states purged-ness of a doc_id column — the Q uses
+    * the content-bucket predicate; the spec plants explicit ids. */
+  private[graft] def substrPurgeFrom(stored: DataFrame, purged: DataFrame,
+      isPurged: Column => Column): DataFrame = {
+    val pg = substringGramIndex(purged)
+      .select(col("g"), col("cnt").as("pcnt"))
+    stored.join(broadcast(pg), Seq("g"), "left")
+      .select(col("g"),
+        (col("cnt") - coalesce(col("pcnt"), lit(0L))).as("cnt"),
+        isPurged(col("cdoc")).as("tombstoned"))
+      .filter(col("cnt") >= 1)
+      .orderBy("g")
+  }
+
+  val substrPurge: Q = Q("ext_substr_purge",
+    (spark, sfDir) => {
+      val stored = substrGramsFullFixture(spark, sfDir)
+      // the takedown rows: ONE raw scan (in deployment, the request
+      // list itself)
+      val purged = bucketedDocs(spark, sfDir)
+        .filter(col("bucket") >= PurgeBucketFrom)
+        .select(col("doc_id"), col("text"))
+      substrPurgeFrom(stored, purged,
+        d => pmod(Scalars.hash60(d.cast("string")), lit(100L)) >=
+          PurgeBucketFrom)
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, regexp_split_to_array(
+            |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'),
+            |    '\\s+') AS toks
+            |  FROM documents),
+            |gr AS (
+            |  SELECT doc_id,
+            |    [${duckHash60(s"array_to_string(toks[i:i+${SubstrDedupW - 1}], ' ')")}
+            |     for i in range(1, greatest(len(toks) - ${SubstrDedupW - 1}, 1) + 1)] AS grams
+            |  FROM d),
+            |p AS (SELECT doc_id, unnest(grams) AS gh FROM gr),
+            |a AS (SELECT gh, count(*) AS cnt_all,
+            |    sum(CASE WHEN ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 >= $PurgeBucketFrom
+            |        THEN 1 ELSE 0 END) AS pcnt,
+            |    min(doc_id) AS cdoc
+            |  FROM p GROUP BY gh)
+            |SELECT gh AS g, CAST(cnt_all - pcnt AS BIGINT) AS cnt,
+            |  (${duckHash60("CAST(cdoc AS VARCHAR)")} % 100 >= $PurgeBucketFrom) AS tombstoned
+            |FROM a WHERE cnt_all - pcnt >= 1 ORDER BY g""".stripMargin))
 
   // =====================================================================
   // E65: domain-mixture materializer — the step that turns trained
@@ -8802,5 +9004,5 @@ object Extensions {
     topkFiltered, topkIvfpqFiltered, prototypePrune, mixtureEpochs,
     packSpans,
     bm25Purge, ivfpqPurge, shardPurge, snapshotDiff, gopherRules,
-    packReport)
+    packReport, substrPurge, hardNegatives, hardNegativesIvfpq)
 }

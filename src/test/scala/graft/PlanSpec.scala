@@ -175,7 +175,9 @@ class PlanSpec extends SparkSpec {
       "ext_ivf_incremental", // same 1-row drift broadcast shape as ext_pq_incremental
       "ext_knn_label_audit", // broadcast query slice × corpus — topk_cosine shape
       "ext_mixture_sample",  // 1-row corpus-token total × the 5-row weight table (budget arithmetic)
-      "ext_mixture_epochs")  // same 1-row total × weight-table budget shape as ext_mixture_sample
+      "ext_mixture_epochs",  // same 1-row total × weight-table budget shape as ext_mixture_sample
+      "ext_hard_negatives",  // broadcast 16-row query set × corpus scan — topk_cosine shape (label-inequality is a scan filter, not joinable)
+      "ext_hard_negatives_ivfpq") // ≤nLabels-row broadcast label-vocabulary expansion of the routed query frame (theta-join on label inequality)
     // fn runs an entire streaming lifecycle eagerly just to build its
     // (trivial ledger-rollup) frame — a static plan audit shouldn't
     // execute a pipeline; its join surface is covered by PipelineSpec
@@ -830,6 +832,38 @@ class PlanSpec extends SparkSpec {
         .findFirstIn(plan).isDefined
       assert(pruned,
         s"shard-index scan has no affected-shard PartitionFilters:\n$plan")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("substr purge: stored gram index folded, corpus never re-tokenized") {
+    // counts subtract from the purge rows' OWN gram pass: ONE raw
+    // documents scan (the takedown rows), the index from the stored
+    // full-corpus fixture, the fold a broadcast left join
+    val df = ext.Extensions.substrPurge.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 1,
+        s"want exactly 1 raw documents scan (the purge rows), got $docScans in $paths")
+      assert(paths.exists(_.contains("substr-grams")),
+        s"purge not applied to the stored gram index: $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("hard negatives (indexed): stored attributed codes served, label vocab from the index, no corpus label scan") {
+    val df = ext.Extensions.hardNegativesIvfpq.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("ivfpq-codes-attr")),
+        s"not served from the stored attributed index: $paths")
+      // raw embedding scans, enumerated: the query-id TakeOrdered and
+      // the query-vector/LUT/label fetch — the label VOCABULARY must
+      // come from the stored index, never a third corpus scan
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 2,
+        s"raw embedding scans drifted from the two query-side fetches ($embScans): $paths")
     } finally ext.Extensions.releaseCaches()
   }
 

@@ -152,6 +152,96 @@ class PurgeSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("substr purge: counts exactly the filtered rebuild; tombstones exactly the purged-canonical grams; surviving canonicals still valid") {
+    val purgedIds = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(pmod(graft.expr.Scalars.hash60(col("doc_id").cast("string")),
+        lit(100L)) >= Extensions.PurgeBucketFrom)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(purgedIds.nonEmpty)
+    try {
+      val out = Extensions.substrPurge.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "text")
+      val survivors = docs.filter(
+        !col("doc_id").isin(purgedIds.toSeq.map(Long.box): _*))
+      // counts: the purged index == the filtered rebuild, gram for gram
+      val rebuilt = Extensions.substringGramIndex(survivors).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out.keySet == rebuilt.keySet,
+        "purged index gram set != filtered rebuild gram set")
+      out.foreach { case (g, (cnt, _)) =>
+        assert(cnt == rebuilt(g)._1, s"gram $g count $cnt != rebuild ${rebuilt(g)._1}")
+      }
+      // tombstones: exactly the grams whose FULL-corpus canonical doc
+      // was purged — stats stay exact, the keep-one rewrite must wait
+      // for compaction on these
+      val fullCanon = Extensions.substringGramIndex(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      out.foreach { case (g, (_, tomb)) =>
+        assert(tomb == purgedIds(fullCanon(g)),
+          s"gram $g tombstone flag diverges from its canonical's purged-ness")
+      }
+      assert(out.values.exists(!_._2),
+        "surviving canonicals must be exercised")
+      // a NON-tombstoned canonical is still the filtered rebuild's
+      // canonical (the min of a subset that kept its min)
+      out.filter(!_._2._2).keys.take(500).foreach { g =>
+        assert(fullCanon(g) == rebuilt(g)._2,
+          s"surviving canonical for gram $g diverges from the rebuild")
+      }
+    } finally Extensions.releaseCaches()
+  }
+
+  test("substr purge: planted tombstone — a purged canonical leaves its surviving gram tombstoned") {
+    import spark.implicits._
+    // docs 1 and 2 share one 20-token text (one gram, cnt 2, canonical
+    // doc 1); doc 3 is unique. Purging doc 1 must leave the shared
+    // gram cnt 1 TOMBSTONED (its stored canonical died — the rewrite
+    // must wait for compaction) and doc 3's gram untouched. The
+    // registered corpus only exercises this path at sf0.1 (202 grams);
+    // this pins it at any scale.
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val unique = (1 to 20).map(i => s"uniq$i").mkString(" ")
+    val docs = Seq((1L, shared), (2L, shared), (3L, unique))
+      .toDF("doc_id", "text")
+    val stored = Extensions.substringGramIndex(docs)
+    val out = Extensions.substrPurgeFrom(stored,
+        docs.filter(col("doc_id") === 1L), d => d === 1L)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(out.toSet == Set((1L, true), (1L, false)),
+      s"want one tombstoned and one clean surviving gram, got ${out.toSeq}")
+  }
+
+  test("hard negatives: indexed path leaks no same-label rows and clears the recall floor vs the exact miner") {
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val labelOf = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val exact = Extensions.hardNegatives.fn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      val got = Extensions.hardNegativesIvfpq.fn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      try {
+        // a hard negative with the QUERY'S label is a positive — wrong,
+        // not approximate
+        got.foreach { case (q, c) =>
+          assert(labelOf(c) != labelOf(q),
+            s"same-label row: query $q (label ${labelOf(q)}) got $c")
+        }
+        val exactSet = exact.toSet
+        val byQ = exact.groupBy(_._1)
+        val recalls = byQ.map { case (q, rows) =>
+          got.count(r => r._1 == q && exactSet((q, r._2))).toDouble / rows.length
+        }
+        val recall = recalls.sum / recalls.size
+        info(f"hard-negative indexed recall@10 at $sf: $recall%.4f")
+        assert(recall >= 0.40,
+          f"indexed hard-negative recall $recall%.4f below floor 0.40")
+      } finally Extensions.releaseCaches()
+    }
+  }
+
   test("snapshot diff: all four statuses, each exactly the predicate-derived set") {
     val got = Extensions.snapshotDiff.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
