@@ -62,9 +62,9 @@ object SparkEntry {
     "ext_ivf_incremental" ->
       "frozen-centroid model maintenance has no SQL analog (the quantizer is a trained model); the drift contract is pinned by ExtensionsSpec's planted-drift test and PlanSpec's stored-stat gate (same encode shape as ext_pq_incremental)",
     "ext_hard_negatives_ivfpq" ->
-      "approximate (attributed cell-routed) search by design, same no-oracle reason as ext_topk_ivfpq_filtered; ExtensionsSpec asserts zero same-label results and a recall floor vs the oracle-paired exact ext_hard_negatives; PlanSpec gates the stored attributed-index serve and the label-expansion join",
+      "approximate (attributed cell-routed) search by design, same no-oracle reason as ext_topk_ivfpq_filtered; PurgeSpec asserts zero same-label results and a recall floor vs the oracle-paired exact ext_hard_negatives; PlanSpec gates the stored attributed-index serve and the label-expansion join",
     "ext_ivfpq_purge" ->
-      "approximate index maintenance (same no-oracle reason as ext_topk_ivfpq); ExtensionsSpec asserts zero purged ids can appear in any result and that the purged-index search equals a from-scratch build over the filtered corpus under the same frozen models (cap headroom asserted); PlanSpec gates the stored-code serve + one purge-list scan",
+      "approximate index maintenance (same no-oracle reason as ext_topk_ivfpq); PurgeSpec asserts zero purged ids can appear in any result and that the purged-index search equals a from-scratch build over the filtered corpus under the same frozen models (cap headroom asserted); PlanSpec gates the stored-code serve + one purge-list scan",
     "ext_topk_ivfpq_filtered" ->
       "approximate (cell-routed product-quantized) FILTERED search by design — the exact filtered ground truth is the oracle-paired ext_topk_filtered; ExtensionsSpec floor-gates recall vs that ground truth, asserts every result satisfies the label constraint, and PlanSpec gates the attributed-index serve (stored ivfpq-codes-attr, label PushedFilter + probed-cell PartitionFilters, label equi-join)",
     "ext_prototype_prune" ->

@@ -2551,6 +2551,49 @@ object Extensions {
   /** Filtered IVFPQ search over `embL` = (vec_id, v, label). The
     * From-form exists for the `filtered` ScaleProbe (same reason as
     * [[topkFilteredFrom]]). */
+  /** The stored ATTRIBUTED code table (cell, label, corpus_id, code):
+    * the label join happens here, at BUILD time, never per search.
+    * ONE artifact with two consumers — the filtered search (E67)
+    * constrains TO the query's class, the hard-negative miner (E75)
+    * excludes it — and extracting the construction is what keeps them
+    * on one fixture fingerprint by construction (two inlined copies
+    * would fork the stored table the moment one copy's projection or
+    * key tag drifted). Fingerprint discipline: plan string + scan
+    * root paths (the base codes fixture renders pathless in plan
+    * strings; its path carries the model fingerprints, so a retrain
+    * orphans this table too). */
+  private def ivfpqAttrCodes(embL: DataFrame, srcPath: String,
+      nCells: Int, cbs: Array[Array[Array[Double]]],
+      cs: Array[Array[Double]]): DataFrame = {
+    val spark = embL.sparkSession
+    val src = Some(srcPath)
+    val baseCodes = ivfpqCellCodes(embL.select("vec_id", "v"), cbs, cs,
+      src, nCells = nCells)
+    val liveAttr = baseCodes.join(
+        embL.select(col("vec_id").as("corpus_id"), col("label")),
+        Seq("corpus_id"))
+      .select("cell", "label", "corpus_id", "code")
+    parquetFixture(spark, "ivfpq-codes-attr", srcPath,
+      s"attr1_c$nCells",
+      liveAttr.queryExecution.logical.toString +
+        "\nscans:" + scanRootPaths(liveAttr).mkString(","),
+      liveAttr, partitionCols = Seq("cell"))
+  }
+
+  /** The ≤nLabels-row label VOCABULARY, stored once beside the
+    * attributed table (its fingerprint carries the attributed table's
+    * path, so a retrain orphans it in lockstep). A search must not
+    * re-scan the index's label column to recover a build-time
+    * constant — that would add O(index) I/O to every query batch. */
+  private def ivfpqAttrLabels(codesAttr: DataFrame, srcPath: String,
+                              nCells: Int): DataFrame = {
+    val live = codesAttr.select("label").distinct()
+    parquetFixture(codesAttr.sparkSession, "ivfpq-attr-labels", srcPath,
+      s"attr1_c$nCells",
+      live.queryExecution.logical.toString +
+        "\nscans:" + scanRootPaths(live).mkString(","), live)
+  }
+
   def ivfpqFilteredTopK(embL: DataFrame, srcPath: String,
                         nProbe: Int = FilteredNProbe,
                         nCells: Int = 16,
@@ -2565,21 +2608,7 @@ object Extensions {
     val m = cbs.length
     val ds = cbs(0)(0).length
     val kw = cbs(0).length
-    // the ATTRIBUTED index: stored (cell, label, corpus_id, code) —
-    // the label join happens here, at build time, never per search.
-    // Fingerprint discipline: plan string + scan root paths (the base
-    // codes fixture renders pathless in plan strings; its path carries
-    // the model fingerprints, so a retrain orphans this table too).
-    val baseCodes = ivfpqCellCodes(emb, cbs, cs, src, nCells = nCells)
-    val liveAttr = baseCodes.join(
-        embL.select(col("vec_id").as("corpus_id"), col("label")),
-        Seq("corpus_id"))
-      .select("cell", "label", "corpus_id", "code")
-    val codesAttr = parquetFixture(spark, "ivfpq-codes-attr", srcPath,
-      s"attr1_c$nCells",
-      liveAttr.queryExecution.logical.toString +
-        "\nscans:" + scanRootPaths(liveAttr).mkString(","),
-      liveAttr, partitionCols = Seq("cell"))
+    val codesAttr = ivfpqAttrCodes(embL, srcPath, nCells, cbs, cs)
     // query side: ivfpqTopK's routing + LUT, with the query's own
     // label carried through the shared normalization as a kept column
     val eL = pqNormalize(embL, keep = Seq("label"))
@@ -2679,18 +2708,8 @@ object Extensions {
     val ds = cbs(0)(0).length
     val kw = cbs(0).length
     // the SAME stored attributed table the filtered search serves from
-    // (one artifact, two consumers — the label join stays a build-time
-    // fact)
-    val baseCodes = ivfpqCellCodes(emb, cbs, cs, src, nCells = nCells)
-    val liveAttr = baseCodes.join(
-        embL.select(col("vec_id").as("corpus_id"), col("label")),
-        Seq("corpus_id"))
-      .select("cell", "label", "corpus_id", "code")
-    val codesAttr = parquetFixture(spark, "ivfpq-codes-attr", srcPath,
-      s"attr1_c$nCells",
-      liveAttr.queryExecution.logical.toString +
-        "\nscans:" + scanRootPaths(liveAttr).mkString(","),
-      liveAttr, partitionCols = Seq("cell"))
+    // (one artifact, two consumers — see [[ivfpqAttrCodes]])
+    val codesAttr = ivfpqAttrCodes(embL, srcPath, nCells, cbs, cs)
     val eL = pqNormalize(embL, keep = Seq("label"))
     val lut = array((0 until m).flatMap(mi =>
       cbs(mi).map(cwd => pqSubDot(col(s"sub_$mi"), cwd))): _*)
@@ -2701,11 +2720,13 @@ object Extensions {
       "query_id", "qv", cs, nProbe,
       payload = Seq("qv", "lut", "qlabel")))
     // the inequality becomes equalities: one routed row per NON-query
-    // label, against the ≤nLabels-row vocabulary read from the stored
-    // index (never a raw corpus scan); the ≤nLabels-row broadcast
-    // nested-loop is the right plan for a theta-join this small
-    val labels = broadcast(codesAttr.select(col("label").as("neg_label"))
-      .distinct())
+    // label, against the ≤nLabels-row STORED vocabulary (built once
+    // beside the attributed table — never a per-search index or
+    // corpus scan); the ≤nLabels-row broadcast nested-loop is the
+    // right plan for a theta-join this small
+    val labels = broadcast(
+      ivfpqAttrLabels(codesAttr, srcPath, nCells)
+        .select(col("label").as("neg_label")))
     val queriesNeg = queries.join(labels, col("neg_label") =!= col("qlabel"))
       .drop("qlabel").withColumnRenamed("neg_label", "label")
     adcCellSearch(emb, queriesNeg, codesAttr, m, kw, PqRerank, AnnK, src,
@@ -5261,37 +5282,54 @@ object Extensions {
             |FROM h GROUP BY 1 ORDER BY shard""".stripMargin))
 
   /** Physical store purge: rewrite ONLY the affected shard
-    * directories (dynamic partition overwrite) without the purged
-    * rows; untouched shard files are never opened. The rewritten
+    * directories without the purged rows; untouched shard files are
+    * never opened — `purgedDocs` must carry (doc_id, shard), because
+    * the takedown content names its own shard (the E66 stateless
+    * contract: shard = hash60(text) % n, pure arithmetic over the
+    * request — deriving it from the STORE would scan every shard file
+    * just to learn which ~20 directories matter). The rewritten
     * shards keep writeShards' strict (content_hash, doc_id) order, so
     * the purged store is byte-identical to a monolithic write over
-    * the filtered corpus (asserted in ExtensionsSpec). */
+    * the filtered corpus (asserted in PurgeSpec).
+    *
+    * Crash safety: staging lives UNDER the store dir (same
+    * filesystem — a cross-filesystem move of a directory is not a
+    * rename and can fail halfway), and each affected shard is swapped
+    * by two atomic renames via a trash sibling: old → trash,
+    * staged → live, then trash is deleted. A failure before the
+    * second rename leaves the old shard recoverable in
+    * `.purge-trash-*`; a failure before any rename leaves the store
+    * untouched. */
   def purgeShardStore(spark: SparkSession, storeDir: String,
-                      purgedDocIds: DataFrame): Unit = {
-    val store = spark.read.parquet(storeDir)
-    // purge-sized: which shard directories actually hold purged rows
-    val affected = store.join(broadcast(purgedDocIds), Seq("doc_id"))
-      .select("shard").distinct().collect().map(_.getInt(0))
+                      purgedDocs: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // purge-sized: the request rows' own shard column, no store read
+    val affected = purgedDocs.select("shard").distinct()
+      .collect().map(_.getInt(0))
     if (affected.isEmpty) return
-    // stage the rewritten shards out-of-place (Spark refuses an
-    // overwrite of a path it is reading — and the staging write is
-    // also the crash-safe shape: a failed purge leaves the store
-    // intact), then swap ONLY the affected directories
-    val tmp = java.nio.file.Files.createTempDirectory("shard-purge").toString
-    store.filter(col("shard").isin(affected.map(Int.box): _*))
-      .join(broadcast(purgedDocIds), Seq("doc_id"), "left_anti")
+    val purgedIds = broadcast(purgedDocs.select("doc_id"))
+    val tag = java.util.UUID.randomUUID().toString
+    val tmp = Paths.get(storeDir, s".purge-stage-$tag")
+    val trash = Paths.get(storeDir, s".purge-trash-$tag")
+    Files.createDirectories(trash)
+    spark.read.parquet(storeDir)
+      .filter(col("shard").isin(affected.map(Int.box): _*))
+      .join(purgedIds, Seq("doc_id"), "left_anti")
       .repartition(affected.length, col("shard"))
       .sortWithinPartitions(col("shard"), col("content_hash"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp.toString)
     affected.foreach { s =>
-      val dst = java.nio.file.Paths.get(storeDir, s"shard=$s")
-      val src = java.nio.file.Paths.get(tmp, s"shard=$s")
-      org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+      val dst = Paths.get(storeDir, s"shard=$s")
+      val staged = tmp.resolve(s"shard=$s")
+      if (Files.exists(dst))
+        Files.move(dst, trash.resolve(s"shard=$s"),
+          StandardCopyOption.ATOMIC_MOVE)
       // a shard whose every row was purged vanishes from the store
-      if (java.nio.file.Files.exists(src))
-        java.nio.file.Files.move(src, dst)
+      if (Files.exists(staged))
+        Files.move(staged, dst, StandardCopyOption.ATOMIC_MOVE)
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.deleteDirectory(trash.toFile)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
   /** IVFPQ purge: the stored cell-partitioned code table minus the

@@ -857,9 +857,12 @@ class PlanSpec extends SparkSpec {
       val paths = scanNodePaths(df)
       assert(paths.exists(_.contains("ivfpq-codes-attr")),
         s"not served from the stored attributed index: $paths")
+      assert(paths.exists(_.contains("ivfpq-attr-labels")),
+        s"label vocabulary not served from its stored fixture: $paths")
       // raw embedding scans, enumerated: the query-id TakeOrdered and
       // the query-vector/LUT/label fetch — the label VOCABULARY must
-      // come from the stored index, never a third corpus scan
+      // come from its stored ≤nLabels-row fixture, never a per-search
+      // corpus or index scan
       val embScans = paths.count(p =>
         p.contains("/testdata/") && p.contains("embeddings.parquet"))
       assert(embScans == 2,

@@ -126,12 +126,15 @@ class PurgeSpec extends SparkSpec {
       if (!d.exists()) None
       else Some(s -> d.listFiles().map(f => f.getName -> f.lastModified()).toMap)
     }.toMap
-    val purgedIdsDf = Seq(3L, 77L).toDF("doc_id")
-    val affected8 = plain.filter(col("doc_id").isin(3L, 77L))
-      .select(pmod(graft.expr.Scalars.hash60(col("text")),
-        lit(Extensions.ShardCount.toLong)).cast("int").as("s"))
-      .collect().map(_.getInt(0)).toSet
-    Extensions.purgeShardStore(spark, storeDir, purgedIdsDf)
+    // the takedown rows name their own shard from their content (the
+    // stateless contract — no store read)
+    val purgedDocsDf = plain.filter(col("doc_id").isin(3L, 77L))
+      .select(col("doc_id"),
+        pmod(graft.expr.Scalars.hash60(col("text")),
+          lit(Extensions.ShardCount.toLong)).cast("int").as("shard"))
+    val affected8 = purgedDocsDf.select("shard").collect()
+      .map(_.getInt(0)).toSet
+    Extensions.purgeShardStore(spark, storeDir, purgedDocsDf)
     Extensions.writeShards(plain.filter(!col("doc_id").isin(3L, 77L)), monoDir)
     def shardSeqs(dir: String): Map[Int, Seq[(Long, Long)]] =
       (0 until Extensions.ShardCount).flatMap { s =>
