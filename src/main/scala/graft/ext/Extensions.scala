@@ -405,10 +405,10 @@ object Extensions {
     * the shared prefix of every minhash oracle; split out so the
     * incremental oracles can restrict PAIRS to a corpus split while
     * still computing signatures once. */
-  private def minhashSigSqlCtes: String = {
+  private def minhashSigSqlCtes(docsWhere: String = ""): String = {
     val sigCols = (0 until Perms)
       .map(i => s"min(xor(bh, ${i * MixC})) AS h$i").mkString(",\n    ")
-    s"""docs AS (SELECT doc_id, text FROM documents),
+    s"""docs AS (SELECT doc_id, text FROM documents $docsWhere),
        |sh0 AS (SELECT doc_id, unnest(${duckShingles("text")}) AS s FROM docs),
        |sh AS (SELECT doc_id, ${duckHash60("s")} AS bh FROM sh0),
        |sig AS (SELECT doc_id,
@@ -416,10 +416,10 @@ object Extensions {
        |  FROM sh GROUP BY doc_id)""".stripMargin
   }
 
-  private def minhashPairsSqlCtes: String = {
+  private def minhashPairsSqlCtes(docsWhere: String = ""): String = {
     val bandConds = minhashBandSql("a", "b")
     val matchSum = minhashMatchSumSql("sa", "sb")
-    s"""$minhashSigSqlCtes,
+    s"""${minhashSigSqlCtes(docsWhere)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)),
@@ -437,8 +437,8 @@ object Extensions {
     * representative oracles (hand-copying it invites silent
     * divergence). Appends to [[minhashPairsSqlCtes]]; yields `comp`
     * (doc_id, cluster_id). */
-  private def componentsSqlCtes: String =
-    s"""$minhashPairsSqlCtes,
+  private def componentsSqlCtes(docsWhere: String = ""): String =
+    s"""${minhashPairsSqlCtes(docsWhere)},
        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |        UNION ALL SELECT id_b, id_a FROM pairs),
        |reach(id, root) AS (
@@ -450,7 +450,7 @@ object Extensions {
 
   val dedupMinhash: Q = Q("ext_dedup_minhash",
     (spark, sfDir) => minhashPairs(spark, sfDir).orderBy("id_a", "id_b"),
-    Some(s"""WITH $minhashPairsSqlCtes
+    Some(s"""WITH ${minhashPairsSqlCtes()}
             |SELECT id_a, id_b, est_jaccard FROM est
             |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin))
 
@@ -468,7 +468,7 @@ object Extensions {
         .select(col("doc_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).as("keep"))
         .orderBy("doc_id"),
-    Some(s"""WITH RECURSIVE $componentsSqlCtes
+    Some(s"""WITH RECURSIVE ${componentsSqlCtes()}
             |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
             |FROM comp ORDER BY doc_id""".stripMargin))
 
@@ -496,7 +496,7 @@ object Extensions {
           col("score").as("rep_score"), col("n_members"))
         .orderBy("cluster_id")
     },
-    Some(s"""WITH RECURSIVE $componentsSqlCtes,
+    Some(s"""WITH RECURSIVE ${componentsSqlCtes()},
             |scored AS (SELECT doc_id, ${qualitySql("text")} AS score FROM documents),
             |j AS (
             |  SELECT c.cluster_id, c.doc_id, s.score,
@@ -4868,7 +4868,7 @@ object Extensions {
             .as("keep"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE $componentsSqlCtes,
+    Some(s"""WITH RECURSIVE ${componentsSqlCtes()},
             |sized AS (
             |  SELECT doc_id, cluster_id,
             |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
@@ -5438,6 +5438,86 @@ object Extensions {
             |SELECT gh AS g, CAST(cnt_all - pcnt AS BIGINT) AS cnt,
             |  (${duckHash60("CAST(cdoc AS VARCHAR)")} % 100 >= $PurgeBucketFrom) AS tombstoned
             |FROM a WHERE cnt_all - pcnt >= 1 ORDER BY g""".stripMargin))
+
+  // =====================================================================
+  // E71c: dedup-cluster purge — deletion on the GRAPH artifact, where
+  // it has the richest semantics of the taxonomy: removing a doc
+  // removes its EDGES, so a component can lose its representative
+  // (min-id relabel) or SPLIT outright when the purged doc was the
+  // bridge — the exact inverse of the adoption rule the arrival
+  // (E37) runs. The O(affected) contract: only components CONTAINING
+  // a purged doc are re-clustered (their ids are a purge-sized
+  // collect; survivors' pairs re-derive from the STORED full-corpus
+  // signature table — one column-pruned index scan, the corpus text
+  // is never re-shingled); every untouched component's labels pass
+  // through from the stored cc-cache verbatim. Sound because
+  // components are maximal: removing nodes never creates edges, so
+  // survivors of an affected component cannot join an untouched one,
+  // and an untouched component's min-id cannot be a purged doc.
+  // Exact at cap headroom (driver SFs — the oracle hash-match proves
+  // it); under a BINDING hot-bucket star cap the re-derived survivor
+  // pairs may differ from a full rebuild's star topology — the same
+  // caveat every banded arrival carries, settled by the next full
+  // dedup run.
+  // =====================================================================
+  /** The stored FULL-corpus signature table — the dedup family's
+    * index artifact the purge re-derives survivor pairs from (the
+    * incremental fixtures cover the 80% split). */
+  private def mhFullSigsFixture(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val live = minhashSignatures(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    parquetFixture(spark, "mh-sigs", s"$sfDir/documents.parquet", "full",
+      live.queryExecution.logical.toString, live)
+  }
+
+  /** The purge fold over stored (labels, signatures): re-cluster the
+    * affected components' survivors, pass everything else through.
+    * Exposed package-private so the spec can drive the planted
+    * bridge-split chain. */
+  private[graft] def clustersPurgeFrom(labels: DataFrame, sigs: DataFrame,
+      purged: DataFrame): DataFrame = {
+    // purge-sized collect: the affected component ids
+    val affected = labels.join(broadcast(purged), Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct().collect().map(_.getLong(0))
+    val untouched = labels
+      .filter(!col("cluster_id").isin(affected.map(Long.box): _*))
+    val relabeled =
+      if (affected.isEmpty) untouched
+      else {
+        val survivors = labels
+          .filter(col("cluster_id").isin(affected.map(Long.box): _*))
+          .join(broadcast(purged), Seq("doc_id"), "left_anti")
+          .select("doc_id")
+        // CACHED (tracked): the survivor signatures feed the banding,
+        // both confirm sides, and the CC node set
+        val sigA = cacheTracked(
+          sigs.join(broadcast(survivors), Seq("doc_id"), "left_semi"))
+        val pairs = sigConfirm(
+          bandCandidates(minhashBanded(sigA), Seq("band", "bk")),
+          "id_a", "id_b", sigA, sigA).select("id_a", "id_b")
+        val recomputed = graft.ops.Graph.connectedComponents(pairs,
+            sigA.select(col("doc_id").as("id")))
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        untouched.unionByName(recomputed)
+      }
+    relabeled.select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val clustersPurge: Q = Q("ext_clusters_purge",
+    (spark, sfDir) => clustersPurgeFrom(
+      minhashComponentLabels(spark, sfDir),
+      mhFullSigsFixture(spark, sfDir),
+      purgeDocIds(spark, sfDir)),
+    // the monolithic recursive-CTE closure over the FILTERED corpus:
+    // purged labels must equal rebuilt-from-scratch labels — min-id
+    // representatives, splits and all
+    Some(s"""WITH RECURSIVE ${componentsSqlCtes(
+               s"WHERE NOT (${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 >= $PurgeBucketFrom)")}
+            |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+            |FROM comp ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
   // E65: domain-mixture materializer — the step that turns trained
@@ -7405,7 +7485,7 @@ object Extensions {
             .otherwise(lit("new")).as("status"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH $minhashPairsSqlCtes,
+    Some(s"""WITH ${minhashPairsSqlCtes()},
             |bkt AS (SELECT doc_id,
             |    ${duckHash60("cast(doc_id AS varchar)")} % 100 AS bucket,
             |    ${duckHash60("text")} AS ch
@@ -7482,7 +7562,7 @@ object Extensions {
           col("adopted").isNull.as("is_new_cluster"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE $minhashSigSqlCtes,
+    Some(s"""WITH RECURSIVE ${minhashSigSqlCtes()},
             |bkt AS (SELECT doc_id,
             |    ${duckHash60("cast(doc_id AS varchar)")} % 100 AS bucket
             |  FROM documents),
@@ -9042,5 +9122,6 @@ object Extensions {
     topkFiltered, topkIvfpqFiltered, prototypePrune, mixtureEpochs,
     packSpans,
     bm25Purge, ivfpqPurge, shardPurge, snapshotDiff, gopherRules,
-    packReport, substrPurge, hardNegatives, hardNegativesIvfpq)
+    packReport, substrPurge, hardNegatives, hardNegativesIvfpq,
+    clustersPurge)
 }

@@ -870,6 +870,26 @@ class PlanSpec extends SparkSpec {
     } finally ext.Extensions.releaseCaches()
   }
 
+  test("clusters purge: untouched labels served from the stored cc-cache") {
+    // the corpus-label side must be the stored cc-cache and the
+    // survivor pairs must come from the stored signature index; the
+    // only raw documents scan allowed anywhere (the re-cluster side's
+    // node lineage keeps it visible) is the purge-LIST derivation —
+    // doc_id-pruned, the takedown request itself in deployment
+    val df = ext.Extensions.clustersPurge.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("cc-cache")),
+        s"untouched labels not served from the stored cc-cache: $paths")
+      assert(paths.exists(_.contains("mh-sigs")),
+        s"survivor pairs not derived from the stored signature index: $paths")
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans <= 1,
+        s"corpus re-shingle crept into the purge-fold plan: $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("ivfpq purge: stored codes anti-joined; raw vectors only on the query + purge sides") {
     val df = ext.Extensions.ivfpqPurge.fn(spark, sf0001)
     try {

@@ -216,6 +216,41 @@ class PurgeSpec extends SparkSpec {
       s"want one tombstoned and one clean surviving gram, got ${out.toSeq}")
   }
 
+  test("clusters purge: purging the bridge splits its component, relabels the min-id, passes untouched clusters through") {
+    import spark.implicits._
+    // frozen chain, found by deterministic search over the library's
+    // own minhash pipeline: A~B and B~C band-collide with est ≥ 0.5
+    // (B concatenates A and C, both sharing a 12-word core), while A
+    // and C never become banded candidates — B is the bridge, and it
+    // is ALSO the component's doc-id-wise middle so the split
+    // exercises the min-id relabel on the C side
+    val core = (0 until 12).map(i => s"core6w$i").mkString(" ")
+    val a = core + " " + (0 until 5).map(i => s"alpha6x$i").mkString(" ")
+    val c = core + " " + (0 until 5).map(i => s"gamma6y$i").mkString(" ")
+    val b = a + " " + c
+    val docs = Seq((10L, a), (20L, b), (30L, c),
+      (40L, "an unrelated quiet document about nothing at all"),
+      (41L, "an unrelated quiet document about nothing at all"))
+      .toDF("doc_id", "text")
+    try {
+      val sigs = Extensions.minhashSignatures(docs)
+      val pairs = Extensions.minhashPairsFrom(docs).select("id_a", "id_b")
+      val labels = graft.ops.Graph.connectedComponents(pairs,
+          docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      val pre = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(pre == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+        40L -> 40L, 41L -> 40L),
+        s"planted chain did not cluster as designed: $pre")
+      val out = Extensions.clustersPurgeFrom(labels, sigs,
+          Seq(20L).toDF("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(out.toSet == Set((10L, 10L, true), (30L, 30L, true),
+        (40L, 40L, true), (41L, 40L, false)),
+        s"expected the {10,20,30} component to split and {40,41} to pass through: ${out.toSeq}")
+    } finally Extensions.releaseCaches()
+  }
+
   test("hard negatives: indexed path leaks no same-label rows and clears the recall floor vs the exact miner") {
     for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
       val labelOf = spark.read.parquet(s"$sf/embeddings.parquet")
