@@ -4749,7 +4749,7 @@ object Extensions {
       // scanner disagree three ways (dropped vs trailing-empty-token
       // vs non-ws-run); on fully edge-trimmed input all three agree.
       val grams = graft.expr.ColumnOps
-        .wordGramSha60(edgeTrim(lower(col("text"))), 5)
+        .wordGramSha60(edgeTrim(lower(col("text"))), DecontamW)
       val base = Tables.documents(spark, sfDir)
         .select(col("doc_id"), bucket.as("bucket"), grams.as("grams"))
       val trainG = base.filter(col("bucket") < 90)
@@ -4797,6 +4797,112 @@ object Extensions {
             |FROM b WHERE bucket < 90 ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
+  // E77: SPAN-LEVEL decontamination REWRITE — E10 upgraded from flag
+  // to transform, the GPT-3 discipline (Brown et al. 2020, appendix C:
+  // contaminated training documents had the colliding WINDOWS removed,
+  // not the whole document): dropping every doc that shares one 5-gram
+  // with the held-out split throws away the 99% of each doc that is
+  // clean, and at web scale that is real corpus volume. Here a train
+  // token is removed iff covered by at least one gram occurring in any
+  // test doc; the text is rebuilt from the surviving tokens. Same
+  // predicate as E10 EXACTLY (same gram width [[DecontamW]], same
+  // content-hash split), so "touched" here ≡ "contaminated" there —
+  // DecontamRewriteSpec asserts that identity query-vs-query. The span
+  // fold is [[substrRewriteFrom]] — the delta-row coverage trick and
+  // per-doc rebuild, shared verbatim with the substring-dedup rewrites
+  // (E55/E60), so the interval arithmetic exists once.
+  //
+  // Scale shape: one tokenize + fused gram-hash pass per split; the
+  // test gram set is distinct-small (5% split) and joins the train
+  // positions as a semi-join on the 60-bit hash (AQE broadcasts it
+  // here; a larger held-out suite degrades to a shuffled semi-join,
+  // uniform key); only span-CARRYING docs pay the token explode +
+  // coverage window — the clean majority rebuilds straight from its
+  // cached token arrays.
+  // =====================================================================
+  /** E10/E77's shared gram width (5-word windows). */
+  final val DecontamW = 5
+
+  val decontamRewrite: Q = Q("ext_decontam_rewrite",
+    (spark, sfDir) => {
+      val bucket = pmod(Scalars.hash60(col("text")), lit(100L))
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      val t = edgeTrim(lower(col("text")))
+      // cached: the span join, the touched/untouched split and the
+      // token explode all read the tokenized train side
+      val train = cacheTracked(base.filter(col("bucket") < 90)
+        .select(col("doc_id"), split(t, "\\s+").as("toks"),
+          graft.expr.ColumnOps.wordGramSha60(t, DecontamW).as("gh"))
+        .withColumn("n_tokens", size(col("toks")).cast("long")))
+      val testG = base.filter(col("bucket") >= 95)
+        .select(explode(graft.expr.ColumnOps.wordGramSha60(t, DecontamW))
+          .as("g"))
+        .distinct()
+      val pos = train
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(col("gh")).as(Seq("pos", "g")))
+        .withColumn("pos", col("pos").cast("long"))
+      // contaminated spans [s, e): every train gram position whose
+      // hash occurs in the test set. Cached — the fold reads spans
+      // three times (touched-doc set, +1 deltas, −1 deltas)
+      val spans = cacheTracked(pos.join(testG, Seq("g"), "left_semi")
+        .select(col("doc_id"), col("pos").as("s"),
+          least(col("pos") + DecontamW, col("n_tokens")).as("e")))
+      substrRewriteFrom(train.drop("gh"), spans)
+        .withColumnRenamed("text_dedup", "text_clean")
+    },
+    Some(s"""WITH d0 AS (
+            |  SELECT doc_id, ${duckHash60("text")} % 100 AS bucket,
+            |    regexp_split_to_array(
+            |      regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'),
+            |      '\\s+') AS toks
+            |  FROM documents),
+            |g AS (
+            |  SELECT doc_id, bucket, CAST(len(toks) AS BIGINT) AS n_tokens,
+            |    toks,
+            |    [${duckHash60(
+                   s"array_to_string(toks[i:i+${DecontamW - 1}], ' ')")}
+            |     for i in range(1, greatest(len(toks) - ${DecontamW - 1}, 1) + 1)]
+            |      AS grams
+            |  FROM d0),
+            |p AS (
+            |  SELECT doc_id, n_tokens, unnest(grams) AS gh,
+            |    CAST(unnest(range(0, len(grams))) AS BIGINT) AS pos
+            |  FROM g WHERE bucket < 90),
+            |testg AS (SELECT DISTINCT unnest(grams) AS gh FROM g
+            |          WHERE bucket >= 95),
+            |spans AS (
+            |  SELECT doc_id, pos AS s, least(pos + $DecontamW, n_tokens) AS e
+            |  FROM p WHERE EXISTS (SELECT 1 FROM testg t WHERE t.gh = p.gh)),
+            |deltas AS (
+            |  SELECT doc_id, s AS p, 1 AS delta, NULL AS tok FROM spans
+            |  UNION ALL
+            |  SELECT doc_id, e AS p, -1 AS delta, NULL AS tok FROM spans),
+            |tk AS (
+            |  SELECT doc_id, CAST(unnest(range(0, len(toks))) AS BIGINT) AS p,
+            |    0 AS delta, unnest(toks) AS tok
+            |  FROM g WHERE bucket < 90),
+            |cum AS (
+            |  SELECT doc_id, p, tok,
+            |    sum(delta) OVER (PARTITION BY doc_id
+            |      ORDER BY p, (tok IS NOT NULL)
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+            |  FROM (SELECT * FROM deltas UNION ALL SELECT * FROM tk)),
+            |reb AS (
+            |  SELECT doc_id,
+            |    count(CASE WHEN cov = 0 THEN 1 END) AS kept_tokens,
+            |    coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' '
+            |      ORDER BY p), '') AS text_clean
+            |  FROM cum WHERE tok IS NOT NULL GROUP BY doc_id)
+            |SELECT g.doc_id AS doc_id, g.n_tokens AS n_tokens,
+            |  CAST(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+            |  coalesce(reb.text_clean, '') AS text_clean
+            |FROM g LEFT JOIN reb ON reb.doc_id = g.doc_id
+            |WHERE g.bucket < 90
+            |ORDER BY g.doc_id""".stripMargin))
+
+  // =====================================================================
   // Train/val/test split by CONTENT hash — the split stays stable under
   // repartitioning, re-ingestion, and row reordering (seeded random
   // sampling does not), and a document's assignment never changes when
@@ -4817,6 +4923,54 @@ object Extensions {
             |  CASE WHEN bucket < 90 THEN 'train'
             |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
             |FROM b ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // E78: LEAK-PROOF split — cluster-aware train/val/test assignment.
+  // E6's per-doc content-hash split has a leak E10 cannot close: two
+  // NEAR-duplicate documents hash independently, so a test doc's
+  // near-twin lands in train ~90% of the time and evaluation scores
+  // the memorized twin (the contamination n-gram gate only catches
+  // EXACT shared spans, not paraphrase-level duplication — the gap the
+  // dedup literature's "test-set leakage through near-dups" warning is
+  // about). The fix is assignment at CLUSTER granularity: every member
+  // of a minhash near-dup component adopts its representative's
+  // content-hash bucket, so a whole near-dup family lands in one split
+  // and can never straddle the train/test boundary. Singletons (the
+  // corpus majority) are their own representative — for them this IS
+  // ext_split_assign, asserted query-vs-query in DecontamRewriteSpec
+  // along with the no-straddling invariant over every minhash pair.
+  //
+  // Scale shape: the component labels are the STORED cc-cache fixture
+  // (written once per corpus by the dedup pass, shared by every
+  // cluster consumer — no re-clustering here); the rep's bucket comes
+  // from one column-pruned documents projection joined on cluster_id
+  // (a doc_id — uniform 60-bit-hash key, no skew beyond component
+  // size, and the label side arrives pre-partitioned from the fixture).
+  // One scan, one shuffle join, zero pair generation in the serve path.
+  // =====================================================================
+  val splitLeakproof: Q = Q("ext_split_leakproof",
+    (spark, sfDir) => {
+      // cluster_id IS a doc_id (the component's min id), so the rep's
+      // split bucket is one projection of documents keyed by it
+      val repBucket = Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("cluster_id"),
+          pmod(Scalars.hash60(col("text")), lit(100L)).as("rbucket"))
+      minhashComponentLabels(spark, sfDir)
+        .join(repBucket, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("rbucket") < 90, lit("train"))
+            .when(col("rbucket") < 95, lit("val")).otherwise(lit("test"))
+            .as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${componentsSqlCtes()},
+            |rb AS (SELECT doc_id AS cluster_id,
+            |         ${duckHash60("text")} % 100 AS rbucket FROM documents)
+            |SELECT c.doc_id AS doc_id, c.cluster_id AS cluster_id,
+            |  CASE WHEN rb.rbucket < 90 THEN 'train'
+            |       WHEN rb.rbucket < 95 THEN 'val' ELSE 'test' END AS split
+            |FROM comp c JOIN rb ON rb.cluster_id = c.cluster_id
+            |ORDER BY c.doc_id""".stripMargin))
 
   // =====================================================================
   // Language-balanced stratified sample — downsample every language to
@@ -5849,23 +6003,45 @@ object Extensions {
   final val SnapBFrom = 10
   final val SnapRevMod = 7
 
+  /** Snapshot A (the previous crawl) as a (doc_id, text) frame — ONE
+    * derivation shared by the diff (E72) and the refresh (E76); a
+    * diverging copy would let the refresh "pass" against a different
+    * corpus than the one the diff described. */
+  private[graft] def snapshotDocsA(spark: SparkSession,
+                                   sfDir: String): DataFrame =
+    bucketedDocs(spark, sfDir).filter(col("bucket") < SnapABelow)
+      .select("doc_id", "text")
+
+  /** Snapshot B (today's crawl): bucket ≥ [[SnapBFrom]], with text
+    * revised on bucket % [[SnapRevMod]] = 0 — the [[snapshotDocsA]]
+    * twin. */
+  private[graft] def snapshotDocsB(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    val revised = when(pmod(col("bucket"), lit(SnapRevMod.toLong)) === 0,
+      concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+    bucketedDocs(spark, sfDir).filter(col("bucket") >= SnapBFrom)
+      .select(col("doc_id"), revised.as("text"))
+  }
+
+  /** (doc_id, status) over two (doc_id, text) snapshots — the diff
+    * CORE, factored so the refresh (E76) consumes the same statuses
+    * the registered diff emits. Unordered. */
+  private[graft] def snapshotStatuses(a0: DataFrame,
+                                      b0: DataFrame): DataFrame = {
+    val a = a0.select(col("doc_id"), Scalars.hash60(col("text")).as("ha"))
+    val b = b0.select(col("doc_id"), Scalars.hash60(col("text")).as("hb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("hb").isNull, lit("removed"))
+          .when(col("ha").isNull, lit("added"))
+          .when(col("ha") === col("hb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   val snapshotDiff: Q = Q("ext_snapshot_diff",
-    (spark, sfDir) => {
-      val d = bucketedDocs(spark, sfDir)
-      val a = d.filter(col("bucket") < SnapABelow)
-        .select(col("doc_id"), Scalars.hash60(col("text")).as("ha"))
-      val revised = when(pmod(col("bucket"), lit(SnapRevMod.toLong)) === 0,
-        concat(col("text"), lit(" rev2"))).otherwise(col("text"))
-      val b = d.filter(col("bucket") >= SnapBFrom)
-        .select(col("doc_id"), Scalars.hash60(revised).as("hb"))
-      a.join(b, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          when(col("hb").isNull, lit("removed"))
-            .when(col("ha").isNull, lit("added"))
-            .when(col("ha") === col("hb"), lit("unchanged"))
-            .otherwise(lit("changed")).as("status"))
-        .orderBy("doc_id")
-    },
+    (spark, sfDir) =>
+      snapshotStatuses(snapshotDocsA(spark, sfDir),
+        snapshotDocsB(spark, sfDir)).orderBy("doc_id"),
     Some(s"""WITH d AS (SELECT doc_id, text,
             |    ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
             |  FROM documents),
@@ -5880,6 +6056,92 @@ object Extensions {
             |       WHEN ha = hb THEN 'unchanged' ELSE 'changed' END AS status
             |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
             |ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // E76: CRAWL REFRESH — the composition the snapshot diff (E72)
+  // exists to feed, closing the lifecycle loop END TO END: the diff's
+  // statuses DRIVE the maintenance verbs against the stored index in
+  // one verb. `removed ∪ changed` anti-joins out of the stored
+  // snapshot-A postings (the purge half, E71's shape); `added ∪
+  // changed` contributes one O(delta) tokenize pass over snapshot B
+  // (the arrival half, E35's shape); the refreshed index then serves
+  // BM25 and must reproduce the FROM-SCRATCH snapshot-B ranking
+  // exactly — the oracle is the full BM25 SQL over the snapshot-B
+  // derivation verbatim, the same corpus-as-it-now-is gate the purge
+  // verb carries. Postings are per-doc facts, so refresh = purge +
+  // arrive composes with no residual debt (nothing like the ivfpq
+  // cell cap); RefreshSpec additionally asserts the refreshed TABLE is
+  // row-identical to postingsOf(snapshot B) — index identity, stronger
+  // than search-output identity.
+  //
+  // Scale shape: the stored index is never re-tokenized (one fixture
+  // read); the diff costs two hash projections (inherent to content
+  // diffing — a deployment storing content hashes in crawl metadata
+  // skips even that); the delta id-sets join on doc_id UNHINTED — a
+  // routine crawl delta is batch-sized and AQE broadcasts it, but the
+  // contract allows a full re-crawl (everything `changed`) where a
+  // forced broadcast would OOM and the unhinted plan degrades to a
+  // doc_id-co-located shuffle join (snapshots stored bucketed by
+  // doc_id — the layout E72 already assumes).
+  // =====================================================================
+  /** The stored inverted index over snapshot A — the previous crawl's
+    * postings table, the artifact the refresh maintains. */
+  private def snapshotAPostingsFixture(spark: SparkSession,
+                                       sfDir: String): DataFrame = {
+    val p0 = postingsOf(snapshotDocsA(spark, sfDir))
+    parquetFixture(spark, "bm25-postings-snapa",
+      s"$sfDir/documents.parquet", s"tok1_snapa$SnapABelow",
+      p0.queryExecution.logical.toString, p0)
+  }
+
+  /** The snapshot-B documents relation as a DuckDB FROM-source — the
+    * SQL twin of [[snapshotDocsB]], fed to [[bm25OracleSql]] so the
+    * refresh's gate is "BM25 over today's crawl" stated verbatim. */
+  private def duckSnapshotBRel: String =
+    s"""(SELECT doc_id,
+       |   CASE WHEN bucket % $SnapRevMod = 0 THEN text || ' rev2'
+       |        ELSE text END AS text
+       | FROM (SELECT doc_id, text,
+       |         ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |       FROM documents) db
+       | WHERE bucket >= $SnapBFrom) snapb""".stripMargin
+
+  // lazy: the oracle is built from bm25OracleSql/Bm25Queries, which
+  // are DECLARED LATER in this object — an eager val here would read
+  // an uninitialized Bm25Queries at object-init time. Forced via
+  // [[all]] after the object is fully constructed.
+  /** The refreshed snapshot index: stored snapshot-A postings with the
+    * diff's stale docs purged and the fresh delta's postings arrived —
+    * factored so RefreshSpec can assert it row-identical to a
+    * from-scratch postingsOf(snapshot B) build (index identity, a
+    * stronger gate than the registered query's search-output oracle). */
+  private[graft] def refreshedSnapshotPostings(spark: SparkSession,
+                                               sfDir: String): DataFrame = {
+    val b = snapshotDocsB(spark, sfDir)
+    // cached: the stale and fresh id-sets both read the diff — without
+    // the cache each filter re-expands the two-snapshot hash join and
+    // the refresh pays the diff twice (a deployment materializes the
+    // diff as the batch manifest anyway; ~10 bytes/doc)
+    val statuses = cacheTracked(
+      snapshotStatuses(snapshotDocsA(spark, sfDir), b))
+    val stale = statuses
+      .filter(col("status").isin("removed", "changed")).select("doc_id")
+    val fresh = statuses
+      .filter(col("status").isin("added", "changed")).select("doc_id")
+    // purge half: drop every stale doc's postings from the stored
+    // index; arrival half: ONE tokenize pass restricted to the
+    // fresh delta (the explode runs post-join, delta rows only)
+    snapshotAPostingsFixture(spark, sfDir)
+      .join(stale, Seq("doc_id"), "left_anti")
+      .unionByName(postingsOf(b.join(fresh, Seq("doc_id"))))
+  }
+
+  lazy val crawlRefresh: Q = Q("ext_crawl_refresh",
+    (spark, sfDir) =>
+      bm25From(snapshotDocsB(spark, sfDir),
+        postings0 = Some(refreshedSnapshotPostings(spark, sfDir)))
+        .orderBy("query_id", "rank"),
+    Some(bm25OracleSql(duckSnapshotBRel)))
 
   // =====================================================================
   // E73: Gopher rules — the NAMED hard-bound document filter set (Rae
@@ -6201,7 +6463,7 @@ object Extensions {
     (spark, sfDir) => {
       val bucket = pmod(Scalars.hash60(col("text")), lit(100L))
       val grams = graft.expr.ColumnOps
-        .wordGramSha60(edgeTrim(lower(col("text"))), 5)
+        .wordGramSha60(edgeTrim(lower(col("text"))), DecontamW)
       val base = Tables.documents(spark, sfDir)
         .select(col("doc_id"), bucket.as("bucket"), grams.as("grams"))
       val trainG = base.filter(col("bucket") < 90)
@@ -6468,12 +6730,14 @@ object Extensions {
       .filter(col("rank") <= k)
   }
 
-  /** The full BM25 oracle SQL, parameterized by a WHERE clause on the
-    * documents scan — shared by the monolithic search (empty filter)
-    * and the purge verb (E71: `WHERE NOT purged`), so "the purged
-    * index reproduces the filtered-corpus search" is stated with the
-    * SAME oracle text, not a re-derivation that could drift. */
-  private def bm25OracleSql(docsWhere: String): String = {
+  /** The full BM25 oracle SQL, parameterized by the documents SOURCE
+    * relation (`documents`, a filtered `documents WHERE ...`, or a
+    * derived-snapshot subquery) — shared by the monolithic search, the
+    * purge verb (E71: `WHERE NOT purged`) and the crawl refresh (E76:
+    * snapshot B), so "the maintained index reproduces the
+    * corpus-as-it-now-is search" is stated with the SAME oracle text,
+    * not a re-derivation that could drift. */
+  private def bm25OracleSql(docsSrc: String): String = {
       val values = Bm25Queries
         .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
       s"""WITH q(query_id, qtext) AS (VALUES $values),
@@ -6482,7 +6746,7 @@ object Extensions {
          |d AS (
          |  SELECT doc_id, regexp_split_to_array(
          |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
-         |  FROM documents $docsWhere),
+         |  FROM $docsSrc),
          |dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
          |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dd),
          |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
@@ -6511,7 +6775,7 @@ object Extensions {
       bm25From(Tables.documents(spark, sfDir),
         postings0 = Some(bm25Postings(spark, sfDir)))
         .orderBy("query_id", "rank"),
-    Some(bm25OracleSql("")))
+    Some(bm25OracleSql("documents")))
 
   /** E71 (lexical): BM25 over the PURGED stored postings — one
     * broadcast anti-join on the index (postings are per-doc facts;
@@ -6528,7 +6792,7 @@ object Extensions {
         .orderBy("query_id", "rank")
     },
     Some(bm25OracleSql(
-      s"WHERE NOT (${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 >= $PurgeBucketFrom)")))
+      s"documents WHERE NOT (${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 >= $PurgeBucketFrom)")))
 
   // =====================================================================
   // Incremental LEXICAL index maintenance — ext_dedup_incremental's
@@ -9123,5 +9387,6 @@ object Extensions {
     packSpans,
     bm25Purge, ivfpqPurge, shardPurge, snapshotDiff, gopherRules,
     packReport, substrPurge, hardNegatives, hardNegativesIvfpq,
-    clustersPurge)
+    clustersPurge,
+    crawlRefresh, decontamRewrite, splitLeakproof)
 }

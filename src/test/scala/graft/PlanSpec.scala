@@ -160,6 +160,7 @@ class PlanSpec extends SparkSpec {
       "ext_bm25_incremental", // same 1-row corpus-stats broadcast as ext_bm25_search
       "ext_bm25_compact",    // same 1-row corpus-stats broadcast as ext_bm25_search
       "ext_bm25_purge",      // same 1-row corpus-stats broadcast, derived from the PURGED postings
+      "ext_crawl_refresh",   // same 1-row corpus-stats broadcast, derived from the REFRESHED postings
       "ext_tfidf_terms",
       "ext_unigram_logprob", // 1-row token total rides the vocab-sized count frame
       "ext_perplexity_buckets", // composes ext_unigram_logprob (same 1-row total)
@@ -905,6 +906,62 @@ class PlanSpec extends SparkSpec {
         s"raw embedding scans drifted from the three enumerated fetches ($embScans): $paths")
       assert(physical(df).contains("LeftAnti"),
         "purge must plan as an anti join on the stored codes")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("crawl refresh: stored snapshot index served; raw scans = the diff's two hash sides + one delta tokenize") {
+    // the refresh must never re-tokenize the standing corpus: the
+    // snapshot-A postings come from the stored fixture, and the only
+    // raw documents scans are the diff's two hash projections
+    // (inherent to content diffing) plus ONE delta tokenize pass —
+    // the cached statuses frame keeps the diff from re-expanding
+    // under its two consumers
+    val df = ext.Extensions.crawlRefresh.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("bm25-postings-snapa")),
+        s"snapshot-A postings not served from the stored index: $paths")
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 3,
+        s"want 3 raw documents scans (diff a, diff b, delta tokenize), " +
+          s"got $docScans in $paths")
+      assert(physical(df).contains("LeftAnti"),
+        "the purge half must plan as an anti join on the stored postings")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("decontam rewrite: two raw scans (train tokenize, test grams); coverage window partitioned by doc") {
+    val df = ext.Extensions.decontamRewrite.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 2,
+        s"want 2 raw documents scans (cached train side, test gram set), " +
+          s"got $docScans in $paths")
+      // the span fold's running-sum window must be per-doc, never a
+      // global single-partition window
+      val plan = physical(df)
+      assert(!plan.contains("WindowExec: No Partition Defined"),
+        "coverage window lost its doc_id partitioning")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("leak-proof split: labels served from the stored cc-cache; one raw documents scan") {
+    // the serve path must not re-cluster: component labels come from
+    // the stored cc-cache fixture, and the only raw documents scan is
+    // the column-pruned rep-bucket projection
+    val df = ext.Extensions.splitLeakproof.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("cc-cache")),
+        s"labels not served from the stored cc-cache: $paths")
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 1,
+        s"want 1 raw documents scan (the rep-bucket projection), " +
+          s"got $docScans in $paths")
     } finally ext.Extensions.releaseCaches()
   }
 }

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Extensions
+
+/** E76-E78: the crawl-refresh composition, the span-level
+  * decontamination rewrite, and the leak-proof (cluster-aware) split.
+  * The oracle hash-matches prove cross-engine parity; these tests pin
+  * what the hashes can't — refresh equality to a from-scratch
+  * snapshot-B index (index identity, not just search output), the
+  * rewrite's touched-set identity with E10's contamination flags plus
+  * a full independent in-memory twin of the span arithmetic, and the
+  * split's no-straddling invariant over every minhash pair. */
+class RefreshSpec extends SparkSpec {
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("crawl refresh: refreshed index row-identical to a from-scratch snapshot-B build") {
+    try {
+      val got = Extensions.refreshedSnapshotPostings(spark, sf0001)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val twin = Extensions
+        .postingsOf(Extensions.snapshotDocsB(spark, sf0001))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(got.nonEmpty, "refreshed index empty — the verb is unexercised")
+      assert(got == twin,
+        "purge+arrive composition != from-scratch snapshot-B postings")
+    } finally Extensions.releaseCaches()
+  }
+
+  test("crawl refresh: the diff feeding it exercises all four statuses") {
+    try {
+      val counts = Extensions
+        .snapshotStatuses(Extensions.snapshotDocsA(spark, sf0001),
+          Extensions.snapshotDocsB(spark, sf0001))
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      Seq("added", "removed", "changed", "unchanged").foreach(s =>
+        assert(counts.getOrElse(s, 0L) > 0,
+          s"status '$s' unexercised at sf0.001 — the refresh would not " +
+            "cover that maintenance path"))
+    } finally Extensions.releaseCaches()
+  }
+
+  test("decontam rewrite: touched docs are EXACTLY E10's contaminated set; span arithmetic matches an independent in-memory twin") {
+    try {
+      val got = Extensions.decontamRewrite.fn(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      val touched = got.filter(r => r._3 < r._2).map(_._1).toSet
+      assert(touched.nonEmpty,
+        "no contaminated spans at sf0.001 — the rewrite is unexercised")
+      val flagged = Extensions.decontaminate.fn(spark, sf0001).collect()
+        .filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+      assert(touched == flagged,
+        "span-touched set != E10 contamination flags (same predicate, " +
+          "same width, same split — these must coincide)")
+
+      // independent in-memory twin over the raw corpus: same tokenize,
+      // gram, split and coverage FORMULA, written against plain Scala
+      // collections rather than the delta-row window fold
+      val raw = model.Tables.documents(spark, sf0001)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      def toks(t: String): Array[String] =
+        t.toLowerCase.replaceAll("^\\s+|\\s+$", "").split("\\s+")
+      def gramsOf(tk: Array[String]): Seq[(Int, Long)] = {
+        val n = tk.length
+        (0 until math.max(n - (Extensions.DecontamW - 1), 1)).map(i =>
+          i -> h60(tk.slice(i, i + Extensions.DecontamW).mkString(" ")))
+      }
+      val byBucket = raw.map { case (id, t) => (id, t, h60(t) % 100) }
+      val testGrams = byBucket.filter(_._3 >= 95)
+        .flatMap(d => gramsOf(toks(d._2)).map(_._2)).toSet
+      val expect = byBucket.filter(_._3 < 90).map { case (id, t, _) =>
+        val tk = toks(t)
+        val covered = gramsOf(tk).filter(g => testGrams(g._2))
+          .flatMap { case (p, _) =>
+            p until math.min(p + Extensions.DecontamW, tk.length) }.toSet
+        val keptToks = tk.indices.filterNot(covered).map(tk)
+        (id, tk.length.toLong, keptToks.length.toLong, keptToks.mkString(" "))
+      }.sortBy(_._1).toSeq
+      assert(got.sortBy(_._1) == expect,
+        "rewrite output != independent in-memory span-removal twin")
+    } finally Extensions.releaseCaches()
+  }
+
+  test("leak-proof split: no minhash pair straddles; singletons equal ext_split_assign; at least one doc is reassigned") {
+    try {
+      val assign = Extensions.splitLeakproof.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      val splitOf = assign.map { case (id, (_, s)) => id -> s }.toMap
+      val pairs = Extensions.minhashPairs(spark, sf0001)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty, "no near-dup pairs — the guard is unexercised")
+      pairs.foreach { case (a, b) =>
+        assert(splitOf(a) == splitOf(b),
+          s"near-dup pair ($a, $b) straddles splits " +
+            s"${splitOf(a)}/${splitOf(b)} — the leak the operator exists " +
+              "to close")
+      }
+      val clusterSizes = assign.groupBy(_._2._1).view.mapValues(_.length)
+      val own = Extensions.splitTrainTest.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assign.foreach { case (id, (cid, s)) =>
+        if (clusterSizes(cid) == 1)
+          assert(s == own(id),
+            s"singleton $id reassigned: $s != ${own(id)} — for the corpus " +
+              "majority this operator must BE ext_split_assign")
+      }
+      val reassigned = assign.count { case (id, (_, s)) => s != own(id) }
+      assert(reassigned > 0,
+        "no doc adopted its representative's split — the operator is a " +
+          "no-op on this corpus")
+    } finally Extensions.releaseCaches()
+  }
+}
