@@ -1588,7 +1588,95 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** E76's scale claim, probed where it bites: a recurring crawl must
+    * cost O(diff hash pass + delta tokenize), never the full-corpus
+    * re-tokenize a refresh-less system pays. Snapshot B = A with a
+    * PROPORTIONAL delta (1% removed, 1% changed, 1% added — crawl
+    * churn scales with the corpus, unlike takedowns), so the walls
+    * show the real asymmetry: the refresh's only corpus-sized work is
+    * the 60-bit hash projection (cheap next to tokenize+explode+agg),
+    * while the rebuild re-tokenizes everything. Outputs must be
+    * identical both ways; the walls are the finding.
+    * Usage: runMain graft.ScaleProbe refresh [nDocs] */
+  private def refreshProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val words = (0 until 40).map(j =>
+      concat(lit("w"), pmod(hash(col("id"), lit(j)), lit(5000))))
+    def gen(r: org.apache.spark.sql.Dataset[java.lang.Long]) =
+      r.select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
+    val aDir = s"target/tmp-refresh/snapa-$nDocs.parquet"
+    if (!new java.io.File(aDir).exists())
+      gen(spark.range(nDocs)).write.mode("overwrite").parquet(aDir)
+    val bDir = s"target/tmp-refresh/snapb-$nDocs.parquet"
+    if (!new java.io.File(bDir).exists()) {
+      // B: drop id%100==0, revise id%100==1, add nDocs/100 new ids
+      val changed = gen(spark.range(nDocs)).filter(pmod(col("doc_id"), lit(100)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(100)) === 1,
+          concat(col("text"), lit(" rev"))).otherwise(col("text")))
+      val added = gen(spark.range(nDocs, nDocs + nDocs / 100))
+      changed.unionByName(added).write.mode("overwrite").parquet(bDir)
+    }
+    // the stored index over snapshot A — built once at corpus build,
+    // not part of either timed path
+    val idxDir = s"target/tmp-refresh/postings-$nDocs.parquet"
+    if (!new java.io.File(idxDir).exists())
+      ext.Extensions.postingsOf(spark.read.parquet(aDir))
+        .write.mode("overwrite").parquet(idxDir)
+    val snapA = spark.read.parquet(aDir)
+    val snapB = spark.read.parquet(bDir)
+    val postings = spark.read.parquet(idxDir)
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(pmod(xxhash64(df.columns.map(col): _*), lit(1000003L)))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val statuses = ext.Extensions.snapshotStatuses(snapA, snapB).cache()
+    val stale = statuses
+      .filter(col("status").isin("removed", "changed")).select("doc_id")
+    val fresh = statuses
+      .filter(col("status").isin("added", "changed")).select("doc_id")
+    // diff wall: populate the cache + count the delta (the operator's
+    // adaptive-hint sizing action)
+    val ((nStale, nFresh), tDiff) = timed((stale.count(), fresh.count()))
+    // both purge-join forms, timed: unhinted (the oversized-delta
+    // fallback — survives a full re-crawl where a forced broadcast
+    // OOMs) vs delta-broadcast (the routine-crawl path the operator's
+    // adaptive hint picks). The gap is the stored index's shuffle
+    // map-write an SMJ pays before AQE can convert.
+    val (sPurgedU, tpu) = timed(sig(
+      postings.join(stale, Seq("doc_id"), "left_anti")))
+    val (sPurged, tPurgeHalf) = timed(sig(
+      postings.join(broadcast(stale), Seq("doc_id"), "left_anti")))
+    assert(sPurged == sPurgedU, "hinted/unhinted purge halves differ")
+    val (sArr, tArrive) = timed(sig(ext.Extensions.postingsOf(
+      snapB.join(broadcast(fresh), Seq("doc_id")))))
+    println(f"REFRESHPROBE purge_half unhinted=$tpu%.1fs " +
+      f"broadcast=$tPurgeHalf%.1fs")
+    statuses.unpersist()
+    val refreshedSig = (sPurged._1 + sArr._1, sPurged._2 + sArr._2)
+    val tRefresh = tDiff + tPurgeHalf + tArrive
+    val (rebuiltSig, tRebuild) = timed(sig(ext.Extensions.postingsOf(snapB)))
+    println(f"REFRESHPROBE docs=$nDocs%d stale=$nStale%d fresh=$nFresh%d " +
+      f"rows=${refreshedSig._1}%d identical=${refreshedSig == rebuiltSig}%b " +
+      f"refresh_wall=$tRefresh%.1fs (diff=$tDiff%.1fs purge=$tPurgeHalf%.1fs " +
+      f"arrive=$tArrive%.1fs) rebuild_wall=$tRebuild%.1fs " +
+      f"speedup=${tRebuild / tRefresh}%.1fx")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("refresh")) { refreshProbe(args); return }
     if (args.headOption.contains("purge")) { purgeProbe(args); return }
     if (args.headOption.contains("skewsweep")) { skewSweep(args); return }
     if (args.headOption.contains("pqinc")) { pqIncProbe(args); return }

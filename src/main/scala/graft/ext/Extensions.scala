@@ -6077,12 +6077,14 @@ object Extensions {
   // Scale shape: the stored index is never re-tokenized (one fixture
   // read); the diff costs two hash projections (inherent to content
   // diffing — a deployment storing content hashes in crawl metadata
-  // skips even that); the delta id-sets join on doc_id UNHINTED — a
-  // routine crawl delta is batch-sized and AQE broadcasts it, but the
-  // contract allows a full re-crawl (everything `changed`) where a
-  // forced broadcast would OOM and the unhinted plan degrades to a
-  // doc_id-co-located shuffle join (snapshots stored bucketed by
-  // doc_id — the layout E72 already assumes).
+  // skips even that); the delta id-joins are ADAPTIVE — the diff is
+  // cached anyway, so one cache-resident count sizes the delta, and a
+  // batch-sized delta (≤ RefreshBroadcastMaxIds) broadcasts while an
+  // oversized one (a near-full re-crawl, where a forced broadcast
+  // would OOM) falls back to the shuffled doc_id join. The hint is
+  // measured, not stylistic: REFRESHPROBE shows the unhinted SMJ pays
+  // the stored index's shuffle map-write before AQE can convert
+  // (3.2× on the purge half at 8M docs).
   // =====================================================================
   /** The stored inverted index over snapshot A — the previous crawl's
     * postings table, the artifact the refresh maintains. */
@@ -6110,6 +6112,16 @@ object Extensions {
   // are DECLARED LATER in this object — an eager val here would read
   // an uninitialized Bm25Queries at object-init time. Forced via
   // [[all]] after the object is fully constructed.
+  /** Delta-id broadcast ceiling for the refresh: ≤4M ids ≈ 32 MB on
+    * the wire — comfortably executor-resident. REFRESHPROBE measured
+    * the cost of NOT hinting a batch-sized delta: the sort-merge
+    * anti-join pays the stored index's shuffle map-write before AQE
+    * can convert (10.2 s vs 3.2 s on the 319M-row index at 8M docs,
+    * 3.2×) — so the routine-crawl path hints, and only an oversized
+    * delta (a near-full re-crawl, where a forced broadcast would OOM)
+    * falls back to the shuffled join that degrades safely. */
+  final val RefreshBroadcastMaxIds = 4L << 20
+
   /** The refreshed snapshot index: stored snapshot-A postings with the
     * diff's stale docs purged and the fresh delta's postings arrived —
     * factored so RefreshSpec can assert it row-identical to a
@@ -6124,10 +6136,15 @@ object Extensions {
     // diff as the batch manifest anyway; ~10 bytes/doc)
     val statuses = cacheTracked(
       snapshotStatuses(snapshotDocsA(spark, sfDir), b))
-    val stale = statuses
-      .filter(col("status").isin("removed", "changed")).select("doc_id")
-    val fresh = statuses
-      .filter(col("status").isin("added", "changed")).select("doc_id")
+    // one cache-resident action sizes the delta; the count is what
+    // picks the join strategy, so it must NOT be an optimizer estimate
+    val nDelta = statuses.filter(col("status") =!= "unchanged").count()
+    val hint: DataFrame => DataFrame =
+      if (nDelta <= RefreshBroadcastMaxIds) broadcast else identity
+    val stale = hint(statuses
+      .filter(col("status").isin("removed", "changed")).select("doc_id"))
+    val fresh = hint(statuses
+      .filter(col("status").isin("added", "changed")).select("doc_id"))
     // purge half: drop every stale doc's postings from the stored
     // index; arrival half: ONE tokenize pass restricted to the
     // fresh delta (the explode runs post-join, delta rows only)
