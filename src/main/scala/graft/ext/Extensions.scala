@@ -6222,44 +6222,128 @@ object Extensions {
         .orderBy("doc_id")
   }
 
+  /** The 7 Gopher rule conditions over the `m` CTE's columns, named —
+    * ONE SQL definition shared by the per-doc rule query (E73) and the
+    * datasheet's keep rate (E79); keep = their conjunction. */
+  private def gopherCondSql: Seq[(String, String)] = Seq(
+    "r_words" -> "(n_tok >= 50 AND n_tok <= 100000)",
+    "r_mean_len" -> "(mean_len >= 3 AND mean_len <= 10)",
+    "r_symbols" -> "(n_hash + n_ell < n_tok * 0.1)",
+    "r_bullets" -> "(bullet_frac <= 0.9)",
+    "r_ellipsis" -> "(ell_end_frac <= 0.3)",
+    "r_alpha" -> "(alpha_frac >= 0.8)",
+    "r_stopwords" -> "(stop_hits >= 2)")
+
+  /** DuckDB CTE chain `t` (tokenized docs) → `m` (rule measures) —
+    * the shared prefix of the E73 and E79 oracles. */
+  private def gopherSqlCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks,
+       |    regexp_split_to_array(text, '\\n') AS lines,
+       |    concat(' ', lower(text), ' ') AS p
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS DOUBLE) AS n_tok,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks) AS mean_len,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS n_hash,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) AS n_ell,
+       |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]'))) AS DOUBLE)
+       |      / len(lines) AS bullet_frac,
+       |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE)
+       |      / len(lines) AS ell_end_frac,
+       |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |      / len(toks) AS alpha_frac,
+       |    ${GopherStopwords.map(sw =>
+            s"CASE WHEN contains(p, ' $sw ') THEN 1 ELSE 0 END")
+            .mkString(" + ")} AS stop_hits
+       |  FROM t)""".stripMargin
+
   val gopherRules: Q = Q("ext_gopher_rules",
     (spark, sfDir) => gopherRulesFrom(Tables.documents(spark, sfDir)),
-    Some(s"""WITH t AS (
-            |  SELECT doc_id, text,
-            |    regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks,
-            |    regexp_split_to_array(text, '\\n') AS lines,
-            |    concat(' ', lower(text), ' ') AS p
-            |  FROM documents),
-            |m AS (
-            |  SELECT doc_id,
-            |    CAST(len(toks) AS DOUBLE) AS n_tok,
-            |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks) AS mean_len,
-            |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS n_hash,
-            |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) AS n_ell,
-            |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]'))) AS DOUBLE)
-            |      / len(lines) AS bullet_frac,
-            |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE)
-            |      / len(lines) AS ell_end_frac,
-            |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-            |      / len(toks) AS alpha_frac,
-            |    ${GopherStopwords.map(sw =>
-                 s"CASE WHEN contains(p, ' $sw ') THEN 1 ELSE 0 END")
-                 .mkString(" + ")} AS stop_hits
-            |  FROM t)
+    Some(s"""WITH $gopherSqlCtes
             |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-            |  (n_tok >= 50 AND n_tok <= 100000) AS r_words,
-            |  (mean_len >= 3 AND mean_len <= 10) AS r_mean_len,
-            |  (n_hash + n_ell < n_tok * 0.1) AS r_symbols,
-            |  (bullet_frac <= 0.9) AS r_bullets,
-            |  (ell_end_frac <= 0.3) AS r_ellipsis,
-            |  (alpha_frac >= 0.8) AS r_alpha,
-            |  (stop_hits >= 2) AS r_stopwords,
-            |  (n_tok >= 50 AND n_tok <= 100000) AND
-            |  (mean_len >= 3 AND mean_len <= 10) AND
-            |  (n_hash + n_ell < n_tok * 0.1) AND
-            |  (bullet_frac <= 0.9) AND (ell_end_frac <= 0.3) AND
-            |  (alpha_frac >= 0.8) AND (stop_hits >= 2) AS keep
+            |  ${gopherCondSql.map { case (n, c) => s"$c AS $n" }
+                 .mkString(",\n  ")},
+            |  ${gopherCondSql.map(_._2).mkString(" AND ")} AS keep
             |FROM m ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
+  // E79: CORPUS DATASHEET — the per-language report a released corpus
+  // ships with (Gebru et al. 2018, "Datasheets for Datasets"; every
+  // public pretraining corpus publishes a variant): composition
+  // (docs, sources, tokens), duplication rate, quality profile, and
+  // hard-filter survival, one row per language. The value is
+  // COMPOSITION BY REUSE, the curation-funnel discipline applied to
+  // reporting: the per-doc facts come from the ALREADY-VERIFIED
+  // definitions — qualityExpr (E4c), gopherRulesFrom (E73), the
+  // sha256 exact-dup identity (E4e) — so the datasheet cannot drift
+  // from the operators it summarizes, and its oracle nests their SQL.
+  //
+  // Scale shape: one corpus projection computes tokens/quality/hash
+  // (+ the rule projection's scan inside gopherRulesFrom); the dup
+  // rate is the E4e hash groupBy re-joined on the 256-bit key; the
+  // final aggregate is #langs rows. Everything shuffles on uniform
+  // hash keys or the ≤5-value lang key with map-side partials.
+  // =====================================================================
+  val corpusDatasheet: Q = Q("ext_corpus_datasheet",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val perDoc = docs.select(col("doc_id"), col("lang"), col("source"),
+        size(split(edgeTrim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        qualityExpr(col("text")).as("qscore"),
+        sha2(col("text"), 256).as("text_hash"))
+      val copies = perDoc.groupBy("text_hash")
+        .agg(count(lit(1)).as("n_copies"))
+      val keep = gopherRulesFrom(docs).select(col("doc_id"), col("keep"))
+      perDoc.join(copies, Seq("text_hash"))
+        .join(keep, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_tok")).as("total_tokens"),
+          round(avg(col("n_tok")), 2).as("mean_doc_tokens"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("dup_docs"),
+          round(avg(when(col("n_copies") > 1, 1.0).otherwise(0.0)), 4)
+            .as("dup_frac"),
+          round(avg(col("qscore")), 4).as("mean_quality"),
+          round(avg(when(col("qscore") >= 0.6, 1.0).otherwise(0.0)), 4)
+            .as("high_quality_frac"),
+          round(avg(when(col("keep"), 1.0).otherwise(0.0)), 4)
+            .as("gopher_keep_frac"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH $gopherSqlCtes,
+            |gk AS (SELECT doc_id,
+            |         ${gopherCondSql.map(_._2).mkString(" AND ")} AS keep
+            |       FROM m),
+            |pd AS (
+            |  SELECT d.doc_id, d.lang, d.source,
+            |    CAST(len(t.toks) AS BIGINT) AS n_tok,
+            |    ${qualitySql("d.text")} AS qscore,
+            |    sha256(d.text) AS text_hash
+            |  FROM documents d JOIN t ON t.doc_id = d.doc_id),
+            |dh AS (SELECT text_hash, count(*) AS n_copies FROM pd
+            |       GROUP BY text_hash)
+            |SELECT pd.lang AS lang,
+            |  count(*) AS n_docs,
+            |  count(DISTINCT pd.source) AS n_sources,
+            |  CAST(sum(pd.n_tok) AS BIGINT) AS total_tokens,
+            |  round(avg(pd.n_tok), 2) AS mean_doc_tokens,
+            |  CAST(sum(CASE WHEN dh.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS dup_docs,
+            |  round(avg(CASE WHEN dh.n_copies > 1 THEN 1.0 ELSE 0.0 END), 4)
+            |    AS dup_frac,
+            |  round(avg(pd.qscore), 4) AS mean_quality,
+            |  round(avg(CASE WHEN pd.qscore >= 0.6 THEN 1.0 ELSE 0.0 END), 4)
+            |    AS high_quality_frac,
+            |  round(avg(CASE WHEN gk.keep THEN 1.0 ELSE 0.0 END), 4)
+            |    AS gopher_keep_frac
+            |FROM pd
+            |JOIN dh ON dh.text_hash = pd.text_hash
+            |JOIN gk ON gk.doc_id = pd.doc_id
+            |GROUP BY pd.lang ORDER BY lang""".stripMargin))
 
   // =====================================================================
   // END-TO-END corpus curation — the query a user of this engine
@@ -9405,5 +9489,5 @@ object Extensions {
     bm25Purge, ivfpqPurge, shardPurge, snapshotDiff, gopherRules,
     packReport, substrPurge, hardNegatives, hardNegativesIvfpq,
     clustersPurge,
-    crawlRefresh, decontamRewrite, splitLeakproof)
+    crawlRefresh, decontamRewrite, splitLeakproof, corpusDatasheet)
 }

@@ -120,4 +120,46 @@ class RefreshSpec extends SparkSpec {
           "no-op on this corpus")
     } finally Extensions.releaseCaches()
   }
+
+  test("corpus datasheet: every column matches an independent per-language recount") {
+    try {
+      val got = Extensions.corpusDatasheet.fn(spark, sf0001).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val raw = model.Tables.documents(spark, sf0001)
+        .select("doc_id", "lang", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      // verified per-doc outputs of the operators the datasheet reuses
+      val qscore = Extensions.qualityScore.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val gkeep = Extensions.gopherRules.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+      val copies = raw.groupBy(_._4).view.mapValues(_.length).toMap
+      def approx(a: Double, b: Double, what: String): Unit =
+        assert(math.abs(a - b) < 1e-6, s"$what: $a != $b")
+      raw.groupBy(_._2).foreach { case (lang, ds) =>
+        val r = got(lang)
+        assert(r.getLong(1) == ds.length, s"$lang n_docs")
+        assert(r.getLong(2) == ds.map(_._3).distinct.length, s"$lang n_sources")
+        val toks = ds.map(d =>
+          d._4.replaceAll("^\\s+|\\s+$", "").split("\\s+").length.toLong)
+        assert(r.getLong(3) == toks.sum, s"$lang total_tokens")
+        approx(r.getDouble(4), math.rint(toks.sum.toDouble / toks.length * 100) / 100,
+          s"$lang mean_doc_tokens")
+        val dup = ds.count(d => copies(d._4) > 1)
+        assert(r.getLong(5) == dup, s"$lang dup_docs")
+        approx(r.getDouble(6), math.rint(dup.toDouble / ds.length * 10000) / 10000,
+          s"$lang dup_frac")
+        approx(r.getDouble(7),
+          math.rint(ds.map(d => qscore(d._1)).sum / ds.length * 10000) / 10000,
+          s"$lang mean_quality")
+        approx(r.getDouble(8),
+          math.rint(ds.count(d => qscore(d._1) >= 0.6).toDouble / ds.length
+            * 10000) / 10000, s"$lang high_quality_frac")
+        approx(r.getDouble(9),
+          math.rint(ds.count(d => gkeep(d._1)).toDouble / ds.length
+            * 10000) / 10000, s"$lang gopher_keep_frac")
+      }
+      assert(got.keySet == raw.map(_._2).toSet, "language coverage")
+    } finally Extensions.releaseCaches()
+  }
 }
