@@ -7892,8 +7892,13 @@ object Extensions {
   // oracle recomputes corpus components with the recursive-CTE closure
   // restricted to the corpus split, then the same adopt rule.
   // =====================================================================
-  val clustersIncremental: Q = Q("ext_clusters_incremental",
-    (spark, sfDir) => {
+  /** (doc_id, cluster_id, is_new_cluster) for every batch doc under
+    * the adoption rule — the shared core of ext_clusters_incremental
+    * and the incremental leak-proof split (E80), factored so the
+    * arrival's split assignment consumes the SAME labels the
+    * registered cluster arrival emits. Unordered. */
+  private[graft] def incrementalClusterLabels(spark: SparkSession,
+                                              sfDir: String): DataFrame = {
       val (corpus, batch0) = incrementalDocSplit(spark, sfDir)
       // cached for the same reason as ext_dedup_incremental's batch:
       // the signature scan and the final label join share one read
@@ -7925,9 +7930,14 @@ object Extensions {
         .select(col("doc_id"),
           coalesce(col("adopted"), col("doc_id")).as("cluster_id"),
           col("adopted").isNull.as("is_new_cluster"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE ${minhashSigSqlCtes()},
+  }
+
+  /** DuckDB CTE chain ending in `bkt` (doc_id, bucket) and `adopt`
+    * (bid, adopted) — the adoption rule's SQL, ONE definition shared
+    * by the cluster arrival (E37) and the incremental leak-proof
+    * split (E80). Must run under WITH RECURSIVE. */
+  private def clustersIncSqlCtes: String =
+    s"""${minhashSigSqlCtes()},
             |bkt AS (SELECT doc_id,
             |    ${duckHash60("cast(doc_id AS varchar)")} % 100 AS bucket
             |  FROM documents),
@@ -7957,13 +7967,57 @@ object Extensions {
             |  JOIN sig sb ON sb.doc_id = c.cid
             |  WHERE round((${minhashMatchSumSql("sa", "sb")}) / ${Perms}.0, 4) >= 0.5),
             |adopt AS (SELECT x.bid, min(p.cluster_id) AS adopted
-            |  FROM xconf x JOIN comp p ON p.doc_id = x.cid GROUP BY x.bid)
+            |  FROM xconf x JOIN comp p ON p.doc_id = x.cid GROUP BY x.bid)""".stripMargin
+
+  val clustersIncremental: Q = Q("ext_clusters_incremental",
+    (spark, sfDir) =>
+      incrementalClusterLabels(spark, sfDir).orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $clustersIncSqlCtes
             |SELECT b.doc_id,
             |  coalesce(a.adopted, b.doc_id) AS cluster_id,
             |  a.adopted IS NULL AS is_new_cluster
             |FROM bkt b LEFT JOIN adopt a ON a.bid = b.doc_id
             |WHERE b.bucket >= $IncrementalCorpusPct
             |ORDER BY b.doc_id""".stripMargin))
+
+  // =====================================================================
+  // E80: incremental leak-proof split — E78's guard under ARRIVAL. A
+  // batch doc that near-duplicates a standing-corpus cluster must land
+  // in THAT cluster's split, or the arrival quietly reopens the leak
+  // the cluster-aware split closed (a new crawl's paraphrase of a test
+  // doc defaulting to its own content bucket lands in train ~90% of
+  // the time). Composition by reuse: the adoption labels are
+  // [[incrementalClusterLabels]] (E37's exact frame — one O(batch)
+  // signature scan against the stored band index), the rep-bucket join
+  // is E78's; a batch doc founding a new cluster is its own
+  // representative and reduces to ext_split_assign, like E78's
+  // singletons. Same serve-path scale shape as both parents.
+  // =====================================================================
+  val splitLeakproofIncremental: Q = Q("ext_split_leakproof_incremental",
+    (spark, sfDir) => {
+      val repBucket = Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("cluster_id"),
+          pmod(Scalars.hash60(col("text")), lit(100L)).as("rbucket"))
+      incrementalClusterLabels(spark, sfDir)
+        .join(repBucket, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("rbucket") < 90, lit("train"))
+            .when(col("rbucket") < 95, lit("val")).otherwise(lit("test"))
+            .as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $clustersIncSqlCtes,
+            |lbl AS (
+            |  SELECT b.doc_id, coalesce(a.adopted, b.doc_id) AS cluster_id
+            |  FROM bkt b LEFT JOIN adopt a ON a.bid = b.doc_id
+            |  WHERE b.bucket >= $IncrementalCorpusPct),
+            |rb AS (SELECT doc_id AS cluster_id,
+            |         ${duckHash60("text")} % 100 AS rbucket FROM documents)
+            |SELECT l.doc_id AS doc_id, l.cluster_id AS cluster_id,
+            |  CASE WHEN rb.rbucket < 90 THEN 'train'
+            |       WHEN rb.rbucket < 95 THEN 'val' ELSE 'test' END AS split
+            |FROM lbl l JOIN rb ON rb.cluster_id = l.cluster_id
+            |ORDER BY l.doc_id""".stripMargin))
 
   // =====================================================================
   // Embedding scalar quantization — int8 compression of the embedding
@@ -9489,5 +9543,6 @@ object Extensions {
     bm25Purge, ivfpqPurge, shardPurge, snapshotDiff, gopherRules,
     packReport, substrPurge, hardNegatives, hardNegativesIvfpq,
     clustersPurge,
-    crawlRefresh, decontamRewrite, splitLeakproof, corpusDatasheet)
+    crawlRefresh, decontamRewrite, splitLeakproof, corpusDatasheet,
+    splitLeakproofIncremental)
 }

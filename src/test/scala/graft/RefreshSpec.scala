@@ -162,4 +162,29 @@ class RefreshSpec extends SparkSpec {
       assert(got.keySet == raw.map(_._2).toSet, "language coverage")
     } finally Extensions.releaseCaches()
   }
+
+  test("incremental leak-proof split: equals a twin over the verified adoption labels; adoption actually moves a doc") {
+    try {
+      val got = Extensions.splitLeakproofIncremental.fn(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      val labels = Extensions.clustersIncremental.fn(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bucketOf = model.Tables.documents(spark, sf0001)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> h60(r.getString(1)) % 100).toMap
+      def splitOf(b: Long) =
+        if (b < 90) "train" else if (b < 95) "val" else "test"
+      val twin = labels.toSeq.map { case (id, cid) =>
+        (id, cid, splitOf(bucketOf(cid))) }.sortBy(_._1)
+      assert(got.sortBy(_._1) == twin,
+        "arrival split != twin over ext_clusters_incremental's labels")
+      val adopted = got.filter(r => r._2 != r._1)
+      assert(adopted.nonEmpty, "no batch doc adopted a corpus cluster — " +
+        "the guard is unexercised")
+      val reassigned = got.count { case (id, _, s) =>
+        s != splitOf(bucketOf(id)) }
+      assert(reassigned > 0,
+        "no adopted doc changed split — the leak path is unexercised")
+    } finally Extensions.releaseCaches()
+  }
 }
