@@ -1649,6 +1649,11 @@ object ScaleProbe {
     // diff wall: populate the cache + count the delta (the operator's
     // adaptive-hint sizing action)
     val ((nStale, nFresh), tDiff) = timed((stale.count(), fresh.count()))
+    // warm the index's page cache BEFORE either timed join variant —
+    // the first reader would otherwise pay the cold disk read and the
+    // second re-read warm, biasing the hinted-vs-unhinted gap with
+    // cache warm-up instead of join-strategy cost
+    sig(postings)
     // both purge-join forms, timed: unhinted (the oversized-delta
     // fallback — survives a full re-crawl where a forced broadcast
     // OOMs) vs delta-broadcast (the routine-crawl path the operator's

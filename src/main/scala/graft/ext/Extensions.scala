@@ -40,30 +40,32 @@ object Extensions {
     * long-lived library session shouldn't have to nuke caches it
     * doesn't own. */
   private val trackedCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.ref.WeakReference[DataFrame]]()
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   private def cacheTracked(df: DataFrame): DataFrame = {
     df.cache()
-    // WEAK references: the registry must never pin a frame (and its
-    // analyzed plan + session) for the process lifetime — a long-lived
-    // session running these queries repeatedly would otherwise leak
-    // driver memory through the very hook meant to help it. Storage
-    // blocks themselves are freed by clearCache()/releaseCaches();
-    // a collected weak ref means the consumer is long done with it.
-    trackedCaches.add(new java.lang.ref.WeakReference(df))
-    // opportunistic purge of collected entries keeps the queue O(live)
-    trackedCaches.removeIf(r => r.get() == null)
+    // STRONG references, drained on release. This replaced a
+    // WeakReference design whose rationale was mistaken: GC'ing the
+    // DataFrame handle does NOT free the cached blocks (CacheManager
+    // pins them until unpersist), so a collected weak ref only lost
+    // the handle needed to free them — the entry leaked for the JVM
+    // lifetime, and Spark's recache-on-dependency-unpersist could
+    // rewrite such a leaked entry to inline raw scans that identical
+    // later plans then picked up (observed as an order-dependent
+    // 3-raw-scan plan in the full test suite). The handle is tiny
+    // next to the blocks it controls; a consumer that never calls
+    // releaseCaches was leaking the blocks under either design.
+    trackedCaches.add(df)
     df
   }
 
   /** Unpersist every cache this object has registered. Safe to call at
     * any time: consumers re-compute from source if re-executed. */
   def releaseCaches(): Unit = {
-    var ref = trackedCaches.poll()
-    while (ref != null) {
-      val df = ref.get()
-      if (df != null) { try df.unpersist() catch { case _: Exception => () } }
-      ref = trackedCaches.poll()
+    var df = trackedCaches.poll()
+    while (df != null) {
+      try df.unpersist() catch { case _: Exception => () }
+      df = trackedCaches.poll()
     }
   }
 
@@ -4908,20 +4910,25 @@ object Extensions {
   // sampling does not), and a document's assignment never changes when
   // the corpus around it grows. 90/5/5 via hash60(text) mod 100.
   // =====================================================================
+  /** The 90/5/5 train/val/test case over a 0-99 content bucket — ONE
+    * definition (Spark + SQL twins) shared by E6, E78 and E80; a
+    * diverging copy of the boundaries would silently fork the split. */
+  private def splitCase(bucket: Column): Column =
+    when(bucket < 90, lit("train"))
+      .when(bucket < 95, lit("val")).otherwise(lit("test"))
+  private def splitCaseSql(b: String): String =
+    s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
+
   val splitTrainTest: Q = Q("ext_split_assign",
     (spark, sfDir) => {
       val bucket = pmod(Scalars.hash60(col("text")), lit(100L))
-      val split = when(bucket < 90, lit("train"))
-        .when(bucket < 95, lit("val")).otherwise(lit("test"))
       Tables.documents(spark, sfDir)
-        .select(col("doc_id"), split.as("split"))
+        .select(col("doc_id"), splitCase(bucket).as("split"))
         .orderBy("doc_id")
     },
     Some(s"""WITH b AS (
             |  SELECT doc_id, ${duckHash60("text")} % 100 AS bucket FROM documents)
-            |SELECT doc_id,
-            |  CASE WHEN bucket < 90 THEN 'train'
-            |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+            |SELECT doc_id, ${splitCaseSql("bucket")} AS split
             |FROM b ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
@@ -4948,27 +4955,35 @@ object Extensions {
   // size, and the label side arrives pre-partitioned from the fixture).
   // One scan, one shuffle join, zero pair generation in the serve path.
   // =====================================================================
+  /** Assign every (doc_id, cluster_id)-labeled doc its
+    * REPRESENTATIVE's content-bucket split — the shared serve of the
+    * monolithic (E78) and arrival (E80) leak-proof splits: cluster_id
+    * IS a doc_id (the component's min id, or the batch doc itself for
+    * a founded cluster), so the rep's bucket is one column-pruned
+    * documents projection keyed by it. Unordered. */
+  private def repSplitAssign(labels: DataFrame, spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    val repBucket = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("cluster_id"),
+        pmod(Scalars.hash60(col("text")), lit(100L)).as("rbucket"))
+    labels.join(repBucket, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        splitCase(col("rbucket")).as("split"))
+  }
+
+  /** SQL twin of [[repSplitAssign]]'s rep-bucket projection. */
+  private def repBucketSqlCte: String =
+    s"""rb AS (SELECT doc_id AS cluster_id,
+       |         ${duckHash60("text")} % 100 AS rbucket FROM documents)""".stripMargin
+
   val splitLeakproof: Q = Q("ext_split_leakproof",
-    (spark, sfDir) => {
-      // cluster_id IS a doc_id (the component's min id), so the rep's
-      // split bucket is one projection of documents keyed by it
-      val repBucket = Tables.documents(spark, sfDir)
-        .select(col("doc_id").as("cluster_id"),
-          pmod(Scalars.hash60(col("text")), lit(100L)).as("rbucket"))
-      minhashComponentLabels(spark, sfDir)
-        .join(repBucket, Seq("cluster_id"))
-        .select(col("doc_id"), col("cluster_id"),
-          when(col("rbucket") < 90, lit("train"))
-            .when(col("rbucket") < 95, lit("val")).otherwise(lit("test"))
-            .as("split"))
-        .orderBy("doc_id")
-    },
+    (spark, sfDir) =>
+      repSplitAssign(minhashComponentLabels(spark, sfDir), spark, sfDir)
+        .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE ${componentsSqlCtes()},
-            |rb AS (SELECT doc_id AS cluster_id,
-            |         ${duckHash60("text")} % 100 AS rbucket FROM documents)
+            |$repBucketSqlCte
             |SELECT c.doc_id AS doc_id, c.cluster_id AS cluster_id,
-            |  CASE WHEN rb.rbucket < 90 THEN 'train'
-            |       WHEN rb.rbucket < 95 THEN 'val' ELSE 'test' END AS split
+            |  ${splitCaseSql("rb.rbucket")} AS split
             |FROM comp c JOIN rb ON rb.cluster_id = c.cluster_id
             |ORDER BY c.doc_id""".stripMargin))
 
@@ -6084,7 +6099,8 @@ object Extensions {
   // would OOM) falls back to the shuffled doc_id join. The hint is
   // measured, not stylistic: REFRESHPROBE shows the unhinted SMJ pays
   // the stored index's shuffle map-write before AQE can convert
-  // (3.2× on the purge half at 8M docs).
+  // (3.2× on the purge half at 8M docs, page cache warmed before
+  // both variants so the gap is strategy cost, not cold I/O).
   // =====================================================================
   /** The stored inverted index over snapshot A — the previous crawl's
     * postings table, the artifact the refresh maintains. */
@@ -6116,8 +6132,9 @@ object Extensions {
     * the wire — comfortably executor-resident. REFRESHPROBE measured
     * the cost of NOT hinting a batch-sized delta: the sort-merge
     * anti-join pays the stored index's shuffle map-write before AQE
-    * can convert (10.2 s vs 3.2 s on the 319M-row index at 8M docs,
-    * 3.2×) — so the routine-crawl path hints, and only an oversized
+    * can convert (10.7 s vs 3.3 s on the 319M-row index at 8M docs
+    * with a warmed page cache, 3.2×) — so the routine-crawl path
+    * hints, and only an oversized
     * delta (a near-full re-crawl, where a forced broadcast would OOM)
     * falls back to the shuffled join that degrades safely. */
   final val RefreshBroadcastMaxIds = 4L << 20
@@ -6137,7 +6154,11 @@ object Extensions {
     val statuses = cacheTracked(
       snapshotStatuses(snapshotDocsA(spark, sfDir), b))
     // one cache-resident action sizes the delta; the count is what
-    // picks the join strategy, so it must NOT be an optimizer estimate
+    // picks the join strategy, so it must NOT be an optimizer estimate.
+    // Plan-only consumers (PlanDump, the PlanSpec audits) pay this
+    // count too — the same accepted cost class as the eager fixture
+    // builds every stored-index query runs inside fn(), and bounded
+    // by one cached-diff scan at driver SFs
     val nDelta = statuses.filter(col("status") =!= "unchanged").count()
     val hint: DataFrame => DataFrame =
       if (nDelta <= RefreshBroadcastMaxIds) broadcast else identity
@@ -7994,28 +8015,18 @@ object Extensions {
   // singletons. Same serve-path scale shape as both parents.
   // =====================================================================
   val splitLeakproofIncremental: Q = Q("ext_split_leakproof_incremental",
-    (spark, sfDir) => {
-      val repBucket = Tables.documents(spark, sfDir)
-        .select(col("doc_id").as("cluster_id"),
-          pmod(Scalars.hash60(col("text")), lit(100L)).as("rbucket"))
-      incrementalClusterLabels(spark, sfDir)
-        .join(repBucket, Seq("cluster_id"))
-        .select(col("doc_id"), col("cluster_id"),
-          when(col("rbucket") < 90, lit("train"))
-            .when(col("rbucket") < 95, lit("val")).otherwise(lit("test"))
-            .as("split"))
-        .orderBy("doc_id")
-    },
+    (spark, sfDir) =>
+      repSplitAssign(incrementalClusterLabels(spark, sfDir)
+          .select("doc_id", "cluster_id"), spark, sfDir)
+        .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE $clustersIncSqlCtes,
             |lbl AS (
             |  SELECT b.doc_id, coalesce(a.adopted, b.doc_id) AS cluster_id
             |  FROM bkt b LEFT JOIN adopt a ON a.bid = b.doc_id
             |  WHERE b.bucket >= $IncrementalCorpusPct),
-            |rb AS (SELECT doc_id AS cluster_id,
-            |         ${duckHash60("text")} % 100 AS rbucket FROM documents)
+            |$repBucketSqlCte
             |SELECT l.doc_id AS doc_id, l.cluster_id AS cluster_id,
-            |  CASE WHEN rb.rbucket < 90 THEN 'train'
-            |       WHEN rb.rbucket < 95 THEN 'val' ELSE 'test' END AS split
+            |  ${splitCaseSql("rb.rbucket")} AS split
             |FROM lbl l JOIN rb ON rb.cluster_id = l.cluster_id
             |ORDER BY l.doc_id""".stripMargin))
 

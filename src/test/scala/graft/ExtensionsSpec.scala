@@ -1252,12 +1252,7 @@ class ExtensionsSpec extends SparkSpec {
     // label = min id 7, all ids hashing into the <80 bucket); batch
     // doc (>=80 bucket) carrying the same text must adopt label 7;
     // a unique batch doc founds its own singleton cluster
-    def bucketOf(id: Long): Long = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val h = md.digest(id.toString.getBytes("UTF-8"))
-      val hex = h.take(8).map(b => f"$b%02x").mkString.take(15)
-      java.lang.Long.parseLong(hex, 16) % 100
-    }
+    def bucketOf(id: Long): Long = h60(id.toString) % 100
     val corpusIds = (1L to 400L).filter(bucketOf(_) < Extensions.IncrementalCorpusPct)
     val batchIds = (1L to 400L).filter(bucketOf(_) >= Extensions.IncrementalCorpusPct)
     assert(corpusIds.size >= 3 && batchIds.size >= 2)
@@ -2131,12 +2126,6 @@ class ExtensionsSpec extends SparkSpec {
     // in-memory twin of the whole selection: flat cumulative sum per
     // lang over (bucket, hash, doc_id) order — the semantics the
     // distributed two-level decomposition must reproduce exactly
-    def h60(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val hex = md.digest(s.getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString.take(15)
-      java.lang.Long.parseLong(hex, 16)
-    }
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

@@ -941,10 +941,16 @@ class PlanSpec extends SparkSpec {
         s"want 2 raw documents scans (cached train side, test gram set), " +
           s"got $docScans in $paths")
       // the span fold's running-sum window must be per-doc, never a
-      // global single-partition window
-      val plan = physical(df)
-      assert(!plan.contains("WindowExec: No Partition Defined"),
-        "coverage window lost its doc_id partitioning")
+      // global single-partition window (collected from the optimized
+      // plan — the runtime "No Partition Defined" warning never
+      // appears in plan text, so a string match would be vacuous)
+      val unpart = df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.isEmpty,
+        "coverage window lost its doc_id partitioning — single-partition " +
+          "bottleneck at scale")
     } finally ext.Extensions.releaseCaches()
   }
 

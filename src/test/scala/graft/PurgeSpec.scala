@@ -12,13 +12,6 @@ import graft.ext.Extensions
   * planted violator. */
 class PurgeSpec extends SparkSpec {
 
-  private def h60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
-  }
-
   test("bm25 purge: purged stored index reproduces the filtered-corpus search exactly") {
     val purgedIds = model.Tables.documents(spark, sf0001)
       .filter(pmod(graft.expr.Scalars.hash60(col("doc_id").cast("string")),

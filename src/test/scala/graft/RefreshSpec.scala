@@ -13,13 +13,6 @@ import graft.ext.Extensions
   * split's no-straddling invariant over every minhash pair. */
 class RefreshSpec extends SparkSpec {
 
-  private def h60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
-  }
-
   test("crawl refresh: refreshed index row-identical to a from-scratch snapshot-B build") {
     try {
       val got = Extensions.refreshedSnapshotPostings(spark, sf0001)

@@ -21,4 +21,14 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** SHA-256-prefix 60-bit hash — the ONE in-test twin of
+    * graft.expr.Sha60 (previously copied per suite; a drifting copy
+    * would silently weaken every twin that hashes). */
+  def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
 }
