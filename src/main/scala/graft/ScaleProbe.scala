@@ -1611,14 +1611,23 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    val words = (0 until 40).map(j =>
-      concat(lit("w"), pmod(hash(col("id"), lit(j)), lit(5000))))
+    // 8-token BOILERPLATE prefix shared per family (id % 4999 — coprime
+    // to the stale predicate's mod-100, so a family mixes stale and
+    // surviving members) + 32 unique tokens: the shared window is what
+    // exercises the gram
+    // index's tombstone path (a gram must be shared between a stale
+    // doc and a survivor for its canonical to die while it lives)
+    val words = (0 until 8).map(j =>
+      concat(lit("b"), pmod(hash(pmod(col("id"), lit(4999)), lit(j)),
+        lit(5000)))) ++
+      (8 until 40).map(j =>
+        concat(lit("w"), pmod(hash(col("id"), lit(j)), lit(5000))))
     def gen(r: org.apache.spark.sql.Dataset[java.lang.Long]) =
       r.select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
-    val aDir = s"target/tmp-refresh/snapa-$nDocs.parquet"
+    val aDir = s"target/tmp-refresh/v3-snapa-$nDocs.parquet"
     if (!new java.io.File(aDir).exists())
       gen(spark.range(nDocs)).write.mode("overwrite").parquet(aDir)
-    val bDir = s"target/tmp-refresh/snapb-$nDocs.parquet"
+    val bDir = s"target/tmp-refresh/v3-snapb-$nDocs.parquet"
     if (!new java.io.File(bDir).exists()) {
       // B: drop id%100==0, revise id%100==1, add nDocs/100 new ids
       val changed = gen(spark.range(nDocs)).filter(pmod(col("doc_id"), lit(100)) =!= 0)
@@ -1629,7 +1638,7 @@ object ScaleProbe {
     }
     // the stored index over snapshot A — built once at corpus build,
     // not part of either timed path
-    val idxDir = s"target/tmp-refresh/postings-$nDocs.parquet"
+    val idxDir = s"target/tmp-refresh/v3-postings-$nDocs.parquet"
     if (!new java.io.File(idxDir).exists())
       ext.Extensions.postingsOf(spark.read.parquet(aDir))
         .write.mode("overwrite").parquet(idxDir)
@@ -1677,6 +1686,98 @@ object ScaleProbe {
       f"refresh_wall=$tRefresh%.1fs (diff=$tDiff%.1fs purge=$tPurgeHalf%.1fs " +
       f"arrive=$tArrive%.1fs) rebuild_wall=$tRebuild%.1fs " +
       f"speedup=${tRebuild / tRefresh}%.1fx")
+
+    // ---- second family: the SUBSTR GRAM INDEX, where refresh splits
+    // the stored columns (E71b's taxonomy under composition): counts
+    // SUBTRACT the stale docs' own gram pass and ADD the fresh one —
+    // exact vs a snapshot-B rebuild by monoid arithmetic — while a
+    // canonical whose witness doc died TOMBSTONES (the index stores
+    // one witness per gram, so the successor is unknowable from the
+    // index alone; the next compaction re-derives it). The probe
+    // asserts the split exactly: counts identical to the rebuild,
+    // non-tombstoned canonicals identical to the rebuild, tombstones
+    // only where the snapshot-A canonical was stale. Each half is the
+    // library's own fold (substringGramIndex / the E71b subtract) —
+    // the composition arithmetic is the only new content, which is
+    // why this is a probe and not a registered twin of the
+    // oracle-paired halves.
+    val gDir = s"target/tmp-refresh/v3-substrgrams-$nDocs.parquet"
+    if (!new java.io.File(gDir).exists())
+      ext.Extensions.substringGramIndex(snapA)
+        .write.mode("overwrite").parquet(gDir)
+    val storedG = spark.read.parquet(gDir)
+    val isStale: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      d => (d < nDocs) && pmod(d, lit(100)).isin(0, 1)
+    // JOIN-SHAPED fold: subtract the stale docs' gram counts from the
+    // stored index (delta-sized right side — AQE broadcasts it, the
+    // index never shuffles for the purge half), tombstone surviving
+    // grams whose stored witness died, then full-outer the fresh
+    // docs' grams in (counts add, canonicals min-fold; a gram whose
+    // stored occurrences ALL died takes the fresh min with NO
+    // tombstone — the fresh witness is the true canonical). A
+    // one-shuffle union+groupBy(g) variant — the E57 compaction shape
+    // — was measured and REJECTED: min(struct) is not
+    // hash-aggregatable, so the union fold sort-aggregates the whole
+    // stored+delta frame (37.7 s vs this fold's 10.3 s at 2M docs).
+    val staleG = ext.Extensions.substringGramIndex(
+        snapA.filter(isStale(col("doc_id"))))
+      .select(col("g"), col("cnt").as("pcnt"))
+    val afterPurge = storedG.join(staleG, Seq("g"), "left")
+      .select(col("g"),
+        (col("cnt") - coalesce(col("pcnt"), lit(0L))).as("cnt"),
+        col("cdoc"), col("cpos"), isStale(col("cdoc")).as("tomb"))
+      .filter(col("cnt") >= 1)
+    val freshG = ext.Extensions.substringGramIndex(
+        snapB.join(fresh, Seq("doc_id")))
+      .select(col("g"), col("cnt").as("fcnt"),
+        col("cdoc").as("fdoc"), col("cpos").as("fpos"))
+    val refreshed = afterPurge.join(freshG, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("fcnt"), lit(0L)))
+          .as("cnt"),
+        coalesce(col("tomb"), lit(false)).as("tomb"),
+        // merged canonical: min of the surviving stored witness and
+        // the fresh one — undefined (null) under a tombstone. Each
+        // side wraps in when(isNotNull, struct): least() skips null
+        // ARGUMENTS, but a struct(null, null) would sort BELOW a
+        // real witness and corrupt the min
+        when(coalesce(col("tomb"), lit(false)), lit(null))
+          .otherwise(least(
+            when(col("cdoc").isNotNull,
+              struct(col("cdoc").as("d"), col("cpos").as("p"))),
+            when(col("fdoc").isNotNull,
+              struct(col("fdoc").as("d"), col("fpos").as("p")))))
+          .as("mc"))
+      .select(col("g"), col("cnt"), col("tomb"),
+        col("mc.d").as("cdoc"), col("mc.p").as("cpos"))
+    // walls time ONLY the fold / rebuild materializations (one sig agg
+    // each); the exactness assertions run AFTER, untimed — a first
+    // draft timed the exceptAll comparison jobs inside the refresh
+    // wall and reported the measurement, not the fold
+    val (_, tGRefresh) = timed(sig(refreshed))
+    val (_, tGRebuild) = timed(sig(ext.Extensions.substringGramIndex(snapB)))
+    val refr = refreshed.cache()
+    val rebuilt = ext.Extensions.substringGramIndex(snapB).cache()
+    val cntsOk = refr.select("g", "cnt")
+      .exceptAll(rebuilt.select("g", "cnt")).count() == 0 &&
+      rebuilt.select("g", "cnt")
+        .exceptAll(refr.select("g", "cnt")).count() == 0
+    val canonOk = refr.filter(!col("tomb"))
+      .select(col("g"), col("cdoc"), col("cpos"))
+      .exceptAll(rebuilt.select(col("g"), col("cdoc"), col("cpos")))
+      .count() == 0
+    // every tombstone's stored witness was stale — asserted against
+    // the ORIGINAL index (the fold's own column is not the evidence)
+    val tombOk = refr.filter(col("tomb")).select("g")
+      .join(storedG.filter(!isStale(col("cdoc"))).select("g"),
+        Seq("g"), "left_semi").count() == 0
+    val nG = refr.count()
+    val nTomb = refr.filter(col("tomb")).count()
+    refr.unpersist(); rebuilt.unpersist()
+    println(f"REFRESHPROBE substr grams=$nG%d tombstoned=$nTomb%d " +
+      f"counts_exact=$cntsOk%b canon_exact_nontomb=$canonOk%b " +
+      f"tomb_only_stale_witness=$tombOk%b refresh_wall=$tGRefresh%.1fs " +
+      f"rebuild_wall=$tGRebuild%.1fs speedup=${tGRebuild / tGRefresh}%.1fx")
     spark.stop()
   }
 

@@ -6318,8 +6318,17 @@ object Extensions {
       val copies = perDoc.groupBy("text_hash")
         .agg(count(lit(1)).as("n_copies"))
       val keep = gopherRulesFrom(docs).select(col("doc_id"), col("keep"))
+      // near-dup membership from the STORED cc-cache labels (the dedup
+      // pass's own artifact, same serve as E78) — a doc is a near-dup
+      // iff its minhash component has >1 member
+      val labels = minhashComponentLabels(spark, sfDir)
+      val nearDup = labels.join(
+          labels.groupBy("cluster_id").agg(count(lit(1)).as("csize")),
+          Seq("cluster_id"))
+        .select(col("doc_id"), (col("csize") > 1).as("near_dup"))
       perDoc.join(copies, Seq("text_hash"))
         .join(keep, Seq("doc_id"))
+        .join(nearDup, Seq("doc_id"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("source")).as("n_sources"),
@@ -6328,6 +6337,8 @@ object Extensions {
           sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("dup_docs"),
           round(avg(when(col("n_copies") > 1, 1.0).otherwise(0.0)), 4)
             .as("dup_frac"),
+          round(avg(when(col("near_dup"), 1.0).otherwise(0.0)), 4)
+            .as("near_dup_frac"),
           round(avg(col("qscore")), 4).as("mean_quality"),
           round(avg(when(col("qscore") >= 0.6, 1.0).otherwise(0.0)), 4)
             .as("high_quality_frac"),
@@ -6335,7 +6346,12 @@ object Extensions {
             .as("gopher_keep_frac"))
         .orderBy("lang")
     },
-    Some(s"""WITH $gopherSqlCtes,
+    Some(s"""WITH RECURSIVE ${componentsSqlCtes()},
+            |csize AS (SELECT cluster_id, count(*) AS n FROM comp
+            |          GROUP BY cluster_id),
+            |nd AS (SELECT comp.doc_id, (csize.n > 1) AS near_dup
+            |       FROM comp JOIN csize USING (cluster_id)),
+            |$gopherSqlCtes,
             |gk AS (SELECT doc_id,
             |         ${gopherCondSql.map(_._2).mkString(" AND ")} AS keep
             |       FROM m),
@@ -6356,6 +6372,8 @@ object Extensions {
             |    AS dup_docs,
             |  round(avg(CASE WHEN dh.n_copies > 1 THEN 1.0 ELSE 0.0 END), 4)
             |    AS dup_frac,
+            |  round(avg(CASE WHEN nd.near_dup THEN 1.0 ELSE 0.0 END), 4)
+            |    AS near_dup_frac,
             |  round(avg(pd.qscore), 4) AS mean_quality,
             |  round(avg(CASE WHEN pd.qscore >= 0.6 THEN 1.0 ELSE 0.0 END), 4)
             |    AS high_quality_frac,
@@ -6364,6 +6382,7 @@ object Extensions {
             |FROM pd
             |JOIN dh ON dh.text_hash = pd.text_hash
             |JOIN gk ON gk.doc_id = pd.doc_id
+            |JOIN nd ON nd.doc_id = pd.doc_id
             |GROUP BY pd.lang ORDER BY lang""".stripMargin))
 
   // =====================================================================

@@ -126,6 +126,10 @@ class RefreshSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       val gkeep = Extensions.gopherRules.fn(spark, sf0001).collect()
         .map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+      val clusterOf = Extensions.dedupClusters.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val clusterSize = clusterOf.values.groupBy(identity).view
+        .mapValues(_.size).toMap
       val copies = raw.groupBy(_._4).view.mapValues(_.length).toMap
       def approx(a: Double, b: Double, what: String): Unit =
         assert(math.abs(a - b) < 1e-6, s"$what: $a != $b")
@@ -143,12 +147,15 @@ class RefreshSpec extends SparkSpec {
         approx(r.getDouble(6), math.rint(dup.toDouble / ds.length * 10000) / 10000,
           s"$lang dup_frac")
         approx(r.getDouble(7),
+          math.rint(ds.count(d => clusterSize(clusterOf(d._1)) > 1).toDouble
+            / ds.length * 10000) / 10000, s"$lang near_dup_frac")
+        approx(r.getDouble(8),
           math.rint(ds.map(d => qscore(d._1)).sum / ds.length * 10000) / 10000,
           s"$lang mean_quality")
-        approx(r.getDouble(8),
+        approx(r.getDouble(9),
           math.rint(ds.count(d => qscore(d._1) >= 0.6).toDouble / ds.length
             * 10000) / 10000, s"$lang high_quality_frac")
-        approx(r.getDouble(9),
+        approx(r.getDouble(10),
           math.rint(ds.count(d => gkeep(d._1)).toDouble / ds.length
             * 10000) / 10000, s"$lang gopher_keep_frac")
       }
