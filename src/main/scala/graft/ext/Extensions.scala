@@ -6182,6 +6182,82 @@ object Extensions {
     Some(bm25OracleSql(duckSnapshotBRel)))
 
   // =====================================================================
+  // E81: REFRESH REPORT — the operational receipt the refresh verb
+  // logs (the pack-report/manifest/compact-report discipline applied
+  // to E76): one row per diff status with the doc count and the index
+  // rows the refresh physically moved — rows PURGED from the stored
+  // snapshot-A postings (removed ∪ changed docs' rows, read from the
+  // STORED index — the standing corpus is never re-tokenized) and
+  // rows ARRIVED from the delta tokenize (added ∪ changed docs' fresh
+  // postings). The receipt's arithmetic is checkable against the
+  // physical fold: stored − purged + arrived = refreshed row count,
+  // asserted in RefreshSpec — a receipt that cannot disagree with the
+  // verb it audits.
+  // =====================================================================
+  lazy val refreshReport: Q = Q("ext_refresh_report",
+    (spark, sfDir) => {
+      val b = snapshotDocsB(spark, sfDir)
+      val statuses = cacheTracked(
+        snapshotStatuses(snapshotDocsA(spark, sfDir), b))
+      // per-doc stored row counts: ONE index read, no corpus tokenize
+      val aRows = snapshotAPostingsFixture(spark, sfDir)
+        .groupBy("doc_id").agg(count(lit(1)).as("rows_a"))
+      val fresh = statuses
+        .filter(col("status").isin("added", "changed")).select("doc_id")
+      val bRows = postingsOf(b.join(fresh, Seq("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("rows_b"))
+      statuses.join(aRows, Seq("doc_id"), "left")
+        .join(bRows, Seq("doc_id"), "left")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("status").isin("removed", "changed"),
+            coalesce(col("rows_a"), lit(0L))).otherwise(0L))
+            .as("rows_purged"),
+          sum(when(col("status").isin("added", "changed"),
+            coalesce(col("rows_b"), lit(0L))).otherwise(0L))
+            .as("rows_arrived"))
+        .orderBy("status")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, text,
+            |    ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+            |  FROM documents),
+            |a AS (SELECT doc_id, text FROM d WHERE bucket < $SnapABelow),
+            |bb AS (SELECT doc_id,
+            |    CASE WHEN bucket % $SnapRevMod = 0 THEN text || ' rev2'
+            |         ELSE text END AS text
+            |  FROM d WHERE bucket >= $SnapBFrom),
+            |st AS (
+            |  SELECT coalesce(a.doc_id, bb.doc_id) AS doc_id,
+            |    CASE WHEN bb.doc_id IS NULL THEN 'removed'
+            |         WHEN a.doc_id IS NULL THEN 'added'
+            |         WHEN ${duckHash60("a.text")} = ${duckHash60("bb.text")}
+            |           THEN 'unchanged' ELSE 'changed' END AS status
+            |  FROM a FULL OUTER JOIN bb ON a.doc_id = bb.doc_id),
+            |ac AS (
+            |  SELECT doc_id, count(DISTINCT term) AS rows_a
+            |  FROM (SELECT doc_id, unnest(regexp_split_to_array(
+            |      regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'),
+            |      '\\s+')) AS term FROM a)
+            |  GROUP BY doc_id),
+            |bc AS (
+            |  SELECT doc_id, count(DISTINCT term) AS rows_b
+            |  FROM (SELECT doc_id, unnest(regexp_split_to_array(
+            |      regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'),
+            |      '\\s+')) AS term FROM bb)
+            |  GROUP BY doc_id)
+            |SELECT st.status AS status, count(*) AS n_docs,
+            |  CAST(sum(CASE WHEN st.status IN ('removed', 'changed')
+            |    THEN coalesce(ac.rows_a, 0) ELSE 0 END) AS BIGINT)
+            |    AS rows_purged,
+            |  CAST(sum(CASE WHEN st.status IN ('added', 'changed')
+            |    THEN coalesce(bc.rows_b, 0) ELSE 0 END) AS BIGINT)
+            |    AS rows_arrived
+            |FROM st
+            |LEFT JOIN ac ON ac.doc_id = st.doc_id
+            |LEFT JOIN bc ON bc.doc_id = st.doc_id
+            |GROUP BY st.status ORDER BY st.status""".stripMargin))
+
+  // =====================================================================
   // E73: Gopher rules — the NAMED hard-bound document filter set (Rae
   // et al. 2021, Gopher appendix A1.1, the MassiveWeb heuristics) that
   // curated-web pipelines cite and compose: word count in [50, 100k],
@@ -9574,5 +9650,5 @@ object Extensions {
     packReport, substrPurge, hardNegatives, hardNegativesIvfpq,
     clustersPurge,
     crawlRefresh, decontamRewrite, splitLeakproof, corpusDatasheet,
-    splitLeakproofIncremental)
+    splitLeakproofIncremental, refreshReport)
 }

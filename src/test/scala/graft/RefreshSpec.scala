@@ -40,6 +40,29 @@ class RefreshSpec extends SparkSpec {
     } finally Extensions.releaseCaches()
   }
 
+  test("refresh report: the receipt's arithmetic matches the physical fold") {
+    try {
+      val rep = Extensions.refreshReport.fn(spark, sf0001).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      // unchanged docs move nothing
+      assert(rep("unchanged")._2 == 0 && rep("unchanged")._3 == 0,
+        "unchanged rows purged/arrived must be zero")
+      assert(rep("removed")._3 == 0, "removed docs cannot arrive rows")
+      assert(rep("added")._2 == 0, "added docs cannot purge rows")
+      // stored − purged + arrived == refreshed: the receipt cannot
+      // disagree with the verb it audits
+      val stored = Extensions.postingsOf(
+        Extensions.snapshotDocsA(spark, sf0001)).count()
+      val refreshed = Extensions.refreshedSnapshotPostings(spark, sf0001)
+        .count()
+      val purged = rep.values.map(_._2).sum
+      val arrived = rep.values.map(_._3).sum
+      assert(stored - purged + arrived == refreshed,
+        s"receipt arithmetic broken: $stored - $purged + $arrived != $refreshed")
+    } finally Extensions.releaseCaches()
+  }
+
   test("decontam rewrite: touched docs are EXACTLY E10's contaminated set; span arithmetic matches an independent in-memory twin") {
     try {
       val got = Extensions.decontamRewrite.fn(spark, sf0001).collect()
