@@ -66,7 +66,25 @@ object Bench {
     val controlSteady = sys.env.get("SPARK_GRAFT_CONTROL_STEADY")
       .flatMap(_.toDoubleOption).getOrElse(0.95)
     val controlSec = results.toMap.getOrElse("fn_epoch_millis", -1.0)
-    val controlOk = controlSec > 0 && controlSec <= controlSteady * 1.25
+    val cpuOk = controlSec > 0 && controlSec <= controlSteady * 1.25
+    // SECOND control (round-13, verdict ask): the round-12 windows
+    // proved the single-stage CPU control cannot see the host's
+    // dominant noise mode — fn_epoch_millis read 1.05× steady while
+    // fixture-free MULTI-STAGE queries (agg_percentile 2.09×,
+    // project_locked 2.03×) inflated with the rest of the registry, so
+    // the mode taxes per-stage/shuffle overhead (scheduler latency,
+    // page-cache-pressure on shuffle spill paths), not single-pass
+    // CPU. agg_percentile is the sentinel: fixed work, zero fixtures,
+    // 11 MB input, shuffle+sort-heavy — it moves with the mode and
+    // cannot be confounded by fixture builds. Its bar is 1.40× (wider
+    // than the CPU control's 1.25×: multi-stage walls jitter more at
+    // the ~1 s scale) — in the round-12 bad window it read 2.09× its
+    // ledger minimum, far past the bar.
+    val control2Steady = sys.env.get("SPARK_GRAFT_CONTROL2_STEADY")
+      .flatMap(_.toDoubleOption).getOrElse(1.10)
+    val control2Sec = results.toMap.getOrElse("agg_percentile", -1.0)
+    val shuffleOk = control2Sec > 0 && control2Sec <= control2Steady * 1.40
+    val controlOk = cpuOk && shuffleOk
     // drift check BOTH ways: a control far BELOW steady means the host
     // got faster than the recorded baseline — the flag threshold above
     // is then miscalibrated (too lenient) and steady needs re-recording
@@ -76,9 +94,16 @@ object Bench {
       System.err.println(f"[bench] WARNING control $controlSec%.3f s is >25%% " +
         f"below the recorded steady $controlSteady%.3f s — steady is stale, " +
         "re-record SPARK_GRAFT_CONTROL_STEADY / BASELINE.md")
+    if (control2Sec > 0 && control2Sec < control2Steady * 0.60)
+      System.err.println(f"[bench] WARNING shuffle control $control2Sec%.3f s " +
+        f"is far below the recorded steady $control2Steady%.3f s — steady " +
+        "is stale, re-record SPARK_GRAFT_CONTROL2_STEADY / BASELINE.md")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""control_query":"fn_epoch_millis","control_sec":${ms3(controlSec)},""" +
-      s""""control_steady_sec":${ms3(controlSteady)},"control_ok":$controlOk,"sf":"$sfDir"}"""
+      s""""control_steady_sec":${ms3(controlSteady)},"control_cpu_ok":$cpuOk,""" +
+      s""""control2_query":"agg_percentile","control2_sec":${ms3(control2Sec)},""" +
+      s""""control2_steady_sec":${ms3(control2Steady)},"control2_ok":$shuffleOk,""" +
+      s""""control_ok":$controlOk,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -154,11 +179,11 @@ object Bench {
         // a flag that REPEATS across control-ok runs is a code-change
         // signal (the ledger only ever moves down, so noise cannot
         // sustain it); a one-off clears itself on the next run.
-        // the control query is excluded: its pass bar is 1.25× steady,
-        // so a barely-passing run would flag its own control every
-        // time — a structurally recurring false flag
+        // the control queries are excluded: their pass bars are 1.25×/
+        // 1.40× steady, so a barely-passing run would flag its own
+        // controls every time — a structurally recurring false flag
         for ((name, cur) <- results; prev <- prevQ.get(name)
-             if name != "fn_epoch_millis" &&
+             if name != "fn_epoch_millis" && name != "agg_percentile" &&
                prev > 0 && cur > prev * 1.25 && cur - prev > 0.3)
           System.err.println(f"[bench] UPTICK $name%s: $cur%.3f s vs " +
             f"ledger min $prev%.3f s (+${(cur / prev - 1) * 100}%.0f%% — " +
@@ -176,7 +201,9 @@ object Bench {
           s""""anchor":"per-query minima across control-ok runs",""" +
           s""""n_runs":${prevRuns + 1},"queries":$mergedQs,""" +
           s""""control_query":"fn_epoch_millis","control_sec":${ms3(controlSec)},""" +
-          s""""control_steady_sec":${ms3(controlSteady)},"control_ok":true,""" +
+          s""""control_steady_sec":${ms3(controlSteady)},""" +
+          s""""control2_query":"agg_percentile","control2_sec":${ms3(control2Sec)},""" +
+          s""""control2_steady_sec":${ms3(control2Steady)},"control_ok":true,""" +
           s""""sf":"$sfDir"}"""
         java.nio.file.Files.writeString(bestPath, ledger + "\n")
       }

@@ -1781,7 +1781,91 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** LEAKPROBE: the leak-proof split's serve path at a volume the
+    * driver SFs never reach, with PLANTED cross-split near-dup
+    * families. Generates nDocs docs (1% in 5-member near-dup families
+    * — 41-token texts sharing a 40-token family template, the
+    * boilerplate shape; 99% singletons with unique templates), lands
+    * them as a documents.parquet dir, then drives the REGISTERED
+    * ext_split_leakproof end to end: the first call pays the dedup
+    * pass's own one-time cc-cache build (reported as index_build —
+    * the artifact cost a deployment already paid), the second call
+    * times the SERVE (stored cc-cache join to the rep-bucket
+    * projection — the per-consumer cost). Asserts at volume what
+    * RefreshSpec asserts at sf0.001: ZERO minhash pairs straddle
+    * splits, singletons equal ext_split_assign exactly, and the
+    * planted path actually fired (some family member crossed splits —
+    * printed, per the probe-honesty rule: a probe that cannot show
+    * its planted path fired measures nothing). */
+  private def leakproofProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val nFam = nDocs / 500 // 1% of docs live in 5-member families
+    val dir = s"target/tmp-leakproof/v1-$nDocs"
+    val docsPath = s"$dir/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      // family id for the planted 1%; singletons get a disjoint id
+      // space so every template is family-unique (500k-token hash
+      // vocabulary — large enough that unrelated shingle sets do not
+      // band-collide, per the main probe's generator note)
+      val fam = when(col("id") < nFam * 5, floor(col("id") / 5))
+        .otherwise(col("id") + lit(1000000000L))
+      val words = (0 until 40).map(w =>
+        concat(lit("t"), pmod(hash(fam, lit(w)), lit(500000))))
+      spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (words :+ concat(lit("v"), col("id"))): _*).as("text"))
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    // first call: pays the one-time dedup-pass artifacts (minhash
+    // pairs + connected components → stored cc-cache fixture)
+    val (_, tBuild) = timed(
+      ext.Extensions.splitLeakproof.fn(spark, dir).count())
+    // second call: the SERVE (stored cc-cache join + rep-bucket scan)
+    val (nAssigned, tServe) = timed(
+      ext.Extensions.splitLeakproof.fn(spark, dir).count())
+    val assign = ext.Extensions.splitLeakproof.fn(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+    val own = ext.Extensions.splitTrainTest.fn(spark, dir)
+      .select(col("doc_id"), col("split").as("own_split"))
+    val joined = assign.join(own, Seq("doc_id")).cache()
+    // zero straddling pairs — the invariant the operator exists for,
+    // checked over EVERY minhash pair at volume
+    val pairs = ext.Extensions.minhashPairs(spark, dir).select("id_a", "id_b")
+    val sa = joined.select(col("doc_id").as("id_a"), col("split").as("s_a"))
+    val sb = joined.select(col("doc_id").as("id_b"), col("split").as("s_b"))
+    val straddles = pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .filter(col("s_a") =!= col("s_b")).count()
+    // planted path fired: reassigned docs exist (a family member whose
+    // own bucket crossed its representative's split)
+    val reassigned = joined.filter(col("split") =!= col("own_split")).count()
+    // singleton identity: clusters of size 1 must BE ext_split_assign
+    val sizes = joined.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+    val singletonDrift = joined.join(sizes, Seq("cluster_id"))
+      .filter(col("csz") === 1 && col("split") =!= col("own_split")).count()
+    joined.unpersist()
+    println(f"LEAKPROBE docs=$nDocs%d assigned=$nAssigned%d " +
+      f"straddling_pairs=$straddles%d reassigned=$reassigned%d " +
+      f"singleton_drift=$singletonDrift%d index_build=$tBuild%.1fs " +
+      f"serve=$tServe%.1fs")
+    assert(straddles == 0, s"straddling pairs at volume: $straddles")
+    assert(reassigned > 0, "planted cross-split families did not fire")
+    assert(singletonDrift == 0, s"singleton drift: $singletonDrift")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("leakproof")) { leakproofProbe(args); return }
     if (args.headOption.contains("refresh")) { refreshProbe(args); return }
     if (args.headOption.contains("purge")) { purgeProbe(args); return }
     if (args.headOption.contains("skewsweep")) { skewSweep(args); return }

@@ -77,10 +77,18 @@ object SparkEntry {
       "K data-dependent argmax+rewrite rounds have no practical recursive-CTE SQL form; ExtensionsSpec recomputes the merge table with an independent in-memory BPE over the collected vocabulary and requires exact equality",
     "ext_bpe_token_count" ->
       "the apply side of ext_bpe_merges inherits its no-oracle reason (the merge table is the K-round trained model; a SQL twin would need the same argmax loop plus a fixpoint rewrite per merge); ExtensionsSpec applies the collected merges with an independent in-memory BPE to every document and requires exact per-doc ws/bpe token counts",
-    "ext_pagerank_converged" ->
-      "convergence-mode centrality: the iteration count is a runtime property (L1 delta vs tol), so no fixed-depth SQL unrolling can express it; GraphConvergenceSpec pins pageRankConverged's fixpoint against a dense in-memory reference, and the registered form cuts top-K on rounded scores with id tiebreaks",
-    "ext_hits_converged" ->
-      "convergence-mode centrality, same no-oracle reason as ext_pagerank_converged; GraphConvergenceSpec pins hitsConverged's hubs/authorities against a dense in-memory reference",
+    "ext_pagerank_warm" ->
+      "warm-start convergence-mode centrality: the iteration count is a runtime property (L1 delta vs tol), so no fixed-depth SQL unrolling can express it; GraphConvergenceSpec pins the fixpoint against a dense in-memory reference AND asserts the registered warm form's top-K scores equal the cold bootstrap's (the damped iteration is a contraction, so the fixpoint is unique)",
+    "ext_hits_warm" ->
+      "warm-start convergence-mode centrality, same no-oracle reason as ext_pagerank_warm; GraphConvergenceSpec pins hitsConverged's hubs/authorities against a dense in-memory reference and asserts warm==cold on the registered form",
+    "ext_lsh_purge" ->
+      "approximate index maintenance (same no-oracle reason as ext_ann_lsh); PurgeSpec asserts zero purged ids can appear in any result and that the purged-index search equals a from-scratch build over the filtered corpus under the same frozen hyperplanes (bucket-cap headroom asserted); PlanSpec gates the stored-bucket serve + one purge-list scan",
+    "ext_imipq_purge" ->
+      "approximate index maintenance (same no-oracle reason as ext_topk_imipq); PurgeSpec asserts zero purged ids and equality to the filtered rebuild under the same frozen models (cap headroom asserted); PlanSpec gates the stored imipq-codes serve + one purge-list scan",
+    "ext_ivfpqr_purge" ->
+      "approximate index maintenance (same no-oracle reason as ext_topk_ivfpqr); PurgeSpec asserts zero purged ids and equality to the filtered residual rebuild under the same frozen models (cap headroom asserted); PlanSpec gates the stored ivfpqr-codes serve + one purge-list scan",
+    "ext_ivfpq_refresh" ->
+      "approximate index maintenance (same no-oracle reason as ext_topk_ivfpq); RefreshSpec asserts the diff-driven purge+arrive composition's search equals a from-scratch snapshot-B build under the same frozen models and that no stale vector can be returned; PlanSpec gates the stored snapshot-A code serve + the one-scan delta encode",
     "ext_compact_report" ->
       "operational metadata report: the inputs are stored-index layout facts (fixture row counts, part-file counts) DuckDB cannot see; the threshold rule is pinned by ExtensionsSpec's planted over/under-threshold cases and the registered run asserts per-family coverage with exact base/batch row counts",
     "stream_sync_microbatch" ->

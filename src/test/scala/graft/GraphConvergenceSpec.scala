@@ -239,4 +239,51 @@ class GraphConvergenceSpec extends SparkSpec {
       "converged pagerank top-K must be run-to-run deterministic")
     Extensions.releaseCaches()
   }
+
+  test("registered warm centrality equals the cold bootstrap: same top-K, same scores, no more iterations") {
+    // the REGISTERED warm forms (seeded from yesterday's-graph score
+    // fixtures) against the cold bootstrap forms on the same corpus —
+    // the warm==cold guarantee riding the query users actually run.
+    // Both runs over-converge (deltaEvery detects late), so scores
+    // agree far inside the 6dp rounding the output carries; the
+    // comparison drops the iterations column (the cadence win is the
+    // POINT of the difference) and asserts it separately.
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val warm = Extensions.pagerankWarm.fn(spark, sf).collect()
+      val cold = Extensions.pagerankConverged.fn(spark, sf).collect()
+      def keyed(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val (wm, cm) = (keyed(warm), keyed(cold))
+      assert(wm.keySet == cm.keySet,
+        s"top-K sets diverge: ${wm.keySet.diff(cm.keySet)} / ${cm.keySet.diff(wm.keySet)}")
+      // bound: both iterates stop within the per-node tolerance of the
+      // unique fixpoint (deltaEvery over-converges past it), and the
+      // residual scales with the node's own score — hub nodes carry
+      // proportionally more of the remaining L1 mass (observed: 0.44%
+      // on the 7.5-score top hub, 0.4% on 0.6-score mid nodes). 2%
+      // relative + 0.01 absolute sits well above the residual and far
+      // below any rank-relevant difference.
+      wm.foreach { case (k, v) =>
+        assert(math.abs(v - cm(k)) <= 0.01 + 0.02 * math.max(v.abs, cm(k).abs),
+          s"$k: warm $v vs cold ${cm(k)}") }
+      val (wIters, cIters) = (warm.head.getInt(3), cold.head.getInt(3))
+      assert(wIters >= 1 && wIters <= cIters,
+        s"warm must not iterate more than cold ($wIters vs $cIters)")
+      info(s"pagerank cold $cIters iters, warm $wIters")
+
+      val warmH = Extensions.hitsWarm.fn(spark, sf).collect()
+      val coldH = Extensions.hitsConvergedQ.fn(spark, sf).collect()
+      val (whm, chm) = (keyed(warmH), keyed(coldH))
+      assert(whm.keySet == chm.keySet,
+        s"hits top-K sets diverge: ${whm.keySet.diff(chm.keySet)}")
+      // HITS scores are L1-normalized (mass 1) — tol 1e-7 of mass
+      whm.foreach { case (k, v) =>
+        assert(math.abs(v - chm(k)) <= 1e-5, s"$k: warm $v vs cold ${chm(k)}") }
+      val (whIters, chIters) = (warmH.head.getInt(3), coldH.head.getInt(3))
+      assert(whIters >= 1 && whIters <= chIters,
+        s"hits warm must not iterate more than cold ($whIters vs $chIters)")
+      info(s"hits cold $chIters iters, warm $whIters")
+    } finally Extensions.releaseCaches()
+  }
 }

@@ -167,7 +167,7 @@ class PlanSpec extends SparkSpec {
       "ext_importance_resample", // 1-row tr/tt totals ride the ≤4096-row feature model
       "ext_domain_kl",       // 1-row corpus-total broadcast onto the vocab frame
       "ext_hits",            // 1-row L1-normalization broadcast, 2× per run (end-normalize)
-      "ext_hits_converged",  // same 1-row L1 broadcast, once per half-step (the converged mode normalizes every step for delta comparability)
+      "ext_hits_warm",       // same 1-row L1 broadcast, once per half-step (the converged mode normalizes every step for delta comparability)
       "ext_quality_classifier", // 1-row smoothing totals + class priors
       "ext_hybrid_search",   // broadcast query slice × corpus (dense tower) + 1-row bm25 stats
       "ext_hybrid_search_pq", // composes ext_hybrid_search + ext_topk_pq shapes above
@@ -951,6 +951,120 @@ class PlanSpec extends SparkSpec {
       assert(unpart.isEmpty,
         "coverage window lost its doc_id partitioning — single-partition " +
           "bottleneck at scale")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("lsh purge: stored bucket table anti-joined; no corpus re-hash") {
+    val df = ext.Extensions.lshPurge.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("lsh-buckets")),
+        s"purge not applied to the stored bucket table: $paths")
+      assert(physical(df).contains("LeftAnti"),
+        "purge must plan as an anti join on the stored buckets")
+      // raw embedding scans, enumerated: the query-id TakeOrdered
+      // (twice — the uncached qids frame feeds the sign-bit AND
+      // query-vector joins, each replaying its lineage), the query
+      // sign-bit fetch, the query-vector fetch, the corpus scoring
+      // fetch, and the purge-list projection — the corpus RE-HASH
+      // (bucket rebuild) must not reappear, which the fixture assert
+      // above pins
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 6,
+        s"raw embedding scans drifted from the six enumerated fetches ($embScans): $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("imipq purge: stored product-cell codes anti-joined; raw vectors only on the query + purge sides") {
+    val df = ext.Extensions.imipqPurge.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("imipq-codes")),
+        s"purge not applied to the stored combined index: $paths")
+      assert(physical(df).contains("LeftAnti"),
+        "purge must plan as an anti join on the stored codes")
+      // enumerated: query-id TakeOrdered, query-vector/LUT fetch,
+      // purge-list projection (rerank reads the stored int8 table)
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 3,
+        s"raw embedding scans drifted from the three enumerated fetches ($embScans): $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("ivfpqr purge: stored residual codes anti-joined; raw vectors only on the query + purge sides") {
+    val df = ext.Extensions.ivfpqrPurge.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("ivfpqr-codes")),
+        s"purge not applied to the stored residual index: $paths")
+      assert(physical(df).contains("LeftAnti"),
+        "purge must plan as an anti join on the stored codes")
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 3,
+        s"raw embedding scans drifted from the three enumerated fetches ($embScans): $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("substr refresh: stored snapshot gram index served; raw scans = diff hashes + two delta gram passes; fold window-free") {
+    val df = ext.Extensions.substrRefresh.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(p => p.contains("substr-grams") && p.contains("snapa")),
+        s"snapshot-A grams not served from the stored index: $paths")
+      // the standing corpus is never re-tokenized: raw documents scans
+      // are the diff's two hash projections (cached statuses frame)
+      // plus the stale-doc and fresh-doc gram passes — both delta-sized
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans == 4,
+        s"want 4 raw documents scans (diff a, diff b, stale grams, " +
+          s"fresh grams), got $docScans in $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("ivfpq refresh: stored snapshot code table anti-joined; delta encode is the only corpus-side encode") {
+    val df = ext.Extensions.ivfpqRefresh.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("ivfpq-codes")),
+        s"snapshot-A codes not served from the stored index: $paths")
+      assert(physical(df).contains("LeftAnti"),
+        "the purge half must plan as an anti join on the stored codes")
+      // enumerated raw embedding scans: the vector diff's two hash
+      // sides (the cached statuses frame's lineage, replayed under the
+      // fresh-delta join AND the stale anti-join hint side), the
+      // query-id TakeOrdered, the query-vector/LUT fetch, the
+      // fresh-delta encode, and the live rerank fetch (src=None by
+      // design — the int8 fixture holds pre-revision content)
+      val embScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("embeddings.parquet"))
+      assert(embScans == 7,
+        s"raw embedding scans drifted from the seven enumerated fetches ($embScans): $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("warm centrality: seeds persist as stored score fixtures") {
+    // the iteration localCheckpoints every step, so the seed scan is
+    // truncated out of the output's lineage — the artifact contract is
+    // asserted on the filesystem instead: after one warm run, both
+    // seed fixtures exist as published (non-tmp) parquet dirs, so a
+    // second cadence reads yesterday's scores instead of re-running
+    // the cold bootstrap (the behavioral warm==cold + iteration gates
+    // live in GraphConvergenceSpec)
+    try {
+      ext.Extensions.pagerankWarm.fn(spark, sf0001)
+      ext.Extensions.hitsWarm.fn(spark, sf0001)
+      for (fam <- Seq("pagerank-seed", "hits-seed")) {
+        val dir = new java.io.File(s"target/$fam")
+        val published = Option(dir.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && !f.getName.startsWith(".tmp"))
+        assert(published.nonEmpty,
+          s"no published $fam fixture under target/$fam — the warm form " +
+            "would re-pay the cold bootstrap every cadence")
+      }
     } finally ext.Extensions.releaseCaches()
   }
 

@@ -69,6 +69,95 @@ class PurgeSpec extends SparkSpec {
     } finally Extensions.releaseCaches()
   }
 
+  test("lsh purge: no purged id can appear; equals the filtered build under the same frozen hyperplanes") {
+    val sf = sf0001
+    val purged = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(graft.expr.Scalars.hash60(col("vec_id").cast("string")),
+        lit(100L)) >= Extensions.PurgeBucketFrom)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(purged.nonEmpty, "purge set empty — the verb is unexercised")
+    try {
+      val got = Extensions.lshPurge.fn(spark, sf).collect()
+        .map(_.toSeq).toSeq
+      got.foreach(r => assert(!purged(r(1).asInstanceOf[Long]),
+        s"purged vector returned as a neighbor: $r"))
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // cap headroom asserted, not assumed: the equality gate below is
+      // only exact when no bucket sits at the cap (the documented E71
+      // cap semantics — under a binding cap the next compaction
+      // re-resolves)
+      val maxBucket = Extensions.lshStoredBuckets(emb, 3, 6, 256, None)
+        .groupBy("c_bucket").count().agg(max(col("count"))).first().getLong(0)
+      assert(maxBucket < 256,
+        s"bucket cap binds at driver SF ($maxBucket) — equality gate invalid")
+      val filtered = emb.filter(
+        !col("vec_id").isin(purged.toSeq.map(Long.box): _*))
+      val twin = Extensions.annTopK(emb, Extensions.annQueryIds(emb),
+        buckets0 = Some(Extensions.lshBucketRows(filtered, Some(256), 3, 6)))
+        .collect().map(_.toSeq).toSeq
+      assert(got == twin, "purged-index search != filtered-corpus rebuild")
+    } finally Extensions.releaseCaches()
+  }
+
+  test("imipq purge: no purged id can appear; equals the filtered build under the same frozen models") {
+    val sf = sf0001
+    val purged = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(graft.expr.Scalars.hash60(col("vec_id").cast("string")),
+        lit(100L)) >= Extensions.PurgeBucketFrom)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(purged.nonEmpty, "purge set empty — the verb is unexercised")
+    try {
+      val got = Extensions.imipqPurge.fn(spark, sf).collect()
+        .map(_.toSeq).toSeq
+      got.foreach(r => assert(!purged(r(1).asInstanceOf[Long]),
+        s"purged vector returned as a neighbor: $r"))
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val src = Some(s"$sf/embeddings.parquet")
+      val cbs = Extensions.pqCodebooks(emb, codebookSrc = src)
+      val cs0 = Extensions.imiCentroids(emb, 0, Extensions.ImiK, src)
+      val cs1 = Extensions.imiCentroids(emb, 1, Extensions.ImiK, src)
+      val filtered = emb.filter(
+        !col("vec_id").isin(purged.toSeq.map(Long.box): _*))
+      val codes = Extensions.imipqCellCodes(filtered, cbs, cs0, cs1, None)
+      val twin = Extensions.imipqTopK(emb, Extensions.annQueryIds(emb),
+        src = src, codes0 = Some(codes), cbs0 = Some(cbs),
+        csH0 = Some(cs0), csH1 = Some(cs1))
+        .collect().map(_.toSeq).toSeq
+      assert(got == twin, "purged-index search != filtered-corpus rebuild")
+    } finally Extensions.releaseCaches()
+  }
+
+  test("ivfpqr purge: no purged id can appear; equals the filtered residual build under the same frozen models") {
+    val sf = sf0001
+    val purged = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(graft.expr.Scalars.hash60(col("vec_id").cast("string")),
+        lit(100L)) >= Extensions.PurgeBucketFrom)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(purged.nonEmpty, "purge set empty — the verb is unexercised")
+    try {
+      val got = Extensions.ivfpqrPurge.fn(spark, sf).collect()
+        .map(_.toSeq).toSeq
+      got.foreach(r => assert(!purged(r(1).asInstanceOf[Long]),
+        s"purged vector returned as a neighbor: $r"))
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val src = Some(s"$sf/embeddings.parquet")
+      val cs = Extensions.ivfCentroids(emb, centroidSrc = src)
+      val ms = Extensions.ivfCellMeans(emb, cs, src)
+      val cbs = Extensions.pqrCodebooks(emb, cs, ms, src)
+      val filtered = emb.filter(
+        !col("vec_id").isin(purged.toSeq.map(Long.box): _*))
+      val codes = Extensions.ivfpqrCellCodes(filtered, cbs, cs, ms, None)
+      val twin = Extensions.ivfpqrTopK(emb, Extensions.annQueryIds(emb),
+        src = src, codes0 = Some(codes), cbs0 = Some(cbs),
+        cs0 = Some(cs), ms0 = Some(ms))
+        .collect().map(_.toSeq).toSeq
+      assert(got == twin, "purged-index search != filtered-corpus rebuild")
+    } finally Extensions.releaseCaches()
+  }
+
   test("shard purge: untouched shards pass through verbatim; receipt equals rebuilt-from-filtered; store rewrite touches only affected dirs") {
     import spark.implicits._
     // 64 shards, 2 purged docs: the pass-through path carries ≥ 62

@@ -40,26 +40,145 @@ class RefreshSpec extends SparkSpec {
     } finally Extensions.releaseCaches()
   }
 
-  test("refresh report: the receipt's arithmetic matches the physical fold") {
+  test("refresh report: each family's receipt arithmetic matches its physical fold") {
     try {
-      val rep = Extensions.refreshReport.fn(spark, sf0001).collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
-        .toMap
-      // unchanged docs move nothing
-      assert(rep("unchanged")._2 == 0 && rep("unchanged")._3 == 0,
-        "unchanged rows purged/arrived must be zero")
-      assert(rep("removed")._3 == 0, "removed docs cannot arrive rows")
-      assert(rep("added")._2 == 0, "added docs cannot purge rows")
-      // stored − purged + arrived == refreshed: the receipt cannot
-      // disagree with the verb it audits
-      val stored = Extensions.postingsOf(
+      val rows = Extensions.refreshReport.fn(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val families = rows.keySet.map(_._1)
+      assert(families == Set("postings", "substr"),
+        s"family coverage drifted: $families")
+      for (fam <- families) {
+        val rep = rows.collect { case ((f, s), v) if f == fam => s -> v }.toMap
+        // unchanged docs move nothing; removed cannot arrive; added
+        // cannot purge — per family
+        assert(rep("unchanged")._2 == 0 && rep("unchanged")._3 == 0,
+          s"$fam: unchanged rows purged/arrived must be zero")
+        assert(rep("removed")._3 == 0, s"$fam: removed docs cannot arrive rows")
+        assert(rep("added")._2 == 0, s"$fam: added docs cannot purge rows")
+        // n_docs per status identical across families (one shared diff)
+        assert(rep.view.mapValues(_._1).toMap ==
+          rows.collect { case ((f, s), v) if f == "postings" => s -> v._1 }.toMap,
+          s"$fam: per-status doc counts diverge from the shared diff")
+      }
+      // postings: stored − purged + arrived == refreshed ROW count
+      val pStored = Extensions.postingsOf(
         Extensions.snapshotDocsA(spark, sf0001)).count()
-      val refreshed = Extensions.refreshedSnapshotPostings(spark, sf0001)
+      val pRefreshed = Extensions.refreshedSnapshotPostings(spark, sf0001)
         .count()
-      val purged = rep.values.map(_._2).sum
-      val arrived = rep.values.map(_._3).sum
-      assert(stored - purged + arrived == refreshed,
-        s"receipt arithmetic broken: $stored - $purged + $arrived != $refreshed")
+      val pPurged = rows.collect { case (("postings", _), v) => v._2 }.sum
+      val pArrived = rows.collect { case (("postings", _), v) => v._3 }.sum
+      assert(pStored - pPurged + pArrived == pRefreshed,
+        s"postings receipt broken: $pStored - $pPurged + $pArrived != $pRefreshed")
+      // substr: stored − purged + arrived == refreshed OCCURRENCE count
+      // (Σ cnt — the unit the gram index aggregates)
+      def sumCnt(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(col("cnt"))).first() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      val gStored = sumCnt(Extensions.substringGramIndex(
+        Extensions.snapshotDocsA(spark, sf0001)))
+      val gRefreshed = sumCnt(Extensions.refreshedSnapshotGrams(spark, sf0001))
+      val gPurged = rows.collect { case (("substr", _), v) => v._2 }.sum
+      val gArrived = rows.collect { case (("substr", _), v) => v._3 }.sum
+      assert(gStored - gPurged + gArrived == gRefreshed,
+        s"substr receipt broken: $gStored - $gPurged + $gArrived != $gRefreshed")
+    } finally Extensions.releaseCaches()
+  }
+
+  test("substr refresh: counts equal the snapshot-B rebuild; non-tombstoned canonicals equal the rebuild; tombstones only where the stored witness was stale") {
+    try {
+      val refr = Extensions.refreshedSnapshotGrams(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4)))))
+        .toMap
+      val rebuilt = Extensions.substringGramIndex(
+          Extensions.snapshotDocsB(spark, sf0001)).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(refr.keySet == rebuilt.keySet,
+        "refreshed gram set != snapshot-B rebuild gram set")
+      refr.foreach { case (g, (cnt, _, _)) =>
+        assert(cnt == rebuilt(g)._1,
+          s"gram $g count $cnt != rebuild ${rebuilt(g)._1}")
+      }
+      refr.foreach { case (g, (_, tomb, canon)) =>
+        if (tomb) assert(canon.isEmpty,
+          s"tombstoned gram $g must carry no canonical")
+        else assert(canon.contains((rebuilt(g)._2, rebuilt(g)._3)),
+          s"gram $g canonical $canon != rebuild (${rebuilt(g)._2}, ${rebuilt(g)._3})")
+      }
+      // every tombstone's stored snapshot-A witness was stale —
+      // asserted against the ORIGINAL index, not the fold's own column
+      val storedCanon = Extensions.substringGramIndex(
+          Extensions.snapshotDocsA(spark, sf0001)).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      def stale(d: Long): Boolean = {
+        val b = h60(d.toString) % 100
+        b < Extensions.SnapBFrom || b % Extensions.SnapRevMod == 0
+      }
+      refr.foreach { case (g, (_, tomb, _)) =>
+        if (tomb) assert(stale(storedCanon(g)),
+          s"gram $g tombstoned but its stored witness ${storedCanon(g)} survives")
+      }
+      info(s"grams=${refr.size} tombstoned=${refr.count(_._2._2)}")
+    } finally Extensions.releaseCaches()
+  }
+
+  test("substr refresh fold: planted tombstone, all-died-takes-fresh-min, and fresh-only gram cases") {
+    import spark.implicits._
+    val W = Extensions.SubstrDedupW
+    def text(tag: String): String = (1 to W).map(i => s"$tag$i").mkString(" ")
+    // snapshot A: docs 1,2 share gram S (canonical doc 1); doc 3 alone
+    // holds gram U. Stale = {1, 3}; fresh = doc 4 (new gram F) and
+    // doc 5 (gram U again).
+    val snapA = Seq((1L, text("s")), (2L, text("s")), (3L, text("u")))
+      .toDF("doc_id", "text")
+    val stored = Extensions.substringGramIndex(snapA)
+    val staleDocs = snapA.filter(col("doc_id").isin(1L, 3L))
+    val freshDocs = Seq((4L, text("f")), (5L, text("u")))
+      .toDF("doc_id", "text")
+    val out = Extensions.substrRefreshFold(stored, staleDocs, freshDocs,
+        d => d.isin(1L, 3L))
+      .collect()
+      .map(r => (r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // S: cnt 2−1=1, TOMBSTONED (stored witness doc 1 died, doc 2
+    //    survives), canonical null
+    // U: stored occurrences all died (cnt 0 → row dropped), fresh doc 5
+    //    re-adds it — cnt 1, NO tombstone, canonical = the fresh witness
+    // F: fresh-only — cnt 1, no tombstone, canonical doc 4
+    assert(out.toSet == Set((1L, true, None), (1L, false, Some(5L)),
+      (1L, false, Some(4L))),
+      s"fold cases diverge: ${out.toSeq}")
+  }
+
+  test("ivfpq refresh: equals the from-scratch snapshot-B build under the same frozen models; no removed vector returned") {
+    val sf = sf0001
+    try {
+      val got = Extensions.ivfpqRefreshSearch(spark, sf).collect()
+        .map(_.toSeq).toSeq
+      assert(got.nonEmpty, "refreshed search empty — the verb is unexercised")
+      val removed = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(pmod(graft.expr.Scalars.hash60(col("vec_id").cast("string")),
+          lit(100L)) < Extensions.SnapBFrom)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(removed.nonEmpty, "no removed vectors — the purge half is unexercised")
+      got.foreach(r => assert(!removed(r(1).asInstanceOf[Long]),
+        s"removed vector returned as a neighbor: $r"))
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val src = Some(s"$sf/embeddings.parquet")
+      val vecsB = Extensions.snapshotVecsB(spark, sf)
+      val cbs = Extensions.pqCodebooks(emb, codebookSrc = src)
+      val cs = Extensions.ivfCentroids(emb, centroidSrc = src)
+      val twin = Extensions.ivfpqTopK(vecsB, Extensions.annQueryIds(vecsB),
+        codes0 = Some(Extensions.ivfpqCellCodes(vecsB, cbs, cs, None)),
+        cbs0 = Some(cbs), cs0 = Some(cs))
+        .collect().map(_.toSeq).toSeq
+      assert(got == twin,
+        "refreshed-index search != from-scratch snapshot-B build")
     } finally Extensions.releaseCaches()
   }
 
@@ -154,6 +273,12 @@ class RefreshSpec extends SparkSpec {
       val clusterSize = clusterOf.values.groupBy(identity).view
         .mapValues(_.size).toMap
       val copies = raw.groupBy(_._4).view.mapValues(_.length).toMap
+      // per-doc span stats from the VERIFIED E52 definition — the
+      // datasheet's span_dup_frac must be its token-weighted roll-up
+      val spanStats = Extensions.substringDedupStats(
+          model.Tables.documents(spark, sf0001)
+            .select(col("doc_id"), col("text"))).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
       def approx(a: Double, b: Double, what: String): Unit =
         assert(math.abs(a - b) < 1e-6, s"$what: $a != $b")
       raw.groupBy(_._2).foreach { case (lang, ds) =>
@@ -173,12 +298,16 @@ class RefreshSpec extends SparkSpec {
           math.rint(ds.count(d => clusterSize(clusterOf(d._1)) > 1).toDouble
             / ds.length * 10000) / 10000, s"$lang near_dup_frac")
         approx(r.getDouble(8),
+          math.rint(ds.map(d => spanStats(d._1)._2).sum.toDouble /
+            ds.map(d => spanStats(d._1)._1).sum * 10000) / 10000,
+          s"$lang span_dup_frac")
+        approx(r.getDouble(9),
           math.rint(ds.map(d => qscore(d._1)).sum / ds.length * 10000) / 10000,
           s"$lang mean_quality")
-        approx(r.getDouble(9),
+        approx(r.getDouble(10),
           math.rint(ds.count(d => qscore(d._1) >= 0.6).toDouble / ds.length
             * 10000) / 10000, s"$lang high_quality_frac")
-        approx(r.getDouble(10),
+        approx(r.getDouble(11),
           math.rint(ds.count(d => gkeep(d._1)).toDouble / ds.length
             * 10000) / 10000, s"$lang gopher_keep_frac")
       }
