@@ -6868,8 +6868,15 @@ object Extensions {
       // span-level duplication (E52's verified per-doc stats — the
       // Lee et al. 2021 metric released corpora report): the
       // token-weighted duplicated fraction per language,
-      // Σ dup_tokens / Σ n_tokens
-      val spans = substringDedupStats(docs.select(col("doc_id"), col("text")))
+      // Σ dup_tokens / Σ n_tokens. The dup-gram SET is served from the
+      // STORED full-corpus gram index (the E71b artifact — its counts
+      // over the full corpus equal the live pass's by definition), so
+      // the report pays one positions pass but never re-aggregates
+      // every gram occurrence
+      val sdocs = substringDocs(docs.select(col("doc_id"), col("text")))
+      val spans = substringStatsFrom(sdocs, substringGramPositions(sdocs),
+          substrGramsFullFixture(spark, sfDir)
+            .filter(col("cnt") >= 2).select("g"))
         .select(col("doc_id"), col("n_tokens"), col("dup_tokens"))
       perDoc.join(copies, Seq("text_hash"))
         .join(keep, Seq("doc_id"))
@@ -7021,8 +7028,15 @@ object Extensions {
 
   val corpusCurateSpans: Q = Q("ext_corpus_curate_spans",
     (spark, sfDir) => {
-      val spanHeavy = substringDedupStats(
-          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      // dup-gram set served from the stored full-corpus gram index
+      // (identical counts by definition — see ext_corpus_datasheet's
+      // span column note)
+      val sdocs = substringDocs(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      val spanHeavy = substringStatsFrom(sdocs,
+          substringGramPositions(sdocs),
+          substrGramsFullFixture(spark, sfDir)
+            .filter(col("cnt") >= 2).select("g"))
         .filter(col("dup_frac") >= SubstrCurateMaxDupFrac).select("doc_id")
       corpusCurateFull.fn(spark, sfDir)
         .join(spanHeavy, Seq("doc_id"), "left_anti")

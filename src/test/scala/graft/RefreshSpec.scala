@@ -122,6 +122,12 @@ class RefreshSpec extends SparkSpec {
         if (tomb) assert(stale(storedCanon(g)),
           s"gram $g tombstoned but its stored witness ${storedCanon(g)} survives")
       }
+      // the tombstone path must actually fire on the registered corpus
+      // (162 at sf0.001 when written) — a zero here means the snapshot
+      // derivation stopped mixing stale witnesses with survivors and
+      // the exactness assertions above run vacuously on that branch
+      assert(refr.count(_._2._2) > 0,
+        "tombstone path unexercised on the registered corpus")
       info(s"grams=${refr.size} tombstoned=${refr.count(_._2._2)}")
     } finally Extensions.releaseCaches()
   }
