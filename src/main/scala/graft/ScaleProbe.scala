@@ -1864,7 +1864,83 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** VECREFRESHPROBE: the ivfpq refresh (E76c) at a vector count the
+    * driver SFs never reach — the third refresh family's scale
+    * evidence, mirroring REFRESHPROBE's postings/grams sections. A 1%
+    * churn (1% removed, 1% re-embedded, 1% added) refreshes the
+    * stored snapshot-A cell-code table under FROZEN snapshot-A models:
+    * purge half = one anti-join against the stored index, arrival
+    * half = one O(delta) encode+assign — against the from-scratch
+    * rebuild that re-encodes every vector. Exactness is asserted, not
+    * assumed: the refreshed (cell, corpus_id, code) multiset must
+    * equal the full snapshot-B encode's (cap headroom at this shape —
+    * auto cap is N/2 per cell). Walls are ranges-and-shapes per the
+    * probe-honesty rule; the stable claim is the encode-FLOP
+    * asymmetry (delta vs corpus), which the ratio column reports. */
+  private def vecRefreshProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.length > 1) args(1).toLong else 2000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val v = transform(sequence(lit(0), lit(63)),
+      j => pmod(hash(col("id"), j), lit(2000001)).cast("double") / 1000000.0 - 1.0)
+    val snapA = spark.range(nVecs).select(col("id").as("vec_id"), v.as("v"))
+    // B: drop id%100==0, re-embed (negate) id%100==1, add nVecs/100
+    val changedB = spark.range(nVecs)
+      .select(col("id").as("vec_id"), v.as("v"))
+      .filter(pmod(col("vec_id"), lit(100)) =!= 0)
+      .select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(100)) === 1,
+          transform(col("v"), x => -x)).otherwise(col("v")).as("v"))
+    val added = spark.range(nVecs, nVecs + nVecs / 100)
+      .select(col("id").as("vec_id"), v.as("v"))
+    val snapB = changedB.unionByName(added)
+    // frozen snapshot-A models + the stored index — the deployment's
+    // standing artifacts, built once (walls reported separately)
+    val (cbs, tCb) = timed(ext.Extensions.pqCodebooks(snapA))
+    val (cs, tCs) = timed(ext.Extensions.ivfCentroids(snapA))
+    val idxDir = s"target/tmp-vecrefresh/v1-codes-$nVecs.parquet"
+    if (!new java.io.File(idxDir).exists())
+      ext.Extensions.ivfpqCellCodes(snapA, cbs, cs, None)
+        .write.mode("overwrite").parquet(idxDir)
+    val stored = spark.read.parquet(idxDir)
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // order-insensitive multiset signature over (cell, id, code)
+      val r = df.select(col("cell"), col("corpus_id"),
+          col("code").cast("array<int>").as("code"))
+        .agg(count(lit(1)), sum(pmod(xxhash64(col("cell"),
+          col("corpus_id"), col("code")), lit(1000003L)))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    sig(stored) // warm the stored index's page cache (REFRESHPROBE rule)
+    val stale = broadcast(spark.range(nVecs)
+      .filter(pmod(col("id"), lit(100)).isin(0, 1))
+      .select(col("id").as("vec_id")))
+    val fresh = snapB.filter(pmod(col("vec_id"), lit(100)) === 1 ||
+      col("vec_id") >= nVecs)
+    val (sRef, tRefresh) = timed(sig(
+      stored.join(stale, col("corpus_id") === col("vec_id"), "left_anti")
+        .unionByName(ext.Extensions.ivfpqEncodeAssign(fresh, cbs, cs))))
+    val (sReb, tRebuild) = timed(sig(
+      ext.Extensions.ivfpqEncodeAssign(snapB, cbs, cs)))
+    println(f"VECREFRESHPROBE n=$nVecs%d models{cb=$tCb%.1fs cs=$tCs%.1fs} " +
+      f"rows=${sRef._1}%d identical=${sRef == sReb}%b " +
+      f"refresh_wall=$tRefresh%.1fs rebuild_wall=$tRebuild%.1fs " +
+      f"speedup=${tRebuild / tRefresh}%.1fx " +
+      f"(delta frac=${3.0 / 100}%.2f of corpus encode FLOPs)")
+    assert(sRef == sReb, "refreshed codes != from-scratch snapshot-B encode")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("vecrefresh")) { vecRefreshProbe(args); return }
     if (args.headOption.contains("leakproof")) { leakproofProbe(args); return }
     if (args.headOption.contains("refresh")) { refreshProbe(args); return }
     if (args.headOption.contains("purge")) { purgeProbe(args); return }
