@@ -6268,6 +6268,15 @@ object Extensions {
       (st, java.lang.Long.valueOf(
         st.filter(col("status") =!= "unchanged").count()))
     }
+    // identity-hash keys can collide across a stopped-and-collected
+    // session's address reuse; a frame served into the wrong session
+    // fails confusingly downstream, so validate and fall back to a
+    // fresh uncached-memo derivation for the foreign-session case
+    if (df.sparkSession ne spark) {
+      val st = cacheTracked(snapshotStatuses(snapshotDocsA(spark, sfDir),
+        snapshotDocsB(spark, sfDir)))
+      return (st, st.filter(col("status") =!= "unchanged").count())
+    }
     cacheTracked(df)
     (df, n.longValue())
   }
@@ -6541,6 +6550,13 @@ object Extensions {
       st.cache()
       (st, java.lang.Long.valueOf(
         st.filter(col("status") =!= "unchanged").count()))
+    }
+    // same foreign-session fallback as cachedSnapshotStatuses
+    if (df.sparkSession ne spark) {
+      val st = cacheTracked(snapshotStatuses(
+        asDocs(snapshotVecsA(spark, sfDir)),
+        asDocs(snapshotVecsB(spark, sfDir))))
+      return (st, st.filter(col("status") =!= "unchanged").count())
     }
     cacheTracked(df)
     (df, n.longValue())
@@ -7289,13 +7305,16 @@ object Extensions {
       semanticPairsFrom(Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
         .orderBy("id_a", "id_b"),
-    Some(s"""WITH $semanticPairsSqlCtes
+    Some(s"""WITH ${semanticPairsSqlCtes()}
             |SELECT id_a, id_b, cos FROM spairs ORDER BY id_a, id_b""".stripMargin))
 
   /** DuckDB twin of [[semanticPairsFrom]] at the registered parameters —
     * the ONE SQL definition of semantic near-dup pairs, shared by the
-    * pair and cluster oracles. Yields `spairs` (id_a, id_b, cos). */
-  private def semanticPairsSqlCtes: String = {
+    * pair, cluster, arrival, and purge oracles. Yields `spairs`
+    * (id_a, id_b, cos); `where` restricts the vector population (the
+    * purge oracle's filtered-corpus closure — componentsSqlCtes'
+    * contract). */
+  private def semanticPairsSqlCtes(where: String = ""): String = {
     def planeSql(p: Int): String = (0 until SemanticDim)
       .map(j => s"${planeSeed(p, j)}/16777215.0*2.0-1.0").mkString("[", ", ", "]")
     def bucketSql(t: Int): String = s"concat('$t:', " +
@@ -7310,7 +7329,7 @@ object Extensions {
     s"""se AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings $where),
        |sb AS (
        |  $tables),
        |sp AS (
@@ -7325,13 +7344,16 @@ object Extensions {
 
   /** Recursive closure over the semantic pair graph (appends to
     * [[semanticPairsSqlCtes]]) — yields `scomp` (vec_id, cluster_id).
-    * Shared by the cluster oracle and the composed funnel. */
-  private def semanticComponentsSqlCtes: String =
-    s"""$semanticPairsSqlCtes,
+    * Shared by the cluster, purge, and composed-funnel oracles;
+    * `where` restricts the population on BOTH the pair side and the
+    * node seed (a filter applied to only one would close over a
+    * different graph than it seeds). */
+  private def semanticComponentsSqlCtes(where: String = ""): String =
+    s"""${semanticPairsSqlCtes(where)},
        |ssym AS (SELECT id_a AS src, id_b AS dst FROM spairs
        |         UNION ALL SELECT id_b, id_a FROM spairs),
        |sreach(id, root) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
+       |  SELECT vec_id, vec_id FROM embeddings $where
        |  UNION
        |  SELECT s.dst, r.root FROM sreach r JOIN ssym s ON s.src = r.id),
        |scomp AS (SELECT id AS vec_id, min(root) AS cluster_id
@@ -7349,7 +7371,144 @@ object Extensions {
         .select(col("vec_id"), col("cluster_id"),
           (col("vec_id") === col("cluster_id")).as("keep"))
         .orderBy("vec_id"),
-    Some(s"""WITH RECURSIVE $semanticComponentsSqlCtes
+    Some(s"""WITH RECURSIVE ${semanticComponentsSqlCtes()}
+            |SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
+            |FROM scomp ORDER BY vec_id""".stripMargin))
+
+  // =====================================================================
+  // Semantic-family LIFECYCLE — the arrival (E35's contract) and
+  // takedown (E71c's contract) verbs the embedding-dedup family was
+  // missing: after round 13's purge-taxonomy completion this was the
+  // last stored artifact (the semantic cc-cache + its bucket blocks)
+  // whose maintenance still meant a full re-block of the corpus.
+  //  * ARRIVAL: each batch vector probes the STORED corpus bucket
+  //    table (routing rows only — the raw embedding table is the
+  //    vector store, exactly the lsh-buckets discipline), confirms
+  //    cosine against the named corpus candidates, and reports
+  //    near_dup/new. One O(batch) sign-signature pass; the corpus is
+  //    never re-blocked. Oracle-paired: bucket membership and cosine
+  //    are pure functions both engines state (cap headroom asserted
+  //    at driver SFs by ExtensionsSpec's bucket-density gate).
+  //  * PURGE: the E71c graph-deletion semantics on the semantic
+  //    labels — only components CONTAINING a purged vector re-cluster
+  //    (purge-sized collect of their ids; survivor pairs re-derive
+  //    from the raw vector store via the family's own blocking),
+  //    untouched labels pass through from the stored cc-cache
+  //    verbatim. Same soundness argument (components are maximal);
+  //    oracle = the recursive closure over the FILTERED embeddings.
+  // =====================================================================
+  /** The corpus-side capped bucket table (vec_id, bucket) — the
+    * semantic family's stored ROUTING artifact ([[lshStoredBuckets]]'
+    * contract: the index stores membership, the raw table stores
+    * vectors). */
+  private[graft] def semanticBucketTable(emb: DataFrame): DataFrame = {
+    val capW = Window.partitionBy(col("bucket"))
+      .orderBy(Scalars.hash60(col("vec_id").cast("string")), col("vec_id"))
+    semanticBuckets(emb)
+      .withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= SemanticBucketCap)
+      .select("vec_id", "bucket")
+  }
+
+  val semanticIncremental: Q = Q("ext_semantic_incremental",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (corpus, batch0) = incrementalSplit(emb)
+      // cached (tracked): the batch feeds its own bucket pass, the
+      // confirm's vector fetch, and the final status join
+      val batch = cacheTracked(batch0)
+      val live = semanticBucketTable(corpus)
+      val stored = parquetFixture(spark, "sem-buckets",
+        s"$sfDir/embeddings.parquet",
+        s"b${SemanticBits}_t${SemanticTables}_c${SemanticBucketCap}_inc90_sem1",
+        live.queryExecution.logical.toString, live)
+      val bb = semanticBuckets(batch)
+        .select(col("vec_id").as("bid"), col("bucket"))
+      val cand = bb.join(stored.select(col("vec_id").as("cid"), col("bucket")),
+          Seq("bucket"))
+        .select("bid", "cid").distinct()
+      def withNrm(df: DataFrame, idAs: String, vAs: String, nAs: String) =
+        df.select(col("vec_id").as(idAs), col("v").as(vAs),
+          sqrt(dotD(col("v"), col("v"))).as(nAs))
+      val near = cand
+        .join(withNrm(batch, "bid", "bv", "bn"), Seq("bid"))
+        .join(withNrm(corpus, "cid", "cv", "cn"), Seq("cid"))
+        .filter(round(dotD(col("bv"), col("cv")) / (col("bn") * col("cn")), 6)
+          >= SemanticCosThreshold)
+        .select(col("bid").as("vec_id")).distinct()
+      batch.select("vec_id")
+        .join(near.withColumn("is_near", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(coalesce(col("is_near"), lit(false)), lit("near_dup"))
+            .otherwise(lit("new")).as("status"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ${semanticPairsSqlCtes()},
+            |vb AS (SELECT vec_id,
+            |    ${duckHash60("CAST(vec_id AS VARCHAR)")} % 100 AS vbucket
+            |  FROM embeddings),
+            |xcand AS (SELECT DISTINCT a.vec_id AS bid, b2.vec_id AS cid
+            |  FROM sb a JOIN vb ba ON ba.vec_id = a.vec_id
+            |  JOIN sb b2 ON a.bucket = b2.bucket
+            |  JOIN vb bc ON bc.vec_id = b2.vec_id
+            |  WHERE ba.vbucket >= 90 AND bc.vbucket < 90),
+            |xnear AS (SELECT DISTINCT c.bid FROM xcand c
+            |  JOIN se ea ON ea.vec_id = c.bid
+            |  JOIN se eb ON eb.vec_id = c.cid
+            |  WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+            |    >= $SemanticCosThreshold)
+            |SELECT e.vec_id AS vec_id,
+            |  CASE WHEN EXISTS (SELECT 1 FROM xnear n WHERE n.bid = e.vec_id)
+            |       THEN 'near_dup' ELSE 'new' END AS status
+            |FROM embeddings e JOIN vb ON vb.vec_id = e.vec_id
+            |WHERE vb.vbucket >= 90
+            |ORDER BY e.vec_id""".stripMargin))
+
+  /** The purge fold over stored (labels, raw vectors): re-cluster the
+    * affected components' survivors through the family's own blocking,
+    * pass everything else through — [[clustersPurgeFrom]]'s semantics
+    * on the vector graph. Exposed package-private for PurgeSpec's
+    * planted bridge case. */
+  private[graft] def semanticClustersPurgeFrom(labels: DataFrame,
+      emb: DataFrame, purged: DataFrame): DataFrame = {
+    // purge-sized collect: the affected component ids
+    val affected = labels.join(broadcast(purged), Seq("vec_id"), "left_semi")
+      .select("cluster_id").distinct().collect().map(_.getLong(0))
+    val untouched = labels
+      .filter(!col("cluster_id").isin(affected.map(Long.box): _*))
+    val relabeled =
+      if (affected.isEmpty) untouched
+      else {
+        val survivors = labels
+          .filter(col("cluster_id").isin(affected.map(Long.box): _*))
+          .join(broadcast(purged), Seq("vec_id"), "left_anti")
+          .select("vec_id")
+        // CACHED (tracked): the survivor vectors feed the blocking,
+        // both confirm sides, and the CC node set
+        val embA = cacheTracked(
+          emb.join(broadcast(survivors), Seq("vec_id"), "left_semi"))
+        val pairs = semanticPairsFrom(embA).select("id_a", "id_b")
+        val recomputed = graft.ops.Graph.connectedComponents(pairs,
+            embA.select(col("vec_id").as("id")))
+          .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+        untouched.unionByName(recomputed)
+      }
+    relabeled.select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val semanticPurge: Q = Q("ext_semantic_purge",
+    (spark, sfDir) => semanticClustersPurgeFrom(
+      semanticComponentLabels(spark, sfDir),
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      purgeVecIds(spark, sfDir)),
+    // the monolithic recursive closure over the FILTERED embeddings:
+    // purged labels must equal rebuilt-from-scratch labels
+    Some(s"""WITH RECURSIVE ${semanticComponentsSqlCtes(
+               s"WHERE NOT (${duckHash60("CAST(vec_id AS VARCHAR)")} % 100 >= $PurgeBucketFrom)")}
             |SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
             |FROM scomp ORDER BY vec_id""".stripMargin))
 
@@ -8043,7 +8202,7 @@ object Extensions {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $decontamSqlCtes,
-            |$semanticComponentsSqlCtes,
+            |${semanticComponentsSqlCtes()},
             |sdrop AS (SELECT vec_id AS doc_id FROM scomp WHERE cluster_id <> vec_id),
             |$curateSqlCtes
             |SELECT c.doc_id, c.lang, c.score
@@ -10279,5 +10438,6 @@ object Extensions {
     clustersPurge,
     crawlRefresh, decontamRewrite, splitLeakproof, corpusDatasheet,
     splitLeakproofIncremental, refreshReport,
-    lshPurge, imipqPurge, ivfpqrPurge, substrRefresh, ivfpqRefresh)
+    lshPurge, imipqPurge, ivfpqrPurge, substrRefresh, ivfpqRefresh,
+    semanticIncremental, semanticPurge)
 }

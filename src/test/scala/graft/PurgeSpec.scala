@@ -158,6 +158,64 @@ class PurgeSpec extends SparkSpec {
     } finally Extensions.releaseCaches()
   }
 
+  test("semantic purge: no purged id survives; untouched clusters pass through verbatim") {
+    val purged = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(pmod(graft.expr.Scalars.hash60(col("vec_id").cast("string")),
+        lit(100L)) >= Extensions.PurgeBucketFrom)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(purged.nonEmpty, "purge set empty — the verb is unexercised")
+    try {
+      val out = Extensions.semanticPurge.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.keySet.intersect(purged).isEmpty,
+        "purged vectors still carry labels")
+      assert(!out.values.exists(purged),
+        "a purged vector survives as a cluster representative")
+      // untouched components' labels are the stored cc-cache rows
+      // verbatim (the O(affected) contract — the hash gate proves
+      // equality to the filtered rebuild, this pins the SERVE path)
+      val full = Extensions.semanticComponentLabels(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val affected = full.collect {
+        case (id, cid) if purged(id) => cid }.toSet
+      full.foreach { case (id, cid) =>
+        if (!purged(id) && !affected(cid))
+          assert(out(id) == cid,
+            s"untouched vector $id relabeled: ${out(id)} != $cid")
+      }
+      assert(affected.nonEmpty,
+        "no component contains a purged vector — the re-cluster path " +
+          "is unexercised")
+    } finally Extensions.releaseCaches()
+  }
+
+  test("semantic incremental: statuses equal the cross-split restriction of the monolithic pair set") {
+    try {
+      val got = Extensions.semanticIncremental.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def bucket(id: Long): Long = h60(id.toString) % 100
+      // twin: the monolithic semantic pairs (cap headroom asserted by
+      // the family's bucket-density gate), restricted to pairs that
+      // straddle the 90-bucket corpus/batch boundary
+      val pairs = Extensions.dedupSemantic.fn(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val nearTwin = pairs.flatMap { case (a, b) =>
+        Seq(a, b).filter(id => bucket(id) >= 90 &&
+          Seq(a, b).exists(o => o != id && bucket(o) < 90))
+      }.toSet
+      assert(got.keySet == got.keySet.filter(id => bucket(id) >= 90),
+        "arrival emitted a non-batch vector")
+      val gotNear = got.collect { case (id, "near_dup") => id }.toSet
+      assert(gotNear == nearTwin,
+        s"arrival near-dups != cross-split restriction of the " +
+          s"monolithic pairs: ${gotNear.diff(nearTwin)} / ${nearTwin.diff(gotNear)}")
+      assert(gotNear.nonEmpty,
+        "no cross-split semantic near-dup at sf0.001 — the adoption " +
+          "path is unexercised")
+      assert(got.values.exists(_ == "new"), "the new path is unexercised")
+    } finally Extensions.releaseCaches()
+  }
+
   test("shard purge: untouched shards pass through verbatim; receipt equals rebuilt-from-filtered; store rewrite touches only affected dirs") {
     import spark.implicits._
     // 64 shards, 2 purged docs: the pass-through path carries ≥ 62
