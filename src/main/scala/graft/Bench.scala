@@ -80,8 +80,16 @@ object Bench {
     // than the CPU control's 1.25×: multi-stage walls jitter more at
     // the ~1 s scale) — in the round-12 bad window it read 2.09× its
     // ledger minimum, far past the bar.
+    // Steady RE-RECORDED round 14 (1.10 → 1.53): every round-13 window
+    // plus round-14's first failed control2 at 1.48–2.02× the old
+    // steady while the CPU control sat at ITS steady, and a dedicated
+    // 6-rep idle-machine Profile (no concurrent load, warmed session)
+    // read min 1.528 / median 1.62 — the multi-stage tax is the host's
+    // persistent state, not transient steal, and a permanently-failing
+    // control freezes the ledger (BASELINE.md round-14 note). Minima
+    // merged under the new bar stay sound: min-merge only moves down.
     val control2Steady = sys.env.get("SPARK_GRAFT_CONTROL2_STEADY")
-      .flatMap(_.toDoubleOption).getOrElse(1.10)
+      .flatMap(_.toDoubleOption).getOrElse(1.53)
     val control2Sec = results.toMap.getOrElse("agg_percentile", -1.0)
     val shuffleOk = control2Sec > 0 && control2Sec <= control2Steady * 1.40
     val controlOk = cpuOk && shuffleOk
@@ -203,7 +211,7 @@ object Bench {
             s""""control_query":"fn_epoch_millis","control_sec":${ms3(controlSec)},""" +
             s""""control_steady_sec":${ms3(controlSteady)},""" +
             s""""control2_query":"agg_percentile","control2_sec":${ms3(control2Sec)},""" +
-            s""""control2_steady_sec":${ms3(control2Steady)},"control_ok":true,""" +
+            s""""control2_steady_sec":${ms3(control2Steady)},"control_ok":false,""" +
             s""""sf":"$sfDir"}"""
           java.nio.file.Files.writeString(bestPath, ledger + "\n")
           System.err.println(s"[bench] NOTE flagged run seeded " +

@@ -22,21 +22,25 @@ object SparkEntry {
     "agg_approx_percentile" ->
       "quantile-summary sketch cut points are engine-specific by construction; value error vs the exact agg_percentile is asserted in SetAggSpec",
     "ext_ann_lsh" ->
-      "approximate index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
+      "approximate index by design; quality is gated by ext_ann_recall_flat's pass column and the ExtensionsSpec recall floors",
     "ext_topk_ivf" ->
-      "approximate index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
+      "approximate index by design; quality is gated by ext_ann_recall_flat's pass column and the ExtensionsSpec recall floors",
     "ext_topk_pq" ->
-      "approximate (product-quantized) index by design; quality is gated by ext_ann_recall's pass column and the ExtensionsSpec recall floors",
+      "approximate (product-quantized) index by design; quality is gated by ext_ann_recall_flat's pass column and the ExtensionsSpec recall floors",
     "ext_topk_ivfpqr" ->
-      "approximate (residual-encoded cell-routed product-quantized) search by design; quality is gated by ext_ann_recall's ivfpqr pass row plus the no-loss-vs-plain-ivfpq assertion, and PlanSpec asserts the stored ivfpqr-codes serve with probed-cell PartitionFilters",
+      "approximate (residual-encoded cell-routed product-quantized) search by design; quality is gated by ext_ann_recall_pq's ivfpqr pass row plus the no-loss-vs-plain-ivfpq assertion, and PlanSpec asserts the stored ivfpqr-codes serve with probed-cell PartitionFilters",
     "ext_topk_ivfpq" ->
-      "approximate (cell-routed product-quantized) index by design; quality is gated by ext_ann_recall's ivfpq pass row, the routed-candidate containment by ExtensionsSpec, and the cell-equi-join plan by PlanSpec",
+      "approximate (cell-routed product-quantized) index by design; quality is gated by ext_ann_recall_pq's ivfpq pass row, the routed-candidate containment by ExtensionsSpec, and the cell-equi-join plan by PlanSpec",
     "ext_topk_imi" ->
-      "approximate (inverted multi-index) search by design; quality is gated by ext_ann_recall's imi pass row (floor 0.40) and PlanSpec asserts the per-half routing joins + the stored imi-cells serve",
+      "approximate (inverted multi-index) search by design; quality is gated by ext_ann_recall_imi's imi pass row (floor 0.40) and PlanSpec asserts the per-half routing joins + the stored imi-cells serve",
     "ext_topk_imipq" ->
-      "approximate (product-routed product-quantized) search by design; quality is gated by ext_ann_recall's imipq pass row (floor 0.40, plus the routing-bound imipq≈imi assertion) and PlanSpec asserts the stored imipq-codes serve, the cell equi-join, and probed-cell PartitionFilters",
-    "ext_ann_recall" ->
-      "self-checking metric: the output carries its own pass column asserting the registered recall floors",
+      "approximate (product-routed product-quantized) search by design; quality is gated by ext_ann_recall_imi's imipq pass row (floor 0.40, plus the routing-bound imipq≈imi assertion) and PlanSpec asserts the stored imipq-codes serve, the cell equi-join, and probed-cell PartitionFilters",
+    "ext_ann_recall_flat" ->
+      "self-checking metric (flat index families: lsh/ivf/pq): the output carries its own pass column asserting the registered recall floors; split from the old all-families ext_ann_recall so each family's cost and trend is its own registry line",
+    "ext_ann_recall_pq" ->
+      "self-checking metric (cell-routed PQ families: ivfpq/ivfpqr): the output carries its own pass column asserting the registered recall floors; cross-family assertions (ivfpqr no-loss-vs-ivfpq) stay in ExtensionsSpec's all-families form",
+    "ext_ann_recall_imi" ->
+      "self-checking metric (product-routed families: imi/imipq): the output carries its own pass column asserting the registered recall floors; the routing-bound imipq-vs-imi assertion stays in ExtensionsSpec's all-families form",
     "ext_hybrid_search_pq" ->
       "self-checking metric over an approximate (PQ-tower) index: the output carries its own pass column asserting the fusion-overlap floor vs the exact hybrid",
     "ext_hybrid_search_ivfpq" ->
@@ -72,7 +76,7 @@ object SparkEntry {
     "ext_mmr_rerank" ->
       "the k-step greedy selection is sequentially data-dependent (selection r depends on the max-similarity state of selections 1..r-1) and has no practical recursive-CTE SQL form; ExtensionsSpec recomputes the selection with an independent in-memory MMR over the same pool and requires identical (query, corpus, rank) triples plus score agreement, and asserts rank 1 equals the exact search's nearest neighbor",
     "ext_mmr_rerank_ivfpq" ->
-      "inherits ext_mmr_rerank's no-oracle reason (the greedy has no SQL form) plus the approximate pool (ivfpq, gated by ext_ann_recall); ExtensionsSpec asserts routing-bound overlap >= 0.4 vs the exact-pool MMR (measured 0.59-0.64) and that rank 1 equals ext_topk_ivfpq's rank 1",
+      "inherits ext_mmr_rerank's no-oracle reason (the greedy has no SQL form) plus the approximate pool (ivfpq, gated by ext_ann_recall_pq); ExtensionsSpec asserts routing-bound overlap >= 0.4 vs the exact-pool MMR (measured 0.59-0.64) and that rank 1 equals ext_topk_ivfpq's rank 1",
     "ext_bpe_merges" ->
       "K data-dependent argmax+rewrite rounds have no practical recursive-CTE SQL form; ExtensionsSpec recomputes the merge table with an independent in-memory BPE over the collected vocabulary and requires exact equality",
     "ext_bpe_token_count" ->
@@ -89,6 +93,12 @@ object SparkEntry {
       "approximate index maintenance (same no-oracle reason as ext_topk_ivfpqr); PurgeSpec asserts zero purged ids and equality to the filtered residual rebuild under the same frozen models (cap headroom asserted); PlanSpec gates the stored ivfpqr-codes serve + one purge-list scan",
     "ext_ivfpq_refresh" ->
       "approximate index maintenance (same no-oracle reason as ext_topk_ivfpq); RefreshSpec asserts the diff-driven purge+arrive composition's search equals a from-scratch snapshot-B build under the same frozen models and that no stale vector can be returned; PlanSpec gates the stored snapshot-A code serve + the one-scan delta encode",
+    "ext_imipq_refresh" ->
+      "approximate index maintenance (same no-oracle reason as ext_topk_imipq); RefreshSpec asserts the diff-driven purge+arrive composition's search equals a from-scratch snapshot-B build under the same three frozen models (PQ codebooks + both half-quantizers) and that no stale vector can be returned; PlanSpec gates the stored snapshot-A code serve + the one-scan delta encode",
+    "ext_ivfpqr_refresh" ->
+      "approximate index maintenance (same no-oracle reason as ext_topk_ivfpqr); RefreshSpec asserts the diff-driven purge+arrive composition's search equals a from-scratch snapshot-B build under the same frozen residual models (centroids + cell means + residual codebook) and that no stale vector can be returned; PlanSpec gates the stored snapshot-A code serve + the one-scan delta encode",
+    "ext_lsh_refresh" ->
+      "approximate index maintenance (same no-oracle reason as ext_ann_lsh); RefreshSpec asserts the refreshed capped bucket table's search equals a from-scratch snapshot-B build under the same sha-derived hyperplanes (cap headroom asserted) and that no stale vector can be returned; PlanSpec gates the stored snapshot-A bucket serve + the one-scan delta hash",
     "ext_compact_report" ->
       "operational metadata report: the inputs are stored-index layout facts (fixture row counts, part-file counts) DuckDB cannot see; the threshold rule is pinned by ExtensionsSpec's planted over/under-threshold cases and the registered run asserts per-family coverage with exact base/batch row counts",
     "stream_sync_microbatch" ->

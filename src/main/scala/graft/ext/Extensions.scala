@@ -1475,6 +1475,18 @@ object Extensions {
     *                   the candidate join, so its size is the scale
     *                   contract of the whole search.
     */
+  /** LSH index default parameters — ONE definition consumed by every
+    * LSH call site ([[lshBucketRows]]/[[annTopK]] defaults,
+    * [[lshPurgeSearch]], [[lshBucketsFixture]], the incremental
+    * re-cap) so the serve, arrival, compaction, purge, and refresh
+    * verbs can never build or anti-join a differently-parameterized
+    * bucket fixture than the one `ext_ann_lsh` serves — the
+    * diverging-artifact failure the [[lshStoredBuckets]] docstring
+    * warns about (round-13 advice: the purge duplicated the literals). */
+  final val LshTables = 3
+  final val LshBits = 6
+  final val LshBucketCap = 256
+
   /** Deterministic sha-derived hyperplane weight j of plane p —
     * driver-side (tiny), shared by every LSH consumer so corpus
     * hashing, query probing, and incremental batch hashing agree. */
@@ -1502,7 +1514,8 @@ object Extensions {
     * ([[lshIncremental]]) can hash a new batch in one O(batch) scan
     * and union it with the STORED corpus bucket table. */
   def lshBucketRows(emb: DataFrame, cap: Option[Int],
-                    nTables: Int = 3, bitsPerTable: Int = 6): DataFrame = {
+                    nTables: Int = LshTables,
+                    bitsPerTable: Int = LshBits): DataFrame = {
     def bucketCol(t: Int): Column =
       concat(lit(s"$t:") +: lshBitCols(t, bitsPerTable): _*)
     val c = emb
@@ -1528,8 +1541,8 @@ object Extensions {
   }
 
   def annTopK(emb: DataFrame, queryIds: DataFrame, k: Int = AnnK,
-              nTables: Int = 3, bitsPerTable: Int = 6,
-              bucketCap: Int = 256,
+              nTables: Int = LshTables, bitsPerTable: Int = LshBits,
+              bucketCap: Int = LshBucketCap,
               indexSrc: Option[String] = None,
               buckets0: Option[DataFrame] = None): DataFrame = {
     val qids = broadcast(queryIds.select("vec_id"))
@@ -1649,8 +1662,8 @@ object Extensions {
   private[graft] def lshPurgeSearch(spark: SparkSession,
                                     sfDir: String): DataFrame = {
     val (emb, qids) = annInputs(spark, sfDir, None)
-    val stored = lshStoredBuckets(emb, nTables = 3, bitsPerTable = 6,
-      bucketCap = 256, indexSrc = Some(s"$sfDir/embeddings.parquet"))
+    val stored = lshStoredBuckets(emb, LshTables, LshBits,
+      LshBucketCap, indexSrc = Some(s"$sfDir/embeddings.parquet"))
     val purged = purgeVecIds(spark, sfDir)
     val buckets = stored.join(broadcast(purged),
       col("corpus_id") === col("vec_id"), "left_anti")
@@ -2227,9 +2240,17 @@ object Extensions {
         val statsLive = e.select(posexplode(col("nv")).as(Seq("pos", "x")))
           .groupBy("pos").agg(min(col("x")).as("mn"),
             ((max(col("x")) - min(col("x"))) / 255.0).as("scale"))
-        val st = parquetFixture(spark, "int8-stats", s, "i8s1",
-            statsLive.queryExecution.logical.toString, statsLive)
-          .orderBy("pos").collect()
+        // memoized like the codebooks: the 64-row stats COLLECT is a
+        // per-call driver job otherwise (every pq-reranking search —
+        // incl. the hybrid metrics' bench reps — paid the fixture read
+        // + collect; round-14 verdict ask on ext_hybrid_search_pq's
+        // driver-side build)
+        def statsPlan = statsLive.queryExecution.logical.toString
+        val st = memoizedModel(fixtureDirOf("int8-stats", s, "i8s1",
+            statsPlan)) {
+          parquetFixture(spark, "int8-stats", s, "i8s1", statsPlan,
+            statsLive).orderBy("pos").collect()
+        }
         if (st.isEmpty) return raw // empty corpus: nothing to quantize
         val mnArr = typedLit(st.map(_.getDouble(1)).toSeq)
         val scArr = typedLit(st.map(_.getDouble(2)).toSeq)
@@ -4001,6 +4022,15 @@ object Extensions {
     case None => load
   }
 
+  /** Evict one memo entry — the recovery verb for a detected
+    * identity-hash key collision (a stopped session's address reuse):
+    * the collision guards below re-derive for the live session, and
+    * without the eviction the dead session's frame stays strongly
+    * referenced and every later call re-pays the derivation
+    * (round-13 advice). */
+  private[graft] def evictModelMemo(key: Option[String]): Unit =
+    key.foreach(modelMemo.remove(_))
+
   /** CompletableFuture.get wraps the loader's exception — rethrow the
     * cause so waiters see the same failure type the loader threw. */
   private def unwrapExecution[A](f: => A): A =
@@ -4072,66 +4102,125 @@ object Extensions {
     }
   }
 
+  /** The recall@k metric over a chosen set of index paths — the ONE
+    * machinery behind every registered recall row and the spec-pinned
+    * all-families form, so the metric's definition cannot drift
+    * between them.
+    *
+    * The aggregation is driven from the EXACT query set, so a query
+    * whose approx index returned zero candidates counts as recall 0
+    * instead of silently dropping out of the average — that failure
+    * mode is precisely what this metric exists to surface. The
+    * denominator is the exact baseline's OWN per-query row count
+    * (== AnnK whenever the corpus has ≥ AnnK+1 vectors), never a
+    * constant that could drift from the baseline's k. */
+  private def annRecallOver(spark: SparkSession, sfDir: String,
+      specs: Seq[(String, Option[DataFrame] => DataFrame, Double)])
+      : DataFrame = {
+    // NO whole-frame memo here, deliberately (round 14): the
+    // hybridOverlapQuery memo was tried and made the measured number
+    // WORSE — the bench clears caches between reps, and a memoized
+    // lazy frame re-executes every search path without the
+    // construction-time eager cache fills (qids count, exact-baseline
+    // cache) that make the per-call construction fast; construction
+    // per call re-arms them.
+    // cached (tracked): the exact baseline (a stored fixture) feeds
+    // every path's comparison — without the cache its read repeats
+    val exact = cacheTracked(annExactBaseline(spark, sfDir))
+    val exactN = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    def recallOf(approx: DataFrame, method: String, threshold: Double): DataFrame = {
+      val hits = approx.select(col("query_id"), col("corpus_id"))
+        .join(exact, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("nhit"))
+      exactN.join(hits, Seq("query_id"), "left")
+        .select((coalesce(col("nhit"), lit(0L)) / col("n_exact")).as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("recall")), 4).as("recall_at_10"))
+        .select(lit(method).as("method"), col("n_queries"),
+          col("recall_at_10"),
+          (col("recall_at_10") >= threshold).as("pass"))
+    }
+    // ONE cached query-id frame across every path: the 16-row set is
+    // identical per path, and each path's own derivation pays a
+    // corpus TakeOrdered — wasted scans this metric doesn't need
+    // (the paths' search semantics are untouched; qids is the same
+    // frame they would derive)
+    val qidsDf = cacheTracked(annQueryIds(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"))))
+    // materialized BEFORE the parallel section: every path's eager
+    // routing collect forces this cache — racing threads would each
+    // recompute the TakeOrdered into it
+    qidsDf.count()
+    val qids = Some(qidsDf)
+    // CONCURRENT path construction: each search path's construction
+    // runs eager driver-side jobs (model fixture loads, probed-cell
+    // routing collects) that are independent across paths — serially
+    // they summed to ~7 s at sf0.1 over seven paths. The recall
+    // VALUES are untouched: the same frames feed the same union;
+    // shared models dedupe through the future-based memo.
+    val paths = inParallel[DataFrame](specs.map {
+      case (_, search, _) => () => search(qids) })
+    specs.zip(paths).map { case ((method, _, floor), df) =>
+      recallOf(df, method, floor) }
+      .reduce(_.unionByName(_)).orderBy("method")
+  }
+
+  // Registered recall rows, SPLIT per index family (round 14, verdict
+  // ask): the old all-families ext_ann_recall re-ran 7 search paths
+  // serially-by-union in ONE registry line (4.3 s best / 8.8 s
+  // flagged) and gained a path with every new family — its growth sat
+  // on the bench's critical path and its trend line conflated seven
+  // families' regressions. Three rows, ≤3 paths each, each tiny and
+  // trend-readable per family; the all-families form (annRecall
+  // below) stays spec-pinned for the cross-family assertions
+  // (imipq≈imi routing bound, ivfpqr≥ivfpq) — the cold-centrality
+  // demotion precedent.
+  val annRecallFlat: Q = Q("ext_ann_recall_flat",
+    (spark, sfDir) => annRecallOver(spark, sfDir, Seq(
+      ("ann_lsh", (q: Option[DataFrame]) => annLshSearch(spark, sfDir, q),
+        AnnLshRecallFloor),
+      ("ivf", (q: Option[DataFrame]) => ivfSearch(spark, sfDir, q),
+        IvfRecallFloor),
+      ("pq", (q: Option[DataFrame]) => pqSearch(spark, sfDir, q),
+        PqRecallFloor))),
+    None)
+
+  val annRecallPq: Q = Q("ext_ann_recall_pq",
+    (spark, sfDir) => annRecallOver(spark, sfDir, Seq(
+      ("ivfpq", (q: Option[DataFrame]) => ivfpqSearch(spark, sfDir, q),
+        IvfpqRecallFloor),
+      ("ivfpqr", (q: Option[DataFrame]) => ivfpqrSearch(spark, sfDir, q),
+        IvfpqRecallFloor))),
+    None)
+
+  val annRecallImi: Q = Q("ext_ann_recall_imi",
+    (spark, sfDir) => annRecallOver(spark, sfDir, Seq(
+      ("imi", (q: Option[DataFrame]) => imiSearch(spark, sfDir, q),
+        ImiRecallFloor),
+      ("imipq", (q: Option[DataFrame]) => imipqSearch(spark, sfDir, q),
+        ImiRecallFloor))),
+    None)
+
+  /** The all-families recall form — UNREGISTERED since round 14 (the
+    * split rows above are the bench-facing metric); spec-pinned in
+    * ExtensionsSpec for the cross-family floor + routing-bound
+    * assertions that need every family in one frame. */
   val annRecall: Q = Q("ext_ann_recall",
-    (spark, sfDir) => {
-      // cached (tracked): the exact baseline feeds BOTH comparisons —
-      // without it the full corpus-scan scoring pass runs twice
-      val exact = cacheTracked(annExactBaseline(spark, sfDir))
-      // the aggregation is driven from the EXACT query set, so a query
-      // whose approx index returned zero candidates counts as recall 0
-      // instead of silently dropping out of the average — that failure
-      // mode is precisely what this metric exists to surface. The
-      // denominator is the exact baseline's OWN per-query row count
-      // (== AnnK whenever the corpus has ≥ AnnK+1 vectors), never a
-      // constant that could drift from the baseline's k.
-      val exactN = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-      def recallOf(approx: DataFrame, method: String, threshold: Double): DataFrame = {
-        val hits = approx.select(col("query_id"), col("corpus_id"))
-          .join(exact, Seq("query_id", "corpus_id"), "left_semi")
-          .groupBy("query_id").agg(count(lit(1)).as("nhit"))
-        exactN.join(hits, Seq("query_id"), "left")
-          .select((coalesce(col("nhit"), lit(0L)) / col("n_exact")).as("recall"))
-          .agg(count(lit(1)).as("n_queries"),
-            round(avg(col("recall")), 4).as("recall_at_10"))
-          .select(lit(method).as("method"), col("n_queries"),
-            col("recall_at_10"),
-            (col("recall_at_10") >= threshold).as("pass"))
-      }
-      // ONE cached query-id frame across every path: the 16-row set is
-      // identical per path, and each path's own derivation pays a
-      // corpus TakeOrdered — 7× wasted scans this metric doesn't need
-      // (the paths' search semantics are untouched; qids is the same
-      // frame they would derive)
-      val qidsDf = cacheTracked(annQueryIds(
-        Tables.embeddings(spark, sfDir).select(col("vec_id"))))
-      // materialized BEFORE the parallel section: all seven paths'
-      // eager routing collects force this cache — racing threads
-      // would each recompute the TakeOrdered into it
-      qidsDf.count()
-      val qids = Some(qidsDf)
-      // CONCURRENT path construction: each search path's construction
-      // runs eager driver-side jobs (model fixture loads, probed-cell
-      // routing collects) that are independent across paths — serially
-      // they summed to ~7 s at sf0.1, ~70% of this metric's cost. The
-      // recall VALUES are untouched: the same seven frames feed the
-      // same union; shared models dedupe through the future-based memo.
-      val paths = inParallel[DataFrame](Seq(
-        () => annLshSearch(spark, sfDir, qids),
-        () => ivfSearch(spark, sfDir, qids),
-        () => pqSearch(spark, sfDir, qids),
-        () => ivfpqSearch(spark, sfDir, qids),
-        () => imiSearch(spark, sfDir, qids),
-        () => imipqSearch(spark, sfDir, qids),
-        () => ivfpqrSearch(spark, sfDir, qids)))
-      recallOf(paths(0), "ann_lsh", AnnLshRecallFloor)
-        .unionByName(recallOf(paths(1), "ivf", IvfRecallFloor))
-        .unionByName(recallOf(paths(2), "pq", PqRecallFloor))
-        .unionByName(recallOf(paths(3), "ivfpq", IvfpqRecallFloor))
-        .unionByName(recallOf(paths(4), "imi", ImiRecallFloor))
-        .unionByName(recallOf(paths(5), "imipq", ImiRecallFloor))
-        .unionByName(recallOf(paths(6), "ivfpqr", IvfpqRecallFloor))
-        .orderBy("method")
-    },
+    (spark, sfDir) => annRecallOver(spark, sfDir, Seq(
+      ("ann_lsh", (q: Option[DataFrame]) => annLshSearch(spark, sfDir, q),
+        AnnLshRecallFloor),
+      ("ivf", (q: Option[DataFrame]) => ivfSearch(spark, sfDir, q),
+        IvfRecallFloor),
+      ("pq", (q: Option[DataFrame]) => pqSearch(spark, sfDir, q),
+        PqRecallFloor),
+      ("ivfpq", (q: Option[DataFrame]) => ivfpqSearch(spark, sfDir, q),
+        IvfpqRecallFloor),
+      ("imi", (q: Option[DataFrame]) => imiSearch(spark, sfDir, q),
+        ImiRecallFloor),
+      ("imipq", (q: Option[DataFrame]) => imipqSearch(spark, sfDir, q),
+        ImiRecallFloor),
+      ("ivfpqr", (q: Option[DataFrame]) => ivfpqrSearch(spark, sfDir, q),
+        IvfpqRecallFloor))),
     None)
 
   // =====================================================================
@@ -6258,7 +6347,7 @@ object Extensions {
       sfDir: String): (DataFrame, Long) = {
     val key = dataFingerprintOpt(s"$sfDir/documents.parquet")
       .map(fp => s"snapstat:${System.identityHashCode(spark)}:$sfDir:$fp")
-    val (df, n) = memoizedModel(key) {
+    def derive(): (DataFrame, java.lang.Long) = {
       val st = snapshotStatuses(snapshotDocsA(spark, sfDir),
         snapshotDocsB(spark, sfDir))
       st.cache()
@@ -6268,14 +6357,24 @@ object Extensions {
       (st, java.lang.Long.valueOf(
         st.filter(col("status") =!= "unchanged").count()))
     }
+    val (df, n) = memoizedModel(key)(derive())
     // identity-hash keys can collide across a stopped-and-collected
     // session's address reuse; a frame served into the wrong session
-    // fails confusingly downstream, so validate and fall back to a
-    // fresh uncached-memo derivation for the foreign-session case
+    // fails confusingly downstream, so validate, EVICT the poisoned
+    // entry (else the dead frame stays referenced and every later
+    // call re-pays the diff — round-13 advice), and re-memoize for
+    // the live session. A second foreign hit (a pathological re-race)
+    // degrades to an uncached live derivation.
     if (df.sparkSession ne spark) {
-      val st = cacheTracked(snapshotStatuses(snapshotDocsA(spark, sfDir),
-        snapshotDocsB(spark, sfDir)))
-      return (st, st.filter(col("status") =!= "unchanged").count())
+      evictModelMemo(key)
+      val (df2, n2) = memoizedModel(key)(derive())
+      if (df2.sparkSession ne spark) {
+        val st = cacheTracked(snapshotStatuses(snapshotDocsA(spark, sfDir),
+          snapshotDocsB(spark, sfDir)))
+        return (st, st.filter(col("status") =!= "unchanged").count())
+      }
+      cacheTracked(df2)
+      return (df2, n2.longValue())
     }
     cacheTracked(df)
     (df, n.longValue())
@@ -6544,19 +6643,26 @@ object Extensions {
       .map(fp => s"snapvec:${System.identityHashCode(spark)}:$sfDir:$fp")
     def asDocs(df: DataFrame): DataFrame =
       df.select(col("vec_id").as("doc_id"), to_json(struct(col("v"))).as("text"))
-    val (df, n) = memoizedModel(key) {
+    def derive(): (DataFrame, java.lang.Long) = {
       val st = snapshotStatuses(asDocs(snapshotVecsA(spark, sfDir)),
         asDocs(snapshotVecsB(spark, sfDir)))
       st.cache()
       (st, java.lang.Long.valueOf(
         st.filter(col("status") =!= "unchanged").count()))
     }
-    // same foreign-session fallback as cachedSnapshotStatuses
+    val (df, n) = memoizedModel(key)(derive())
+    // same foreign-session evict-and-rememoize as cachedSnapshotStatuses
     if (df.sparkSession ne spark) {
-      val st = cacheTracked(snapshotStatuses(
-        asDocs(snapshotVecsA(spark, sfDir)),
-        asDocs(snapshotVecsB(spark, sfDir))))
-      return (st, st.filter(col("status") =!= "unchanged").count())
+      evictModelMemo(key)
+      val (df2, n2) = memoizedModel(key)(derive())
+      if (df2.sparkSession ne spark) {
+        val st = cacheTracked(snapshotStatuses(
+          asDocs(snapshotVecsA(spark, sfDir)),
+          asDocs(snapshotVecsB(spark, sfDir))))
+        return (st, st.filter(col("status") =!= "unchanged").count())
+      }
+      cacheTracked(df2)
+      return (df2, n2.longValue())
     }
     cacheTracked(df)
     (df, n.longValue())
@@ -6600,6 +6706,247 @@ object Extensions {
     (spark, sfDir) => ivfpqRefreshSearch(spark, sfDir), None)
 
   // =====================================================================
+  // E76d (round 14): refresh verbs for the REMAINING vector families —
+  // IMI-PQ, residual IVFPQ, and the LSH bucket index. Before this, a
+  // daily re-crawl (the E72 diff → E76 composition, THE production
+  // workload) could refresh postings, substr grams, and flat-IVFPQ
+  // codes, but a deployment serving ext_topk_imipq / ext_topk_ivfpqr /
+  // ext_ann_lsh had to run purge + arrival as separate manual verbs.
+  // Each verb below is the same E76c composition under that family's
+  // FROZEN models: content-hash diff → broadcast anti-join of the
+  // stale ids out of the stored snapshot-A index → ONE O(delta)
+  // encode/hash pass over the fresh vectors → serve the family's own
+  // search. Rows-only for the family's own reason (approximate index);
+  // RefreshSpec asserts equality to the from-scratch snapshot-B build
+  // under the same models, PlanSpec gates the stored serve + raw-scan
+  // budget. Serves run src=None on the B vectors — the int8 rerank
+  // fixture holds pre-revision content (ivfpqRefreshSearch's reason).
+  // =====================================================================
+  /** The refreshed snapshot-B IMI-PQ search — [[ivfpqRefreshSearch]]
+    * for the product-routed family: three frozen models (PQ codebooks
+    * + both half-quantizers), stale codes anti-joined from the stored
+    * snapshot-A product-cell table, fresh delta through ONE
+    * [[imipqEncodeAssign]] scan. */
+  private[graft] def imipqRefreshSearch(spark: SparkSession,
+                                        sfDir: String): DataFrame = {
+    val vecsA = snapshotVecsA(spark, sfDir)
+    val vecsB = snapshotVecsB(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val src = s"$sfDir/embeddings.parquet"
+    // frozen FULL-corpus models — a refresh never retrains (E63)
+    val cbs = pqCodebooks(emb, codebookSrc = Some(src))
+    val cs0 = imiCentroids(emb, 0, ImiK, Some(src))
+    val cs1 = imiCentroids(emb, 1, ImiK, Some(src))
+    if (cbs.isEmpty || cs0.isEmpty || cs1.isEmpty)
+      return imipqTopK(vecsB, annQueryIds(vecsB)) // empty-corpus guard
+    val (statuses, nDelta) = cachedVecSnapshotStatuses(spark, sfDir)
+    val hint = refreshHint(nDelta)
+    val stale = hint(statuses
+      .filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id").as("vec_id")))
+    val fresh = hint(statuses
+      .filter(col("status").isin("added", "changed"))
+      .select(col("doc_id").as("vec_id")))
+    val codesA = imipqCellCodes(vecsA, cbs, cs0, cs1, Some(src))
+    val refreshed = codesA
+      .join(stale, col("corpus_id") === col("vec_id"), "left_anti")
+      .unionByName(
+        imipqEncodeAssign(vecsB.join(fresh, Seq("vec_id")), cbs, cs0, cs1))
+    imipqTopK(vecsB, annQueryIds(vecsB), codes0 = Some(refreshed),
+      cbs0 = Some(cbs), csH0 = Some(cs0), csH1 = Some(cs1))
+  }
+
+  lazy val imipqRefresh: Q = Q("ext_imipq_refresh",
+    (spark, sfDir) => imipqRefreshSearch(spark, sfDir), None)
+
+  /** The refreshed snapshot-B residual-IVFPQ search —
+    * [[ivfpqRefreshSearch]] for the residual geometry: centroids,
+    * cell means, and residual codebook all frozen; fresh delta through
+    * ONE [[ivfpqrEncodeAssign]] scan (assignment + residual + M codes
+    * in a single pass, the arrival contract). */
+  private[graft] def ivfpqrRefreshSearch(spark: SparkSession,
+                                         sfDir: String): DataFrame = {
+    val vecsB = snapshotVecsB(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val src = s"$sfDir/embeddings.parquet"
+    ivfpqrModels(emb, src) match {
+      case None => ivfpqrTopK(vecsB, annQueryIds(vecsB)) // empty guard
+      case Some((cs, ms, cbs)) =>
+        val vecsA = snapshotVecsA(spark, sfDir)
+        val (statuses, nDelta) = cachedVecSnapshotStatuses(spark, sfDir)
+        val hint = refreshHint(nDelta)
+        val stale = hint(statuses
+          .filter(col("status").isin("removed", "changed"))
+          .select(col("doc_id").as("vec_id")))
+        val fresh = hint(statuses
+          .filter(col("status").isin("added", "changed"))
+          .select(col("doc_id").as("vec_id")))
+        val codesA = ivfpqrCellCodes(vecsA, cbs, cs, ms, Some(src))
+        val refreshed = codesA
+          .join(stale, col("corpus_id") === col("vec_id"), "left_anti")
+          .unionByName(
+            ivfpqrEncodeAssign(vecsB.join(fresh, Seq("vec_id")), cbs, cs, ms))
+        ivfpqrTopK(vecsB, annQueryIds(vecsB), codes0 = Some(refreshed),
+          cbs0 = Some(cbs), cs0 = Some(cs), ms0 = Some(ms))
+    }
+  }
+
+  lazy val ivfpqrRefresh: Q = Q("ext_ivfpqr_refresh",
+    (spark, sfDir) => ivfpqrRefreshSearch(spark, sfDir), None)
+
+  /** The refreshed snapshot-B LSH search: stale bucket rows
+    * anti-joined from the stored snapshot-A capped bucket table, the
+    * fresh delta hashed in ONE O(batch) [[lshBucketRows]] scan (the
+    * hyperplanes are sha-derived constants — the family's frozen
+    * model), and the hot-bucket cap RE-applied to the merged table
+    * ([[lshIncremental]]'s reason: the cap is deterministic over the
+    * stored columns, so re-capping is idempotent and the refreshed
+    * table equals the from-scratch snapshot-B build exactly whenever
+    * the cap has headroom — RefreshSpec asserts it at driver SFs). */
+  private[graft] def lshRefreshSearch(spark: SparkSession,
+                                      sfDir: String): DataFrame = {
+    val vecsA = snapshotVecsA(spark, sfDir)
+    val vecsB = snapshotVecsB(spark, sfDir)
+    val src = s"$sfDir/embeddings.parquet"
+    val (statuses, nDelta) = cachedVecSnapshotStatuses(spark, sfDir)
+    val hint = refreshHint(nDelta)
+    val stale = hint(statuses
+      .filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id").as("vec_id")))
+    val fresh = hint(statuses
+      .filter(col("status").isin("added", "changed"))
+      .select(col("doc_id").as("vec_id")))
+    val bucketsA = lshStoredBuckets(vecsA, LshTables, LshBits,
+      LshBucketCap, indexSrc = Some(src))
+    val refreshed = capBuckets(
+      bucketsA.join(stale, col("corpus_id") === col("vec_id"), "left_anti")
+        .unionByName(lshBucketRows(vecsB.join(fresh, Seq("vec_id")), None)),
+      LshBucketCap)
+    annTopK(vecsB, annQueryIds(vecsB), buckets0 = Some(refreshed))
+  }
+
+  lazy val lshRefresh: Q = Q("ext_lsh_refresh",
+    (spark, sfDir) => lshRefreshSearch(spark, sfDir), None)
+
+  // =====================================================================
+  // E76e (round 14): SHARD-STORE REFRESH — the diff-driven verb the
+  // shard store lacked: it had arrive (E66), compact, and purge (E71)
+  // as separate manual steps where the index families run one. The
+  // refreshed RECEIPT is the registered, ORACLE-PAIRED contract (the
+  // manifest monoid is the store's integrity artifact — E66's gate):
+  // stale docs leave, fresh docs arrive, and the refreshed manifest
+  // must equal the monolithic snapshot-B manifest SQL verbatim.
+  // Shape: min/max hash ranges have no inverse (E71's shard lesson),
+  // so affected shards — named by the stale docs' stored index rows
+  // and the arrivals' own content hashes — are recomputed from the
+  // partition-pruned snapshot-A shard index minus the stale ids plus
+  // the O(delta) arrival rows; untouched shards pass through from the
+  // stored snapshot-A receipt. Physical store movement composes the
+  // existing verbs ([[purgeShardStore]] + [[writeShardDelta]] +
+  // [[compactShards]]); the receipt is what a pipeline publishes.
+  // =====================================================================
+  /** Per-doc shard receipt columns of a (doc_id, text) frame —
+    * (doc_id, shard, hh, n_chars), pure content arithmetic (the E66
+    * stateless contract; n_chars = length(text), which the documents
+    * table's n_chars column equals, and the snapshot-B side's revised
+    * text needs the live length anyway). */
+  private def shardReceiptRows(docs: DataFrame): DataFrame = {
+    val h = Scalars.hash60(col("text"))
+    docs.select(col("doc_id"),
+      pmod(h, lit(ShardCount.toLong)).cast("int").as("shard"),
+      h.as("hh"), length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** The snapshot-A shard index fixture — [[shardIndexFixture]] for
+    * yesterday's crawl, hive-partitioned by shard so the refresh's
+    * affected-shard recompute prunes to the touched directories. */
+  private def shardIndexAFixture(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val live = shardReceiptRows(snapshotDocsA(spark, sfDir))
+    parquetFixture(spark, "shard-index-a", s"$sfDir/documents.parquet",
+      s"n${ShardCount}_snapA$SnapABelow",
+      live.queryExecution.logical.toString, live,
+      partitionCols = Seq("shard"))
+  }
+
+  /** The snapshot-A manifest as a stored ≤ [[ShardCount]]-row fixture
+    * — the receipt untouched shards pass through from. */
+  private def shardManifestAFixture(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
+    val live = manifestAggOf(
+      shardReceiptRows(snapshotDocsA(spark, sfDir))
+        .select("shard", "hh", "n_chars"))
+    parquetFixture(spark, "shard-manifest-a", s"$sfDir/documents.parquet",
+      s"n${ShardCount}_snapA$SnapABelow",
+      live.queryExecution.logical.toString, live)
+  }
+
+  /** Refreshed-manifest fold from (stored snapshot-A receipt, stored
+    * snapshot-A shard index, stale ids, arrival receipt rows) —
+    * package-private so RefreshSpec can drive it at a shard count
+    * where the pass-through path actually carries rows (at
+    * ShardCount=8 a spread diff touches every shard). */
+  private[graft] def shardRefreshManifestFrom(stored: DataFrame,
+      idxA: DataFrame, staleIds: DataFrame,
+      arrived: DataFrame): DataFrame = {
+    // affected-shard collect is diff-sized (stale docs' stored rows +
+    // arrivals' own content hashes — deployment: the re-crawl delta);
+    // the literal partition-prunes the stored index at plan time
+    val affected = idxA.join(staleIds, Seq("doc_id"), "left_semi")
+      .select("shard")
+      .unionByName(arrived.select("shard"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return stored.orderBy("shard")
+    val lits = affected.map(Int.box)
+    val untouched = stored.filter(!col("shard").isin(lits: _*))
+      .select("shard", "n_docs", "total_chars", "min_hash", "max_hash",
+        "checksum")
+    val recomputed = manifestAggOf(
+      idxA.filter(col("shard").isin(lits: _*))
+        .join(staleIds, Seq("doc_id"), "left_anti")
+        .select("shard", "hh", "n_chars")
+        .unionByName(arrived.select("shard", "hh", "n_chars")))
+    untouched.unionByName(recomputed).orderBy("shard")
+  }
+
+  lazy val shardRefresh: Q = Q("ext_shard_refresh",
+    (spark, sfDir) => {
+      val (statuses, nDelta) = cachedSnapshotStatuses(spark, sfDir)
+      val hint = refreshHint(nDelta)
+      val stale = hint(statuses
+        .filter(col("status").isin("removed", "changed")).select("doc_id"))
+      val fresh = hint(statuses
+        .filter(col("status").isin("added", "changed")).select("doc_id"))
+      // arrival receipt: ONE O(delta) content-arithmetic projection
+      // over the fresh snapshot-B docs. CACHED (tracked): it feeds the
+      // affected-shard collect AND the recompute union.
+      val arrived = cacheTracked(
+        shardReceiptRows(snapshotDocsB(spark, sfDir).join(fresh, Seq("doc_id"))))
+      shardRefreshManifestFrom(shardManifestAFixture(spark, sfDir),
+        shardIndexAFixture(spark, sfDir), stale, arrived)
+    },
+    // the MONOLITHIC manifest SQL over the snapshot-B derivation
+    // verbatim: refreshed receipts must equal rebuilt-from-scratch
+    // receipts — the same "global counts are global counts" gate the
+    // fold (E66) and the purge (E71) carry
+    Some(s"""WITH d AS (SELECT doc_id, text,
+            |    ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+            |  FROM documents),
+            |bb AS (SELECT CASE WHEN bucket % $SnapRevMod = 0
+            |         THEN text || ' rev2' ELSE text END AS text
+            |  FROM d WHERE bucket >= $SnapBFrom),
+            |h AS (SELECT ${duckHash60("text")} AS hh,
+            |    CAST(len(text) AS BIGINT) AS n_chars FROM bb)
+            |SELECT CAST(hh % $ShardCount AS INT) AS shard,
+            |  count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            |  min(hh) AS min_hash, max(hh) AS max_hash,
+            |  CAST(sum(hh % 100003) AS BIGINT) AS checksum
+            |FROM h GROUP BY 1 ORDER BY shard""".stripMargin))
+
+  // =====================================================================
   // E81: REFRESH REPORT — the operational receipt the refresh verbs
   // log (the pack-report/manifest/compact-report discipline applied
   // to E76): one row per (FAMILY, diff status) with the doc count and
@@ -6618,10 +6965,17 @@ object Extensions {
   //    the postings row identity. Both sides are one O(delta)
   //    token-count projection — the verb's own arrival/purge cost,
   //    no gram explode needed for the receipt.
-  // The ivfpq refresh (E76c) keeps its receipt in RefreshSpec instead:
-  // its stored row counts depend on the engine-specific cell cap
-  // (layout facts DuckDB cannot see — ext_compact_report's reason
-  // class), while both families here are pure corpus arithmetic.
+  // Round 14 extends the report to every refreshable family. The
+  // VECTOR families (ivfpq/imipq/ivfpqr codes, lsh buckets) report in
+  // PRE-CAP units — code rows per vector (exactly 1) and bucket rows
+  // per vector (exactly LshTables) — because those are the units that
+  // stay pure corpus arithmetic: the PHYSICAL stored row count depends
+  // on the engine-specific hot-cell/hot-bucket cap (layout facts
+  // DuckDB cannot see — ext_compact_report's reason class), so each
+  // family's physical stored−purged+arrived row identity is asserted
+  // in RefreshSpec against the live fold instead of oracle-paired
+  // here. The SHARD family reports in chars (the manifest's byte
+  // column — per-doc attributable like substr occurrences).
   // =====================================================================
   /** Per-doc gram-window count of a (doc_id, text) frame — the substr
     * family's receipt unit ([[substringGramIndex]] emits exactly this
@@ -6666,8 +7020,31 @@ object Extensions {
       val gA = gramUnitsOf(
         snapshotDocsA(spark, sfDir).join(stale, Seq("doc_id")), "rows_a")
       val gB = gramUnitsOf(b.join(fresh, Seq("doc_id")), "rows_b")
+      // shard: chars moved (the manifest's byte column) — O(delta)
+      // length projections, the same two-halves shape as substr
+      val cA = snapshotDocsA(spark, sfDir).join(stale, Seq("doc_id"))
+        .select(col("doc_id"), length(col("text")).cast("long").as("rows_a"))
+      val cB = b.join(fresh, Seq("doc_id"))
+        .select(col("doc_id"), length(col("text")).cast("long").as("rows_b"))
+      // vector families: PRE-CAP index units per vector (see the
+      // section note) — one shared groupBy over the cached vector diff
+      val (vecStatuses, _) = cachedVecSnapshotStatuses(spark, sfDir)
+      def vecFamilyRows(family: String, unitsPerVec: Int): DataFrame =
+        vecStatuses.groupBy("status")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("status").isin("removed", "changed"),
+              lit(unitsPerVec.toLong)).otherwise(0L)).as("rows_purged"),
+            sum(when(col("status").isin("added", "changed"),
+              lit(unitsPerVec.toLong)).otherwise(0L)).as("rows_arrived"))
+          .select(lit(family).as("family"), col("status"), col("n_docs"),
+            col("rows_purged"), col("rows_arrived"))
       familyRows("postings", aRows, bRows)
         .unionByName(familyRows("substr", gA, gB))
+        .unionByName(familyRows("shard", cA, cB))
+        .unionByName(vecFamilyRows("ivfpq_codes", 1))
+        .unionByName(vecFamilyRows("imipq_codes", 1))
+        .unionByName(vecFamilyRows("ivfpqr_codes", 1))
+        .unionByName(vecFamilyRows("lsh_buckets", LshTables))
         .orderBy("family", "status")
     },
     Some(s"""WITH d AS (SELECT doc_id, text,
@@ -6732,7 +7109,41 @@ object Extensions {
             |  FROM st
             |  LEFT JOIN ag ON ag.doc_id = st.doc_id
             |  LEFT JOIN bg ON bg.doc_id = st.doc_id
-            |  GROUP BY st.status)
+            |  GROUP BY st.status
+            |  UNION ALL
+            |  SELECT 'shard' AS family, st.status AS status,
+            |    count(*) AS n_docs,
+            |    CAST(sum(CASE WHEN st.status IN ('removed', 'changed')
+            |      THEN coalesce(len(a.text), 0) ELSE 0 END) AS BIGINT)
+            |      AS rows_purged,
+            |    CAST(sum(CASE WHEN st.status IN ('added', 'changed')
+            |      THEN coalesce(len(bb.text), 0) ELSE 0 END) AS BIGINT)
+            |      AS rows_arrived
+            |  FROM st
+            |  LEFT JOIN a ON a.doc_id = st.doc_id
+            |  LEFT JOIN bb ON bb.doc_id = st.doc_id
+            |  GROUP BY st.status
+            |  UNION ALL
+            |  SELECT vf.family, vr.status, vr.n_docs,
+            |    vr.purged1 * vf.units AS rows_purged,
+            |    vr.arrived1 * vf.units AS rows_arrived
+            |  FROM (
+            |    SELECT status, count(*) AS n_docs,
+            |      CAST(sum(CASE WHEN status IN ('removed', 'changed')
+            |        THEN 1 ELSE 0 END) AS BIGINT) AS purged1,
+            |      CAST(sum(CASE WHEN status IN ('added', 'changed')
+            |        THEN 1 ELSE 0 END) AS BIGINT) AS arrived1
+            |    FROM (
+            |      SELECT CASE WHEN bucket < $SnapBFrom THEN 'removed'
+            |                  WHEN bucket >= $SnapABelow THEN 'added'
+            |                  WHEN bucket % $SnapRevMod = 0 THEN 'changed'
+            |                  ELSE 'unchanged' END AS status
+            |      FROM (SELECT ${duckHash60("CAST(vec_id AS VARCHAR)")} % 100
+            |              AS bucket FROM embeddings))
+            |    GROUP BY status) vr
+            |  CROSS JOIN (VALUES ('ivfpq_codes', 1), ('imipq_codes', 1),
+            |    ('ivfpqr_codes', 1), ('lsh_buckets', $LshTables))
+            |    vf(family, units))
             |SELECT family, status, n_docs, rows_purged, rows_arrived
             |FROM rep ORDER BY family, status""".stripMargin))
 
@@ -7716,9 +8127,10 @@ object Extensions {
     * cadence report (E61). */
   private def lshBucketsFixture(spark: SparkSession, sfDir: String,
                                 corpus: DataFrame): DataFrame = {
-    val corpusBuckets0 = lshBucketRows(corpus, Some(256))
+    val corpusBuckets0 = lshBucketRows(corpus, Some(LshBucketCap))
     parquetFixture(spark, "lsh-buckets",
-      s"$sfDir/embeddings.parquet", s"t3_b6_c256_lshinc90",
+      s"$sfDir/embeddings.parquet",
+      s"t${LshTables}_b${LshBits}_c${LshBucketCap}_lshinc90",
       corpusBuckets0.queryExecution.logical.toString, corpusBuckets0)
   }
 
@@ -7737,7 +8149,7 @@ object Extensions {
       // driver SFs the cap never binds — ExtensionsSpec asserts the
       // headroom AND output equality with the monolithic index).
       val merged = capBuckets(
-        corpusBuckets.unionByName(lshBucketRows(batch, None)), 256)
+        corpusBuckets.unionByName(lshBucketRows(batch, None)), LshBucketCap)
       annTopK(emb, annQueryIds(emb), buckets0 = Some(merged))
     },
     None)
@@ -7801,12 +8213,12 @@ object Extensions {
     * salted sha order is a pure function of the stored columns, so
     * compaction is deterministic and idempotent. */
   def lshCompactedBuckets(corpusBuckets: DataFrame, batchRows: DataFrame,
-                          src: String, cap: Int = 256): DataFrame = {
+                          src: String, cap: Int = LshBucketCap): DataFrame = {
     val spark = corpusBuckets.sparkSession
     val merged = corpusBuckets.unionByName(batchRows)
     def capped = capBuckets(merged, cap)
     parquetFixture(spark, "lsh-buckets-compact", src,
-      s"t3_b6_c${cap}_compact1",
+      s"t${LshTables}_b${LshBits}_c${cap}_compact1",
       merged.queryExecution.logical.toString +
         "\nscans:" + scanRootPaths(merged).mkString(","), capped)
   }
@@ -9169,6 +9581,12 @@ object Extensions {
     * ranking is fully settled while the damped spectral gap still
     * converges in single-digit iterations here. */
   final val HitsConvergedTol = 1e-7
+  /** Convergence checked every 2nd iteration for the HITS forms: the
+    * loop converges at the spectral gap in ~4-5 iterations, so a wider
+    * cadence than pageRank's 4 would overshoot a full gap cycle, while
+    * 2 halves the eager truncation + delta jobs the loop is bound by
+    * ([[CentralityDeltaEvery]]'s argument at the HITS scale). */
+  final val HitsDeltaEvery = 2
   final val CentralityTopK = 20
   /** Convergence checked every 4th iteration: the check (checkpoint
     * action + delta job) is the per-iteration JOB overhead; amortizing
@@ -9214,15 +9632,16 @@ object Extensions {
       // HITS iterates L1-NORMALIZED vectors (total mass 1 at any node
       // count), so the absolute delta threshold is already the
       // scale-free form — no node-count scaling, unlike pageRank's
-      // unnormalized ~1-per-node vector (see [[HitsConvergedTol]])
-      val nHubs = edges.select("s").distinct().count()
-      if (nHubs == 0)
+      // unnormalized ~1-per-node vector (see [[HitsConvergedTol]]).
+      // Emptiness gate only — no distinct+count job (pageRank needs
+      // the node count for its tol; HITS does not)
+      if (edges.isEmpty)
         spark.range(0)
           .select(lit("s").as("node_type"), lit(0L).as("entity_key"),
             lit(0.0).as("score"), lit(0).as("iterations"))
       else {
         val (hubs, auths, iters) = hitsConverged(edges,
-          tol = HitsConvergedTol)
+          tol = HitsConvergedTol, deltaEvery = HitsDeltaEvery)
         def top(df: DataFrame, idCol: String, scoreCol: String,
                 tag: String): DataFrame =
           df.orderBy(round(col(scoreCol), 6).desc, col(idCol).asc)
@@ -9296,7 +9715,8 @@ object Extensions {
         transactionEdgesDirected(spark, sfDir, priorOnly = true))
       if (pe.select("s").limit(1).count() == 0)
         pe.select(col("s"), lit(1.0).as("hub")).limit(0)
-      else hitsConverged(pe, tol = HitsConvergedTol)._1
+      else hitsConverged(pe, tol = HitsConvergedTol,
+        deltaEvery = HitsDeltaEvery)._1
     }
     parquetFixture(spark, "hits-seed", s"$sfDir/lineitem.parquet",
       s"prior${PriorGraphKeepPct}_tol$HitsConvergedTol",
@@ -9338,14 +9758,14 @@ object Extensions {
   val hitsWarm: Q = Q("ext_hits_warm",
     (spark, sfDir) => {
       val edges = cacheTracked(transactionEdgesDirected(spark, sfDir))
-      val nHubs = edges.select("s").distinct().count()
-      if (nHubs == 0)
+      // emptiness gate only — see the cold form's note
+      if (edges.isEmpty)
         spark.range(0)
           .select(lit("s").as("node_type"), lit(0L).as("entity_key"),
             lit(0.0).as("score"), lit(0).as("iterations"))
       else {
         val (hubs, auths, iters) = hitsConverged(edges,
-          tol = HitsConvergedTol,
+          tol = HitsConvergedTol, deltaEvery = HitsDeltaEvery,
           init = Some(hitsSeedFixture(spark, sfDir)))
         def top(df: DataFrame, idCol: String, scoreCol: String,
                 tag: String): DataFrame =
@@ -9589,8 +10009,9 @@ object Extensions {
   def hitsConverged(edges: DataFrame, tol: Double, maxIters: Int = 50,
       checkpointEvery: Int = 10,
       checkpointDir: Option[String] = None,
-      init: Option[DataFrame] = None): (DataFrame, DataFrame, Int) = {
-    require(tol > 0 && maxIters > 0 && checkpointEvery > 0)
+      init: Option[DataFrame] = None,
+      deltaEvery: Int = 1): (DataFrame, DataFrame, Int) = {
+    require(tol > 0 && maxIters > 0 && checkpointEvery > 0 && deltaEvery > 0)
     val ck = graft.ops.Graph.checkpointer(edges.sparkSession, checkpointDir)
     val e = cacheTracked(edges.select(col("s"), col("c")))
     def l1(df: DataFrame, scoreCol: String): DataFrame = {
@@ -9614,38 +10035,97 @@ object Extensions {
         l1(e.select(col("s")).distinct().withColumn("hub", lit(1.0)), "hub")
     }
     var auths: DataFrame = e.select(col("c")).distinct().withColumn("auth", lit(0.0))
-    var iter = 0
-    var delta = Double.MaxValue
-    while (iter < maxIters && delta >= tol) {
-      auths = l1(
-        e.join(hubs, Seq("s"))
-          .groupBy(col("c")).agg(sum(col("hub")).as("auth")), "auth")
-      val stepped = l1(
-        e.join(auths, Seq("c"))
-          .groupBy(col("s")).agg(sum(col("auth")).as("hub")), "hub")
-      iter += 1
-      // truncate lineage EVERY iteration — each l1() references its
-      // input twice (total + join), so the logical plan would DOUBLE
-      // per half-step and OOM the analyzer long before data size
-      // matters; every checkpointEvery-th truncation is the reliable kind
-      val next =
-        if (iter % checkpointEvery == 0) ck(stepped) else stepped.localCheckpoint()
-      // the hub node set is static (every s has >= 1 edge), so an
-      // inner join pairs old and new completely
-      delta = next.select(col("s"), col("hub").as("h_new"))
-        .join(hubs.select(col("s"), col("hub").as("h_old")), Seq("s"))
+    // auths iterate RAW (round 14): the hub-side l1 makes the whole
+    // update scale-invariant — l1(e·l1(eᵀh)) ≡ l1(e·eᵀh) — so
+    // normalizing the intermediate auth vector bought nothing but an
+    // extra cache + 1-row agg + broadcast per iteration (the loop is
+    // job-count-bound: the bench host taxes per-stage overhead, and
+    // ext_hits_warm was the registry's most expensive line). The
+    // RETURNED auths are normalized once at exit; hub deltas, the
+    // convergence criterion, and both outputs are unchanged to float
+    // noise orders below tol. Raw auth magnitudes stay bounded: hubs
+    // carry total mass 1 into each half-step, so Σauth ≤ max hub
+    // in-degree — no overflow at any graph size.
+    def authsOf(h: DataFrame): DataFrame =
+      e.join(h, Seq("s"))
+        .groupBy(col("c")).agg(sum(col("hub")).as("auth"))
+    def hubsOf(a: DataFrame): DataFrame = l1(
+      e.join(a, Seq("c"))
+        .groupBy(col("s")).agg(sum(col("auth")).as("hub")), "hub")
+    // the hub node set is static (every s has >= 1 edge), so an
+    // inner join pairs old and new completely. NOTE the delta join
+    // runs AFTER the truncation, on two plain (s, hub) checkpointed
+    // frames — a round-14 attempt to fold the old vector into the
+    // checkpointed frame itself (join BEFORE truncation) sent
+    // LogicalRDD.rewriteStatsAndConstraints into a per-iteration
+    // constraint blowup (each checkpoint of a join-of-checkpoints
+    // compounds the constraint set; observed as a 25-minute
+    // driver-side spin on a 5-edge graph). Keep checkpointed frames
+    // constraint-minimal.
+    def l1Delta(next: DataFrame, prev: DataFrame): Double =
+      next.select(col("s"), col("hub").as("h_new"))
+        .join(prev.select(col("s"), col("hub").as("h_old")), Seq("s"))
         .agg(sum(abs(col("h_new") - col("h_old"))))
         .first() match {
           case r if r.isNullAt(0) => 0.0 // empty graph: nothing to move
           case r => r.getDouble(0)
         }
-      hubs = next
+    var iter = 0
+    var delta = Double.MaxValue
+    // SEED-RESIDUAL EARLY EXIT (round-14, verdict ask): a warm start
+    // was registered on the argument that it pays off when the graph
+    // barely changed, but HITS converges at the spectral gap from ANY
+    // start, so the only iteration count the seed can save is the
+    // no-change case — and the loop below would still run one full
+    // iteration plus its checkpoint to discover it. Instead, unroll
+    // one half-step pair and test whether the seed already satisfies
+    // the fixpoint equation on the NEW graph: within tol, return the
+    // seed itself at iteration 0 (no checkpoint, no loop entry) — the
+    // daily unchanged/barely-changed cadence becomes one residual
+    // evaluation. Not converged → the pair IS iteration 1 (the loop
+    // resumes from it; nothing is ever computed twice), so the
+    // drifted case pays only this branch test.
+    if (init.isDefined) {
+      val a1 = authsOf(hubs)
+      val h1 = hubsOf(a1).localCheckpoint()
+      val d0 = l1Delta(h1, hubs)
+      if (d0 < tol) return (hubs, l1(a1, "auth"), 0)
+      auths = a1
+      hubs = h1
+      iter = 1
+      delta = d0
+    }
+    while (iter < maxIters && delta >= tol) {
+      auths = authsOf(hubs)
+      val stepped = hubsOf(auths)
+      iter += 1
+      // materialization + convergence check every deltaEvery-th
+      // iteration (pageRankConverged's amortization, applied here in
+      // round 14: the loop is job-count-bound and each check is an
+      // eager truncation + a delta job). The criterion is unchanged —
+      // the delta at a check is the single most-recent step's
+      // |h_k − h_(k−1)| (the delta joins the immediately-previous
+      // vector) — convergence is merely DETECTED up to deltaEvery−1
+      // iterations late: over-converged, never under. Lineage between
+      // checks is truncated LAZILY (no job now; the node-sized result
+      // materializes and is reused on first downstream evaluation);
+      // every checkpointEvery-th eager truncation is the reliable kind
+      if (iter % deltaEvery == 0 || iter == maxIters) {
+        val next =
+          if ((iter / deltaEvery) % checkpointEvery == 0) ck(stepped)
+          else stepped.localCheckpoint()
+        delta = l1Delta(next, hubs)
+        hubs = next
+      } else
+        hubs = stepped.localCheckpoint(false)
     }
     if (delta >= tol)
       throw new IllegalStateException(
         s"hitsConverged: L1 delta $delta still >= tol $tol after " +
           s"$maxIters iterations; raise maxIters or tol")
-    (hubs, auths, iter)
+    // ONE exit normalization restores the documented mass-1 auth
+    // contract (see authsOf: the iteration carries raw auth sums)
+    (hubs, l1(auths, "auth"), iter)
   }
 
   // =====================================================================
@@ -9980,10 +10460,38 @@ object Extensions {
   private def hybridOverlapQuery(method: String, floor: Double,
       indexed: (SparkSession, String, DataFrame, DataFrame) => DataFrame)
       : (SparkSession, String) => DataFrame = (spark, sfDir) => {
-    // cached (tracked): the fixed query set feeds both towers of both
-    // fusions — without it each consumer re-runs the corpus
-    // TakeOrdered that defines the workload
-    val q = cacheTracked(hybridQueries(spark, sfDir))
+    // the WHOLE constructed metric frame is memoized per (session,
+    // data fingerprints): everything below is a deterministic lazy
+    // plan over stored fixtures + frozen models, and its construction
+    // (fixture-key plan analysis, the unrolled ADC expression trees,
+    // eager fixture collects) was ~1.5 s of driver-side build paid on
+    // every call — the round-14 verdict ask. The frame itself stays
+    // lazy (every consumer re-executes it); only the construction is
+    // served from the memo. Missing fingerprints (regenerating data)
+    // disable the memo for the call, and a foreign-session hit (the
+    // identity-hash collision case) evicts and re-derives — the
+    // cachedSnapshotStatuses contract.
+    val memoKey = for {
+      dfp <- dataFingerprintOpt(s"$sfDir/documents.parquet")
+      efp <- dataFingerprintOpt(s"$sfDir/embeddings.parquet")
+    } yield s"hybridov:$method:${System.identityHashCode(spark)}:$sfDir:$dfp:$efp"
+    def deriveOverlapFrame(): DataFrame = {
+    // the fixed 8-row query set is a deterministic pure function of
+    // (documents ⋈ embeddings, code) — stored once like the other
+    // reference frames below (round-14: its TakeOrdered derivation was
+    // a per-call corpus-scan driver job, the largest slice of this
+    // metric's ~1.5 s build); cacheTracked on top because both towers
+    // of both fusions consume it
+    val qLive = hybridQueries(spark, sfDir)
+    val q = cacheTracked({
+      val docsPath0 = s"$sfDir/documents.parquet"
+      dataFingerprintOpt(s"$sfDir/embeddings.parquet") match {
+        case Some(embFp) => parquetFixture(spark, "hybrid-queries",
+          docsPath0, "hq1",
+          qLive.queryExecution.logical.toString + "\nemb:" + embFp, qLive)
+        case None => qLive
+      }
+    })
     // the REFERENCE side of this metric — the sparse tower and the
     // exact fusion — is a deterministic pure function of (data, code),
     // exactly [[annExactBaseline]]'s situation, so it gets the same
@@ -10050,6 +10558,13 @@ object Extensions {
       .select(lit(method).as("method"), col("n_queries"),
         col("overlap_at_10"),
         (col("overlap_at_10") >= floor).as("pass"))
+    }
+    val df = memoizedModel(memoKey)(deriveOverlapFrame())
+    if (df.sparkSession ne spark) {
+      evictModelMemo(memoKey)
+      val df2 = memoizedModel(memoKey)(deriveOverlapFrame())
+      if (df2.sparkSession ne spark) deriveOverlapFrame() else df2
+    } else df
   }
 
   val hybridSearchPq: Q = Q("ext_hybrid_search_pq",
@@ -10403,7 +10918,8 @@ object Extensions {
     clusterRepresentative, dedupNgram,
     dedupSimhash, dedupEmbedding, substringDedup, substringDedupRewriteQ,
     substrIncremental, substrRewriteIncremental, substrCompact,
-    topkCosine, mmrRerank, mmrRerankIvfpq, annLsh, topkIvf, topkPq, annRecall,
+    topkCosine, mmrRerank, mmrRerankIvfpq, annLsh, topkIvf, topkPq,
+    annRecallFlat, annRecallPq, annRecallImi,
     textStats,
     langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,
     fingerprintWinnow,
@@ -10439,5 +10955,6 @@ object Extensions {
     crawlRefresh, decontamRewrite, splitLeakproof, corpusDatasheet,
     splitLeakproofIncremental, refreshReport,
     lshPurge, imipqPurge, ivfpqrPurge, substrRefresh, ivfpqRefresh,
-    semanticIncremental, semanticPurge)
+    semanticIncremental, semanticPurge,
+    imipqRefresh, ivfpqrRefresh, lshRefresh, shardRefresh)
 }

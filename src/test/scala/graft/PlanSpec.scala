@@ -151,7 +151,9 @@ class PlanSpec extends SparkSpec {
       "ext_mmr_rerank",      // same broadcast query × corpus pool build as ext_topk_cosine
       "ext_ann_lsh",         // broadcast query side over bucket candidates
       "ext_topk_pq",         // broadcast query LUTs × corpus CODE scan (ADC)
-      "ext_ann_recall",      // composes topk_cosine + ann_lsh above
+      "ext_ann_recall_flat", // composes ann_lsh above (+ topk_cosine when the exact-baseline fixture is cold)
+      "ext_ann_recall_pq",   // exact-baseline fixture may be cold (topk_cosine recompute); routed paths are equi-joins
+      "ext_ann_recall_imi",  // same cold-fixture case as ext_ann_recall_pq
       // 1-ROW broadcast corpus stats (count/avgdl): a BroadcastNestedLoop
       // join whose build side is provably one row IS the right plan at
       // any scale — each probe row scans a single build row; an equi-join
@@ -1041,8 +1043,70 @@ class PlanSpec extends SparkSpec {
       // design — the int8 fixture holds pre-revision content)
       val embScans = paths.count(p =>
         p.contains("/testdata/") && p.contains("embeddings.parquet"))
-      assert(embScans == 7,
-        s"raw embedding scans drifted from the seven enumerated fetches ($embScans): $paths")
+      // UPPER bound, not an exact pin: the shared vector diff is
+      // memoized per session (cachedVecSnapshotStatuses), so whether
+      // its hash-side lineage appears as raw scans or as one cached
+      // subplan depends on which test warmed the memo first — a ±1
+      // that reflects session state, not plan drift. The gate's job
+      // is the ceiling: a corpus-side re-encode would blow well past
+      // the enumerated fetches.
+      assert(embScans <= 7,
+        s"raw embedding scans exceed the seven enumerated fetches ($embScans): $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
+  test("imipq/ivfpqr/lsh refresh: stored snapshot index anti-joined; delta encode is the only corpus-side encode") {
+    // the round-14 E76d verbs share ext_ivfpq_refresh's contract: the
+    // standing corpus's index rows come from the stored snapshot-A
+    // fixture (never re-encoded), the purge half plans as an anti
+    // join, and raw embedding scans stay within the enumerated budget
+    // (diff hash sides, query fetches, the one delta encode, live
+    // rerank where the family reranks)
+    // enumerated raw-embedding-scan budgets (the ivfpq refresh test's
+    // seven-fetch discipline, per family): the vector diff's two hash
+    // sides (replayed under the fresh join AND the stale anti hint),
+    // the query-id TakeOrdered, the query fetch, the one delta
+    // encode/hash, plus — where the family reranks — the live rerank
+    // fetch (6-7 for imipq/ivfpqr, the ±1 being the shared vec-diff
+    // memo's warmth — see the ivfpq refresh test's ceiling note);
+    // LSH adds the corpus scoring fetch and the query-side multiprobe
+    // bit pass instead of ADC (9-10)
+    for ((q, fixture, maxScans) <- Seq(
+        (ext.Extensions.imipqRefresh, "imipq-codes", 7),
+        (ext.Extensions.ivfpqrRefresh, "ivfpqr-codes", 8),
+        (ext.Extensions.lshRefresh, "lsh-buckets", 10))) {
+      val df = q.fn(spark, sf0001)
+      try {
+        val paths = scanNodePaths(df)
+        assert(paths.exists(_.contains(fixture)),
+          s"${q.name}: snapshot-A index not served from the stored $fixture: $paths")
+        assert(physical(df).contains("LeftAnti"),
+          s"${q.name}: the purge half must plan as an anti join on the stored index")
+        val embScans = paths.count(p =>
+          p.contains("/testdata/") && p.contains("embeddings.parquet"))
+        assert(embScans <= maxScans,
+          s"${q.name}: raw embedding scans exceed the enumerated " +
+            s"fetch ceiling ($embScans > $maxScans): $paths")
+      } finally ext.Extensions.releaseCaches()
+    }
+  }
+
+  test("shard refresh: receipt served from the stored snapshot-A fixtures; raw scans = diff hashes + one delta projection") {
+    val df = ext.Extensions.shardRefresh.fn(spark, sf0001)
+    try {
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("shard-index-a")),
+        s"affected-shard recompute not served from the stored index: $paths")
+      // the manifest pass-through only appears when some shard is
+      // untouched; at ShardCount=8 the diff touches all shards, so the
+      // stored-manifest scan may be pruned — assert the index serve
+      // and the raw-scan budget instead (diff's two hash sides + the
+      // delta receipt projection, each replayed under at most the
+      // hint/anti sides)
+      val docScans = paths.count(p =>
+        p.contains("/testdata/") && p.contains("documents.parquet"))
+      assert(docScans <= 5,
+        s"raw documents scans exceed the refresh budget ($docScans): $paths")
     } finally ext.Extensions.releaseCaches()
   }
 

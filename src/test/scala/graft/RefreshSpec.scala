@@ -46,8 +46,10 @@ class RefreshSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1)) ->
           (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       val families = rows.keySet.map(_._1)
-      assert(families == Set("postings", "substr"),
+      assert(families == Set("postings", "substr", "shard",
+        "ivfpq_codes", "imipq_codes", "ivfpqr_codes", "lsh_buckets"),
         s"family coverage drifted: $families")
+      val docFamilies = Set("postings", "substr", "shard")
       for (fam <- families) {
         val rep = rows.collect { case ((f, s), v) if f == fam => s -> v }.toMap
         // unchanged docs move nothing; removed cannot arrive; added
@@ -56,11 +58,34 @@ class RefreshSpec extends SparkSpec {
           s"$fam: unchanged rows purged/arrived must be zero")
         assert(rep("removed")._3 == 0, s"$fam: removed docs cannot arrive rows")
         assert(rep("added")._2 == 0, s"$fam: added docs cannot purge rows")
-        // n_docs per status identical across families (one shared diff)
+        // n_docs per status identical across families sharing a diff
+        // (doc families share the doc diff, vector families the vec
+        // diff — each is computed ONCE and cached)
+        val anchor = if (docFamilies(fam)) "postings" else "ivfpq_codes"
         assert(rep.view.mapValues(_._1).toMap ==
-          rows.collect { case ((f, s), v) if f == "postings" => s -> v._1 }.toMap,
+          rows.collect { case ((f, s), v) if f == anchor => s -> v._1 }.toMap,
           s"$fam: per-status doc counts diverge from the shared diff")
       }
+      // vector families: pre-cap units per vector — codes 1, lsh
+      // buckets LshTables; |A| − purged + arrived == |B| per family
+      val nA = Extensions.snapshotVecsA(spark, sf0001).count()
+      val nB = Extensions.snapshotVecsB(spark, sf0001).count()
+      for ((fam, u) <- Seq(("ivfpq_codes", 1L), ("imipq_codes", 1L),
+          ("ivfpqr_codes", 1L), ("lsh_buckets", Extensions.LshTables.toLong))) {
+        val purged = rows.collect { case ((f, _), v) if f == fam => v._2 }.sum
+        val arrived = rows.collect { case ((f, _), v) if f == fam => v._3 }.sum
+        assert(nA * u - purged + arrived == nB * u,
+          s"$fam receipt broken: $nA*$u - $purged + $arrived != $nB*$u")
+      }
+      // shard: chars identity over the doc snapshots
+      def chars(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(length(col("text")).cast("long"))).first().getLong(0)
+      val cStored = chars(Extensions.snapshotDocsA(spark, sf0001))
+      val cRefreshed = chars(Extensions.snapshotDocsB(spark, sf0001))
+      val cPurged = rows.collect { case (("shard", _), v) => v._2 }.sum
+      val cArrived = rows.collect { case (("shard", _), v) => v._3 }.sum
+      assert(cStored - cPurged + cArrived == cRefreshed,
+        s"shard receipt broken: $cStored - $cPurged + $cArrived != $cRefreshed")
       // postings: stored − purged + arrived == refreshed ROW count
       val pStored = Extensions.postingsOf(
         Extensions.snapshotDocsA(spark, sf0001)).count()
@@ -343,6 +368,129 @@ class RefreshSpec extends SparkSpec {
         s != splitOf(bucketOf(id)) }
       assert(reassigned > 0,
         "no adopted doc changed split — the leak path is unexercised")
+    } finally Extensions.releaseCaches()
+  }
+
+  /** Shared assertions for the round-14 vector-family refresh verbs
+    * (E76d): the refreshed search equals a from-scratch snapshot-B
+    * build under the same frozen models, and no removed vector can be
+    * returned — the ivfpq refresh test's contract, one per family. */
+  private def assertVecRefresh(name: String,
+      got: Seq[Seq[Any]], twin: Seq[Seq[Any]]): Unit = {
+    assert(got.nonEmpty, s"$name: refreshed search empty — verb unexercised")
+    val removed = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(pmod(graft.expr.Scalars.hash60(col("vec_id").cast("string")),
+        lit(100L)) < Extensions.SnapBFrom)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(removed.nonEmpty, s"$name: no removed vectors — purge half unexercised")
+    got.foreach(r => assert(!removed(r(1).asInstanceOf[Long]),
+      s"$name: removed vector returned as a neighbor: $r"))
+    assert(got == twin,
+      s"$name: refreshed-index search != from-scratch snapshot-B build")
+  }
+
+  test("imipq refresh: equals the from-scratch snapshot-B build under the same frozen models; no removed vector returned") {
+    try {
+      val got = Extensions.imipqRefreshSearch(spark, sf0001).collect()
+        .map(_.toSeq).toSeq
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val src = Some(s"$sf0001/embeddings.parquet")
+      val vecsB = Extensions.snapshotVecsB(spark, sf0001)
+      val cbs = Extensions.pqCodebooks(emb, codebookSrc = src)
+      val cs0 = Extensions.imiCentroids(emb, 0, Extensions.ImiK, src)
+      val cs1 = Extensions.imiCentroids(emb, 1, Extensions.ImiK, src)
+      val twin = Extensions.imipqTopK(vecsB, Extensions.annQueryIds(vecsB),
+        codes0 = Some(Extensions.imipqCellCodes(vecsB, cbs, cs0, cs1, None)),
+        cbs0 = Some(cbs), csH0 = Some(cs0), csH1 = Some(cs1))
+        .collect().map(_.toSeq).toSeq
+      assertVecRefresh("imipq", got, twin)
+    } finally Extensions.releaseCaches()
+  }
+
+  test("ivfpqr refresh: equals the from-scratch snapshot-B build under the same frozen residual models; no removed vector returned") {
+    try {
+      val got = Extensions.ivfpqrRefreshSearch(spark, sf0001).collect()
+        .map(_.toSeq).toSeq
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val src = Some(s"$sf0001/embeddings.parquet")
+      val vecsB = Extensions.snapshotVecsB(spark, sf0001)
+      val cs = Extensions.ivfCentroids(emb, centroidSrc = src)
+      val ms = Extensions.ivfCellMeans(emb, cs, src)
+      val cbs = Extensions.pqrCodebooks(emb, cs, ms, src)
+      val twin = Extensions.ivfpqrTopK(vecsB, Extensions.annQueryIds(vecsB),
+        codes0 = Some(Extensions.ivfpqrCellCodes(vecsB, cbs, cs, ms, None)),
+        cbs0 = Some(cbs), cs0 = Some(cs), ms0 = Some(ms))
+        .collect().map(_.toSeq).toSeq
+      assertVecRefresh("ivfpqr", got, twin)
+    } finally Extensions.releaseCaches()
+  }
+
+  test("lsh refresh: equals the from-scratch snapshot-B build under the same hyperplanes; no removed vector returned") {
+    try {
+      val got = Extensions.lshRefreshSearch(spark, sf0001).collect()
+        .map(_.toSeq).toSeq
+      val vecsB = Extensions.snapshotVecsB(spark, sf0001)
+      val twin = Extensions.annTopK(vecsB, Extensions.annQueryIds(vecsB),
+        buckets0 = Some(Extensions.lshBucketRows(vecsB,
+          Some(Extensions.LshBucketCap))))
+        .collect().map(_.toSeq).toSeq
+      assertVecRefresh("lsh", got, twin)
+    } finally Extensions.releaseCaches()
+  }
+
+  test("shard refresh fold: pass-through path carries untouched shards; planted empty-shard and arrival cases") {
+    // ShardCount=8 spreads any real diff over every shard, so the
+    // registered query never exercises the pass-through branch — drive
+    // the fold directly with a planted 4-shard store where shard 3 is
+    // untouched, shard 0 loses one doc, shard 1 empties entirely, and
+    // shard 2 gains an arrival (the shardPurgeManifestFrom discipline)
+    import spark.implicits._
+    try {
+      val idxA = Seq(
+        (10L, 0, 100L, 5L), (11L, 0, 108L, 7L), // shard 0: one stays
+        (12L, 1, 201L, 3L),                     // shard 1: dies
+        (13L, 2, 302L, 4L),                     // shard 2: gains
+        (14L, 3, 403L, 9L))                     // shard 3: untouched
+        .toDF("doc_id", "shard", "hh", "n_chars")
+      val stored = Extensions.manifestAggOf(
+        idxA.select("shard", "hh", "n_chars"))
+      val stale = Seq(11L, 12L).toDF("doc_id")
+      val arrived = Seq((20L, 2, 310L, 6L))
+        .toDF("doc_id", "shard", "hh", "n_chars")
+      val got = Extensions.shardRefreshManifestFrom(
+          stored, idxA, stale, arrived).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      // monolithic twin over the post-refresh rows
+      val twin = Extensions.manifestAggOf(
+          idxA.filter(!col("doc_id").isin(11L, 12L))
+            .unionByName(arrived).select("shard", "hh", "n_chars"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      assert(got == twin, s"refreshed manifest != monolithic twin: $got vs $twin")
+      assert(!got.contains(1), "emptied shard must vanish from the receipt")
+      assert(got(3) == (1L, 9L, 403L, 403L, 403L % 100003L),
+        "untouched shard must pass through from the stored receipt")
+      assert(got(2)._1 == 2L, "arrival shard must count the arrived doc")
+    } finally Extensions.releaseCaches()
+  }
+
+  test("shard refresh: registered receipt equals the monolithic snapshot-B manifest") {
+    try {
+      val got = Extensions.shardRefresh.fn(spark, sf0001).collect()
+        .map(_.toSeq).toSeq
+      val b = Extensions.snapshotDocsB(spark, sf0001)
+      val h = graft.expr.Scalars.hash60(col("text"))
+      val twin = Extensions.manifestAggOf(
+          b.select(pmod(h, lit(Extensions.ShardCount.toLong)).cast("int")
+              .as("shard"), h.as("hh"),
+            length(col("text")).cast("long").as("n_chars")))
+        .orderBy("shard").collect().map(_.toSeq).toSeq
+      assert(got == twin, "refreshed shard receipt != monolithic B manifest")
+      assert(got.nonEmpty)
     } finally Extensions.releaseCaches()
   }
 }
