@@ -407,10 +407,11 @@ object Extensions {
     * the shared prefix of every minhash oracle; split out so the
     * incremental oracles can restrict PAIRS to a corpus split while
     * still computing signatures once. */
-  private def minhashSigSqlCtes(docsWhere: String = ""): String = {
+  private def minhashSigSqlCtes(docsWhere: String = "",
+                                docsFrom: String = "documents"): String = {
     val sigCols = (0 until Perms)
       .map(i => s"min(xor(bh, ${i * MixC})) AS h$i").mkString(",\n    ")
-    s"""docs AS (SELECT doc_id, text FROM documents $docsWhere),
+    s"""docs AS (SELECT doc_id, text FROM $docsFrom $docsWhere),
        |sh0 AS (SELECT doc_id, unnest(${duckShingles("text")}) AS s FROM docs),
        |sh AS (SELECT doc_id, ${duckHash60("s")} AS bh FROM sh0),
        |sig AS (SELECT doc_id,
@@ -418,10 +419,11 @@ object Extensions {
        |  FROM sh GROUP BY doc_id)""".stripMargin
   }
 
-  private def minhashPairsSqlCtes(docsWhere: String = ""): String = {
+  private def minhashPairsSqlCtes(docsWhere: String = "",
+                                  docsFrom: String = "documents"): String = {
     val bandConds = minhashBandSql("a", "b")
     val matchSum = minhashMatchSumSql("sa", "sb")
-    s"""${minhashSigSqlCtes(docsWhere)},
+    s"""${minhashSigSqlCtes(docsWhere, docsFrom)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)),
@@ -439,8 +441,9 @@ object Extensions {
     * representative oracles (hand-copying it invites silent
     * divergence). Appends to [[minhashPairsSqlCtes]]; yields `comp`
     * (doc_id, cluster_id). */
-  private def componentsSqlCtes(docsWhere: String = ""): String =
-    s"""${minhashPairsSqlCtes(docsWhere)},
+  private def componentsSqlCtes(docsWhere: String = "",
+                                docsFrom: String = "documents"): String =
+    s"""${minhashPairsSqlCtes(docsWhere, docsFrom)},
        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |        UNION ALL SELECT id_b, id_a FROM pairs),
        |reach(id, root) AS (
@@ -7725,7 +7728,8 @@ object Extensions {
     * (id_a, id_b, cos); `where` restricts the vector population (the
     * purge oracle's filtered-corpus closure — componentsSqlCtes'
     * contract). */
-  private def semanticPairsSqlCtes(where: String = ""): String = {
+  private def semanticPairsSqlCtes(where: String = "",
+      vexpr: String = "embedding::DOUBLE[]"): String = {
     def planeSql(p: Int): String = (0 until SemanticDim)
       .map(j => s"${planeSeed(p, j)}/16777215.0*2.0-1.0").mkString("[", ", ", "]")
     def bucketSql(t: Int): String = s"concat('$t:', " +
@@ -7736,11 +7740,13 @@ object Extensions {
       .map(t => s"SELECT vec_id, ${bucketSql(t)} AS bucket FROM se")
       .mkString("\n  UNION ALL\n  ")
     // CTE names carry an s-prefix so this chain composes with the
-    // decontamination CTEs (which own `b`/`g`) in one WITH clause
+    // decontamination CTEs (which own `b`/`g`) in one WITH clause.
+    // `vexpr` lets a snapshot oracle restate the vector VALUE (the
+    // refresh's changed-vector negation) without forking the chain.
     s"""se AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v,
-       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings $where),
+       |  SELECT vec_id, v,
+       |    sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM (SELECT vec_id, $vexpr AS v FROM embeddings $where) se0),
        |sb AS (
        |  $tables),
        |sp AS (
@@ -7759,12 +7765,13 @@ object Extensions {
     * `where` restricts the population on BOTH the pair side and the
     * node seed (a filter applied to only one would close over a
     * different graph than it seeds). */
-  private def semanticComponentsSqlCtes(where: String = ""): String =
-    s"""${semanticPairsSqlCtes(where)},
+  private def semanticComponentsSqlCtes(where: String = "",
+      vexpr: String = "embedding::DOUBLE[]"): String =
+    s"""${semanticPairsSqlCtes(where, vexpr)},
        |ssym AS (SELECT id_a AS src, id_b AS dst FROM spairs
        |         UNION ALL SELECT id_b, id_a FROM spairs),
        |sreach(id, root) AS (
-       |  SELECT vec_id, vec_id FROM embeddings $where
+       |  SELECT vec_id, vec_id FROM se
        |  UNION
        |  SELECT s.dst, r.root FROM sreach r JOIN ssym s ON s.src = r.id),
        |scomp AS (SELECT id AS vec_id, min(root) AS cluster_id
@@ -7922,6 +7929,275 @@ object Extensions {
                s"WHERE NOT (${duckHash60("CAST(vec_id AS VARCHAR)")} % 100 >= $PurgeBucketFrom)")}
             |SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
             |FROM scomp ORDER BY vec_id""".stripMargin))
+
+  // =====================================================================
+  // E76f/E76g: crawl refresh for the CLUSTER-LABEL families — the last
+  // two stored artifacts (the minhash cc-cache + band/signature index,
+  // and the semantic cc-cache + bucket blocks) whose daily re-crawl
+  // still meant running purge and arrival as separate manual verbs.
+  // refresh = ONE fused deletion+insertion fold over the E72 diff
+  // (a first draft composed the purge fold with a separate arrival
+  // merge — two full CC runs per call; the fused form was measured at
+  // ~2x less wall for identical labels):
+  //  * AFFECTED: one collect of the snapshot-A components that either
+  //    CONTAIN a stale member (the purge trigger) or GAIN a confirmed
+  //    fresh edge (the arrival trigger). Sound on A-labels for the
+  //    arrival side too: a fresh pair's surviving endpoint names its
+  //    whole A-component, a superset of whatever the deletion would
+  //    have split it into.
+  //  * DELTA WORK: the fresh delta re-signatures/re-buckets ONCE
+  //    (O(delta) text/vector work — the standing corpus is never
+  //    re-shingled/re-blocked) and probes the REFRESHED index (stored
+  //    minus stale plus fresh) for candidate pairs with >=1 fresh
+  //    endpoint, cosine/jaccard-confirmed.
+  //  * RE-LABEL: one CC over (affected survivors' re-derived pairs ∪
+  //    fresh pairs), nodes = affected survivors ∪ fresh; every
+  //    untouched component's labels pass through verbatim. No edge can
+  //    cross the untouched boundary: a survivor-survivor pair implies
+  //    same A-component, and a fresh edge into a component is what
+  //    makes it affected — the purge fold's maximality argument run
+  //    in both directions.
+  // Both verbs are ORACLE-PAIRED (unlike the code-table refreshes,
+  // whose cells are engine-specific): the refreshed labels must equal
+  // the monolithic recursive-CTE closure over snapshot B — the
+  // strongest gate the taxonomy has, `refreshed == rebuilt` stated by
+  // a different engine. Scale shape: diff is two hash projections
+  // (memoized); text/vector passes are O(delta); the single CC re-run
+  // is O(affected); the only corpus-sized reads are column-pruned
+  // index scans (signatures/buckets), never raw text.
+  // =====================================================================
+  /** The fused re-label shared by both cluster-label refreshes.
+    * `freshPairs` must be confirmed pairs with >=1 fresh endpoint
+    * (normalized id_a<id_b, no stale endpoints); `survivorPairsOf`
+    * re-derives the family's pair set over a given survivor-id frame
+    * (from the STORED index, never raw text). The affected collect is
+    * diff-sized — the purge-sized-collect contract of the family. */
+  private def refreshClusterLabels(labelsA: DataFrame, idCol: String,
+      stale: DataFrame, freshIds: DataFrame, freshPairs: DataFrame,
+      survivorPairsOf: DataFrame => DataFrame): DataFrame = {
+    val touchers = stale.select(col(stale.columns.head).as(idCol))
+      .unionByName(freshPairs.select(col("id_a").as(idCol)))
+      .unionByName(freshPairs.select(col("id_b").as(idCol)))
+      .distinct()
+    val affected = labelsA.join(broadcast(touchers), Seq(idCol), "left_semi")
+      .select("cluster_id").distinct().collect().map(_.getLong(0))
+    val untouched = labelsA
+      .filter(!col("cluster_id").isin(affected.map(Long.box): _*))
+    val survivors = labelsA
+      .filter(col("cluster_id").isin(affected.map(Long.box): _*))
+      .join(broadcast(stale.select(col(stale.columns.head).as(idCol))),
+        Seq(idCol), "left_anti")
+      .select(idCol)
+    val edges = survivorPairsOf(survivors)
+      .unionByName(freshPairs.select("id_a", "id_b"))
+    val nodes = survivors.select(col(idCol).as("id"))
+      .unionByName(freshIds.select(col(freshIds.columns.head).as("id")))
+    val relabeled = graft.ops.Graph.connectedComponents(edges, nodes)
+      .select(col("id").as(idCol), col("component").as("cluster_id"))
+    untouched.unionByName(relabeled)
+  }
+
+  /** The stored snapshot-A minhash signature index — the previous
+    * crawl's artifact the cluster refresh maintains. */
+  private def mhSnapASigsFixture(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val live = minhashSignatures(snapshotDocsA(spark, sfDir))
+    parquetFixture(spark, "mh-sigs", s"$sfDir/documents.parquet",
+      s"snapa$SnapABelow",
+      live.queryExecution.logical.toString, live)
+  }
+
+  /** The stored snapshot-A confirmed PAIR set — the previous crawl's
+    * dedup-run output, persisted like the labels: survivor-survivor
+    * pairs in snapshot B are exactly these pairs with both endpoints
+    * surviving (their text is unchanged by definition), so the refresh
+    * re-labels affected components from a pair-table FILTER instead of
+    * re-banding their signatures (measured ~2x on the re-label half). */
+  private def mhSnapAPairsFixture(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    val sigsA = mhSnapASigsFixture(spark, sfDir)
+    val live = sigConfirm(
+      bandCandidates(minhashBanded(sigsA), Seq("band", "bk")),
+      "id_a", "id_b", sigsA, sigsA).select("id_a", "id_b")
+    parquetFixture(spark, "mh-pairs", s"$sfDir/documents.parquet",
+      s"snapa$SnapABelow",
+      live.queryExecution.logical.toString, live)
+  }
+
+  /** The stored snapshot-A cluster labels (cc-cache over the previous
+    * crawl's near-dup graph). */
+  private def mhSnapALabelsFixture(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    val pairs = mhSnapAPairsFixture(spark, sfDir)
+    parquetFixture(spark, "cc-cache", s"$sfDir/documents.parquet",
+      s"mhsnapa${SnapABelow}_${graft.ops.Graph.AlgoVersion}",
+      pairs.queryExecution.logical.toString,
+      graft.ops.Graph.connectedComponents(pairs,
+          snapshotDocsA(spark, sfDir).select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id")))
+  }
+
+  /** The refreshed snapshot-B cluster labels — factored so RefreshSpec
+    * can assert them row-identical to a from-scratch snapshot-B
+    * rebuild. */
+  private[graft] def clustersRefreshLabels(spark: SparkSession,
+                                           sfDir: String): DataFrame = {
+    val docsB = snapshotDocsB(spark, sfDir)
+    val (statuses, nDelta) = cachedSnapshotStatuses(spark, sfDir)
+    val hint = refreshHint(nDelta)
+    val stale = hint(statuses
+      .filter(col("status").isin("removed", "changed")).select("doc_id"))
+    val fresh = hint(statuses
+      .filter(col("status").isin("added", "changed")).select("doc_id"))
+    val sigsA = mhSnapASigsFixture(spark, sfDir)
+    // O(delta) text work: only the fresh docs re-shingle. CACHED
+    // (tracked): the fresh signatures feed their own banding, the
+    // refreshed-index union, and the re-label's node set
+    val freshSigs = cacheTracked(
+      minhashSignatures(docsB.join(fresh, Seq("doc_id"))))
+    // the refreshed signature index (stored minus stale plus fresh) —
+    // the corpus side of the arrival banding AND the artifact the
+    // next refresh serves. CACHED: banding + both confirm sides
+    val refreshedSigs = cacheTracked(
+      sigsA.join(stale, Seq("doc_id"), "left_anti").unionByName(freshSigs))
+    val bandF = minhashBanded(freshSigs)
+      .select(col("band"), col("bk"), col("doc_id").as("fid"))
+    val bandR = minhashBanded(refreshedSigs)
+      .select(col("band"), col("bk"), col("doc_id").as("oid"))
+    val cand = bandF.join(bandR, Seq("band", "bk"))
+      .filter(col("fid") =!= col("oid"))
+      .select(least(col("fid"), col("oid")).as("id_a"),
+        greatest(col("fid"), col("oid")).as("id_b"))
+      .distinct()
+    // CACHED: the confirmed fresh pairs feed the affected collect AND
+    // the re-label's edge set
+    val pairs = cacheTracked(
+      sigConfirm(cand, "id_a", "id_b", refreshedSigs, refreshedSigs)
+        .select("id_a", "id_b"))
+    refreshClusterLabels(mhSnapALabelsFixture(spark, sfDir), "doc_id",
+      stale, freshSigs.select("doc_id"), pairs,
+      // survivor pairs = the STORED snapshot-A pair table with both
+      // endpoints surviving — a filter of the dedup run's own output,
+      // no re-banding (see mhSnapAPairsFixture)
+      survivors => mhSnapAPairsFixture(spark, sfDir)
+        .join(survivors.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(survivors.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .select("id_a", "id_b"))
+  }
+
+  lazy val clustersRefresh: Q = Q("ext_clusters_refresh",
+    (spark, sfDir) => clustersRefreshLabels(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy("doc_id"),
+    // the monolithic recursive closure over TODAY'S crawl: refreshed
+    // labels must equal rebuilt-from-scratch labels
+    Some(s"""WITH RECURSIVE ${componentsSqlCtes(docsFrom = duckSnapshotBRel)}
+            |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+            |FROM comp ORDER BY doc_id""".stripMargin))
+
+  /** The stored snapshot-A semantic bucket table. */
+  private def semanticSnapABucketsFixture(spark: SparkSession,
+                                          sfDir: String): DataFrame = {
+    val live = semanticBucketTable(snapshotVecsA(spark, sfDir))
+    parquetFixture(spark, "sem-buckets", s"$sfDir/embeddings.parquet",
+      s"b${SemanticBits}_t${SemanticTables}_c${SemanticBucketCap}_snapa${SnapABelow}_sem1",
+      live.queryExecution.logical.toString, live)
+  }
+
+  /** The stored snapshot-A semantic PAIR set — mhSnapAPairsFixture's
+    * twin on the vector graph: an unchanged vector's cosine to another
+    * unchanged vector is unchanged, so survivor-survivor pairs filter
+    * from the stored table instead of re-blocking. */
+  private def semanticSnapAPairsFixture(spark: SparkSession,
+                                        sfDir: String): DataFrame = {
+    val live = semanticPairsFrom(snapshotVecsA(spark, sfDir))
+      .select("id_a", "id_b")
+    parquetFixture(spark, "sem-pairs", s"$sfDir/embeddings.parquet",
+      s"snapa${SnapABelow}_c${SemanticCosThreshold}",
+      live.queryExecution.logical.toString, live)
+  }
+
+  /** The stored snapshot-A semantic cluster labels. */
+  private def semanticSnapALabelsFixture(spark: SparkSession,
+                                         sfDir: String): DataFrame = {
+    val pairs = semanticSnapAPairsFixture(spark, sfDir)
+    parquetFixture(spark, "cc-cache", s"$sfDir/embeddings.parquet",
+      s"semsnapa${SnapABelow}_${graft.ops.Graph.AlgoVersion}",
+      pairs.queryExecution.logical.toString,
+      graft.ops.Graph.connectedComponents(pairs,
+          snapshotVecsA(spark, sfDir).select(col("vec_id").as("id")))
+        .select(col("id").as("vec_id"), col("component").as("cluster_id")))
+  }
+
+  /** The refreshed snapshot-B semantic cluster labels — RefreshSpec's
+    * equality-to-rebuild anchor for the vector-graph family. */
+  private[graft] def semanticRefreshLabels(spark: SparkSession,
+                                           sfDir: String): DataFrame = {
+    val vecsB = snapshotVecsB(spark, sfDir)
+    val (statuses, nDelta) = cachedVecSnapshotStatuses(spark, sfDir)
+    val hint = refreshHint(nDelta)
+    val stale = hint(statuses
+      .filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id").as("vec_id")))
+    val fresh = hint(statuses
+      .filter(col("status").isin("added", "changed"))
+      .select(col("doc_id").as("vec_id")))
+    // O(delta) vector work: only the fresh vectors re-bucket. CACHED
+    // (tracked): the fresh vectors feed the bucket pass and the
+    // re-label's node set
+    val freshVecs = cacheTracked(vecsB.join(fresh, Seq("vec_id")))
+    val freshBuckets = semanticBuckets(freshVecs).select("vec_id", "bucket")
+    val refreshedBuckets = semanticSnapABucketsFixture(spark, sfDir)
+      .join(stale, Seq("vec_id"), "left_anti")
+      .unionByName(freshBuckets)
+    val cand = freshBuckets.select(col("vec_id").as("fid"), col("bucket"))
+      .join(refreshedBuckets.select(col("vec_id").as("oid"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("fid") =!= col("oid"))
+      .select(least(col("fid"), col("oid")).as("id_a"),
+        greatest(col("fid"), col("oid")).as("id_b"))
+      .distinct()
+    // confirm against snapshot-B VALUES (a changed vector's refreshed
+    // content, not its stored stale bytes). CACHED: both confirm sides
+    val ev = cacheTracked(vecsB.select(col("vec_id"), col("v"),
+      sqrt(dotD(col("v"), col("v"))).as("nrm")))
+    // CACHED: the confirmed fresh pairs feed the affected collect AND
+    // the re-label's edge set
+    val pairs = cacheTracked(cand
+      .join(ev.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(ev.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .filter(round(dotD(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= SemanticCosThreshold)
+      .select("id_a", "id_b"))
+    refreshClusterLabels(semanticSnapALabelsFixture(spark, sfDir), "vec_id",
+      stale, freshVecs.select("vec_id"), pairs,
+      // survivor pairs = the STORED snapshot-A pair table with both
+      // endpoints surviving — no re-blocking (semanticSnapAPairsFixture)
+      survivors => semanticSnapAPairsFixture(spark, sfDir)
+        .join(survivors.select(col("vec_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(survivors.select(col("vec_id").as("id_b")), Seq("id_b"), "left_semi")
+        .select("id_a", "id_b"))
+  }
+
+  lazy val semanticRefresh: Q = Q("ext_semantic_refresh",
+    (spark, sfDir) => semanticRefreshLabels(spark, sfDir)
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+      .orderBy("vec_id"),
+    // the monolithic recursive closure over today's vectors, changed
+    // vectors negated in the ORACLE too (vexpr) — both engines close
+    // over the same refreshed geometry
+    Some {
+      val vb = s"${duckHash60("CAST(vec_id AS VARCHAR)")} % 100"
+      s"""WITH RECURSIVE ${semanticComponentsSqlCtes(
+           s"WHERE $vb >= $SnapBFrom",
+           s"CASE WHEN $vb % $SnapRevMod = 0 THEN list_transform(embedding::DOUBLE[], x -> -x) ELSE embedding::DOUBLE[] END")}
+         |SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
+         |FROM scomp ORDER BY vec_id""".stripMargin
+    })
 
   // =====================================================================
   // BM25 top-k retrieval — keyword search over the corpus, the lookup
@@ -10956,5 +11232,6 @@ object Extensions {
     splitLeakproofIncremental, refreshReport,
     lshPurge, imipqPurge, ivfpqrPurge, substrRefresh, ivfpqRefresh,
     semanticIncremental, semanticPurge,
-    imipqRefresh, ivfpqrRefresh, lshRefresh, shardRefresh)
+    imipqRefresh, ivfpqrRefresh, lshRefresh, shardRefresh,
+    clustersRefresh, semanticRefresh)
 }

@@ -1110,6 +1110,37 @@ class PlanSpec extends SparkSpec {
     } finally ext.Extensions.releaseCaches()
   }
 
+  test("clusters/semantic refresh: labels served from the stored cc-cache; raw scans = diff hashes + one delta pass") {
+    // the CC re-runs (purge half + arrival merge) execute eagerly at
+    // build time over the stored signature/bucket fixtures, so the
+    // SERVED label plan is the snapshot-A cc-cache fixture unioned
+    // with the merge output, whose only raw-table lineage is the
+    // merge's fresh-node side: the (cached) diff's two hash
+    // projections plus ONE delta signature/vector pass — the crawl
+    // refresh budget (test above). The standing corpus must never
+    // appear as a raw scan: its text/vectors re-entering here would
+    // mean the serve path re-shingles/re-blocks the corpus per read.
+    // budgets: 3 each (diff a, diff b, delta shingle/bucket pass) —
+    // survivor re-pairs come from the stored snapshot-A PAIR fixture
+    // (mh-pairs / sem-pairs), so neither the corpus text nor the
+    // corpus vectors re-enter the fold at all; the semantic confirm's
+    // vector fetch reads only rows the (cached) candidate frame names
+    val cases = Seq(
+      ("clusters", ext.Extensions.clustersRefresh.fn(spark, sf0001),
+        "documents.parquet", 3),
+      ("semantic", ext.Extensions.semanticRefresh.fn(spark, sf0001),
+        "embeddings.parquet", 3))
+    try cases.foreach { case (fam, df, raw, budget) =>
+      val paths = scanNodePaths(df)
+      assert(paths.exists(_.contains("cc-cache")),
+        s"$fam: untouched labels not served from the stored cc-cache: $paths")
+      val rawScans = paths.count(p => p.contains("/testdata/") && p.contains(raw))
+      assert(rawScans <= budget,
+        s"$fam: raw $raw scans exceed the refresh budget " +
+          s"($budget — got $rawScans): $paths")
+    } finally ext.Extensions.releaseCaches()
+  }
+
   test("warm centrality: seeds persist as stored score fixtures") {
     // the iteration localCheckpoints every step, so the seed scan is
     // truncated out of the output's lineage — the artifact contract is

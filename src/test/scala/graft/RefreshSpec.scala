@@ -493,4 +493,38 @@ class RefreshSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally Extensions.releaseCaches()
   }
+
+  test("clusters refresh: labels equal a from-scratch snapshot-B CC rebuild; merge path exercised") {
+    try {
+      val got = Extensions.clustersRefreshLabels(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      val docsB = Extensions.snapshotDocsB(spark, sf0001)
+      val pairs = Extensions.minhashPairsFrom(docsB).select("id_a", "id_b")
+      val twin = graft.ops.Graph.connectedComponents(pairs,
+          docsB.select(col("doc_id").as("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      assert(got.nonEmpty, "refreshed labels empty — the verb is unexercised")
+      assert(got == twin,
+        "purge+arrive+merge composition != from-scratch snapshot-B labels")
+      assert(got.exists { case (id, c) => id != c },
+        "no non-singleton cluster at sf0.001 — the pair machinery is unexercised")
+    } finally Extensions.releaseCaches()
+  }
+
+  test("semantic refresh: labels equal a from-scratch snapshot-B CC rebuild over the refreshed vector values") {
+    try {
+      val got = Extensions.semanticRefreshLabels(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      val vecsB = Extensions.snapshotVecsB(spark, sf0001)
+      val pairs = Extensions.semanticPairsFrom(vecsB).select("id_a", "id_b")
+      val twin = graft.ops.Graph.connectedComponents(pairs,
+          vecsB.select(col("vec_id").as("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      assert(got.nonEmpty, "refreshed labels empty — the verb is unexercised")
+      assert(got == twin,
+        "purge+arrive+merge composition != from-scratch snapshot-B labels")
+      assert(got.exists { case (id, c) => id != c },
+        "no non-singleton cluster at sf0.001 — the pair machinery is unexercised")
+    } finally Extensions.releaseCaches()
+  }
 }
