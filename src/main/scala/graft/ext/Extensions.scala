@@ -6978,7 +6978,12 @@ object Extensions {
   // family's physical stored−purged+arrived row identity is asserted
   // in RefreshSpec against the live fold instead of oracle-paired
   // here. The SHARD family reports in chars (the manifest's byte
-  // column — per-doc attributable like substr occurrences).
+  // column — per-doc attributable like substr occurrences). The
+  // CLUSTER-LABEL families (E76f/E76g) report their per-member stored
+  // rows — `mh_sigs` (1 signature row/doc) and `sem_buckets`
+  // (SemanticTables rows/vector, pre-cap like lsh_buckets); their
+  // pair/label deltas are component-shared, not per-doc attributable,
+  // and stay spec-asserted.
   // =====================================================================
   /** Per-doc gram-window count of a (doc_id, text) frame — the substr
     * family's receipt unit ([[substringGramIndex]] emits exactly this
@@ -7041,13 +7046,31 @@ object Extensions {
               lit(unitsPerVec.toLong)).otherwise(0L)).as("rows_arrived"))
           .select(lit(family).as("family"), col("status"), col("n_docs"),
             col("rows_purged"), col("rows_arrived"))
+      // cluster-label families (E76f/E76g): the refresh physically
+      // moves SIGNATURE rows (exactly 1 per doc) and semantic BUCKET
+      // rows (exactly SemanticTables per vector, pre-cap — the
+      // lsh_buckets unit convention); pair/label row deltas are NOT
+      // per-doc attributable (a pair is shared by two docs, a label
+      // move by a whole component), so they stay spec-asserted
+      // against the live fold, ext_compact_report's reason class
+      def docFamilyRows(family: String, unitsPerDoc: Int): DataFrame =
+        statuses.groupBy("status")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("status").isin("removed", "changed"),
+              lit(unitsPerDoc.toLong)).otherwise(0L)).as("rows_purged"),
+            sum(when(col("status").isin("added", "changed"),
+              lit(unitsPerDoc.toLong)).otherwise(0L)).as("rows_arrived"))
+          .select(lit(family).as("family"), col("status"), col("n_docs"),
+            col("rows_purged"), col("rows_arrived"))
       familyRows("postings", aRows, bRows)
         .unionByName(familyRows("substr", gA, gB))
         .unionByName(familyRows("shard", cA, cB))
+        .unionByName(docFamilyRows("mh_sigs", 1))
         .unionByName(vecFamilyRows("ivfpq_codes", 1))
         .unionByName(vecFamilyRows("imipq_codes", 1))
         .unionByName(vecFamilyRows("ivfpqr_codes", 1))
         .unionByName(vecFamilyRows("lsh_buckets", LshTables))
+        .unionByName(vecFamilyRows("sem_buckets", SemanticTables))
         .orderBy("family", "status")
     },
     Some(s"""WITH d AS (SELECT doc_id, text,
@@ -7127,6 +7150,13 @@ object Extensions {
             |  LEFT JOIN bb ON bb.doc_id = st.doc_id
             |  GROUP BY st.status
             |  UNION ALL
+            |  SELECT 'mh_sigs' AS family, status, count(*) AS n_docs,
+            |    CAST(sum(CASE WHEN status IN ('removed', 'changed')
+            |      THEN 1 ELSE 0 END) AS BIGINT) AS rows_purged,
+            |    CAST(sum(CASE WHEN status IN ('added', 'changed')
+            |      THEN 1 ELSE 0 END) AS BIGINT) AS rows_arrived
+            |  FROM st GROUP BY status
+            |  UNION ALL
             |  SELECT vf.family, vr.status, vr.n_docs,
             |    vr.purged1 * vf.units AS rows_purged,
             |    vr.arrived1 * vf.units AS rows_arrived
@@ -7145,7 +7175,8 @@ object Extensions {
             |              AS bucket FROM embeddings))
             |    GROUP BY status) vr
             |  CROSS JOIN (VALUES ('ivfpq_codes', 1), ('imipq_codes', 1),
-            |    ('ivfpqr_codes', 1), ('lsh_buckets', $LshTables))
+            |    ('ivfpqr_codes', 1), ('lsh_buckets', $LshTables),
+            |    ('sem_buckets', $SemanticTables))
             |    vf(family, units))
             |SELECT family, status, n_docs, rows_purged, rows_arrived
             |FROM rep ORDER BY family, status""".stripMargin))

@@ -46,10 +46,11 @@ class RefreshSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1)) ->
           (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       val families = rows.keySet.map(_._1)
-      assert(families == Set("postings", "substr", "shard",
-        "ivfpq_codes", "imipq_codes", "ivfpqr_codes", "lsh_buckets"),
+      assert(families == Set("postings", "substr", "shard", "mh_sigs",
+        "ivfpq_codes", "imipq_codes", "ivfpqr_codes", "lsh_buckets",
+        "sem_buckets"),
         s"family coverage drifted: $families")
-      val docFamilies = Set("postings", "substr", "shard")
+      val docFamilies = Set("postings", "substr", "shard", "mh_sigs")
       for (fam <- families) {
         val rep = rows.collect { case ((f, s), v) if f == fam => s -> v }.toMap
         // unchanged docs move nothing; removed cannot arrive; added
@@ -71,7 +72,8 @@ class RefreshSpec extends SparkSpec {
       val nA = Extensions.snapshotVecsA(spark, sf0001).count()
       val nB = Extensions.snapshotVecsB(spark, sf0001).count()
       for ((fam, u) <- Seq(("ivfpq_codes", 1L), ("imipq_codes", 1L),
-          ("ivfpqr_codes", 1L), ("lsh_buckets", Extensions.LshTables.toLong))) {
+          ("ivfpqr_codes", 1L), ("lsh_buckets", Extensions.LshTables.toLong),
+          ("sem_buckets", Extensions.SemanticTables.toLong))) {
         val purged = rows.collect { case ((f, _), v) if f == fam => v._2 }.sum
         val arrived = rows.collect { case ((f, _), v) if f == fam => v._3 }.sum
         assert(nA * u - purged + arrived == nB * u,
@@ -86,6 +88,14 @@ class RefreshSpec extends SparkSpec {
       val cArrived = rows.collect { case (("shard", _), v) => v._3 }.sum
       assert(cStored - cPurged + cArrived == cRefreshed,
         s"shard receipt broken: $cStored - $cPurged + $cArrived != $cRefreshed")
+      // mh_sigs: one signature row per doc — |A| − purged + arrived
+      // == |B| (the refreshed signature index the E76g fold unions)
+      val dA = Extensions.snapshotDocsA(spark, sf0001).count()
+      val dB = Extensions.snapshotDocsB(spark, sf0001).count()
+      val sPurged = rows.collect { case (("mh_sigs", _), v) => v._2 }.sum
+      val sArrived = rows.collect { case (("mh_sigs", _), v) => v._3 }.sum
+      assert(dA - sPurged + sArrived == dB,
+        s"mh_sigs receipt broken: $dA - $sPurged + $sArrived != $dB")
       // postings: stored − purged + arrived == refreshed ROW count
       val pStored = Extensions.postingsOf(
         Extensions.snapshotDocsA(spark, sf0001)).count()
