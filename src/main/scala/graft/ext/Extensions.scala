@@ -10329,15 +10329,29 @@ object Extensions {
     }
     var hubs = init match {
       case Some(seed) =>
+        // ONE cached join + ONE scalar aggregate seed the vector: the
+        // missing-node fill (seed mean) and the l1 mass are both
+        // derivable from (Σseed, n, n_seeded) — sum + missing×mean —
+        // so the avg-broadcast crossJoin AND l1's cache+agg+crossJoin
+        // collapse into literal arithmetic (the loop is
+        // job-count-bound; this was 3 jobs of the warm form's
+        // cold-vs-warm gap). 1-row driver read, model-parameter-sized.
         val s = seed.select(col("s"), col("hub").as("__seed"))
-        val seeded = e.select(col("s")).distinct()
-          .join(s, Seq("s"), "left")
-          .crossJoin(broadcast(s.agg(avg(col("__seed")).as("__mean"))))
-          .select(col("s"),
-            coalesce(col("__seed"), col("__mean"), lit(1.0)).as("hub"))
+        val joined = cacheTracked(
+          e.select(col("s")).distinct().join(s, Seq("s"), "left"))
+        val r = joined.agg(sum(col("__seed")), count(lit(1)),
+          count(col("__seed"))).first()
+        val (ssum, n, nn) =
+          (if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+            r.getLong(1), r.getLong(2))
+        val mean = if (nn > 0) ssum / nn else 1.0
+        val mass = ssum + (n - nn) * mean
+        val denom = if (mass == 0.0) 1.0 else mass
         // localCheckpoint: never re-evaluate the seed's lineage per
         // iteration (it is often a prior run's full chain)
-        l1(seeded, "hub").localCheckpoint()
+        joined.select(col("s"),
+            (coalesce(col("__seed"), lit(mean)) / lit(denom)).as("hub"))
+          .localCheckpoint()
       case None =>
         l1(e.select(col("s")).distinct().withColumn("hub", lit(1.0)), "hub")
     }
