@@ -1939,6 +1939,197 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** `labelrefresh` mode (round 14): the cluster-label refresh volume
+    * probe — the E76g fused deletion+insertion fold at millions of
+    * docs, the volume evidence the other refresh families carry
+    * (REFRESHPROBE / VECREFRESHPROBE). Corpus = the main probe's
+    * planted-family generator (per-family hashed templates, one
+    * varying token per copy) so the component graph is bounded and
+    * known; churn is doc_id arithmetic: ~0.5% removed, ~0.5% revised
+    * (both halves of the diff), ~0.5% added. Reports:
+    *  - the one-time stored-artifact build wall (sigs + pairs +
+    *    labels — the previous crawl's dedup run, the cost the refresh
+    *    must NOT re-pay);
+    *  - the refresh wall (O(delta) fresh shingle + index probe + one
+    *    O(affected) CC) vs the full snapshot-B rebuild wall, with the
+    *    affected-component fraction printed — the claim under test is
+    *    that the fold's wall tracks the CHURN, not the corpus;
+    *  - exactness: refreshed labels row-identical to the rebuild
+    *    (EXCEPT both ways), the E76g registered gate at volume.
+    * Usage: runMain graft.ScaleProbe labelrefresh [nDocs] */
+  private def labelRefreshProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 1000000L
+    val copies = 10 // docs per planted family: bounded components
+    val nFamilies = (nDocs / copies).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // HIGH-ENTROPY tokens (base-36 of hash(family, position)), NOT the
+    // main probe's 500-token vocabulary: the banding shingles are CHAR
+    // n-grams, so low-entropy token shapes (shared "tok…x" affixes)
+    // put globally-common grams in every doc, band buckets go hot at
+    // ~1M docs, and the star cap's anchor topology becomes
+    // POPULATION-dependent — stored-A pairs and rebuilt-B pairs then
+    // legitimately diverge (the documented cap caveat every banded
+    // verb carries, "settled by the next full dedup run"; measured
+    // here: 97.7k label mismatches at 1M docs with a 500-token vocab,
+    // 238 with 20k "tok<k>x" tokens, 0 with these). The refresh's
+    // EXACTNESS claim is the cap-headroom regime — the same regime
+    // the oracle hash-matches certify at driver SFs — so the probe
+    // plants a corpus that stays in it at any n. Tokens are
+    // SYNTHESIZED per row (a 20k-element typedLit repeated across 40
+    // word expressions serializes per task and breaks executor
+    // deserialization)
+    val words = (0 until 40).map { w =>
+      conv(pmod(hash(col("family"), lit(w)), lit(2147483647)).cast("string"),
+        10, 36)
+    }
+    def docsOf(ids: org.apache.spark.sql.DataFrame) = ids
+      .select(col("id").as("doc_id"), (col("id") % nFamilies).as("family"))
+      .withColumn("text", concat_ws(" ",
+        words :+ concat(lit("v"),
+          (col("doc_id") / nFamilies).cast("long").cast("string")): _*))
+      .select("doc_id", "text")
+    // snapshot A: ids [0, nDocs); churn by id arithmetic
+    val docsA = docsOf(spark.range(nDocs).toDF("id")).cache(); docsA.count()
+    val removed = col("doc_id") % 199 === 0
+    val revised = col("doc_id") % 211 === 0
+    val docsB = docsA.filter(!removed)
+      .select(col("doc_id"), when(revised,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+      .unionByName(docsOf(
+        spark.range(nDocs, nDocs + nDocs / 200).toDF("id")))
+      .cache()
+    val nB = docsB.count()
+    // stored snapshot-A artifacts (the previous crawl's dedup run),
+    // persisted like the fixtures — build wall reported once
+    val dir = s"target/tmp-labelrefresh/$nDocs"
+    val (_, tIndex) = timed {
+      if (!new java.io.File(s"$dir/labels.parquet").exists()) {
+        ext.Extensions.minhashSignatures(docsA)
+          .write.mode("overwrite").parquet(s"$dir/sigs.parquet")
+        val sigsA0 = spark.read.parquet(s"$dir/sigs.parquet")
+        ext.Extensions.sigConfirm(
+            ext.Extensions.bandCandidates(
+              ext.Extensions.minhashBanded(sigsA0), Seq("band", "bk")),
+            "id_a", "id_b", sigsA0, sigsA0)
+          .select("id_a", "id_b")
+          .write.mode("overwrite").parquet(s"$dir/pairs.parquet")
+        ops.Graph.connectedComponents(
+            spark.read.parquet(s"$dir/pairs.parquet"),
+            docsA.select(col("doc_id").as("id")))
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+          .write.mode("overwrite").parquet(s"$dir/labels.parquet")
+      }
+    }
+    val sigsA = spark.read.parquet(s"$dir/sigs.parquet")
+    val pairsA = spark.read.parquet(s"$dir/pairs.parquet")
+    val labelsA = spark.read.parquet(s"$dir/labels.parquet")
+    // warm the stored artifacts' page cache (REFRESHPROBE rule: the
+    // probe measures strategy cost, not cold I/O)
+    sigsA.count(); pairsA.count(); labelsA.count()
+    // REFRESH: the E76g fold verbatim over the planted diff
+    val ((refreshed, nAffected, nClusters), tRefresh) = timed {
+      val stale = docsA.filter(removed || revised).select("doc_id")
+      val freshDocs = docsB
+        .join(docsA.filter(revised).select("doc_id")
+            .unionByName(docsB.select("doc_id")
+              .join(docsA.select("doc_id"), Seq("doc_id"), "left_anti")),
+          Seq("doc_id"))
+      val freshSigs = ext.Extensions.minhashSignatures(freshDocs).cache()
+      val refreshedSigs = sigsA.join(stale, Seq("doc_id"), "left_anti")
+        .unionByName(freshSigs).cache()
+      val bandF = ext.Extensions.minhashBanded(freshSigs)
+        .select(col("band"), col("bk"), col("doc_id").as("fid"))
+      val bandR = ext.Extensions.minhashBanded(refreshedSigs)
+        .select(col("band"), col("bk"), col("doc_id").as("oid"))
+      val cand = bandF.join(bandR, Seq("band", "bk"))
+        .filter(col("fid") =!= col("oid"))
+        .select(least(col("fid"), col("oid")).as("id_a"),
+          greatest(col("fid"), col("oid")).as("id_b"))
+        .distinct()
+      val fPairs = ext.Extensions
+        .sigConfirm(cand, "id_a", "id_b", refreshedSigs, refreshedSigs)
+        .select("id_a", "id_b").cache()
+      if (sys.env.contains("LR_DEBUG"))
+        fPairs.write.mode("overwrite").parquet(s"$dir/fpairs.parquet")
+      val out = ext.Extensions.refreshClusterLabels(labelsA, "doc_id",
+        stale, freshSigs.select("doc_id"), fPairs,
+        survivors => pairsA
+          .join(survivors.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+          .join(survivors.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi"))
+        .localCheckpoint()
+      val nOut = out.count()
+      assert(nOut == nB, s"refreshed label count $nOut != |B| $nB")
+      // affected fraction: the fold's own collect re-derived for the
+      // report (labelsA components touched by stale or fresh edges)
+      val touchers = docsA.filter(removed || revised).select("doc_id")
+        .unionByName(fPairs.select(col("id_a").as("doc_id")))
+        .unionByName(fPairs.select(col("id_b").as("doc_id")))
+      val nAff = labelsA.join(touchers, Seq("doc_id"), "left_semi")
+        .select("cluster_id").distinct().count()
+      val nCl = labelsA.select("cluster_id").distinct().count()
+      (out, nAff, nCl)
+    }
+    // the cost the refresh avoids: full snapshot-B pair gen + CC
+    val (rebuilt, tRebuild) = timed {
+      val l = ops.Graph.connectedComponents(
+          ext.Extensions.minhashPairsFrom(docsB).select("id_a", "id_b"),
+          docsB.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .localCheckpoint()
+      l.count(); l
+    }
+    val mismatch = refreshed.exceptAll(rebuilt).count() +
+      rebuilt.exceptAll(refreshed).count()
+    if (mismatch > 0 && sys.env.contains("LR_DEBUG")) {
+      val bad = refreshed.exceptAll(rebuilt)
+        .select(col("doc_id"), col("cluster_id").as("ref_cl"))
+        .join(rebuilt.select(col("doc_id"), col("cluster_id").as("reb_cl")),
+          Seq("doc_id"), "left")
+      bad.withColumn("family", col("doc_id") % nFamilies)
+        .withColumn("removed_m", col("doc_id") % 199 === 0)
+        .withColumn("revised_m", col("doc_id") % 211 === 0)
+        .orderBy("family", "doc_id")
+        .show(60, false)
+      // per-family view of one bad family: all members in both labelings
+      val f0 = bad.select((col("doc_id") % nFamilies).as("f")).limit(1)
+        .head().getLong(0)
+      println(s"family $f0 members:")
+      val fp = spark.read.parquet(s"$dir/fpairs.parquet")
+      println(s"fpairs incident to family $f0:")
+      fp.filter(col("id_a") % nFamilies === f0 || col("id_b") % nFamilies === f0)
+        .show(40, false)
+      val badCl = refreshed.filter(col("doc_id") % nFamilies === f0)
+        .select("cluster_id").head().getLong(0)
+      println(s"fpairs incident to wrong-cluster family $badCl:")
+      fp.filter(col("id_a") % nFamilies === badCl || col("id_b") % nFamilies === badCl)
+        .show(40, false)
+      refreshed.filter(col("doc_id") % nFamilies === f0)
+        .select(col("doc_id"), col("cluster_id").as("ref_cl"))
+        .join(rebuilt.filter(col("doc_id") % nFamilies === f0)
+          .select(col("doc_id"), col("cluster_id").as("reb_cl")),
+          Seq("doc_id"), "full_outer")
+        .withColumn("removed_m", col("doc_id") % 199 === 0)
+        .withColumn("revised_m", col("doc_id") % 211 === 0)
+        .orderBy("doc_id").show(40, false)
+    }
+    println(f"LABELREFRESHPROBE n=$nDocs%d nB=$nB%d " +
+      f"affected=$nAffected%d/$nClusters%d clusters " +
+      f"refresh_wall=$tRefresh%.1fs rebuild_wall=$tRebuild%.1fs " +
+      f"speedup=${tRebuild / math.max(tRefresh, 0.001)}%.1fx " +
+      f"index_build=$tIndex%.1fs mismatch=$mismatch%d")
+    assert(mismatch == 0, "refreshed labels != from-scratch snapshot-B rebuild")
+    spark.stop()
+  }
+
   /** `semlife` mode (round 14): the semantic-lifecycle volume probe —
     * arrival (ext_semantic_incremental's shape) and purge
     * (ext_semantic_purge's fold) at millions of vectors, the volume
@@ -2088,6 +2279,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("labelrefresh")) { labelRefreshProbe(args); return }
     if (args.headOption.contains("semlife")) { semLifeProbe(args); return }
     if (args.headOption.contains("vecrefresh")) { vecRefreshProbe(args); return }
     if (args.headOption.contains("leakproof")) { leakproofProbe(args); return }

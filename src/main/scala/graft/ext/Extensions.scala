@@ -329,7 +329,7 @@ object Extensions {
     * the oracle) clears 0.5 — the one Spark definition of the confirm
     * step, shared by the self-join dedup and the incremental
     * batch-vs-corpus probe (its SQL twin is [[minhashMatchSumSql]]). */
-  private def sigConfirm(cand: DataFrame, leftCol: String, rightCol: String,
+  private[graft] def sigConfirm(cand: DataFrame, leftCol: String, rightCol: String,
                          sigLeft: DataFrame, sigRight: DataFrame): DataFrame = {
     val sa = sigLeft.select(sigLeft.columns.map(c => col(c).as(s"a_$c")).toSeq: _*)
     val sb = sigRight.select(sigRight.columns.map(c => col(c).as(s"b_$c")).toSeq: _*)
@@ -8003,13 +8003,14 @@ object Extensions {
     * re-derives the family's pair set over a given survivor-id frame
     * (from the STORED index, never raw text). The affected collect is
     * diff-sized — the purge-sized-collect contract of the family. */
-  private def refreshClusterLabels(labelsA: DataFrame, idCol: String,
+  private[graft] def refreshClusterLabels(labelsA: DataFrame, idCol: String,
       stale: DataFrame, freshIds: DataFrame, freshPairs: DataFrame,
       survivorPairsOf: DataFrame => DataFrame): DataFrame = {
+    // no distinct: the left-semi probe tolerates duplicates, and the
+    // dedup would cost a shuffle of its own before the broadcast
     val touchers = stale.select(col(stale.columns.head).as(idCol))
       .unionByName(freshPairs.select(col("id_a").as(idCol)))
       .unionByName(freshPairs.select(col("id_b").as(idCol)))
-      .distinct()
     val affected = labelsA.join(broadcast(touchers), Seq(idCol), "left_semi")
       .select("cluster_id").distinct().collect().map(_.getLong(0))
     val untouched = labelsA
