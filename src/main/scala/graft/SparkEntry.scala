@@ -41,6 +41,8 @@ object SparkEntry {
       "self-checking metric (cell-routed PQ families: ivfpq/ivfpqr): the output carries its own pass column asserting the registered recall floors; cross-family assertions (ivfpqr no-loss-vs-ivfpq) stay in ExtensionsSpec's all-families form",
     "ext_ann_recall_imi" ->
       "self-checking metric (product-routed families: imi/imipq): the output carries its own pass column asserting the registered recall floors; the routing-bound imipq-vs-imi assertion stays in ExtensionsSpec's all-families form",
+    "ext_ann_recall" ->
+      "self-checking metric: the output carries its own pass column asserting the registered recall floors (all seven families in one frame; the per-family split rows above are the preferred trend lines, this form stays registered because a declared query may never disappear)",
     "ext_hybrid_search_pq" ->
       "self-checking metric over an approximate (PQ-tower) index: the output carries its own pass column asserting the fusion-overlap floor vs the exact hybrid",
     "ext_hybrid_search_ivfpq" ->

@@ -4204,10 +4204,14 @@ object Extensions {
         ImiRecallFloor))),
     None)
 
-  /** The all-families recall form — UNREGISTERED since round 14 (the
-    * split rows above are the bench-facing metric); spec-pinned in
-    * ExtensionsSpec for the cross-family floor + routing-bound
-    * assertions that need every family in one frame. */
+  /** The all-families recall form. Still REGISTERED (a declared query
+    * may never disappear from the registry — driver contract); the
+    * split rows above are the preferred per-family trend lines, and
+    * ExtensionsSpec additionally pins this form for the cross-family
+    * floor + routing-bound assertions that need every family in one
+    * frame. Its seven search paths run through `inParallel` + the
+    * shared model memo, so the marginal bench cost over the three
+    * split rows is the union/read overhead, not seven rebuilds. */
   val annRecall: Q = Q("ext_ann_recall",
     (spark, sfDir) => annRecallOver(spark, sfDir, Seq(
       ("ann_lsh", (q: Option[DataFrame]) => annLshSearch(spark, sfDir, q),
@@ -11241,7 +11245,7 @@ object Extensions {
     dedupSimhash, dedupEmbedding, substringDedup, substringDedupRewriteQ,
     substrIncremental, substrRewriteIncremental, substrCompact,
     topkCosine, mmrRerank, mmrRerankIvfpq, annLsh, topkIvf, topkPq,
-    annRecallFlat, annRecallPq, annRecallImi,
+    annRecallFlat, annRecallPq, annRecallImi, annRecall,
     textStats,
     langId, qualityScore, qualityPercentileGate, tokenCount, fingerprint,
     fingerprintWinnow,

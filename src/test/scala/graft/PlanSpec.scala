@@ -151,6 +151,7 @@ class PlanSpec extends SparkSpec {
       "ext_mmr_rerank",      // same broadcast query × corpus pool build as ext_topk_cosine
       "ext_ann_lsh",         // broadcast query side over bucket candidates
       "ext_topk_pq",         // broadcast query LUTs × corpus CODE scan (ADC)
+      "ext_ann_recall",      // composes topk_cosine + ann_lsh above
       "ext_ann_recall_flat", // composes ann_lsh above (+ topk_cosine when the exact-baseline fixture is cold)
       "ext_ann_recall_pq",   // exact-baseline fixture may be cold (topk_cosine recompute); routed paths are equi-joins
       "ext_ann_recall_imi",  // same cold-fixture case as ext_ann_recall_pq
