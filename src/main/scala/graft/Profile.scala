@@ -28,19 +28,55 @@ object Profile {
     // loads, routing collects) apart from the noop-write execution —
     // the split that tells serial fixed costs from data-sized work
     val split = sys.env.get("SPARK_GRAFT_PROFILE_SPLIT").contains("1")
+    // Spark JOB counter: the iterative/eager queries are job-count-bound
+    // at bench scale (each job is ~10-100 ms of scheduler+stage overhead
+    // against trivial data), so the job count is the number to shrink —
+    // wall alone cannot tell scheduler overhead from data work
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    // SPARK_GRAFT_PROFILE_JOBS=1 additionally prints one line per Spark
+    // job (start-relative ms, duration, description) — the attribution
+    // tool for job-count-bound queries: WHICH eager step mints the jobs
+    val traceJobs = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          if (traceJobs) {
+            val desc = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse("")
+            jobStart.put(js.jobId, (System.nanoTime(), desc))
+          }
+          ()
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (traceJobs) {
+            Option(jobStart.remove(je.jobId)).foreach { case (t0, desc) =>
+              println(f"JOB ${je.jobId}%5d ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $desc%s")
+            }
+          }
+      })
     for (name <- wanted; fn = SparkEntry.queries(name); r <- 1 to reps) {
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       // full materialization (see Bench): count() would let the
       // optimizer time a smaller query than the one users run
       val df = fn(spark, sfDir)
       val tBuild = (System.nanoTime() - t0) / 1e9
+      val jBuild = jobs.get() - j0
       df.write.format("noop").mode("overwrite").save()
       spark.sqlContext.clearCache()
       val total = (System.nanoTime() - t0) / 1e9
+      // listener events are async — give the bus a beat to drain
+      Thread.sleep(100)
+      val jTotal = jobs.get() - j0
       if (split)
-        println(f"PROFILE $name rep$r $total%.3f s (build $tBuild%.3f s, exec ${total - tBuild}%.3f s)")
+        println(f"PROFILE $name rep$r $total%.3f s (build $tBuild%.3f s, exec ${total - tBuild}%.3f s, jobs $jTotal%d of which build $jBuild%d)")
       else
-        println(f"PROFILE $name rep$r $total%.3f s")
+        println(f"PROFILE $name rep$r $total%.3f s (jobs $jTotal%d)")
     }
     spark.stop()
   }

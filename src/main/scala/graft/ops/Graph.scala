@@ -140,10 +140,31 @@ object Graph {
     *        by |sym|/hotDegree, so at 10¹² edges the default keeps the
     *        broadcast under ~4M rows; graphs with no such key skip the
     *        split entirely (one cheap census, plans unchanged). */
+  /** Star-edge bound under which the contracted graph is FINISHED on
+    * the driver (one collect + exact union-find) instead of entering
+    * the iterative join loop. After [[contractLocal]] every non-root
+    * node emits exactly ONE (node, local-root) edge, so the star-edge
+    * count is ≤ the touched-node count and the collect is ≤ 16 bytes ×
+    * bound ≈ 32 MB at the default — the broadcast-hash-join discipline
+    * (a provably small side moves to one JVM) applied to the label
+    * loop: below the bound the loop's per-round barriers (join + agg +
+    * checkpoint + convergence check, ~10 scheduler round-trips per
+    * round) buy nothing that a local pass doesn't, and ABOVE it the
+    * distributed loop runs exactly as before. Labels are identical by
+    * construction — both paths compute min-reachable-id, and union-find
+    * with min-id roots is exact — so downstream oracle hashes and
+    * cc-cache fixtures are unaffected (AlgoVersion stays). 1M edges =
+    * a ≤16 MB primitive-pair collect and a LocalRelation the final
+    * label join broadcasts — the same order as the existing hot-key
+    * broadcast bound. */
+  final val DriverFinishMaxEdges = 1000000L
+
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 50, roundsPerCheck: Int = 2,
                           checkpointDir: Option[String] = None,
-                          hotDegree: Long = 500000L): DataFrame = {
+                          hotDegree: Long = 500000L,
+                          driverFinishMaxEdges: Long = DriverFinishMaxEdges)
+      : DataFrame = {
     val spark = edges.sparkSession
     val ck = checkpointer(edges.sparkSession, checkpointDir)
     // materialize the EDGES once, then derive the symmetric set from the
@@ -152,6 +173,35 @@ object Graph {
     // iteration joins against sym (N× more without materialization)
     val edgesCk = described(spark, "local contraction") {
       ck(contractLocal(edges.select(col("id_a"), col("id_b"))))
+    }
+    // the count scans the truncated checkpoint blocks, not the upstream
+    // pair generation — one cheap job that gates the driver finish
+    val nStar = described(spark, "star-edge census") { edgesCk.count() }
+    if (nStar <= driverFinishMaxEdges) {
+      import spark.implicits._
+      val star = described(spark, "driver finish: collect") {
+        edgesCk.select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+      }
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      star.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+      parent.keySet().forEach { x => out += ((x, find(x))) }
+      val labels = spark.createDataFrame(out.toSeq)
+        .toDF("id", "component")
+      return nodes.select(col("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     }
     val sym = described(spark, "symmetrize") {
       ck(edgesCk.select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -134,7 +134,12 @@ class ScaleSpec extends SparkSpec {
     val edges = star.unionByName(chains)
     val nodes = edges.select(col("id_a").as("id"))
       .unionByName(edges.select(col("id_b").as("id"))).distinct()
-    val comps = ops.Graph.connectedComponents(edges, nodes).cache()
+    // driverFinishMaxEdges = 0 forces the DISTRIBUTED loop: at this
+    // scale the default bound would take the round-14 driver-finish
+    // fast path and the loop (and its hot branch below) would ship
+    // untested
+    val comps = ops.Graph.connectedComponents(edges, nodes,
+      driverFinishMaxEdges = 0L).cache()
     assert(comps.filter(col("component") === 0L).count() == spokes + 1)
     val chainComps = comps.filter(col("id") >= base)
       .groupBy("component").count().collect()
@@ -145,9 +150,16 @@ class ScaleSpec extends SparkSpec {
     // runs, and require bit-identical labels vs the default plan. At
     // the default 500k threshold this graph takes the cold-only path,
     // so without this run the hot branch would ship untested.
-    val hot = ops.Graph.connectedComponents(edges, nodes, hotDegree = 100L)
+    val hot = ops.Graph.connectedComponents(edges, nodes, hotDegree = 100L,
+      driverFinishMaxEdges = 0L)
     assert(hot.unionByName(comps).distinct().count() == comps.count(),
       "hot-path labels differ from the default path")
+    // round-14 driver-finish equivalence: under the default bound this
+    // graph is finished on the driver after local contraction — labels
+    // must be bit-identical to the distributed loop's
+    val fast = ops.Graph.connectedComponents(edges, nodes)
+    assert(fast.unionByName(comps).distinct().count() == comps.count(),
+      "driver-finish labels differ from the distributed loop")
     comps.unpersist()
   }
 
