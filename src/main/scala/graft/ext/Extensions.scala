@@ -2872,7 +2872,14 @@ object Extensions {
         // discipline (cell-partitioned layout, relative cap, orphaned
         // by either retrained model) applied to the 90% split
         val corpusCodes = ivfpqCellCodes(corpus, cbs, cs, Some(src))
-        val merged = corpusCodes.unionByName(ivfpqEncodeAssign(batch, cbs, cs))
+        // batch-encode branch truncated with a LAZY localCheckpoint —
+        // ivfpqRefreshSearch's measured reason (the optimizer re-walks
+        // the unrolled encode subtree under every downstream
+        // join/window); the O(batch) code rows are what a production
+        // arrival appends. The stored branch stays lazy: probed-cell
+        // PartitionFilters + the PlanSpec stored-serve gate unchanged.
+        val merged = corpusCodes.unionByName(
+          ivfpqEncodeAssign(batch, cbs, cs).localCheckpoint(false))
         ivfpqTopK(emb, annQueryIds(emb), src = Some(src),
           codes0 = Some(merged), cbs0 = Some(cbs), cs0 = Some(cs))
       }
@@ -3296,8 +3303,10 @@ object Extensions {
       ivfpqrModels(emb, src) match {
         case None => emptyTopK(pqNormalize(emb))
         case Some((cs, ms, cbs)) =>
+          // batch-encode branch truncated — ivfpqIncremental's reason
           val merged = ivfpqrCellCodes(corpus, cbs, cs, ms, Some(src))
-            .unionByName(ivfpqrEncodeAssign(batch, cbs, cs, ms))
+            .unionByName(ivfpqrEncodeAssign(batch, cbs, cs, ms)
+              .localCheckpoint(false))
           ivfpqrTopK(emb, annQueryIds(emb), src = Some(src),
             codes0 = Some(merged), cbs0 = Some(cbs),
             cs0 = Some(cs), ms0 = Some(ms))
@@ -3640,8 +3649,10 @@ object Extensions {
         emptyTopK(pqNormalize(emb))
       else {
         val corpusCodes = imipqCellCodes(corpus, cbs, cs0, cs1, Some(src))
+        // batch-encode branch truncated — ivfpqIncremental's reason
         val merged = corpusCodes
-          .unionByName(imipqEncodeAssign(batch, cbs, cs0, cs1))
+          .unionByName(imipqEncodeAssign(batch, cbs, cs0, cs1)
+            .localCheckpoint(false))
         imipqTopK(emb, annQueryIds(emb), src = Some(src),
           codes0 = Some(merged), cbs0 = Some(cbs),
           csH0 = Some(cs0), csH1 = Some(cs1))
@@ -6736,9 +6747,22 @@ object Extensions {
     // partitioned fixture, models untouched); arrival half: ONE
     // O(delta) encode+assign scan of the fresh B vectors
     val codesA = ivfpqCellCodes(vecsA, cbs, cs, Some(src))
+    // the delta-encode branch is truncated with a LAZY localCheckpoint
+    // (round 14, measured): serving the search over the raw
+    // union-with-encode plan made Catalyst re-optimize the ~300-node
+    // encode expression subtree under every downstream join/window —
+    // the ablation read the full refresh search at ~2× the sum of its
+    // parts. The checkpoint materializes O(delta) code rows (exactly
+    // what a production arrival writes) on first use, keeps the stored
+    // branch lazy (probed-cell PartitionFilters + the PlanSpec
+    // stored-serve/LeftAnti gates untouched), and cut the registered
+    // verb ~40% at sf0.1. Search output identical: same rows, same
+    // deterministic rank tiebreaks.
     val refreshed = codesA
       .join(stale, col("corpus_id") === col("vec_id"), "left_anti")
-      .unionByName(ivfpqEncodeAssign(vecsB.join(fresh, Seq("vec_id")), cbs, cs))
+      .unionByName(
+        ivfpqEncodeAssign(vecsB.join(fresh, Seq("vec_id")), cbs, cs)
+          .localCheckpoint(false))
     ivfpqTopK(vecsB, annQueryIds(vecsB), codes0 = Some(refreshed),
       cbs0 = Some(cbs), cs0 = Some(cs))
   }
@@ -6790,10 +6814,12 @@ object Extensions {
       .filter(col("status").isin("added", "changed"))
       .select(col("doc_id").as("vec_id")))
     val codesA = imipqCellCodes(vecsA, cbs, cs0, cs1, Some(src))
+    // delta-encode branch truncated — ivfpqRefreshSearch's reason
     val refreshed = codesA
       .join(stale, col("corpus_id") === col("vec_id"), "left_anti")
       .unionByName(
-        imipqEncodeAssign(vecsB.join(fresh, Seq("vec_id")), cbs, cs0, cs1))
+        imipqEncodeAssign(vecsB.join(fresh, Seq("vec_id")), cbs, cs0, cs1)
+          .localCheckpoint(false))
     imipqTopK(vecsB, annQueryIds(vecsB), codes0 = Some(refreshed),
       cbs0 = Some(cbs), csH0 = Some(cs0), csH1 = Some(cs1))
   }
@@ -6825,10 +6851,12 @@ object Extensions {
           .filter(col("status").isin("added", "changed"))
           .select(col("doc_id").as("vec_id")))
         val codesA = ivfpqrCellCodes(vecsA, cbs, cs, ms, Some(src))
+        // delta-encode branch truncated — ivfpqRefreshSearch's reason
         val refreshed = codesA
           .join(stale, col("corpus_id") === col("vec_id"), "left_anti")
           .unionByName(
-            ivfpqrEncodeAssign(vecsB.join(fresh, Seq("vec_id")), cbs, cs, ms))
+            ivfpqrEncodeAssign(vecsB.join(fresh, Seq("vec_id")), cbs, cs, ms)
+              .localCheckpoint(false))
         ivfpqrTopK(vecsB, annQueryIds(vecsB), codes0 = Some(refreshed),
           cbs0 = Some(cbs), cs0 = Some(cs), ms0 = Some(ms))
     }
@@ -6861,9 +6889,12 @@ object Extensions {
       .select(col("doc_id").as("vec_id")))
     val bucketsA = lshStoredBuckets(vecsA, LshTables, LshBits,
       LshBucketCap, indexSrc = Some(src))
+    // delta-hash branch truncated — ivfpqRefreshSearch's reason (the
+    // O(batch) bucket rows are the production arrival write)
     val refreshed = capBuckets(
       bucketsA.join(stale, col("corpus_id") === col("vec_id"), "left_anti")
-        .unionByName(lshBucketRows(vecsB.join(fresh, Seq("vec_id")), None)),
+        .unionByName(lshBucketRows(vecsB.join(fresh, Seq("vec_id")), None)
+          .localCheckpoint(false)),
       LshBucketCap)
     annTopK(vecsB, annQueryIds(vecsB), buckets0 = Some(refreshed))
   }

@@ -535,9 +535,14 @@ class PlanSpec extends SparkSpec {
 
   test("incremental ivfpq index: corpus served from the stored combined table; one batch encode") {
     // the arrival contract for the combined index: the ONLY raw
-    // embedding scans are the batch encode (1) plus the fixed
-    // query-side fetches inside the cached query frame (the raw-vector
-    // fetch and the query-id TakeOrdered — 2); the standing corpus's
+    // embedding scans are the fixed query-side fetches inside the
+    // cached query frame (the raw-vector fetch and the query-id
+    // TakeOrdered — 2); the batch encode (the third enumerated fetch
+    // before round 14) now enters the union as a truncated
+    // checkpointed branch (its O(batch) scan runs, but below the plan
+    // — the corpus-never-re-encoded fact is held by ExtensionsSpec's
+    // merged==monolithic equality, which a corpus-sized re-encode
+    // inside the branch could not fake cheaply); the standing corpus's
     // codes come from the stored cell-partitioned fixture, and the
     // probed-cell predicate must still prune its files THROUGH the
     // union with the batch rows
@@ -548,8 +553,8 @@ class PlanSpec extends SparkSpec {
         s"standing corpus not served from the stored combined index: $paths")
       val embScans = paths.count(p =>
         p.contains("/testdata/") && p.contains("embeddings.parquet"))
-      assert(embScans == 3,
-        s"raw embedding scans drifted from the three enumerated fetches ($embScans): $paths")
+      assert(embScans == 2,
+        s"raw embedding scans drifted from the two enumerated fetches ($embScans): $paths")
       val plan = physical(df)
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
@@ -675,9 +680,10 @@ class PlanSpec extends SparkSpec {
 
   test("incremental imipq index: corpus served from the stored combined table; one batch encode") {
     // the arrival contract with the product coarse quantizer: same
-    // raw-scan budget as the ivfpq twin (1 batch encode + the fixed
-    // query-side fetches), corpus codes from the stored imipq-codes,
-    // probed-cell pruning surviving the union
+    // raw-scan budget as the ivfpq twin (2 query-side fetches; the
+    // batch encode is a truncated checkpointed branch since round 14 —
+    // see the ivfpq test's note), corpus codes from the stored
+    // imipq-codes, probed-cell pruning surviving the union
     val df = ext.Extensions.imipqIncremental.fn(spark, sf0001)
     try {
       val paths = scanNodePaths(df)
@@ -685,8 +691,8 @@ class PlanSpec extends SparkSpec {
         s"standing corpus not served from the stored combined index: $paths")
       val embScans = paths.count(p =>
         p.contains("/testdata/") && p.contains("embeddings.parquet"))
-      assert(embScans == 3,
-        s"raw embedding scans drifted from the three enumerated fetches ($embScans): $paths")
+      assert(embScans == 2,
+        s"raw embedding scans drifted from the two enumerated fetches ($embScans): $paths")
       val plan = physical(df)
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
@@ -700,8 +706,10 @@ class PlanSpec extends SparkSpec {
 
   test("residual index lifecycle plans: arrival = one batch encode; compaction = single pruned scan") {
     // the arrival contract for the residual geometry (same raw-scan
-    // budget as the ivfpq/imipq twins: 1 batch encode + 2 query-side
-    // fetches), then the compacted search with the settled debts
+    // budget as the ivfpq/imipq twins: 2 query-side fetches; the batch
+    // encode is a truncated checkpointed branch since round 14 — see
+    // the ivfpq test's note), then the compacted search with the
+    // settled debts
     val inc = ext.Extensions.ivfpqrIncremental.fn(spark, sf0001)
     try {
       val paths = scanNodePaths(inc)
@@ -709,8 +717,8 @@ class PlanSpec extends SparkSpec {
         s"standing corpus not served from the stored residual index: $paths")
       val embScans = paths.count(p =>
         p.contains("/testdata/") && p.contains("embeddings.parquet"))
-      assert(embScans == 3,
-        s"raw embedding scans drifted from the three enumerated fetches ($embScans): $paths")
+      assert(embScans == 2,
+        s"raw embedding scans drifted from the two enumerated fetches ($embScans): $paths")
       val plan = physical(inc)
       val pruned = "(?s)PartitionFilters: \\[[^\\]]*cell[^\\]]*(?i:in)[^\\]]*\\]".r
         .findFirstIn(plan).isDefined
@@ -924,10 +932,16 @@ class PlanSpec extends SparkSpec {
       val paths = scanNodePaths(df)
       assert(paths.exists(_.contains("bm25-postings-snapa")),
         s"snapshot-A postings not served from the stored index: $paths")
+      // diff side A reads the stored snapa-hashes metadata fixture
+      // since round 14 (yesterday's content hashes are crawl
+      // metadata), so raw documents scans = the diff's B hash side +
+      // one delta tokenize
+      assert(paths.exists(_.contains("snapa-hashes")),
+        s"diff A side not served from the stored hash metadata: $paths")
       val docScans = paths.count(p =>
         p.contains("/testdata/") && p.contains("documents.parquet"))
-      assert(docScans == 3,
-        s"want 3 raw documents scans (diff a, diff b, delta tokenize), " +
+      assert(docScans == 2,
+        s"want 2 raw documents scans (diff b, delta tokenize), " +
           s"got $docScans in $paths")
       assert(physical(df).contains("LeftAnti"),
         "the purge half must plan as an anti join on the stored postings")
@@ -1018,12 +1032,15 @@ class PlanSpec extends SparkSpec {
       assert(paths.exists(p => p.contains("substr-grams") && p.contains("snapa")),
         s"snapshot-A grams not served from the stored index: $paths")
       // the standing corpus is never re-tokenized: raw documents scans
-      // are the diff's two hash projections (cached statuses frame)
-      // plus the stale-doc and fresh-doc gram passes — both delta-sized
+      // are the diff's B hash projection (the A side reads the stored
+      // snapa-hashes metadata since round 14) plus the stale-doc and
+      // fresh-doc gram passes — both delta-sized
+      assert(paths.exists(_.contains("snapa-hashes")),
+        s"diff A side not served from the stored hash metadata: $paths")
       val docScans = paths.count(p =>
         p.contains("/testdata/") && p.contains("documents.parquet"))
-      assert(docScans == 4,
-        s"want 4 raw documents scans (diff a, diff b, stale grams, " +
+      assert(docScans == 3,
+        s"want 3 raw documents scans (diff b, stale grams, " +
           s"fresh grams), got $docScans in $paths")
     } finally ext.Extensions.releaseCaches()
   }
